@@ -1,0 +1,436 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational query suite over the TPC-H-ish testdata tables.
+  *
+  * The reference engine (MIT 6.824 Lab 1 MapReduce — see SURVEY.md §2.2)
+  * has scan → map → shuffle → sort-group → reduce; every query here is the
+  * generalization of that dataflow expressed as a declarative Catalyst plan
+  * so pushdown / pruning / partial aggregation / AQE come for free.
+  *
+  * Scale notes (100 TB design stance):
+  *   - Dimension tables (region/nation/supplier/part/customer) are joined
+  *     with explicit `broadcast()` — no shuffle of the fact table on dim joins.
+  *   - Aggregations are expressed with codegen'd built-ins only, so Spark
+  *     plans partial (map-side) aggregation before the shuffle.
+  *   - Money arithmetic: per-row double expression → cast to DecimalType →
+  *     exact decimal sum → cast back to double. This makes results
+  *     independent of aggregation order (deterministic at any parallelism,
+  *     and bit-identical to the DuckDB oracle).
+  */
+object Relational {
+  import Tables._
+
+  /** Order-insensitive exact sum of a (per-row deterministic) double expr. */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** TPC-H Q1 analog: pricing summary over ~99% of lineitem.
+    * Single shuffle on (l_returnflag, l_linestatus); partial agg map-side. */
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Filter + projection; exists to prove scan pushdown (PushedFilters /
+    * 3-column ReadSchema on a 6-column table). */
+  def q02FilterPushdown(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_size").between(10, 20) &&
+        col("p_type").isin("SMALL", "MEDIUM"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+
+  val q02Sql: String =
+    """SELECT p_partkey, p_brand, p_retailprice FROM part
+      |WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('SMALL','MEDIUM')""".stripMargin
+
+  /** TPC-H Q3 analog: top-10 unshipped-revenue orders for one segment.
+    * customer is broadcast (no shuffle of orders/lineitem on the dim side);
+    * orders⋈lineitem shuffles on the join key once and the groupBy reuses
+    * that partitioning. Ranking happens on the exact DECIMAL revenue, so
+    * the top-10 cut is deterministic; ties broken by o_orderkey. */
+  def q03TopRevenue(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("rev"))
+      .orderBy(col("rev").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("rev").cast("double").as("revenue"))
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(rev AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+      |  FROM lineitem, orders, customer
+      |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND l_shipdate > TIMESTAMP '1998-01-01'
+      |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |) ORDER BY rev DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q4 analog: order counts by priority for orders having at least
+    * one discounted line — a left-semi join (no row multiplication, and
+    * Spark can stop probing per key at first match). */
+  def q04SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = lineitem(s, d).filter(col("l_discount") > 0.05)
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5 analog: revenue by nation where customer and supplier share
+    * the nation. All four dimension sides broadcast; the only shuffles are
+    * orders⋈lineitem and the final 25-group aggregation. */
+  def q05LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val r = region(s, d).filter(col("r_name") === "ASIA")
+    val n = nation(s, d)
+    val c = customer(s, d)
+    val sup = supplier(s, d)
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+  }
+
+  val q05Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** TPC-H Q6 analog: single-row forecast-revenue aggregate — the pure
+    * scan-filter-agg shape; no shuffle beyond the final 1-row reduce. */
+  def q06RevenueForecast(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q06Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Window rank: each customer's single largest order.
+    * row_number (not rank) with a full tie-break key → deterministic. */
+  def q07WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val q07Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn = 1""".stripMargin
+
+  /** Running (cumulative) revenue per supplier in ship order.
+    * The running value is summed in exact DECIMAL (order-insensitive is not
+    * enough here — segment-tree vs streaming window aggregation would give
+    * different double results; decimal makes both exact). */
+  def q08RunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("running_qty", sum(col("l_quantity")).over(w))
+      .withColumn("running_rev",
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"), col("running_rev"))
+  }
+
+  val q08Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  sum(l_quantity) OVER w AS running_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_rev
+      |FROM lineitem WHERE l_suppkey <= 3
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Distinct aggregates: suppliers/parts/orders touched per return flag. */
+  def q09DistinctAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_order"),
+        count(lit(1)).as("n_lines"))
+
+  val q09Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part,
+      |  count(DISTINCT l_orderkey) AS n_order,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Set operation: customers with both open and finished orders. */
+  def q10SetOps(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val done = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    open.intersect(done).withColumnRenamed("o_custkey", "custkey")
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  /** Rollup: revenue at (region, nation), (region), and grand-total levels
+    * in one pass — Spark expands grouping sets before the shuffle. */
+  def q11Rollup(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d)
+    val r = region(s, d)
+    val c = customer(s, d)
+    orders(s, d)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("total_price"))
+  }
+
+  val q11Sql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders, customer, nation, region
+      |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** Group-filter (HAVING): suppliers shipping more than 550 lines. */
+  def q12Having(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("n_lines") > 550)
+
+  val q12Sql: String =
+    """SELECT l_suppkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+      |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 550""".stripMargin
+
+  /** Anti join: customers who never ordered, counted per segment. */
+  def q13AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d).select(col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q14 analog: promo revenue share — conditional aggregation.
+    * part is broadcast; ratio computed as one double division at the end. */
+  def q14CasePromo(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+    val l = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+    val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", disc)
+          .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
+          / sum(disc).cast("double")).as("promo_share"))
+  }
+
+  val q14Sql: String =
+    """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS promo_share
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin
+
+  /** Hourly event aggregation — the batch shape of the streaming pipeline
+    * in graft.streaming (same groupBy window semantics). */
+  def q15EventsHourly(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  val q15Sql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization: split each user's event stream at >30 min gaps.
+    * Classic lag + cumulative-flag-sum; one shuffle on user_id serves both
+    * window functions and the final per-session aggregation. */
+  def q16Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+  }
+
+  val q16Sql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                IS NULL THEN 1
+      |           WHEN date_diff('second',
+      |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |                  ts) > 1800
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_id""".stripMargin
+
+  /** TPC-H Q17 analog: revenue from small-quantity lines relative to the
+    * per-part average — decorrelated as an aggregate-then-join (the scalable
+    * plan; a correlated subquery re-scans per row). */
+  def q17AvgSubquery(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val avgPerPart = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    l.join(broadcast(avgPerPart), col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(dsum(col("l_extendedprice"), 2).as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17Sql: String =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN (SELECT l_partkey AS ap_partkey,
+      |        sum(l_quantity) / count(*) AS avg_qty
+      |      FROM lineitem GROUP BY l_partkey) ON l_partkey = ap_partkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_quantity < 0.5 * avg_qty
+      |GROUP BY p_brand""".stripMargin
+
+  /** name → (query fn, oracle SQL) for everything in this module. */
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
+    "q02_filter_pushdown" -> (q02FilterPushdown _, q02Sql),
+    "q03_top_revenue"     -> (q03TopRevenue _, q03Sql),
+    "q04_semi_join"       -> (q04SemiJoin _, q04Sql),
+    "q05_local_supplier"  -> (q05LocalSupplier _, q05Sql),
+    "q06_revenue_filter"  -> (q06RevenueForecast _, q06Sql),
+    "q07_window_rank"     -> (q07WindowRank _, q07Sql),
+    "q08_running_sum"     -> (q08RunningSum _, q08Sql),
+    "q09_distinct_agg"    -> (q09DistinctAgg _, q09Sql),
+    "q10_setops"          -> (q10SetOps _, q10Sql),
+    "q11_rollup"          -> (q11Rollup _, q11Sql),
+    "q12_having"          -> (q12Having _, q12Sql),
+    "q13_anti_join"       -> (q13AntiJoin _, q13Sql),
+    "q14_case_promo"      -> (q14CasePromo _, q14Sql),
+    "q15_events_hourly"   -> (q15EventsHourly _, q15Sql),
+    "q16_sessionize"      -> (q16Sessionize _, q16Sql),
+    "q17_avg_subquery"    -> (q17AvgSubquery _, q17Sql),
+  )
+}
