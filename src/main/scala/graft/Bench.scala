@@ -1,24 +1,48 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs every registered query on
+  * sys.env("SPARK_GRAFT_SF_DIR") and prints ONE JSON line with per-query
+  * wall seconds. A query that throws is recorded as an `err` entry (and
+  * excluded from the total) and the process exits nonzero — a failure must
+  * never masquerade as a fast timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spark = GraftSession.getOrCreate("graft-bench")
+    var failed = List.empty[String]
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          // count() after a pass-through projection materializes every
+          // projected column (same work the verify path does), instead of
+          // letting Catalyst prune the plan down to a bare count.
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            failed ::= name
+            name -> Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200))
+        }
+      }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map {
+      case (k, Right(v)) => s"${jstr(k)}:$v"
+      case (k, Left(e))  => s"${jstr(k)}:{${jstr("err")}:${jstr(e)}}"
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"failed":${failed.size}}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -26,6 +26,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // events.parquet ships TIMESTAMP(NANOS); read as long, convert in
+      // Tables.events (see comment there).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

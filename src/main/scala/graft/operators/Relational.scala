@@ -13,8 +13,11 @@ import org.apache.spark.sql.types.DecimalType
   * so pushdown / pruning / partial aggregation / AQE come for free.
   *
   * Scale notes (100 TB design stance):
-  *   - Dimension tables (region/nation/supplier/part/customer) are joined
-  *     with explicit `broadcast()` — no shuffle of the fact table on dim joins.
+  *   - Only genuinely bounded dimensions (region: 5 rows, nation: 25 rows)
+  *     carry explicit `broadcast()` hints. SF-scaled tables
+  *     (customer/supplier/part) are left to AQE's dynamic broadcast
+  *     conversion: at small SF they broadcast from runtime stats; at 100 TB
+  *     they shuffle-join — a forced hint there would OOM the driver.
   *   - Aggregations are expressed with codegen'd built-ins only, so Spark
   *     plans partial (map-side) aggregation before the shuffle.
   *   - Money arithmetic: per-row double expression → cast to DecimalType →
@@ -70,10 +73,13 @@ object Relational {
       |WHERE p_size BETWEEN 10 AND 20 AND p_type IN ('SMALL','MEDIUM')""".stripMargin
 
   /** TPC-H Q3 analog: top-10 unshipped-revenue orders for one segment.
-    * customer is broadcast (no shuffle of orders/lineitem on the dim side);
-    * orders⋈lineitem shuffles on the join key once and the groupBy reuses
-    * that partitioning. Ranking happens on the exact DECIMAL revenue, so
-    * the top-10 cut is deterministic; ties broken by o_orderkey. */
+    * customer scales with SF, so no forced broadcast — AQE converts the
+    * join to broadcast at small SF from runtime stats and keeps a shuffle
+    * join at scale (a forced hint would OOM the driver on billions of
+    * customers). orders⋈lineitem shuffles on the join key once and the
+    * groupBy reuses that partitioning. Ranking happens on the exact
+    * DECIMAL revenue, so the top-10 cut is deterministic; ties broken by
+    * o_orderkey. */
   def q03TopRevenue(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(s, d)
@@ -81,7 +87,7 @@ object Relational {
     val l = lineitem(s, d)
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast(DecimalType(18, 4))).as("rev"))
@@ -128,8 +134,11 @@ object Relational {
       |GROUP BY o_orderpriority""".stripMargin
 
   /** TPC-H Q5 analog: revenue by nation where customer and supplier share
-    * the nation. All four dimension sides broadcast; the only shuffles are
-    * orders⋈lineitem and the final 25-group aggregation. */
+    * the nation. Only the genuinely bounded dims (region: 5 rows,
+    * nation: 25 rows) carry broadcast hints; customer/supplier scale with
+    * SF, so their joins are left to AQE (dynamic broadcast at small SF,
+    * shuffle join at 100 TB). Shuffles: orders⋈lineitem on orderkey,
+    * customer/supplier joins on their keys, final 25-group aggregation. */
   def q05LocalSupplier(s: SparkSession, d: String): DataFrame = {
     val r = region(s, d).filter(col("r_name") === "ASIA")
     val n = nation(s, d)
@@ -140,8 +149,8 @@ object Relational {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val l = lineitem(s, d)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -258,13 +267,15 @@ object Relational {
       |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
 
   /** Rollup: revenue at (region, nation), (region), and grand-total levels
-    * in one pass — Spark expands grouping sets before the shuffle. */
+    * in one pass — Spark expands grouping sets before the shuffle.
+    * customer is SF-scaled → no broadcast hint (AQE decides); nation and
+    * region are bounded (25/5 rows) → hinted. */
   def q11Rollup(s: SparkSession, d: String): DataFrame = {
     val n = nation(s, d)
     val r = region(s, d)
     val c = customer(s, d)
     orders(s, d)
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
@@ -307,7 +318,9 @@ object Relational {
       |GROUP BY c_mktsegment""".stripMargin
 
   /** TPC-H Q14 analog: promo revenue share — conditional aggregation.
-    * part is broadcast; ratio computed as one double division at the end. */
+    * part is SF-scaled → no broadcast hint (AQE converts at small SF,
+    * shuffle join on l_partkey at scale); ratio computed as one double
+    * division at the end. */
   def q14CasePromo(s: SparkSession, d: String): DataFrame = {
     val p = part(s, d)
     val l = lineitem(s, d)
@@ -315,7 +328,7 @@ object Relational {
         col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
     val disc = (col("l_extendedprice") * (lit(1) - col("l_discount")))
       .cast(DecimalType(18, 4))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) * sum(when(col("p_type") === "PROMO", disc)
           .otherwise(lit(0).cast(DecimalType(18, 4)))).cast("double")
@@ -332,8 +345,8 @@ object Relational {
       |  AND l_shipdate >= TIMESTAMP '1997-01-01'
       |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin
 
-  /** Hourly event aggregation — the batch shape of the streaming pipeline
-    * in graft.streaming (same groupBy window semantics). */
+  /** Hourly event aggregation — scan → single shuffle on
+    * (hour, event_type) with map-side partial aggregation. */
   def q15EventsHourly(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -387,15 +400,19 @@ object Relational {
       |GROUP BY user_id, session_id""".stripMargin
 
   /** TPC-H Q17 analog: revenue from small-quantity lines relative to the
-    * per-part average — decorrelated as an aggregate-then-join (the scalable
-    * plan; a correlated subquery re-scans per row). */
+    * per-part average — expressed as a window aggregate over l_partkey
+    * instead of self-join-on-aggregate: ONE shuffle of lineitem on
+    * l_partkey computes the per-part average AND leaves the data
+    * partitioned for the part join; no second scan of lineitem and no
+    * broadcast of a per-partkey aggregate (≈200M × SF rows at scale —
+    * broadcasting that would OOM the driver). */
   def q17AvgSubquery(s: SparkSession, d: String): DataFrame = {
+    val byPart = Window.partitionBy(col("l_partkey"))
     val l = lineitem(s, d)
-    val avgPerPart = l.groupBy(col("l_partkey").as("ap_partkey"))
-      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-    l.join(broadcast(avgPerPart), col("l_partkey") === col("ap_partkey"))
+      .withColumn("avg_qty",
+        sum(col("l_quantity")).over(byPart) / count(lit(1)).over(byPart))
       .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+    l.join(part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(dsum(col("l_extendedprice"), 2).as("small_qty_revenue"),
         count(lit(1)).as("n_lines"))

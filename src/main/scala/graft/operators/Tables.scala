@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see TESTDATA.md). Each loader is a plain parquet scan — Catalyst
@@ -18,7 +19,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = t(s, d, "events")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4.x
+    * rejects outright on read. Read it as raw long nanos
+    * (`legacy.parquet.nanosAsLong`) and convert with integer arithmetic:
+    * epoch-nanos ≈ 1.7e18 exceeds double's 53-bit integer precision, so a
+    * `/1e9` double divide would corrupt microseconds — `ts div 1000` keeps
+    * the conversion exact and matches DuckDB's CAST(ts AS TIMESTAMP)
+    * micros truncation. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 }

@@ -8,6 +8,7 @@ against the DuckDB execution of <verifyOutDir>/oracle_sql.json[name] over
 the <sfDir>/*.parquet tables: schema (column names sorted), row count,
 and exact cell values after canonical sorting.
 """
+import datetime
 import json
 import math
 import sys
@@ -28,6 +29,12 @@ def norm_cell(v):
         return repr(v)  # full precision
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, datetime.datetime):
+        # Spark parquet timestamps come back tz-aware UTC; DuckDB returns
+        # naive. Compare both as naive UTC.
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
     return str(v)
 
 
