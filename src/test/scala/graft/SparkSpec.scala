@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole test run (JVM-wide; suites in
+  * the default single-JVM forked test run reuse it). */
+object SharedSpark {
+  lazy val spark: SparkSession = {
+    // local[8,4]: 8 threads, maxFailures=4 so fault-injection suites can
+    // exercise task retry (reference analog: 10 s watchdog reassignment,
+    // src/mr/coordinator.go:34-47).
+    val s = GraftSession.builder("graft-test")
+      .master("local[8,4]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  def spark: SparkSession = SharedSpark.spark
+  def sf(dir: String): String = s"/root/testdata/$dir"
+}
