@@ -20,6 +20,7 @@ object SharedSpark {
 }
 
 abstract class SparkSpec extends AnyFunSuite {
-  def spark: SparkSession = SharedSpark.spark
+  // stable identifier so subclasses can `import spark.implicits._`
+  lazy val spark: SparkSession = SharedSpark.spark
   def sf(dir: String): String = s"/root/testdata/$dir"
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus() = {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "spark executes declarative plans with whole stage codegen and adaptive execution"),
+      (2L, "completely unrelated text about cooking pasta with garlic olive oil and basil"),
+      (3L, "a fourth document mentioning distributed shuffles partitions and broadcast joins"))
+    // 100: near-copy of 0 (one word changed); 101: exact copy of 1;
+    // 102: unrelated.
+    val extra = Seq(
+      (100L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (101L, "spark executes declarative plans with whole stage codegen and adaptive execution"),
+      (102L, "yet another totally different subject entirely about astronomy and telescopes"))
+    (base ++ extra).toDF("doc_id", "text")
+  }
+
+  test("minhash-LSH finds seeded near-dups and exact dups, nothing else") {
+    val pairs = Dedup.neardupPairs(corpus(), bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 100L), (1L, 101L)))
+  }
+
+  test("minhash-LSH plan contains no cartesian product") {
+    val plan = Dedup.neardupPairs(corpus(), 16, 4, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("exact dedup collapses exact (normalized) duplicates only") {
+    val docs = corpus().unionAll(Seq(
+      (200L, "  SPARK executes declarative plans with whole stage codegen and adaptive execution  "))
+      .toDF("doc_id", "text"))
+    val out = docs.groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+    val dups = out.filter(col("n") > 1).select("keep_id", "n").as[(Long, Long)].collect().toSet
+    // doc 1 == doc 101 == doc 200 (after case/whitespace normalization)
+    assert(dups === Set((1L, 3L)))
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated docs far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val sh = corpus()
+      .withColumn("toks", Dedup.tokens(col("text")))
+      .withColumn("simhash",
+        expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
+               |  acc + CASE WHEN aggregate(toks, 0L,
+               |    (v, t) -> v + CAST(shiftright(xxhash64(t), b) & 1 AS LONG) * 2 - 1) > 0
+               |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    assert(hamming(sh(1L), sh(101L)) === 0) // identical text
+    assert(hamming(sh(0L), sh(100L)) <= 16) // one word changed
+    assert(hamming(sh(0L), sh(2L)) > 16)    // unrelated
+    assert(hamming(sh(2L), sh(102L)) > 16)  // unrelated
+  }
+
+  test("near-dup detection is insensitive to input partitioning") {
+    val one = Dedup.neardupPairs(corpus().repartition(1), 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val many = Dedup.neardupPairs(corpus().repartition(7), 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(one === many)
+  }
+}
