@@ -1,0 +1,97 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clustered synthetic corpus: 10 well-separated unit centers, 40
+    * members each with small noise — the regime where IVF pruning is
+    * meaningful (the driver's embeddings table is isotropic random, where
+    * any sublinear index degrades to recall ≈ probed fraction; that
+    * property is data, not code). */
+  private def clustered(): DataFrame = {
+    val rnd = new Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(10)(unit(Array.fill(32)(rnd.nextGaussian())))
+    val rows = for (c <- 0 until 10; m <- 0 until 40) yield {
+      val e = unit(centers(c).map(_ + 0.15 * rnd.nextGaussian()))
+      (c * 40L + m, e)
+    }
+    rows.toDF("vec_id", "e")
+      .withColumn("norm", expr("sqrt(aggregate(e, 0D, (a, x) -> a + x * x))"))
+  }
+
+  private def exactTop(corpus: DataFrame, queries: DataFrame, k: Int): Set[(Long, Long)] = {
+    val q = queries.select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        expr("aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("norm") * col("qn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+  }
+
+  test("IVF with all cells probed reproduces exact top-k (machinery correctness)") {
+    val corpus = clustered().cache()
+    val queries = corpus.filter(col("vec_id") % 40 === 3)
+    val ncells = corpus.filter(col("vec_id") % 37 === 0).count().toInt
+    val exact = exactTop(corpus, queries, 5)
+    val ivf = Similarity.annIvf(corpus, queries, k = 5, nprobe = ncells, centroidStride = 37)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    assert(ivf === exact)
+  }
+
+  test("IVF recall ≥ 0.9 with nprobe=3 on clustered data") {
+    val corpus = clustered().cache()
+    val queries = corpus.filter(col("vec_id") % 40 === 7)
+    val exact = exactTop(corpus, queries, 5)
+    val ivf = Similarity.annIvf(corpus, queries, k = 5, nprobe = 3, centroidStride = 37)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("sign-LSH embedding near-dup: planted cos≈1 pairs recalled ≥ 0.9, no cartesian") {
+    val rnd = new Random(11)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = Array.fill(60)(unit(Array.fill(32)(rnd.nextGaussian())))
+    val rows =
+      base.zipWithIndex.map { case (e, i) => (i.toLong, e) } ++
+        base.zipWithIndex.map { case (e, i) =>
+          (1000L + i, unit(e.map(_ + 0.02 * rnd.nextGaussian()))) // near-copy
+        }
+    val corpus = rows.toSeq.toDF("vec_id", "e")
+      .withColumn("norm", expr("sqrt(aggregate(e, 0D, (a, x) -> a + x * x))"))
+    val df = Similarity.embeddingNeardup(corpus, tables = 4, bits = 16, minCos = 0.99)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    val pairs = df.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val want = (0 until 60).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = (pairs intersect want).size.toDouble / want.size
+    assert(recall >= 0.9, s"recall=$recall found=${pairs.size}")
+    // precision: every surfaced pair carries its exact cosine, all ≥ 0.99
+    val sims = df.select(col("cos")).as[Double].collect()
+    assert(sims.forall(_ >= 0.99))
+  }
+
+  test("exact knn query is deterministic across partitionings") {
+    val corpus = clustered()
+    val q1 = exactTop(corpus.repartition(3), corpus.filter(col("vec_id") < 3), 5)
+    val q2 = exactTop(corpus.repartition(11), corpus.filter(col("vec_id") < 3), 5)
+    assert(q1 === q2)
+  }
+}
