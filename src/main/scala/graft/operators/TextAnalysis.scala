@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over documents:
+  * quality scoring (q24), n-gram counting (q25), TF-IDF (q26),
+  * language-ID by stopword heuristic (q27), document fingerprinting
+  * (q28). Every operator is a pure Catalyst plan (string/array built-ins,
+  * no UDFs) and every one carries a DuckDB oracle.
+  *
+  * Scale notes: q24/q27/q28 are per-row expression pipelines — embarrass-
+  * ingly parallel, no shuffle at all. q25 is one shuffle with partial
+  * aggregation. q26 shuffles (doc, word) counts once and derives doc
+  * length / document frequency / corpus size with windows + one broadcast
+  * scalar — no second scan of the corpus.
+  */
+object TextAnalysis {
+  import Tables._
+
+  private def toks(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  private def words(c: Column): Column =
+    filter(split(lower(c), "[^a-z]+"), t => length(t) > 0)
+
+  private val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+  /** Per-document quality metrics: token counts (whitespace and a BPE-ish
+    * subword regex), average word length, stopword ratio, punctuation
+    * ratio. The classic cheap quality filters for LLM corpus curation. */
+  def q24TokenStats(s: SparkSession, d: String): DataFrame = {
+    val sw = typedLit(stopwords)
+    documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("w", words(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\\\s]', 0)"))
+          .as("n_bpeish"),
+        size(col("w")).as("n_words"),
+        round(expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double") /
+          greatest(size(col("w")), lit(1)).cast("double"), 4).as("avg_word_len"),
+        round(size(filter(col("w"), t => array_contains(sw, t))).cast("double") /
+          greatest(size(col("w")), lit(1)).cast("double"), 4).as("stopword_ratio"),
+        round(length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double"), 4).as("punct_ratio"))
+  }
+
+  val q24Sql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_bpeish,
+      |  len(ws) AS n_words,
+      |  round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+      |        / greatest(len(ws), 1), 4) AS avg_word_len,
+      |  round(CAST(len(list_filter(ws, t -> list_contains(
+      |          ['the','a','an','of','to','and','in','is','it','for'], t))) AS DOUBLE)
+      |        / greatest(len(ws), 1), 4) AS stopword_ratio,
+      |  round(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      |        / greatest(length(text), 1), 4) AS punct_ratio
+      |FROM (SELECT doc_id, text,
+      |        list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |      FROM documents)""".stripMargin
+
+  /** Corpus-wide word-bigram counts (≥ 10 occurrences). One shuffle with
+    * map-side partial aggregation. */
+  def q25BigramCounts(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("ws", words(col("text")))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
+
+  val q25Sql: String =
+    """SELECT bigram, count(*) AS n FROM (
+      |  SELECT unnest(list_transform(range(1, len(ws)),
+      |           i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |  FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |               t -> t <> '') AS ws FROM documents)
+      |  WHERE len(ws) >= 2)
+      |GROUP BY bigram HAVING count(*) >= 10""".stripMargin
+
+  /** Top-3 TF-IDF terms per document. tf = termcount/doclen,
+    * idf = ln(N/df); one shuffle of (doc, word) counts, then windows for
+    * doclen and df, and a broadcast 1-row corpus size — no rescan. */
+  def q26TfidfTop(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val withStats = tf
+      .withColumn("doclen", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("c").cast("double") / col("doclen").cast("double")) *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    withStats
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("word"), col("tfidf"), col("rnk"))
+  }
+
+  val q26Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, w AS word, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_filter(
+      |      string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS w
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_id, word, c,
+      |    sum(c) OVER (PARTITION BY doc_id) AS doclen,
+      |    count(*) OVER (PARTITION BY word) AS df,
+      |    (SELECT count(*) FROM documents) AS n_docs
+      |  FROM tf)
+      |SELECT doc_id, word,
+      |  round((CAST(c AS DOUBLE) / doclen) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+      |  rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+      |        round((CAST(c AS DOUBLE) / doclen) * ln(CAST(n_docs AS DOUBLE) / df), 6) DESC,
+      |        word) AS rnk
+      |      FROM st)
+      |WHERE rnk <= 3""".stripMargin
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "las", "y", "en", "que"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "du", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"))
+
+  /** Language-ID by stopword-hit scoring: count token hits against small
+    * per-language marker lists, argmax with fixed priority, 'und' when
+    * nothing hits; aggregated to (predicted lang → doc count). */
+  def q27LangId(s: SparkSession, d: String): DataFrame = {
+    val scored = markers.foldLeft(
+      documents(s, d).withColumn("ws", words(col("text")))) {
+      case (df, (lang, ms)) =>
+        df.withColumn(s"s_$lang",
+          size(filter(col("ws"), t => array_contains(typedLit(ms), t))))
+    }
+    scored
+      .withColumn("lang_pred",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de") &&
+            col("s_es") > 0, "es")
+          .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, "fr")
+          .when(col("s_de") > 0, "de")
+          .otherwise("und"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val q27Sql: String =
+    """SELECT lang_pred, count(*) AS n_docs FROM (
+      |  SELECT CASE
+      |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+      |    WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+      |    WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+      |    WHEN s_de > 0 THEN 'de'
+      |    ELSE 'und' END AS lang_pred
+      |  FROM (
+      |    SELECT
+      |      len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS s_en,
+      |      len(list_filter(ws, t -> list_contains(['el','la','de','los','las','y','en','que'], t))) AS s_es,
+      |      len(list_filter(ws, t -> list_contains(['le','la','les','des','et','du','en'], t))) AS s_fr,
+      |      len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','von','mit'], t))) AS s_de
+      |    FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                 t -> t <> '') AS ws FROM documents)))
+      |GROUP BY lang_pred""".stripMargin
+
+  /** Document fingerprint: minimum md5 over word-trigram shingles — the
+    * set-min construction of winnowing-style fingerprints (a content-
+    * defined signature stable under reordering-free edits away from the
+    * minimal shingle). Per-row expression, no shuffle. */
+  def q28Fingerprint(s: SparkSession, d: String): DataFrame =
+    Dedup.withShingles(documents(s, d), "text")
+      .select(col("doc_id"),
+        array_min(expr("transform(sh, x -> md5(x))")).as("fingerprint"))
+
+  val q28Sql: String =
+    """SELECT doc_id,
+      |  list_min(list_transform(gs, x -> md5(x))) AS fingerprint
+      |FROM (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM (SELECT doc_id, list_filter(
+      |          string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |        FROM documents))""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q24_token_stats"   -> (q24TokenStats _, q24Sql),
+    "q25_bigram_counts" -> (q25BigramCounts _, q25Sql),
+    "q26_tfidf_top"     -> (q26TfidfTop _, q26Sql),
+    "q27_lang_id"       -> (q27LangId _, q27Sql),
+    "q28_fingerprint"   -> (q28Fingerprint _, q28Sql),
+  )
+}
