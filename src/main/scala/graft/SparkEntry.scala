@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.q01PricingSummary(spark, "/root/testdata/sf0.001")
 
   private def modules: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
-    Seq(Relational.all, TextOps.all, Dedup.all, Similarity.all, TextAnalysis.all)
+    Seq(Relational.all, TextOps.all, Dedup.all, Similarity.all,
+      TextAnalysis.all, Multimodal.all)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
