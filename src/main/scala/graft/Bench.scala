@@ -10,6 +10,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
+    // Untimed warmup: initialize codegen, parquet reader and shuffle
+    // machinery so the first timed query doesn't absorb JVM startup.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_name").count().collect()
+    } catch { case _: Throwable => () }
     var failed = List.empty[String]
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

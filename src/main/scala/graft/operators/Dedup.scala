@@ -43,6 +43,45 @@ object Dedup {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[^a-z]+"), t => length(t) > 0)
 
+  /** Same token semantics without a higher-order lambda (lambdas are
+    * interpreted, not codegen'd): strip leading/trailing non-letters so
+    * split never produces empty tokens. A letterless text yields [""]
+    * (size 1 → callers' short-doc fallback branch), matching the
+    * lambda/oracle semantics of an empty token list joined with ' '. */
+  def tokensCodegen(c: Column): Column =
+    split(regexp_replace(lower(c), "(^[^a-z]+)|([^a-z]+$)", ""), "[^a-z]+")
+
+  /** Distinct word-trigram shingle ROWS (doc_id, g) — the row-oriented,
+    * whole-stage-codegen form of [[withShingles]] (identical gram sets):
+    * tokens exploded to slim (doc_id, pos, token) rows (the token array
+    * is NOT retained through the explode — retaining it copies the whole
+    * array into every output row), trigrams assembled with window lead()
+    * over (doc_id, pos). Short docs (< 3 tokens) contribute their whole
+    * joined token string. */
+  /** DISTINCT 64-bit gram hashes as slim (doc_id, gh) rows. The trigram
+    * string is never materialized: the token triple is hashed directly
+    * (tokens contain no spaces, so triple ↔ "a b c" string is a
+    * bijection; only hash identity matters for set intersection /
+    * minhash). Dedup happens on 16-byte rows, not strings. */
+  def gramHashRows(docs: DataFrame): DataFrame = {
+    // A small corpus arrives as one parquet split; fan the rows out first
+    // so the (cpu-heavy) tokenize/shingle pipeline uses every core. At
+    // real scale the scan has natural parallelism and this shuffle is
+    // raw-text-sized, i.e. cheap relative to the downstream work.
+    val t = docs.repartition(col("doc_id"))
+      .withColumn("toks", tokensCodegen(col("text")))
+    val tri = t.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .filter(col("pos") <= size(col("toks")) - 3)
+      .select(col("doc_id"),
+        xxhash64(col("col"),
+          element_at(col("toks"), col("pos") + 2),
+          element_at(col("toks"), col("pos") + 3)).as("gh"))
+    val short = t.filter(size(col("toks")) < 3)
+      .select(col("doc_id"), xxhash64(concat_ws(" ", col("toks"))).as("gh"))
+    tri.unionAll(short).dropDuplicates("doc_id", "gh")
+  }
+
   /** Distinct word 3-gram shingles from a `toks` array column; degenerate
     * short docs fall back to the whole token string so every doc has ≥1
     * shingle. */
@@ -59,11 +98,21 @@ object Dedup {
       .withColumn("sh", shinglesFromToks)
       .drop("toks")
 
-  /** k=64 MinHash signature: for seed j, min over shingles of
-    * xxhash64(shingle, j). Pure array expressions — codegen'd, no UDF. */
-  def minhashSig(k: Int): Column =
-    expr(s"transform(sequence(0, ${k - 1})," +
-      " j -> array_min(transform(sh, s -> xxhash64(s, j))))")
+  /** k-hash MinHash signatures as (doc_id, sig array<long>) from shingle
+    * ROWS (see [[gramRows]]). Each shingle string is hashed once
+    * (string → long); the k hash functions re-hash that 8-byte long with
+    * seed j as k plain `min()` AGGREGATES — fully whole-stage-codegen'd
+    * (higher-order array lambdas are interpreted in Spark and measured
+    * ~10× slower here), with map-side partial aggregation so the shuffle
+    * carries one 64-long row per doc per map partition. */
+  def minhashSigs(grams: DataFrame, k: Int): DataFrame = {
+    val hashed = grams.select(col("doc_id"), col("gh").as("h"))
+    val mins = (0 until k).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    hashed.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
 
   /** MinHash-LSH near-dup pairs, banded: 16 bands × 4 rows over a 64-hash
     * signature; candidates share ≥1 band key; exact shingle Jaccard
@@ -104,60 +153,92 @@ object Dedup {
 
   val q21Sql: String = exactJaccardSql(0.8)
 
-  /** The general banded-LSH near-dup pipeline over (doc_id, text). */
+  /** The general banded-LSH near-dup pipeline over (doc_id, text).
+    * Everything row-oriented and codegen'd: shingle rows → hashed once →
+    * 64 min-aggregates → band keys → slim (doc_id, band, bkey) bucket
+    * join → candidate pairs verified by an exact gram-intersection join
+    * (counts, never array materialization through the shuffle). */
   def neardupPairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
                    threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = withShingles(docs, "text")
-      .withColumn("sig", minhashSig(k))
-      .select(col("doc_id"), col("sh"), col("sig"))
+    val grams = gramHashRows(docs)
+    val sigs = minhashSigs(grams, k)
 
     // band key = murmur3 of the signature slice; shared key ⇒ candidate.
-    val banded = sigs.select(col("doc_id"), col("sh"),
+    val banded = sigs.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${bands - 1})," +
         s" b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))")).as("bb"))
-      .select(col("doc_id"), col("sh"), col("bb.band"), col("bb.bkey"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
 
-    val a = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bkey"))
+    val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
+        Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair may share many bands
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+
+    verifyJaccard(candidates, grams, threshold)
+  }
+
+  /** Exact Jaccard for candidate pairs from distinct gram rows:
+    * |A∩B| via a per-pair gram join, sizes via per-doc counts. */
+  private def verifyJaccard(candidates: DataFrame, gh: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = gh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(gh.select(col("doc_id").as("id_a"), col("gh")), Seq("id_a"))
+      .join(gh.select(col("doc_id").as("id_b"), col("gh")), Seq("id_b", "gh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("ninter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ninter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash fingerprint per document: each token votes ±1 on each
     * bit of its xxhash64; bit b of the fingerprint is 1 iff the vote sum
-    * is positive. Near-dups land within small Hamming distance (asserted
-    * in DedupSpec; not SQL-oracle-expressible — DuckDB lacks xxhash64). */
+    * is positive. Tokens are hashed ONCE (n string hashes), then the 64
+    * bit-votes run over the precomputed longs. Near-dups land within
+    * small Hamming distance (asserted in DedupSpec; not
+    * SQL-oracle-expressible — DuckDB lacks xxhash64). */
+  def simhash(docs: DataFrame): DataFrame = {
+    // explode + 64 codegen'd SUM aggregates (partial agg map-side)
+    // instead of interpreted higher-order lambdas.
+    val hashed = docs
+      .withColumn("toks", tokensCodegen(col("text")))
+      .select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$b")
+    }
+    hashed.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map { b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
   def q31Simhash(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .withColumn("toks", tokens(col("text")))
-      .withColumn("simhash",
-        expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
-               |  acc + CASE WHEN aggregate(toks, 0L,
-               |    (v, t) -> v + CAST(shiftright(xxhash64(t), b) & 1 AS LONG) * 2 - 1) > 0
-               |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+    simhash(documents(s, d))
 
   /** Exact n-gram (word trigram) Jaccard over candidate pairs that share
     * at least one trigram — an inverted-index join, not a cross product.
     * Output: pairs with Jaccard ≥ 0.2 (on this corpus the planted-free
     * result is whatever genuinely overlaps; both engines agree). */
   def q22NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val grams = withShingles(documents(s, d), "text")
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .distinct()
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = grams.select(col("doc_id").as("id_a"), col("g"))
-      .join(grams.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+    // join key is the 64-bit hash of the gram, not the string — the
+    // shuffle ships 8 bytes per gram instead of ~20 chars (collision
+    // probability over ~250k distinct grams is ~1e-9 — negligible).
+    val gh = gramHashRows(documents(s, d).select(col("doc_id"), col("text")))
+    val sizes = gh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = gh.select(col("doc_id").as("id_a"), col("gh"))
+      .join(gh.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("ninter"))

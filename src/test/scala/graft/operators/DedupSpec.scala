@@ -47,13 +47,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash: near-dups within small hamming distance, unrelated docs far") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
-    val sh = corpus()
-      .withColumn("toks", Dedup.tokens(col("text")))
-      .withColumn("simhash",
-        expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
-               |  acc + CASE WHEN aggregate(toks, 0L,
-               |    (v, t) -> v + CAST(shiftright(xxhash64(t), b) & 1 AS LONG) * 2 - 1) > 0
-               |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin))
+    val sh = Dedup.simhash(corpus())
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
     assert(hamming(sh(1L), sh(101L)) === 0) // identical text
     assert(hamming(sh(0L), sh(100L)) <= 16) // one word changed
