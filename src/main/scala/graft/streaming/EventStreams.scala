@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream — the streaming
+  * forms of the batch queries q15 (hourly aggregation) and q16
+  * (sessionization). Each transformation takes a DataFrame/Dataset that
+  * may be batch OR streaming: identical code runs in both modes, and the
+  * test suite exploits that by diffing the streaming results (via
+  * MemoryStream) against the batch results on the same rows.
+  *
+  * Scale notes: the hourly aggregate is keyed on (window, event_type) —
+  * bounded state, dropped past the watermark; sessionization keys state
+  * by user_id with an event-time timeout so idle users are evicted, and
+  * per-user state is O(1) (counters + last timestamp), never a buffer of
+  * events.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour aggregation with a 2-hour watermark: counts, exact
+    * value sum (decimal — order-insensitive), distinct users
+    * approximated (exact distinct isn't incrementally computable in a
+    * stream without keeping per-user state; HLL is the scale answer). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"), col("approx_users"))
+
+  case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
+
+  case class SessionState(sessionId: Long, lastTsMs: Long, nEvents: Long,
+                          firstEvent: Long, lastEvent: Long)
+
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        first_event: Long, last_event: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session
+    * closes when its user is silent for `gapSec` (event time). In
+    * streaming mode closed sessions emit on watermark timeout; in batch
+    * mode each user's full history arrives as one sorted-on-demand
+    * iterator and all sessions emit — same function, both modes
+    * (asserted equal to the q16 window formulation in StreamingSpec). */
+  def sessionize(events: Dataset[Ev], gapSec: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    // hoisted: referencing the Dataset inside the state function would
+    // drag it into task serialization
+    val streaming = events.isStreaming
+
+    def update(userId: Long, evs: Iterator[Ev],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val gapMs = gapSec * 1000L
+      // Sort this micro-batch's events by (ts, event_id) — the same
+      // total order the batch/window formulation uses.
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[SessionOut]
+
+      if (state.hasTimedOut) {
+        val s = state.get
+        out ::= SessionOut(userId, s.sessionId, s.nEvents, s.firstEvent, s.lastEvent)
+        state.remove()
+      }
+
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTsMs <= gapMs =>
+            cur = Some(s.copy(lastTsMs = t, nEvents = s.nEvents + 1,
+              firstEvent = math.min(s.firstEvent, e.event_id),
+              lastEvent = math.max(s.lastEvent, e.event_id)))
+          case Some(s) => // gap exceeded: close the session, open the next
+            out ::= SessionOut(userId, s.sessionId, s.nEvents, s.firstEvent, s.lastEvent)
+            cur = Some(SessionState(s.sessionId + 1, t, 1, e.event_id, e.event_id))
+          case None =>
+            cur = Some(SessionState(1, t, 1, e.event_id, e.event_id))
+        }
+      }
+
+      cur.foreach { s =>
+        if (state.exists || sorted.nonEmpty) {
+          state.update(s)
+          if (streaming)
+            state.setTimeoutTimestamp(s.lastTsMs + gapMs)
+        }
+      }
+      // In batch mode state never times out; a group's final open
+      // session must emit now (the iterator covered the whole history).
+      if (!streaming) {
+        cur.foreach(s =>
+          out ::= SessionOut(userId, s.sessionId, s.nEvents, s.firstEvent, s.lastEvent))
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", s"${2 * gapSec} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Convenience: run [[hourlyAgg]] as a file-source stream over a
+    * parquet directory into an in-memory table — the readStream →
+    * transform → writeStream wiring. */
+  def streamParquetToMemory(s: SparkSession, dir: String, schema: String,
+                            queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyAgg(s.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append).start()
+}

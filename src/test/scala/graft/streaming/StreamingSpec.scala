@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Ev, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset from epoch 0: a record exactly AT the initial watermark (0)
+  // is treated as late and dropped
+  private def ts(min: Long): Timestamp = new Timestamp((1000 + min) * 60000L)
+
+  test("streaming hourly agg over MemoryStream matches batch result on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = EventStreams.hourlyAgg(df)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = Seq(
+        (ts(0), "click", 1L, 1.0), (ts(10), "click", 2L, 2.0),
+        (ts(61), "click", 1L, 4.0), (ts(62), "view", 3L, 8.0),
+        (ts(130), "click", 2L, 16.0))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to close every window
+      mem.addData((ts(600), "late", 9L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .select("hour", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      // streaming emits exactly the closed windows = the batch result
+      // over the original rows (the watermark-advancing row's own window
+      // stays open and must NOT appear)
+      val batch = EventStreams.hourlyAgg(rows.toDF("ts", "event_type", "user_id", "value"))
+        .select("hour", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming sessionization emits closed sessions on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionize(mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: events at t=0m and t=10m (one session), then silence;
+      // user 2: one event at t=5m.
+      mem.addData(Ev(1, 100, ts(0)), Ev(1, 101, ts(10)), Ev(2, 200, ts(5)))
+      q.processAllAvailable()
+      // watermark jump past the 30-min gap closes both sessions
+      mem.addData(Ev(9, 900, ts(240)))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[SessionOut].collect()
+        .filter(_.user_id < 9).map(s => (s.user_id, s.session_id, s.n_events,
+          s.first_event, s.last_event)).toSet
+      assert(got === Set((1L, 1L, 2L, 100L, 101L), (2L, 1L, 1L, 200L, 200L)))
+    } finally q.stop()
+  }
+
+  test("sessionize in batch mode equals the q16 window formulation on real events") {
+    val d = sf("sf0.001")
+    val evs = graft.operators.Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[Ev]
+    val viaState = EventStreams.sessionize(evs, gapSec = 1800)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaWindow = graft.operators.Relational.q16Sessionize(spark, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaState === viaWindow)
+  }
+}
