@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape assertions: the properties that make these queries viable
+  * at 100 TB (pushdown, pruning, map-side partial aggregation, no
+  * cartesian products) must be visible in the physical plan, not
+  * assumed. */
+class PlanAuditSpec extends SparkSpec {
+  private val d = sf("sf0.001")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    // materialize so AQE finalizes join strategies
+    df.queryExecution.toRdd.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters are pushed to the parquet scan and columns pruned") {
+    val plan = planOf(Relational.q02FilterPushdown(spark, d))
+    assert(plan.contains("PushedFilters: ["), plan.take(1500))
+    assert(plan.contains("p_size"), "p_size filter not pushed")
+    // scan must read only the needed columns, not all of part
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("p_name"), readSchema)
+    assert(!readSchema.contains("p_container"), readSchema)
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = planOf(Relational.q01PricingSummary(spark, d))
+    assert(plan.contains("partial_sum") || plan.contains("partial_"), plan.take(1500))
+  }
+
+  test("q18 wordcount: partial aggregation before the shuffle (unlike the reference)") {
+    val plan = planOf(TextOps.q18Wordcount(spark, d))
+    assert(plan.contains("partial_count") || plan.contains("partial_"), plan.take(1500))
+  }
+
+  test("q05: bounded dims broadcast; no cartesian or nested-loop join anywhere") {
+    val plan = planOf(Relational.q05LocalSupplier(spark, d))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
+  test("q17: single scan of lineitem — window formulation, no self-join of the fact table") {
+    val plan = planOf(Relational.q17AvgSubquery(spark, d))
+    // AQE treeString prints Final AND Initial plan sections — count scans
+    // in the final plan only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans === 1, s"lineitem scanned $scans times\n${finalPlan.take(1500)}")
+  }
+
+  test("no driver-side materialization in any operator source") {
+    // collect()/take()/toLocalIterator in an operator would mean the
+    // operator isn't distributed; the only sanctioned driver-side results
+    // are in tests, Verify and Bench.
+    import scala.jdk.CollectionConverters._
+    val roots = Seq("src/main/scala/graft/operators", "src/main/scala/graft/streaming",
+      "src/main/scala/graft/mr")
+    val offending = roots.flatMap { r =>
+      java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val src = java.nio.file.Files.readString(p)
+          Seq(".collect()", ".toLocalIterator", ".collectAsList")
+            .filter(src.contains)
+            // MRJob.runToLines is the documented sequential-oracle helper
+            .filterNot(_ => p.getFileName.toString == "MRJob.scala")
+            .map(m => s"$p: $m")
+        }
+    }
+    assert(offending.isEmpty, offending.mkString("\n"))
+  }
+}
