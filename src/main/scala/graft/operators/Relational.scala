@@ -430,6 +430,55 @@ object Relational {
       |WHERE l_quantity < 0.5 * avg_qty
       |GROUP BY p_brand""".stripMargin
 
+  /** Exact interpolated percentiles of quantity per return flag — the
+    * order-statistics operator class. `percentile` (exact) rather than
+    * `approx_percentile`: approximation algorithms differ across engines,
+    * exact interpolation is oracle-comparable. At scale you'd switch to
+    * approx_percentile (t-digest) — same plan shape, bounded memory. */
+  def q32Percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+
+  val q32Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Pivot: per-user event counts spread into one column per event type
+    * — conditional aggregation, single shuffle. */
+  def q33Pivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot(col("event_type"), Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val q33Sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Cube: order counts across all (status, priority) subtotal
+    * combinations — grouping-sets expansion before the shuffle. */
+  def q34Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  val q34Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -449,5 +498,8 @@ object Relational {
     "q15_events_hourly"   -> (q15EventsHourly _, q15Sql),
     "q16_sessionize"      -> (q16Sessionize _, q16Sql),
     "q17_avg_subquery"    -> (q17AvgSubquery _, q17Sql),
+    "q32_percentiles"     -> (q32Percentiles _, q32Sql),
+    "q33_pivot"           -> (q33Pivot _, q33Sql),
+    "q34_cube"            -> (q34Cube _, q34Sql),
   )
 }
