@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for the 100 TB design point.
+  *
+  * First line of defense is AQE's skew-join split
+  * (`spark.sql.adaptive.skewJoin.enabled`, on in GraftSession) — it
+  * needs no code changes and splits oversized partitions at runtime
+  * (demonstrated in SkewSpec). Salting is the explicit fallback for
+  * cases AQE can't fix: skewed AGGREGATION keys, or a skewed join where
+  * both sides are too large to split effectively.
+  */
+object Skew {
+
+  /** Salted equi-join: the (large, skewed) fact side scatters each row
+    * into one of `salts` sub-keys; the dim side replicates `salts`×.
+    * A hot key's rows spread over `salts` reducers instead of one.
+    * Result is row-identical to the plain join (asserted in SkewSpec);
+    * cost is the dim-side replication — use for bounded dims only. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0)
+    // any stable per-row value works as salt; spark_partition_id +
+    // a per-row hash avoids a correlated skew of the salt itself
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(expr(s"sequence(0, ${salts - 1})")))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial aggregate on (key, salt),
+    * then final aggregate on key — the map-side-combine idea made
+    * explicit for aggregates Spark can't partially compute (e.g. exact
+    * count-distinct per hot key would need it; plain sums/counts get
+    * partial agg automatically and don't need this). */
+  def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
+    df.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as("n"))
+}
