@@ -33,6 +33,7 @@ object GraftSession {
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.FnvHash.register(spark)
     spark
   }
 }
