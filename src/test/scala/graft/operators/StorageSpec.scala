@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Storage-layout scale levers: bucketing (shuffle-free co-located
+  * joins), partition pruning, and window top-k pushdown — asserted
+  * against physical plans, not assumed. */
+class StorageSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val wh = Files.createTempDirectory("graft-wh")
+    val d = sf("sf0.001")
+    try {
+      Tables.orders(spark, d)
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders_b")
+        .mode("overwrite").saveAsTable("orders_b")
+      Tables.lineitem(spark, d)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem_b")
+        .mode("overwrite").saveAsTable("lineitem_b")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      // disable auto-broadcast so the join strategy is decided by layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        joined.queryExecution.toRdd.count()
+        val plan = joined.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        // bucket-aligned join: no Exchange feeding the SortMergeJoin
+        val exchanges = plan.linesIterator.count(_.trim.stripPrefix("+- ").stripPrefix("*(")
+          .contains("Exchange hashpartitioning(l_orderkey"))
+        assert(plan.contains("SortMergeJoin"), plan.take(1500))
+        assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+          s"lineitem side re-shuffled despite bucketing\n${plan.take(1500)}")
+        assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+          s"orders side re-shuffled despite bucketing\n${plan.take(1500)}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("partition-by write enables partition pruning in the scan") {
+    val dir = Files.createTempDirectory("graft-part").resolve("events")
+    Tables.events(spark, sf("sf0.001"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir.toString)
+    val q = spark.read.parquet(dir.toString)
+      .filter(col("event_type") === "click")
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan.take(1500))
+    // the pruned scan must list only the one matching partition directory
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("event_type=view"), "non-matching partition scanned")
+  }
+
+  test("window top-k is limited before the full sort (WindowGroupLimit)") {
+    val q = Relational.q07WindowRank(spark, sf("sf0.001"))
+    val plan = q.queryExecution.executedPlan.toString
+    // Spark pushes rnk<=k below the window as a group-limit; without it
+    // every row of the fact table flows through the final window sort
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+}
