@@ -479,6 +479,104 @@ object Relational {
     """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  /** TPC-H Q21-style fact self-join: lineitems whose order contains a
+    * line from a DIFFERENT supplier shipped later — the multi-condition
+    * self-join shape. Both sides shuffle once on l_orderkey; the
+    * inequality predicates evaluate inside the joined partition. */
+  def q36SelfJoin(s: SparkSession, d: String): DataFrame = {
+    val l1 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_shipdate"))
+    val l2 = l1.select(col("l_orderkey").as("r_orderkey"),
+      col("l_suppkey").as("r_suppkey"), col("l_shipdate").as("r_shipdate"))
+    l1.join(l2, col("l_orderkey") === col("r_orderkey") &&
+        col("l_suppkey") =!= col("r_suppkey") &&
+        col("r_shipdate") > col("l_shipdate"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_waiting_lines"))
+  }
+
+  // NOTE: phrased as SEMI JOIN rather than correlated EXISTS — DuckDB
+  // 1.0.0's EXISTS decorrelation returns a different (wrong) result for
+  // this multi-condition predicate; its SEMI JOIN agrees with both
+  // Spark's DataFrame semi join and Spark SQL's EXISTS.
+  val q36Sql: String =
+    """SELECT l_suppkey, count(*) AS n_waiting_lines
+      |FROM lineitem l1 SEMI JOIN lineitem l2
+      |  ON l2.l_orderkey = l1.l_orderkey
+      | AND l2.l_suppkey <> l1.l_suppkey
+      | AND l2.l_shipdate > l1.l_shipdate
+      |GROUP BY l_suppkey""".stripMargin
+
+  /** Scalar-function surface in one projection: string slicing/search/
+    * padding/replace, date parts, conditional expressions — the derived
+    * function coverage of SURVEY §2.2 exercised against the oracle. */
+  def q37ScalarFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") < 1000)
+      .select(
+        col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        upper(col("o_orderstatus")).as("status_uc"),
+        length(col("o_orderpriority")).as("prio_len"),
+        instr(col("o_orderpriority"), "-").cast("long").as("dash_pos"),
+        regexp_replace(col("o_orderpriority"), "[AEIOU]", "").as("devoweled"),
+        lpad(col("o_orderkey").cast("string"), 10, "0").as("padded_key"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        when(col("o_totalprice") > 100000, "big").otherwise("small").as("bucket"))
+
+  val q37Sql: String =
+    """SELECT o_orderkey,
+      |  substr(o_orderpriority, 1, 1) AS prio_code,
+      |  upper(o_orderstatus) AS status_uc,
+      |  length(o_orderpriority) AS prio_len,
+      |  CAST(instr(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+      |  regexp_replace(o_orderpriority, '[AEIOU]', '', 'g') AS devoweled,
+      |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded_key,
+      |  year(o_orderdate) AS o_year,
+      |  month(o_orderdate) AS o_month,
+      |  day(o_orderdate) AS o_day,
+      |  CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket
+      |FROM orders WHERE o_orderkey < 1000""".stripMargin
+
+  /** EXCEPT ALL — bag semantics with multiplicities preserved (q10
+    * covers INTERSECT's set semantics). */
+  def q38ExceptAll(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val done = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    open.exceptAll(done).withColumnRenamed("o_custkey", "custkey")
+  }
+
+  val q38Sql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT ALL
+      |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
+  /** Full outer join: per-nation customer and supplier counts including
+    * nations present on only one side. */
+  def q39FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = supplier(s, d).groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0)).as("n_supp"))
+  }
+
+  val q39Sql: String =
+    """SELECT coalesce(ck, sk) AS nationkey,
+      |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |ON ck = sk""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -501,5 +599,9 @@ object Relational {
     "q32_percentiles"     -> (q32Percentiles _, q32Sql),
     "q33_pivot"           -> (q33Pivot _, q33Sql),
     "q34_cube"            -> (q34Cube _, q34Sql),
+    "q36_self_join"       -> (q36SelfJoin _, q36Sql),
+    "q37_scalar_funcs"    -> (q37ScalarFuncs _, q37Sql),
+    "q38_except_all"      -> (q38ExceptAll _, q38Sql),
+    "q39_full_outer"      -> (q39FullOuter _, q39Sql),
   )
 }
