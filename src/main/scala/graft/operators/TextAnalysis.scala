@@ -199,11 +199,95 @@ object TextAnalysis {
       |          string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
       |        FROM documents))""".stripMargin
 
+  /** The end-to-end corpus-curation pipeline — what this engine exists
+    * to run at 100 TB — as ONE composed query:
+    *   1. quality gate: 20 ≤ word count ≤ 1000;
+    *   2. language gate: stopword-scored prediction = 'en';
+    *   3. exact dedup: keep-first by normalized-text md5;
+    *   4. near-dup removal: drop the higher doc_id of every pair with
+    *      trigram Jaccard ≥ 0.8 — candidates from the MinHash-LSH bucket
+    *      join (the oracle recomputes the TRUE pair set exactly, so this
+    *      also gates LSH recall end-to-end).
+    * Output: the surviving corpus (doc_id, n_words).
+    */
+  def q40CorpusPipeline(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .withColumn("ws", words(col("text")))
+      .withColumn("n_words", size(col("ws")))
+    // 1+2: quality + language gates
+    val scored = markers.foldLeft(base) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(col("ws"), t => array_contains(typedLit(ms), t))))
+    }
+    val gated = scored
+      .filter(col("n_words").between(20, 1000))
+      .filter(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_de") && col("s_en") > 0)
+      .select(col("doc_id"), col("text"), col("n_words"))
+    // 3: exact dedup (keep-first per normalized hash)
+    val keepIds = gated
+      .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = gated.join(keepIds, Seq("doc_id"), "left_semi")
+    // 4: near-dup removal — drop id_b of every surviving pair
+    val pairs = Dedup.neardupPairs(
+      deduped.select(col("doc_id"), col("text")), bands = 16, rowsPerBand = 4,
+      threshold = 0.8)
+    deduped
+      .join(pairs.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_words"))
+  }
+
+  val q40Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |gated AS (
+      |  SELECT doc_id, text, ws, len(ws) AS n_words FROM toks
+      |  WHERE len(ws) BETWEEN 20 AND 1000
+      |    AND len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in','is'], t)))
+      |        >= len(list_filter(ws, t -> list_contains(['el','la','de','los','las','y','en','que'], t)))
+      |    AND len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in','is'], t)))
+      |        >= len(list_filter(ws, t -> list_contains(['le','la','les','des','et','du','en'], t)))
+      |    AND len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in','is'], t)))
+      |        >= len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','von','mit'], t)))
+      |    AND len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in','is'], t))) > 0),
+      |keep AS (
+      |  SELECT min(doc_id) AS doc_id
+      |  FROM gated
+      |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))),
+      |deduped AS (
+      |  SELECT g.doc_id, g.ws, g.n_words FROM gated g
+      |  WHERE g.doc_id IN (SELECT doc_id FROM keep)),
+      |glists AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM deduped),
+      |grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM glists),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |drops AS (
+      |  SELECT DISTINCT id_b AS doc_id FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.8)
+      |SELECT doc_id, n_words FROM deduped
+      |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q24_token_stats"   -> (q24TokenStats _, q24Sql),
     "q25_bigram_counts" -> (q25BigramCounts _, q25Sql),
     "q26_tfidf_top"     -> (q26TfidfTop _, q26Sql),
     "q27_lang_id"       -> (q27LangId _, q27Sql),
     "q28_fingerprint"   -> (q28Fingerprint _, q28Sql),
+    "q40_corpus_pipeline" -> (q40CorpusPipeline _, q40Sql),
   )
 }
