@@ -108,6 +108,18 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming exact dedup for a document stream: drop any doc whose
+    * normalized-text hash was already seen (state bounded by the
+    * watermark — duplicates arriving later than the delay are passed
+    * through; that is the inherent streaming-dedup contract). The
+    * streaming form of the batch keep-first dedup (q20). */
+  def streamingExactDedup(docs: DataFrame, watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("content_hash",
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("content_hash")
+
   /** Convenience: run [[hourlyAgg]] as a file-source stream over a
     * parquet directory into an in-memory table — the readStream →
     * transform → writeStream wiring. */

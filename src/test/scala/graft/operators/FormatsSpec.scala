@@ -1,0 +1,44 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Source/sink format breadth: CSV and JSON roundtrips preserve the
+  * relational data exactly (schema-aware read back, no silent type
+  * coercion losses). */
+class FormatsSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+  }
+
+  test("CSV roundtrip of nation preserves all rows and values") {
+    val dir = Files.createTempDirectory("fmt").resolve("nation_csv")
+    val src = Tables.nation(spark, sf("sf0.001"))
+    src.write.option("header", "true").mode("overwrite").csv(dir.toString)
+    val back = spark.read.option("header", "true").schema(src.schema).csv(dir.toString)
+    assert(canon(back) === canon(src))
+  }
+
+  test("JSON roundtrip of supplier preserves all rows and values") {
+    val dir = Files.createTempDirectory("fmt").resolve("supplier_json")
+    val src = Tables.supplier(spark, sf("sf0.001"))
+    src.write.mode("overwrite").json(dir.toString)
+    val back = spark.read.schema(src.schema).json(dir.toString)
+    assert(canon(back) === canon(src))
+  }
+
+  test("parquet roundtrip preserves the events timestamp conversion exactly") {
+    val dir = Files.createTempDirectory("fmt").resolve("events_pq")
+    val src = Tables.events(spark, sf("sf0.001"))
+    src.write.mode("overwrite").parquet(dir.toString)
+    val back = spark.read.parquet(dir.toString)
+    assert(canon(back) === canon(src))
+    // written as micros: readable without the nanosAsLong escape hatch
+    assert(back.schema("ts").dataType.typeName.startsWith("timestamp"))
+  }
+}
