@@ -34,6 +34,7 @@ object GraftSession {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.FnvHash.register(spark)
+    graft.functions.VecMath.register(spark)
     spark
   }
 }

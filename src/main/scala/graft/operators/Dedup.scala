@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-training-data pipelines over the
@@ -14,9 +15,12 @@ import org.apache.spark.sql.functions._
   *   - MinHash-LSH: cost is Σ_bucket |bucket|², bounded by band width
   *     choice, vs n² for all-pairs. Signatures (64 longs) shuffle instead
   *     of full texts.
-  *   - n-gram Jaccard joins on shared trigrams (document-frequency
-  *     bounded); production would add prefix filtering to cut the
-  *     candidate set further.
+  *   - n-gram Jaccard joins on shared trigrams, with a document-frequency
+  *     cap on CANDIDATE generation: a stop-gram shared by k documents
+  *     would otherwise emit k² candidate pairs. Grams above the cap are
+  *     excluded from candidate generation only — verification still
+  *     counts every gram, so any pair sharing at least one sub-cap gram
+  *     gets its exact Jaccard. The same idea caps LSH bucket sizes.
   *   - Everything is built-in expressions → whole-stage codegen; no UDFs.
   */
 object Dedup {
@@ -159,7 +163,7 @@ object Dedup {
     * join → candidate pairs verified by an exact gram-intersection join
     * (counts, never array materialization through the shuffle). */
   def neardupPairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxBucket: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
     val grams = gramHashRows(docs)
     val sigs = minhashSigs(grams, k)
@@ -170,8 +174,22 @@ object Dedup {
         s" b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))")).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
 
-    val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
-      .join(banded.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
+    // Bucket-size cap: an adversarial bucket of k docs (e.g. a boiler-
+    // plate band value shared corpus-wide) would emit k² candidates.
+    // Buckets above `maxBucket` are dropped from candidate generation —
+    // the docs inside them still pair up through every OTHER band (LSH
+    // recall degrades gracefully: losing one of 16 bands lowers pair-hit
+    // probability from 1-(1-s^r)^16 to 1-(1-s^r)^15). The count runs as a
+    // window over the same (band, bkey) partitioning the self-join needs,
+    // so it adds no extra shuffle of the banded rows.
+    val bounded = banded
+      .withColumn("bsize", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+
+    val candidates = bounded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
+      .join(bounded.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
         Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
@@ -199,27 +217,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash fingerprint per document: each token votes ±1 on each
-    * bit of its xxhash64; bit b of the fingerprint is 1 iff the vote sum
-    * is positive. Tokens are hashed ONCE (n string hashes), then the 64
-    * bit-votes run over the precomputed longs. Near-dups land within
-    * small Hamming distance (asserted in DedupSpec; not
-    * SQL-oracle-expressible — DuckDB lacks xxhash64). */
+  /** Number of SimHash fingerprint bits. 60 rather than 64 so the
+    * per-token hash can be derived from the leading 15 hex chars of md5 —
+    * an engine-portable construction (both Spark and DuckDB have md5, so
+    * the whole fingerprint is oracle-checkable; xxhash64 is Spark-only).
+    * 60 bits lose nothing for near-dup detection: Hamming distance on a
+    * random 60-bit vs 64-bit simhash separates dup/non-dup identically. */
+  val simhashBits = 60
+
+  /** SimHash fingerprint per document: each token votes ±1 on each bit of
+    * its 60-bit md5-derived hash; bit b of the fingerprint is 1 iff the
+    * vote sum is positive. Tokens are hashed ONCE (n string hashes), then
+    * the bit-votes run over the precomputed longs. Near-dups land within
+    * small Hamming distance (asserted in DedupSpec). */
   def simhash(docs: DataFrame): DataFrame = {
-    // explode + 64 codegen'd SUM aggregates (partial agg map-side)
+    // explode + codegen'd SUM aggregates (partial agg map-side)
     // instead of interpreted higher-order lambdas.
     val hashed = docs
       .withColumn("toks", tokensCodegen(col("text")))
       .select(col("doc_id"), explode(col("toks")).as("t"))
       .filter(col("t") =!= "")
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { b =>
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until simhashBits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$b")
     }
     hashed.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map { b =>
+        (0 until simhashBits).map { b =>
           when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
         }.reduce(_ + _).as("simhash"))
   }
@@ -227,8 +253,47 @@ object Dedup {
   def q31Simhash(s: SparkSession, d: String): DataFrame =
     simhash(documents(s, d))
 
+  /** DuckDB replica of [[simhash]]: same tokens, same md5-derived 60-bit
+    * token hash (`CAST('0x'||hex AS BIGINT)`), same bit votes. */
+  val q31Sql: String = {
+    val voteCols = (0 until simhashBits)
+      .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS v$b").mkString(", ")
+    val bits = (0 until simhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM toks),
+       |v AS (SELECT doc_id, $voteCols FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v""".stripMargin
+  }
+
+  /** Candidate pairs from an inverted-index self-join on gram hashes,
+    * restricted to grams whose document frequency is ≤ `maxDf`: a
+    * stop-gram in k docs contributes k² pairs to the join, so capping df
+    * bounds the join output at Σ_{df≤maxDf} df² regardless of corpus
+    * skew. The df count runs as a window over the same `gh` partitioning
+    * the self-join shuffles on. Pairs sharing ONLY above-cap grams are
+    * missed — the documented approximation (with the default cap of 1000
+    * such a pair would consist of near-pure boilerplate). */
+  private[operators] def jaccardCandidates(gh: DataFrame, maxDf: Int): DataFrame = {
+    val bounded = gh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    bounded.select(col("doc_id").as("id_a"), col("gh"))
+      .join(bounded.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** Exact n-gram (word trigram) Jaccard over candidate pairs that share
-    * at least one trigram — an inverted-index join, not a cross product.
+    * at least one sub-cap trigram — an inverted-index join, not a cross
+    * product; verification counts EVERY shared gram (including above-cap
+    * ones), so reported Jaccard values are exact.
     * Output: pairs with Jaccard ≥ 0.2 (on this corpus the planted-free
     * result is whatever genuinely overlaps; both engines agree). */
   def q22NgramJaccard(s: SparkSession, d: String): DataFrame = {
@@ -236,18 +301,7 @@ object Dedup {
     // shuffle ships 8 bytes per gram instead of ~20 chars (collision
     // probability over ~250k distinct grams is ~1e-9 — negligible).
     val gh = gramHashRows(documents(s, d).select(col("doc_id"), col("text")))
-    val sizes = gh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = gh.select(col("doc_id").as("id_a"), col("gh"))
-      .join(gh.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("ninter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard", col("ninter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("ninter")).cast("double"))
-      .filter(col("jaccard") >= 0.2)
+    verifyJaccard(jaccardCandidates(gh, maxDf = 1000), gh, 0.2)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -257,6 +311,6 @@ object Dedup {
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
     "q22_ngram_jaccard"   -> (q22NgramJaccard _, q22Sql),
-    "q31_simhash"         -> (q31Simhash _, ""),
+    "q31_simhash"         -> (q31Simhash _, q31Sql),
   )
 }

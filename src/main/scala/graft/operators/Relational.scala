@@ -363,7 +363,14 @@ object Relational {
 
   /** Sessionization: split each user's event stream at >30 min gaps.
     * Classic lag + cumulative-flag-sum; one shuffle on user_id serves both
-    * window functions and the final per-session aggregation. */
+    * window functions and the final per-session aggregation.
+    *
+    * Gap convention (explicit, engine-portable): a session breaks when the
+    * ELAPSED time exceeds 1800 s, computed as exact epoch-MICROSECOND
+    * integer arithmetic — not floor-of-second subtraction, whose result
+    * on sub-second knife-edge gaps (e.g. 1800.886 s) depends on where the
+    * second boundaries fall and on each engine's timestamp precision. The
+    * oracle uses the identical epoch_us arithmetic. */
   def q16Sessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -371,7 +378,7 @@ object Relational {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -381,20 +388,26 @@ object Relational {
         max(col("event_id")).as("last_event"))
   }
 
+  // session_id is CAST to BIGINT: DuckDB's sum(INTEGER) yields HUGEINT,
+  // which a type-sensitive result hasher would see as a schema difference
+  // even with identical values. The gap test is exact epoch-microsecond
+  // arithmetic on micros-truncated timestamps — provably the same
+  // convention as the Spark plan above, independent of whether the engine
+  // reads the parquet column at nano or micro precision.
   val q16Sql: String =
     """SELECT user_id, session_id, count(*) AS n_events,
       |  min(event_id) AS first_event, max(event_id) AS last_event
       |FROM (
       |  SELECT user_id, event_id,
-      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM (
       |    SELECT user_id, event_id, ts,
       |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |                IS NULL THEN 1
-      |           WHEN date_diff('second',
-      |                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-      |                  ts) > 1800
+      |           WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |                - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id
+      |                    ORDER BY ts, event_id) AS TIMESTAMP)) > 1800000000
       |           THEN 1 ELSE 0 END AS new_session
       |    FROM events))
       |GROUP BY user_id, session_id""".stripMargin

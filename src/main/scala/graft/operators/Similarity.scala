@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -13,29 +13,36 @@ import org.apache.spark.sql.functions._
   *     side is broadcast, the corpus streams through one scan, top-k via
   *     per-query window. No corpus x corpus product anywhere.
   *   - [[annIvf]]: IVF-style partitioned ANN — assign every vector to its
-  *     nearest sampled centroid (broadcast centroid table), probe only
-  *     `nprobe` cells per query, exact rerank inside cells. At 100 TB the
-  *     cell assignment is the partition key: each probe touches
-  *     nprobe/ncells of the corpus.
+  *     nearest sampled centroid (broadcast centroid table + max_by
+  *     aggregation — no window sort over the corpus), probe only `nprobe`
+  *     cells per query, exact rerank inside cells. At 100 TB the cell
+  *     assignment is the partition key: each probe touches nprobe/ncells
+  *     of the corpus.
   *   - [[signBuckets]]: random-hyperplane sign-LSH buckets for
   *     embedding-cosine NEAR-DUP detection (cos ≈ 1 pairs collide with
   *     high probability; multiple tables for recall). Bucket-join only —
   *     never all-pairs.
   *
-  * All vector math is built-in array expressions (zip_with / aggregate /
-  * transform) in double precision — codegen-friendly, no UDFs.
+  * All vector math runs through the native codegen'd expressions in
+  * graft.functions.VecMath (`vec_dot`, `sign_buckets`) — Spark's
+  * higher-order array lambdas are INTERPRETED per element and were
+  * measured ~10× slower on the dedup path; the per-candidate dot product
+  * is exactly the kind of hot loop that must stay in whole-stage codegen
+  * at 100 TB (plan-asserted lambda-free in PlanAuditSpec).
   */
 object Similarity {
   import Tables._
 
-  /** Corpus with double-cast embedding and precomputed L2 norm. */
-  def vectors(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("e"))
-      .withColumn("norm", expr("sqrt(aggregate(e, 0D, (a, x) -> a + x * x))"))
+  private def vdot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
 
-  private val dotQE = "aggregate(zip_with(e, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+  /** Corpus with double-cast embedding and precomputed L2 norm — a plain
+    * element Cast (codegen'd), not a transform() lambda. */
+  def vectors(s: SparkSession, d: String): DataFrame = {
+    val v = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    v.withColumn("norm", sqrt(vdot(col("e"), col("e"))))
+  }
 
   /** Exact cosine top-10 neighbors for each query vector (vec_id < 10).
     * Cosine rounded to 1e-6 before ranking so the cut is stable across
@@ -45,7 +52,7 @@ object Similarity {
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qn"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("sim", round(expr(dotQE) / (col("norm") * col("qn")), 6))
+      .withColumn("sim", round(vdot(col("e"), col("qe")) / (col("norm") * col("qn")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     scored
       .withColumn("rnk", row_number().over(w))
@@ -66,35 +73,61 @@ object Similarity {
       |WHERE rnk <= 10""".stripMargin
 
   /** IVF ANN: deterministically sample centroids (vec_id % stride = 0),
-    * assign each corpus vector to its nearest centroid (broadcast join +
-    * per-vector argmax), probe the `nprobe` nearest cells per query and
-    * exact-rerank only inside them. Returns (query_id, neighbor_id, rnk,
-    * sim) like the exact path — recall measured against it in
-    * SimilaritySpec. */
+    * assign each corpus vector to its nearest centroid, probe the
+    * `nprobe` nearest cells per query and exact-rerank only inside them.
+    * Returns (query_id, neighbor_id, rnk, sim) like the exact path —
+    * recall measured against it in SimilaritySpec.
+    *
+    * Corpus-side assignment is max_by AGGREGATION over the broadcast
+    * centroid join — partial aggregation collapses each vector's
+    * candidate rows map-side, so the shuffle moves one row per corpus
+    * vector and nothing is sorted. The previous formulation
+    * (row_number() over a per-vector window) shuffled AND sorted
+    * corpus×ncentroids rows — a 4000× amplification at a realistic 4k
+    * centroids. Query-side probing keeps the window: the query set is
+    * small and needs top-nprobe, not argmax. */
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
              centroidStride: Int): DataFrame = {
     val cents = corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("norm").as("cn"))
-    val dotCE = "aggregate(zip_with(e, ce, (x, y) -> x * y), 0D, (a, x) -> a + x)"
 
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val byVec = Window.partitionBy(col("vec_id"))
-        .orderBy(col("csim").desc, col("cid"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("csim", expr(dotCE) / (col("norm") * col("cn")))
-        .withColumn("crnk", row_number().over(byVec))
-        .filter(col("crnk") <= keep)
-        .drop("ce", "cn", "csim", "crnk")
-    }
+    val cells = assignCells(corpus, cents)
+    runProbes(cells, queries, cents, k, nprobe)
+  }
 
-    val cells = assign(corpus, 1)
-    val probes = assign(queries, nprobe)
+  private def withCsim(df: DataFrame, cents: DataFrame): DataFrame =
+    df.crossJoin(broadcast(cents))
+      .withColumn("csim", vdot(col("e"), col("ce")) / (col("norm") * col("cn")))
+
+  /** Corpus-side centroid assignment: argmax centroid per vector via
+    * max_by AGGREGATION — the struct key (csim, -cid) makes max_by
+    * deterministic (ties → smallest cid), matching a window formulation's
+    * ORDER BY csim DESC, cid without shuffling or sorting the
+    * corpus×ncentroids candidate rows (partial agg collapses them
+    * map-side; plan-asserted window-free in SimilaritySpec). */
+  private[operators] def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame =
+    withCsim(corpus, cents)
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cid"), struct(col("csim"), negate(col("cid")))).as("cid"),
+        first(col("e")).as("e"),
+        first(col("norm")).as("norm"))
+
+  private def runProbes(cells: DataFrame, queries: DataFrame, cents: DataFrame,
+                        k: Int, nprobe: Int): DataFrame = {
+
+    val byQVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = withCsim(queries, cents)
+      .withColumn("crnk", row_number().over(byQVec))
+      .filter(col("crnk") <= nprobe)
       .select(col("vec_id").as("qid"), col("e").as("qe"),
         col("norm").as("qn"), col("cid"))
+
     val byQ = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     cells.join(probes, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("sim", round(expr(dotQE) / (col("norm") * col("qn")), 6))
+      .withColumn("sim", round(vdot(col("e"), col("qe")) / (col("norm") * col("qn")), 6))
       .withColumn("rnk", row_number().over(byQ))
       .filter(col("rnk") <= k)
       .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
@@ -102,17 +135,13 @@ object Similarity {
   }
 
   /** Sign-LSH bucket ids: `tables` independent tables of `bits`
-    * hyperplanes each; hyperplane component i for plane h is ±1 derived
-    * from xxhash64(i, h). Vectors with cosine ≈ 1 agree on nearly every
-    * sign bit, so they share a bucket in ≥1 table with high probability. */
-  def signBuckets(tables: Int, bits: Int): org.apache.spark.sql.Column =
-    expr(
-      s"""transform(sequence(0, ${tables - 1}), t -> struct(t AS tbl,
-         |  aggregate(sequence(0, ${bits - 1}), 0L, (acc, b) -> acc * 2 +
-         |    CASE WHEN aggregate(
-         |      zip_with(e, sequence(0, size(e) - 1),
-         |        (x, i) -> x * (CAST(xxhash64(i, t * $bits + b) & 1 AS DOUBLE) * 2 - 1)),
-         |      0D, (a, x) -> a + x) > 0 THEN 1 ELSE 0 END) AS bucket))""".stripMargin)
+    * hyperplanes each; hyperplane components are pseudo-random ±1 derived
+    * from a SplitMix64 mix of (plane, dimension). Vectors with cosine ≈ 1
+    * agree on nearly every sign bit, so they share a bucket in ≥1 table
+    * with high probability. One codegen'd primitive loop per row
+    * (graft.functions.VecMath.SignBuckets) — no lambda interpretation. */
+  def signBuckets(tables: Int, bits: Int): Column =
+    call_function("sign_buckets", col("e"), lit(tables), lit(bits))
 
   /** Embedding-cosine near-dup pairs via sign-LSH bucket join + exact
     * cosine verification — the vector analog of MinHash-LSH text dedup. */
@@ -120,9 +149,7 @@ object Similarity {
                        minCos: Double): DataFrame = {
     val bucketed = corpus
       .select(col("vec_id"), col("e"), col("norm"),
-        explode(signBuckets(tables, bits)).as("bb"))
-      .select(col("vec_id"), col("e"), col("norm"),
-        col("bb.tbl"), col("bb.bucket"))
+        posexplode(signBuckets(tables, bits)).as(Seq("tbl", "bucket")))
     val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
       col("e").as("ea"), col("norm").as("na"))
     val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
@@ -131,9 +158,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("ea"), col("eb"), col("na"), col("nb"))
       .dropDuplicates("id_a", "id_b") // a pair may share buckets in several tables
-      .withColumn("cos",
-        expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (col("na") * col("nb")))
+      .withColumn("cos", vdot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -19,12 +19,20 @@ object Skew {
     * A hot key's rows spread over `salts` reducers instead of one.
     * Result is row-identical to the plain join (asserted in SkewSpec);
     * cost is the dim-side replication — use for bounded dims only. */
+  /** The salt must be DETERMINISTIC in row content: deriving it from
+    * monotonically_increasing_id()/rand() makes a shuffle key that can
+    * change when a stage retry recomputes a partition, losing or
+    * duplicating rows (the SPARK-23207 class of bug). Hashing every
+    * column routes a recomputed row identically. Caveat: byte-identical
+    * duplicate rows share a salt, so a hot key of pure duplicates stays
+    * hot — the right tool there is pre-aggregating the duplicates, not
+    * salting. */
+  private def contentSalt(df: DataFrame, salts: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int")
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
-    // any stable per-row value works as salt; spark_partition_id +
-    // a per-row hash avoids a correlated skew of the salt itself
-    val salted = fact.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+    val salted = fact.withColumn("__salt", contentSalt(fact, salts))
     val replicated = dim.withColumn("__salt",
       explode(expr(s"sequence(0, ${salts - 1})")))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
@@ -36,8 +44,7 @@ object Skew {
     * count-distinct per hot key would need it; plain sums/counts get
     * partial agg automatically and don't need this). */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
-    df.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+    df.withColumn("__salt", contentSalt(df, salts))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

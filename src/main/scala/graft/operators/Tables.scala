@@ -22,13 +22,16 @@ object Tables {
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4.x
     * rejects outright on read. Read it as raw long nanos
-    * (`legacy.parquet.nanosAsLong`) and convert with integer arithmetic:
-    * epoch-nanos ≈ 1.7e18 exceeds double's 53-bit integer precision, so a
-    * `/1e9` double divide would corrupt microseconds — `ts div 1000` keeps
-    * the conversion exact and matches DuckDB's CAST(ts AS TIMESTAMP)
-    * micros truncation. */
+    * (`legacy.parquet.nanosAsLong` — set once at session build in
+    * GraftSession, NOT mutated here per call) and convert with integer
+    * arithmetic: epoch-nanos ≈ 1.7e18 exceeds double's 53-bit integer
+    * precision, so a `/1e9` double divide would corrupt microseconds —
+    * `ts div 1000` keeps the conversion exact and matches DuckDB's
+    * CAST(ts AS TIMESTAMP) micros truncation. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(set by GraftSession.builder)")
     t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 

@@ -219,11 +219,17 @@ object TextAnalysis {
       df.withColumn(s"s_$lang",
         size(filter(col("ws"), t => array_contains(typedLit(ms), t))))
     }
+    // The gate output feeds THREE consumers (exact-dedup keep set, the
+    // LSH near-dup pipeline, and the final join) — persist it so the
+    // documents table is scanned and tokenized once, not recomputed per
+    // consumer. MEMORY_AND_DISK: at 100 TB the gated survivor set is a
+    // fraction of the corpus and spills rather than OOMs.
     val gated = scored
       .filter(col("n_words").between(20, 1000))
       .filter(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
         col("s_en") >= col("s_de") && col("s_en") > 0)
       .select(col("doc_id"), col("text"), col("n_words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3: exact dedup (keep-first per normalized hash)
     val keepIds = gated
       .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))

@@ -59,9 +59,15 @@ object EventStreams {
     def update(userId: Long, evs: Iterator[Ev],
                state: GroupState[SessionState]): Iterator[SessionOut] = {
       val gapMs = gapSec * 1000L
-      // Sort this micro-batch's events by (ts, event_id) — the same
-      // total order the batch/window formulation uses.
-      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // Sort the group's events by (ts, event_id) — the same total order
+      // the batch/window formulation uses. BOUND: this materializes one
+      // GROUP, not the corpus — in streaming that is the user's slice of
+      // one micro-batch (small by construction); in batch mode it is one
+      // user's full history, the same per-key memory contract as any
+      // window over user_id (the q16 formulation sorts the identical
+      // rows). A user hot enough to break that bound needs key salting
+      // upstream, not a different operator.
+      val sorted = evs.toArray.sortInPlaceBy(e => (e.ts.getTime, e.event_id))
       var out = List.empty[SessionOut]
 
       if (state.hasTimedOut) {

@@ -34,7 +34,11 @@ object KVStore {
     def update(key: String, batch: Iterator[KvOp],
                state: GroupState[String]): Iterator[KvResult] = {
       var cur = state.getOption.getOrElse("")
-      val out = batch.toSeq.sortBy(_.opId).map { o =>
+      // BOUND: materializes one key's ops from ONE micro-batch (streaming)
+      // or one key's full op history (batch test mode) — per-key, never
+      // corpus-wide; mirrors the reference, where a shard's Raft log is
+      // serialized through one group anyway (kvraft/server.go API).
+      val out = batch.toArray.sortInPlaceBy(_.opId).map { o =>
         o.op match {
           case "get" => KvResult(o.opId, key, cur)
           case "put" => cur = o.value; KvResult(o.opId, key, "")

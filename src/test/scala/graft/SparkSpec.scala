@@ -15,6 +15,8 @@ object SharedSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.functions.FnvHash.register(s)
+    graft.functions.VecMath.register(s)
     s
   }
 }

@@ -62,4 +62,28 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(one === many)
   }
+
+  test("stop-gram df cap bounds Jaccard candidate generation") {
+    // 50 docs, pairwise-distinct except ONE boilerplate trigram shared by
+    // all: without a cap the inverted-index join emits C(50,2) = 1225
+    // candidate pairs from that single stop-gram; with df ≤ 10 it emits
+    // none (pairs share no sub-cap gram).
+    val docs = (0 until 50).map { i =>
+      val k = i + 1
+      (i.toLong, s"${"u" * k} ${"v" * k} ${"w" * k} shared boilerplate footer")
+    }.toDF("doc_id", "text")
+    val gh = Dedup.gramHashRows(docs)
+    assert(Dedup.jaccardCandidates(gh, maxDf = 10000).count() === 50L * 49 / 2)
+    assert(Dedup.jaccardCandidates(gh, maxDf = 10).count() === 0L)
+  }
+
+  test("LSH bucket-size cap drops adversarial mega-buckets from candidate generation") {
+    // 12 identical docs share every band bucket → bucket size 12; a cap
+    // of 4 suppresses all k² candidates, the default keeps all 66 pairs.
+    val docs = (0 until 12).map(i =>
+      (i.toLong, "the exact same boilerplate text repeated for every " +
+        "document in this corpus to force one giant bucket")).toDF("doc_id", "text")
+    assert(Dedup.neardupPairs(docs, 16, 4, 0.8).count() === 66L)
+    assert(Dedup.neardupPairs(docs, 16, 4, 0.8, maxBucket = 4).count() === 0L)
+  }
 }

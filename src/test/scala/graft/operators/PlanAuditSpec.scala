@@ -52,6 +52,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 1, s"lineitem scanned $scans times\n${finalPlan.take(1500)}")
   }
 
+  test("q23 knn: vector math is codegen'd — no interpreted lambda in the final plan") {
+    val plan = planOf(Similarity.q23KnnExact(spark, d))
+    // higher-order functions (aggregate/zip_with/transform) evaluate
+    // their lambdas interpreted, per element per row — the per-candidate
+    // dot product must run through the native vec_dot expression instead
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan.take(2000))
+    assert(plan.contains("vec_dot"), plan.take(2000))
+  }
+
+  test("q40: gated corpus is cached — documents not re-tokenized per consumer") {
+    val plan = planOf(TextAnalysis.q40CorpusPipeline(spark, d))
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

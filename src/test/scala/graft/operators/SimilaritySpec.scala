@@ -88,6 +88,32 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.forall(_ >= 0.99))
   }
 
+  test("IVF corpus assignment: window-free aggregation, argmax matches brute force") {
+    val corpus = clustered().cache()
+    val cents = corpus.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("norm").as("cn"))
+    val cells = Similarity.assignCells(corpus, cents)
+    cells.queryExecution.toRdd.count()
+    val plan = cells.queryExecution.executedPlan.toString
+    // the old formulation sorted corpus×ncentroids rows under a window —
+    // at 4k centroids a 4000× shuffle amplification; the aggregation form
+    // must show neither a Window nor a Sort over the assignment
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("max_by") || plan.contains("partial_max_by"), plan.take(2000))
+
+    val cvs = cents.select(col("cid"), col("ce"), col("cn"))
+      .as[(Long, Seq[Double], Double)].collect()
+    val want = corpus.select(col("vec_id"), col("e"), col("norm"))
+      .as[(Long, Seq[Double], Double)].collect().map { case (id, e, n) =>
+        val best = cvs.map { case (cid, ce, cn) =>
+          (cid, e.zip(ce).map { case (a, b) => a * b }.sum / (n * cn))
+        }.maxBy { case (cid, s) => (s, -cid) }
+        id -> best._1
+      }.toMap
+    val got = cells.select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
   test("exact knn query is deterministic across partitionings") {
     val corpus = clustered()
     val q1 = exactTop(corpus.repartition(3), corpus.filter(col("vec_id") < 3), 5)
