@@ -163,7 +163,68 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Per-label cluster cohesion: mean/min cosine of each vector to its
+    * label's centroid — the standard embedding-quality monitor for a
+    * training pipeline (collapsing clusters and outliers show up as
+    * falling avg_cos / min_cos). Row-oriented elementwise math: vectors
+    * posexplode to (label, vec, dim, x) rows, the centroid is a plain
+    * avg aggregate per (label, dim), and dot products are sum aggregates
+    * over the dimension join — every step whole-stage-codegen'd, one
+    * shuffle per aggregation, no interpreted lambdas, scales to any
+    * corpus since nothing is ever corpus×corpus. */
+  def q41LabelCohesion(s: SparkSession, d: String): DataFrame = {
+    val v = embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
+    val ex = v.select(col("label"), col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
+    val cent = ex.groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
+    val per = ex.join(cent, Seq("label", "i"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum(col("x") * col("c")).as("dot"),
+        sqrt(sum(col("x") * col("x"))).as("nv"))
+    val cn = cent.groupBy(col("label")).agg(sqrt(sum(col("c") * col("c"))).as("nc"))
+    per.join(cn, Seq("label"))
+      .withColumn("cos", col("dot") / (col("nv") * col("nc")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("cos")), 6).as("avg_cos"),
+        round(min(col("cos")), 6).as("min_cos"))
+  }
+
+  val q41Sql: String =
+    """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |ex AS (SELECT label, vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS x FROM v),
+      |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+      |per AS (
+      |  SELECT ex.label, ex.vec_id,
+      |    sum(ex.x * cent.c) AS dot, sqrt(sum(ex.x * ex.x)) AS nv
+      |  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+      |  GROUP BY 1, 2),
+      |cn AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cent GROUP BY 1)
+      |SELECT per.label, count(*) AS n_vecs,
+      |  round(avg(dot / (nv * nc)), 6) AS avg_cos,
+      |  round(min(dot / (nv * nc)), 6) AS min_cos
+      |FROM per JOIN cn ON per.label = cn.label
+      |GROUP BY per.label""".stripMargin
+
+  /** Sign-LSH embedding near-dup over the embeddings table, registered
+    * against an exact all-pairs oracle. The driver's corpus is isotropic
+    * random (no cos ≥ 0.8 pairs exist), so this gate verifies the
+    * bucket-join pipeline end-to-end produces NO FALSE POSITIVES — the
+    * exact-cosine verification step earns its keep; recall on planted
+    * near-dup data is spec-gated in SimilaritySpec (≥ 0.9). */
+  def q42EmbeddingNeardup(s: SparkSession, d: String): DataFrame =
+    embeddingNeardup(vectors(s, d), tables = 8, bits = 16, minCos = 0.8)
+
+  val q42Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.e, b.e), 6) AS cos
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.e, b.e) >= 0.8""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q23_knn_exact" -> (q23KnnExact _, q23Sql),
+    "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
+    "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
+    "q42_embedding_neardup" -> (q42EmbeddingNeardup _, q42Sql),
   )
 }

@@ -32,6 +32,25 @@ class FormatsSpec extends SparkSpec {
     assert(canon(back) === canon(src))
   }
 
+  test("ORC roundtrip of orders preserves all rows and values") {
+    val dir = Files.createTempDirectory("fmt").resolve("orders_orc")
+    val src = Tables.orders(spark, sf("sf0.001"))
+    src.write.mode("overwrite").orc(dir.toString)
+    val back = spark.read.orc(dir.toString)
+    assert(canon(back) === canon(src))
+  }
+
+  test("text sink roundtrip: partitioned key-value lines read back losslessly") {
+    // the MR facade's final-output format (SURVEY F8) through the generic
+    // text source/sink path
+    val dir = Files.createTempDirectory("fmt").resolve("kv_text")
+    val src = Tables.nation(spark, sf("sf0.001"))
+      .select(concat_ws(" ", col("n_name"), col("n_nationkey")).as("value"))
+    src.write.mode("overwrite").text(dir.toString)
+    val back = spark.read.text(dir.toString)
+    assert(canon(back) === canon(src))
+  }
+
   test("parquet roundtrip preserves the events timestamp conversion exactly") {
     val dir = Files.createTempDirectory("fmt").resolve("events_pq")
     val src = Tables.events(spark, sf("sf0.001"))
