@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * besides dedup/quality (all oracle-checked):
+  *
+  *   - [[q43SplitAssign]]: DETERMINISTIC train/val/test assignment by
+  *     content-independent hash — reproducible across runs, engines and
+  *     cluster sizes (never `rand()`: resampling on retry both breaks
+  *     lineage and leaks eval data into train across pipeline versions).
+  *   - [[q44PiiRedact]]: PII (email/phone) detection + redaction with
+  *     per-document counts and a digest of the redacted text.
+  *   - [[q45Contamination]]: benchmark-contamination screen — n-gram
+  *     overlap of every corpus document against an evaluation set, the
+  *     standard pre-training hygiene check.
+  *
+  * Everything is per-row expressions or single-shuffle aggregations; the
+  * eval set in q45 is small by nature, so its gram set broadcast-joins
+  * against the corpus (no corpus×corpus anything).
+  */
+object Curation {
+  import Tables._
+
+  /** 60-bit hash from the leading 15 hex chars of md5 — engine-portable
+    * (same construction as Dedup.simhash's token hash). */
+  private def md5Bucket(c: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /** Deterministic 80/10/10 split keyed on doc_id, reported per source:
+    * the assignment is a pure function of the document identity, so any
+    * engine, run, or partitioning reproduces it bit-for-bit. */
+  def q43SplitAssign(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket", md5Bucket(col("doc_id").cast("string"), 100))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  val q43Sql: String =
+    """SELECT source, split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      |FROM (
+      |  SELECT source, n_chars,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT source, n_chars,
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+      |    FROM documents))
+      |GROUP BY source, split""".stripMargin
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+
+  /** Redact emails/phones; emit per-document hit counts and the md5 of
+    * the redacted text (digest equality is the strongest cheap evidence
+    * two engines performed the identical transformation). Pure per-row
+    * expressions — no shuffle at all. */
+  def q44PiiRedact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        // Column-form regexp_extract_all: a SQL-literal '\d' would lose
+        // its backslash to Spark's string-escape processing
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("redacted_md5"))
+
+  val q44Sql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(text, '$phoneRe')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+       |      '$phoneRe', '<PHONE>', 'g')) AS redacted_md5
+       |FROM documents""".stripMargin
+
+  /** Benchmark-contamination screen: for every corpus document (doc_id ≥
+    * 25), the count and fraction of its distinct word trigrams that also
+    * appear in the evaluation set (doc_id < 25 stands in for a held-out
+    * benchmark). The eval gram set is tiny → broadcast semi-ish join;
+    * the corpus side is one pass over the (cached) gram rows. */
+  def q45Contamination(s: SparkSession, d: String): DataFrame = {
+    val gh = Dedup.gramHashRows(documents(s, d).select(col("doc_id"), col("text")))
+    val evalGrams = gh.filter(col("doc_id") < 25).select(col("gh")).distinct()
+    val corpus = gh.filter(col("doc_id") >= 25)
+    val shared = corpus.join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("frac", round(col("n_shared").cast("double") /
+        col("n_grams").cast("double"), 6))
+      .withColumn("contaminated", col("frac") >= 0.2)
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        col("frac"), col("contaminated"))
+  }
+
+  val q45Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |glists AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM glists),
+      |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id < 25),
+      |corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 25),
+      |shared AS (
+      |  SELECT doc_id, count(*) AS n_shared FROM corpus
+      |  WHERE g IN (SELECT g FROM ev) GROUP BY doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id)
+      |SELECT sizes.doc_id, coalesce(n_shared, 0) AS n_shared, n_grams,
+      |  round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_grams, 6) AS frac,
+      |  round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_grams, 6) >= 0.2 AS contaminated
+      |FROM sizes LEFT JOIN shared ON sizes.doc_id = shared.doc_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
+    "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
+    "q45_contamination" -> (q45Contamination _, q45Sql),
+  )
+}

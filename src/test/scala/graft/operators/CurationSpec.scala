@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("split assignment is deterministic, complete, and partitioning-insensitive") {
+    val d = sf("sf0.001")
+    val a = Curation.q43SplitAssign(spark, d).collect().map(_.toSeq).toSet
+    val b = Curation.q43SplitAssign(spark, d).collect().map(_.toSeq).toSet
+    assert(a === b) // rerun == rerun, no rand() anywhere
+    val totals = Curation.q43SplitAssign(spark, d)
+      .groupBy().agg(sum("n_docs")).as[Long].collect().head
+    val ndocs = Tables.documents(spark, d).count()
+    assert(totals === ndocs) // every doc lands in exactly one split
+    // roughly 80/10/10 by construction of the hash buckets
+    val bySplit = Curation.q43SplitAssign(spark, d)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(bySplit("train").toDouble / ndocs > 0.6)
+    assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) > 0)
+  }
+
+  test("PII redaction finds and replaces planted emails and phone numbers") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe+x@example.org or 555-123-4567 today"),
+      (2L, "two mails a@b.io c@d.net and phone 111 222 3333"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    // run the registered query's expressions against a planted corpus by
+    // writing it to a temp dir in the documents layout
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.q44PiiRedact(spark, dir)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(out(0)._2 === 1 && out(0)._3 === 1)
+    assert(out(1)._2 === 2 && out(1)._3 === 1)
+    assert(out(2)._2 === 0 && out(2)._3 === 0)
+    // doc 3 untouched → digest equals md5 of the original text
+    val origMd5 = docs.filter(col("doc_id") === 3)
+      .select(md5(col("text"))).as[String].collect().head
+    assert(out(2)._4 === origMd5)
+  }
+
+  test("contamination screen flags docs overlapping the eval set") {
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, evalText), // eval set member (doc_id < 25)
+      (30L, evalText + " plus a tiny bit more"), // heavy overlap
+      (31L, "completely different words about ships and harbors and tides rolling in")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("contam").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.q45Contamination(spark, dir)
+      .select("doc_id", "contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out(30L) === true)
+    assert(out(31L) === false)
+    assert(!out.contains(1L)) // eval docs are not scored against themselves
+  }
+}
