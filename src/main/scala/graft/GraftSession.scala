@@ -35,6 +35,7 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.FnvHash.register(spark)
     graft.functions.VecMath.register(spark)
+    graft.functions.MinhashBands.register(spark)
     spark
   }
 }

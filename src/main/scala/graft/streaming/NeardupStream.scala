@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash-LSH near-dup detection — the streaming form of the
+  * batch Dedup.neardupPairs candidate generation, for deduplicating a
+  * document INGEST stream before it ever lands in the corpus.
+  *
+  * Shape: per-row `minhash_bands` expression (tokens → shingles →
+  * minhash → band keys in one codegen'd loop — a stream cannot interpose
+  * the batch path's signature AGGREGATION before keyed state) → explode
+  * to (band, bkey) → keyed state per bucket records the first document
+  * to claim it. Output is the append-only CLAIMS stream: one row per
+  * (doc, band) with `claimed` = whether this doc was first. A document
+  * is a near-dup suspect iff it failed to claim ≥1 bucket; deriving the
+  * kept set is a per-doc aggregation over claims ([[keptDocs]]) that
+  * runs batch-side or in the sink (foreachBatch) — facts stream, policy
+  * aggregates, so the stateful stage stays single and append-only.
+  *
+  * Scale/semantics notes:
+  *   - State is ONE long per observed bucket (the owner), hash-
+  *     partitioned by (band, bkey) across the cluster; event-time
+  *     timeout evicts buckets idle past the watermark, bounding state —
+  *     which also means a duplicate arriving later than the watermark
+  *     delay is not caught: the inherent streaming-dedup contract,
+  *     identical to the exact streaming dedup's.
+  *   - Within a micro-batch, claims resolve in (ts, doc_id) order, so
+  *     the outcome is deterministic and matches the batch formulation's
+  *     first-wins (verified by differential in StreamingNeardupSpec).
+  */
+object NeardupStream {
+
+  case class BandRow(doc_id: Long, ts: Timestamp, band: Int, bkey: Long)
+  case class Claim(doc_id: Long, band: Int, claimed: Boolean)
+
+  /** (doc_id, ts, band, bkey) rows for a (doc_id, ts, text) frame —
+    * per-row expression work only; runs identically batch or streaming. */
+  def bandRows(docs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    docs
+      .withColumn("toks", graft.operators.Dedup.tokensCodegen(col("text")))
+      .withColumn("bkeys",
+        call_function("minhash_bands", col("toks"), lit(bands), lit(rowsPerBand)))
+      .select(col("doc_id"), col("ts"),
+        posexplode(col("bkeys")).as(Seq("band", "bkey")))
+
+  /** First-wins bucket claims over a (possibly streaming) document
+    * frame. `watermarkDelay` bounds state lifetime in streaming mode. */
+  def bandClaims(docs: DataFrame, watermarkDelay: String,
+                 bands: Int = 16, rowsPerBand: Int = 4): Dataset[Claim] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val rows = bandRows(docs, bands, rowsPerBand)
+      .withWatermark("ts", watermarkDelay)
+      .as[BandRow]
+    val streaming = rows.isStreaming
+
+    def claim(key: (Int, Long), batch: Iterator[BandRow],
+              state: GroupState[Long]): Iterator[Claim] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      // one bucket's rows from one micro-batch (streaming) or one
+      // bucket's full history (batch) — bounded like any keyed group
+      val sorted = batch.toArray.sortInPlaceBy(r => (r.ts.getTime, r.doc_id))
+      var owner = state.getOption.getOrElse(-1L)
+      var lastTs = 0L
+      val out = sorted.map { r =>
+        lastTs = math.max(lastTs, r.ts.getTime)
+        if (owner == -1L) { owner = r.doc_id; Claim(r.doc_id, key._1, claimed = true) }
+        else Claim(r.doc_id, key._1, claimed = r.doc_id == owner)
+      }
+      state.update(owner)
+      if (streaming) state.setTimeoutTimestamp(lastTs, watermarkDelay)
+      out.iterator
+    }
+
+    rows.groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(claim)
+  }
+
+  /** Kept set from a claims frame: a doc survives iff it claimed EVERY
+    * band (no bucket was owned by an earlier doc). Plain aggregation —
+    * in streaming deployments this runs in the sink (foreachBatch) or a
+    * downstream batch job over the claims table. */
+  def keptDocs(claims: DataFrame, bands: Int = 16): DataFrame =
+    claims.groupBy(col("doc_id"))
+      .agg(sum(when(col("claimed"), 1).otherwise(0)).as("n_claimed"))
+      .filter(col("n_claimed") === bands)
+      .select(col("doc_id"))
+}

@@ -17,6 +17,7 @@ object SharedSpark {
     s.sparkContext.setLogLevel("ERROR")
     graft.functions.FnvHash.register(s)
     graft.functions.VecMath.register(s)
+    graft.functions.MinhashBands.register(s)
     s
   }
 }

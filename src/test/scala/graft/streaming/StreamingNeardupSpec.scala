@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+class StreamingNeardupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long): Timestamp = new Timestamp((1000 + min) * 60000L)
+
+  private val orig =
+    "the quick brown fox jumps over the lazy dog near the river bank today " +
+      "while the sun sets slowly behind the distant purple mountains casting long shadows"
+  private val nearCopy = orig.replace("lazy dog", "lazy cat")
+  private val unrelated =
+    "completely different text about cooking pasta with garlic olive oil basil " +
+      "tomatoes parmesan and a pinch of salt simmered gently in a wide heavy pan"
+
+  test("streaming near-dup dedup: near-copy in a later micro-batch is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = NeardupStream.bandClaims(df, "1 hour")
+      .writeStream.format("memory").queryName("claims_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, ts(0), orig))
+      q.processAllAvailable()
+      mem.addData((2L, ts(5), nearCopy), (3L, ts(6), unrelated))
+      q.processAllAvailable()
+      val kept = NeardupStream.keptDocs(spark.table("claims_out"))
+        .as[Long].collect().toSet
+      // doc 2 shares most shingles with doc 1 → collides in ≥1 bucket
+      // whose owner (from the EARLIER batch, via state) is doc 1
+      assert(kept === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("batch mode equals an independent window formulation (first-wins per bucket)") {
+    val docs = Seq(
+      (10L, ts(0), orig),
+      (11L, ts(1), nearCopy),     // loses buckets to 10
+      (12L, ts(2), unrelated),
+      (13L, ts(3), unrelated),    // exact copy of 12's text → loses all buckets
+      (14L, ts(4), "tiny doc")    // short-doc fallback path
+    ).toDF("doc_id", "ts", "text")
+
+    val viaState = NeardupStream.keptDocs(NeardupStream.bandClaims(docs, "1 hour").toDF())
+      .as[Long].collect().toSet
+
+    // independent formulation: bucket owner = min (ts, doc_id) row per
+    // (band, bkey); a doc survives iff it owns all its buckets
+    val rows = NeardupStream.bandRows(docs, 16, 4)
+    val w = Window.partitionBy(col("band"), col("bkey"))
+      .orderBy(col("ts"), col("doc_id"))
+    val viaWindow = rows
+      .withColumn("owner", first(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("doc_id") === col("owner"), 1).otherwise(0)).as("n"))
+      .filter(col("n") === 16)
+      .select("doc_id").as[Long].collect().toSet
+
+    assert(viaState === viaWindow)
+    assert(viaState.contains(10L) && viaState.contains(12L))
+    assert(!viaState.contains(13L)) // exact dup never survives
+    assert(viaState.contains(14L))
+  }
+
+  test("same-batch collision resolves deterministically by (ts, doc_id)") {
+    val docs = Seq(
+      (20L, ts(1), orig),
+      (21L, ts(1), orig), // identical text, same ts → doc_id breaks the tie
+      (22L, ts(0), nearCopy) // EARLIER ts → owns the shared buckets
+    ).toDF("doc_id", "ts", "text")
+    val kept = NeardupStream.keptDocs(NeardupStream.bandClaims(docs, "1 hour").toDF())
+      .as[Long].collect().toSet
+    // 22 is first by event time; 20/21 lose their shared buckets to it,
+    // and 21 additionally loses every bucket to 20
+    assert(!kept.contains(21L))
+    assert(kept.contains(22L))
+  }
+}
