@@ -590,6 +590,69 @@ object Relational {
       |     (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1) s
       |ON ck = sk""".stripMargin
 
+  /** JSON functions over a JSON column built from order fields: the
+    * serialize → extract → cast pipeline every metadata-bearing pipeline
+    * runs. Only EXTRACTED values are compared across engines (raw JSON
+    * text formatting is engine-specific); doubles roundtrip exactly
+    * through shortest-representation JSON printing. Per-row expressions,
+    * no shuffle. */
+  def q46JsonFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        to_json(struct(col("o_orderpriority").as("p"),
+          col("o_totalprice").as("t"), col("o_orderstatus").as("st"))).as("j"))
+      .select(col("o_orderkey"),
+        get_json_object(col("j"), "$.p").as("jp"),
+        get_json_object(col("j"), "$.t").cast("double").as("jt"),
+        get_json_object(col("j"), "$.st").as("js"))
+
+  val q46Sql: String =
+    """SELECT o_orderkey,
+      |  json_extract_string(j, '$.p') AS jp,
+      |  CAST(json_extract(j, '$.t') AS DOUBLE) AS jt,
+      |  json_extract_string(j, '$.st') AS js
+      |FROM (SELECT o_orderkey,
+      |        to_json({'p': o_orderpriority, 't': o_totalprice,
+      |                 'st': o_orderstatus}) AS j
+      |      FROM orders)
+      |WHERE o_orderkey % 100 = 0""".stripMargin
+
+  /** Date-part extraction + the full ranking-window family (ntile,
+    * percent_rank, cume_dist) per order within its month, ordered by
+    * (o_totalprice, o_orderkey) so every rank is deterministic. */
+  def q47DateWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(date_trunc("month", col("o_orderdate")))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .withColumn("mo", month(col("o_orderdate")))
+      .withColumn("qtr", quarter(col("o_orderdate")))
+      .withColumn("dow", dayofweek(col("o_orderdate")) - 1) // 0 = Sunday
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("yr"), col("mo"), col("qtr"),
+        col("dow"), col("quartile"), col("pr"), col("cd"))
+  }
+
+  val q47Sql: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  quarter(o_orderdate) AS qtr,
+      |  CAST(date_part('dow', o_orderdate) AS INT) AS dow,
+      |  quartile, pr, cd
+      |FROM (
+      |  SELECT o_orderkey, o_orderdate,
+      |    ntile(4) OVER w AS quartile,
+      |    round(percent_rank() OVER w, 6) AS pr,
+      |    round(cume_dist() OVER w, 6) AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY date_trunc('month', o_orderdate)
+      |               ORDER BY o_totalprice, o_orderkey))
+      |WHERE o_orderkey % 50 = 0""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -616,5 +679,7 @@ object Relational {
     "q37_scalar_funcs"    -> (q37ScalarFuncs _, q37Sql),
     "q38_except_all"      -> (q38ExceptAll _, q38Sql),
     "q39_full_outer"      -> (q39FullOuter _, q39Sql),
+    "q46_json_funcs"      -> (q46JsonFuncs _, q46Sql),
+    "q47_date_window"     -> (q47DateWindow _, q47Sql),
   )
 }
