@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Tables._
 
+  /** Optionally persist a reused dedup intermediate (gram rows,
+    * signatures), controlled by `spark.graft.dedup.cache`.
+    *
+    * The trade is corpus-size dependent, measured both ways at sf0.1
+    * (BASELINE.md): recomputing the tokenize/shingle subtree per
+    * consumer costs ~0.5 s/pass here — LESS than building + reading the
+    * in-memory columnar cache — so small corpora run faster (and with
+    * far less variance) uncached. At 100 TB each recompute is a full
+    * corpus scan, and caching the slim 16-byte gram rows (a small
+    * fraction of corpus bytes, MEMORY_AND_DISK so it spills) wins
+    * decisively. Default off; set true on large-corpus deployments. */
+  private def maybeCache(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.dedup.cache").exists(_.toBoolean))
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** lower → collapse whitespace → trim: the usual text canonicalization
     * before exact hashing. */
   private def normText(c: Column): Column =
@@ -82,12 +98,10 @@ object Dedup {
           element_at(col("toks"), col("pos") + 3)).as("gh"))
     val short = t.filter(size(col("toks")) < 3)
       .select(col("doc_id"), xxhash64(concat_ws(" ", col("toks"))).as("gh"))
-    // Persist: every consumer (signatures, df counts, candidate join,
-    // verification join, per-doc sizes) re-reads these rows; without the
-    // cache the tokenize/shingle pipeline re-runs per consumer — measured
-    // 4× the query cost at sf0.1. Slim 16-byte rows; spills, never OOMs.
-    tri.unionAll(short).dropDuplicates("doc_id", "gh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Reused by every consumer (signatures, df counts, candidate join,
+    // verification join, per-doc sizes): cached on large-corpus
+    // deployments via spark.graft.dedup.cache — see maybeCache.
+    maybeCache(tri.unionAll(short).dropDuplicates("doc_id", "gh"))
   }
 
   /** Distinct word 3-gram shingles from a `toks` array column; degenerate
@@ -116,15 +130,12 @@ object Dedup {
   def minhashSigs(grams: DataFrame, k: Int): DataFrame = {
     val hashed = grams.select(col("doc_id"), col("gh").as("h"))
     val mins = (0 until k).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-    // Persisted: one tiny row per doc (k longs ≈ 512 B) consumed by the
-    // bucket-size count and both self-join sides — caching here re-runs
-    // the k-aggregate signature job once instead of three times, at
-    // near-zero cache-build cost (the data is minuscule).
-    hashed.groupBy(col("doc_id"))
+    // One tiny row per doc (k longs ≈ 512 B), consumed by the bucket-size
+    // count and both self-join sides — cacheable via maybeCache.
+    maybeCache(hashed.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
-        array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        array((0 until k).map(j => col(s"m$j")): _*).as("sig")))
   }
 
   /** MinHash-LSH near-dup pairs, banded: 16 bands × 4 rows over a 64-hash

@@ -620,7 +620,11 @@ object Relational {
 
   /** Date-part extraction + the full ranking-window family (ntile,
     * percent_rank, cume_dist) per order within its month, ordered by
-    * (o_totalprice, o_orderkey) so every rank is deterministic. */
+    * (o_totalprice, o_orderkey) so every rank is deterministic.
+    * Scale note: exact global ranks within a month are inherently one
+    * sorted partition per month (the semantic demands a total order);
+    * at 100 TB with few months you'd switch to approx quantile buckets
+    * (q32's scale path) or rank within finer natural keys. */
   def q47DateWindow(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(date_trunc("month", col("o_orderdate")))
       .orderBy(col("o_totalprice"), col("o_orderkey"))

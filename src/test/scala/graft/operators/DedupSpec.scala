@@ -63,6 +63,22 @@ class DedupSpec extends SparkSpec {
     assert(one === many)
   }
 
+  test("spark.graft.dedup.cache=true caches gram rows without changing results") {
+    val base = Dedup.neardupPairs(corpus(), 16, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    spark.conf.set("spark.graft.dedup.cache", "true")
+    try {
+      val df = Dedup.neardupPairs(corpus(), 16, 4, 0.5)
+      val cached = df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(cached === base)
+      assert(df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        "expected the gram/signature cache in the plan when the flag is on")
+    } finally {
+      spark.conf.unset("spark.graft.dedup.cache")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("stop-gram df cap bounds Jaccard candidate generation") {
     // 50 docs, pairwise-distinct except ONE boilerplate trigram shared by
     // all: without a cap the inverted-index join emits C(50,2) = 1225

@@ -61,9 +61,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("vec_dot"), plan.take(2000))
   }
 
-  test("q40: gated corpus is cached — documents not re-tokenized per consumer") {
-    val plan = planOf(TextAnalysis.q40CorpusPipeline(spark, d))
-    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+  test("q40 at scale config: gram rows cached — documents not re-tokenized per consumer") {
+    // spark.graft.dedup.cache is the large-corpus deployment flag (off by
+    // default — BASELINE.md has the measured crossover); under it the
+    // pipeline's reused gram/signature subtrees must show as explicit
+    // InMemoryRelations instead of re-scanning documents per consumer.
+    spark.conf.set("spark.graft.dedup.cache", "true")
+    try {
+      val plan = planOf(TextAnalysis.q40CorpusPipeline(spark, d))
+      assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    } finally {
+      spark.conf.unset("spark.graft.dedup.cache")
+      spark.catalog.clearCache()
+    }
   }
 
   test("no driver-side materialization in any operator source") {
