@@ -226,12 +226,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"), col("n_words"))
     // 3: exact dedup, keep-first per normalized hash — as a WINDOW
     // row_number (one shuffle on the hash), not groupBy-min + semi-join,
-    // which would consume the gated subtree twice. Caching gated instead
+    // which would consume the gated subtree twice. Caching gated itself
     // was measured SLOWER at bench scale: columnar-encoding full document
     // text costs more than recomputing the gate, and at 100 TB the
-    // text-heavy cache is exactly what you don't want resident. The only
-    // caches in this pipeline are the slim gram/signature rows inside
-    // neardupPairs.
+    // text-heavy cache is exactly what you don't want resident. The
+    // cacheable intermediates are the slim gram/signature rows inside
+    // neardupPairs (spark.graft.dedup.cache — see Dedup.maybeCache).
     val byHash = Window.partitionBy(
       md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))).orderBy(col("doc_id"))
     val deduped = gated
