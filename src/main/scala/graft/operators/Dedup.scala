@@ -28,14 +28,17 @@ object Dedup {
   /** Optionally persist a reused dedup intermediate (gram rows,
     * signatures), controlled by `spark.graft.dedup.cache`.
     *
-    * The trade is corpus-size dependent, measured both ways at sf0.1
-    * (BASELINE.md): recomputing the tokenize/shingle subtree per
-    * consumer costs ~0.5 s/pass here — LESS than building + reading the
-    * in-memory columnar cache — so small corpora run faster (and with
-    * far less variance) uncached. At 100 TB each recompute is a full
-    * corpus scan, and caching the slim 16-byte gram rows (a small
-    * fraction of corpus bytes, MEMORY_AND_DISK so it spills) wins
-    * decisively. Default off; set true on large-corpus deployments. */
+    * WITHIN one query the cache is mostly unnecessary even at scale:
+    * AQE's ReuseExchange dedups the shared subtrees — q21's executed
+    * plan shows ONE documents scan and 5 ReusedExchange nodes uncached
+    * (probed; shuffle files effectively act as the materialization).
+    * Measured at sf0.1 (BASELINE.md) the explicit cache is a strict
+    * loss there: columnar build + read costs more than the reuse it
+    * duplicates, with high variance. The flag pays off ACROSS queries —
+    * a curation run executing q20/q21/q22/q45 over the same corpus
+    * re-tokenizes per query unless the gram rows are cached (shuffle
+    * reuse is per-query; the cache is cross-query). Slim 16-byte rows,
+    * MEMORY_AND_DISK so it spills. Default off. */
   private def maybeCache(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.getOption("spark.graft.dedup.cache").exists(_.toBoolean))
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Degenerate-input robustness: every registered operator must handle an
+  * EMPTY corpus and single/pathological rows without crashing — at
+  * 100 TB, empty partitions, empty post-filter subtrees and letterless
+  * documents are everyday inputs, not edge cases. */
+class RobustnessSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("empty-sf").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // events.parquet carries raw long nanos (read via nanosAsLong)
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evSchema)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val emSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emSchema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private val documentOps: Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
+    Seq(
+      "q20_exact_dedup" -> Dedup.q20ExactDedup _,
+      "q21_minhash_neardup" -> Dedup.q21MinhashNeardup _,
+      "q22_ngram_jaccard" -> Dedup.q22NgramJaccard _,
+      "q31_simhash" -> Dedup.q31Simhash _,
+      "q24_token_stats" -> TextAnalysis.q24TokenStats _,
+      "q26_tfidf_top" -> TextAnalysis.q26TfidfTop _,
+      "q27_lang_id" -> TextAnalysis.q27LangId _,
+      "q28_fingerprint" -> TextAnalysis.q28Fingerprint _,
+      "q40_corpus_pipeline" -> TextAnalysis.q40CorpusPipeline _,
+      "q43_split_assign" -> Curation.q43SplitAssign _,
+      "q44_pii_redact" -> Curation.q44PiiRedact _,
+      "q45_contamination" -> Curation.q45Contamination _)
+
+  test("document/embedding/event operators return empty on an empty corpus") {
+    documentOps.foreach { case (name, fn) =>
+      assert(fn(spark, emptyDir).count() === 0L, name)
+    }
+    assert(Similarity.q23KnnExact(spark, emptyDir).count() === 0L)
+    assert(Similarity.q41LabelCohesion(spark, emptyDir).count() === 0L)
+    assert(Similarity.q42EmbeddingNeardup(spark, emptyDir).count() === 0L)
+    assert(Relational.q15EventsHourly(spark, emptyDir).count() === 0L)
+    assert(Relational.q16Sessionize(spark, emptyDir).count() === 0L)
+  }
+
+  test("pathological documents: letterless, whitespace-only, huge-token, unicode") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("patho").toString
+    Seq(
+      (1L, "12345 67890 !!!"),          // letterless → empty token set
+      (2L, "    \t\n   "),              // whitespace only
+      (3L, "x" * 50000),                // one enormous token
+      (4L, "héllo wörld çafé naïve"),   // diacritics (split on non a-z)
+      (5L, "")                          // empty string
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // nothing throws, outputs keep one row per doc where per-doc
+    Seq[(String, DataFrame)](
+      "q24" -> TextAnalysis.q24TokenStats(spark, dir),
+      "q28" -> TextAnalysis.q28Fingerprint(spark, dir),
+      "q44" -> Curation.q44PiiRedact(spark, dir)
+    ).foreach { case (n, df) => assert(df.count() === 5L, n) }
+    assert(Dedup.q20ExactDedup(spark, dir).count() > 0)
+    Dedup.q21MinhashNeardup(spark, dir).count() // no crash
+    Dedup.q31Simhash(spark, dir).count()        // no crash
+  }
+}
