@@ -657,6 +657,90 @@ object Relational {
       |               ORDER BY o_totalprice, o_orderkey))
       |WHERE o_orderkey % 50 = 0""".stripMargin
 
+  /** TPC-H Q8-style market share: per order-year, the fraction of ASIA-
+    * customer revenue supplied by NATION_2's suppliers. Deep join tree:
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region (filter side) plus
+    * lineitem ⋈ supplier ⋈ nation (share side) — dims broadcast, the two
+    * fact joins shuffle on their keys, conditional aggregation computes
+    * numerator and denominator in ONE pass (no second scan). Decimal
+    * sums keep the division exact-before-round across engines. */
+  def q48MarketShare(s: SparkSession, d: String): DataFrame = {
+    val custAsia = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = supplier(s, d)
+      .join(broadcast(nation(s, d).select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rev",
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2", col("rev"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("nation_rev"),
+        sum(col("rev")).as("total_rev"))
+      .select(col("o_year"),
+        round((col("nation_rev") / col("total_rev")).cast("double"), 6).as("mkt_share"))
+  }
+
+  val q48Sql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  round(CAST(
+      |    sum(CASE WHEN n2.n_name = 'NATION_2'
+      |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END)
+      |    / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE), 6) AS mkt_share
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA')
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q15-style top suppliers: suppliers whose half-year revenue is
+    * within 10% of the maximum. The max is a window over the ALREADY
+    * AGGREGATED per-supplier rows (supplier-cardinality, not fact-
+    * cardinality), so the single-partition window is cheap at any SF. */
+  def q49TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("total_rev"))
+    rev
+      .withColumn("max_rev", max(col("total_rev")).over(Window.partitionBy()))
+      .filter(col("total_rev") >= lit(0.9) * col("max_rev"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev"), 4).as("total_rev"))
+  }
+
+  val q49Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+      |      AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-07-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(total_rev, 4) AS total_rev
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev >= 0.9 * (SELECT max(total_rev) FROM rev)""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -685,5 +769,7 @@ object Relational {
     "q39_full_outer"      -> (q39FullOuter _, q39Sql),
     "q46_json_funcs"      -> (q46JsonFuncs _, q46Sql),
     "q47_date_window"     -> (q47DateWindow _, q47Sql),
+    "q48_market_share"    -> (q48MarketShare _, q48Sql),
+    "q49_top_supplier"    -> (q49TopSupplier _, q49Sql),
   )
 }

@@ -76,6 +76,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q48 deep join tree: dims broadcast, facts shuffle, no cartesian") {
+    val plan = planOf(Relational.q48MarketShare(spark, d))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
