@@ -194,6 +194,101 @@ object Dedup {
 
   val q21Sql: String = exactJaccardSql(0.8)
 
+  /** Connected components over a near-dup PAIR graph → transitive dedup
+    * clusters: (doc, cluster representative = min doc id in the
+    * component, cluster size). Pairs alone under-deduplicate a corpus —
+    * near-dup similarity is not transitive (A≈B, B≈C but A≉C), yet a
+    * keep-one-per-pair policy would keep A and C while a crawl of
+    * mutated copies chains arbitrarily far; the standard resolution is
+    * one representative per CONNECTED COMPONENT.
+    *
+    * Algorithm: iterative min-label propagation — each node repeatedly
+    * adopts the minimum label among itself and its neighbors until
+    * fixpoint. Each iteration is one join + partial-aggregated groupBy
+    * on the EDGE list (pair graph ≪ corpus); `localCheckpoint` truncates
+    * lineage so plans stay flat across iterations, and convergence is a
+    * distributed count, not a collect. Iterations = component diameter:
+    * tiny for dedup clusters (copy chains); an adversarial long-path
+    * graph would call for large-star/small-star contraction instead
+    * (same join shape, O(log n) rounds). */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 30) {
+      val nmin = edges
+        .join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"))
+  }
+
+  /** Transitive near-dup clusters of the documents corpus: components of
+    * the q21 pair graph. Only documents that appear in ≥1 near-dup pair
+    * are emitted (singletons are trivially their own cluster). */
+  def q50DedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClusters(neardupPairs(
+      documents(s, d).select(col("doc_id"), col("text")),
+      bands = 16, rowsPerBand = 4, threshold = 0.8))
+
+  /** Oracle: the TRUE pair set (exact Jaccard ≥ 0.8) fed to a recursive
+    * min-label closure — DuckDB's recursive CTE reaches the same
+    * fixpoint the label propagation does. */
+  val q50Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |glists AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM glists),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.8),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |cc AS (
+      |  SELECT id, id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.a AS id, cc.lbl FROM edges e JOIN cc ON e.b = cc.id),
+      |reps AS (SELECT id, min(lbl) AS cluster_rep FROM cc GROUP BY id)
+      |SELECT id AS doc_id, cluster_rep,
+      |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+      |FROM reps""".stripMargin
+
   /** The general banded-LSH near-dup pipeline over (doc_id, text).
     * Everything row-oriented and codegen'd: shingle rows → hashed once →
     * 64 min-aggregates → band keys → slim (doc_id, band, bkey) bucket
@@ -375,5 +470,6 @@ object Dedup {
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
     "q22_ngram_jaccard"   -> (q22NgramJaccard _, q22Sql),
     "q31_simhash"         -> (q31Simhash _, q31Sql),
+    "q50_dedup_clusters"  -> (q50DedupClusters _, q50Sql),
   )
 }

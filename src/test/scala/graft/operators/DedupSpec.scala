@@ -79,6 +79,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: transitive closure over non-transitive pairs") {
+    // pair graph: 1-2, 2-3, 3-4 (a chain: 1 and 4 are NOT a direct
+    // pair) + isolated pair 10-11 → components {1,2,3,4} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, rep, sz) => id -> ((rep, sz)) }.toMap
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id) === ((1L, 4L)), s"id=$id"))
+    Seq(10L, 11L).foreach(id => assert(out(id) === ((10L, 2L)), s"id=$id"))
+    assert(out.size === 6)
+  }
+
   test("stop-gram df cap bounds Jaccard candidate generation") {
     // 50 docs, pairwise-distinct except ONE boilerplate trigram shared by
     // all: without a cap the inverted-index join emits C(50,2) = 1225
