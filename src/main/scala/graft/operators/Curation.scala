@@ -122,9 +122,85 @@ object Curation {
       |  round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_grams, 6) >= 0.2 AS contaminated
       |FROM sizes LEFT JOIN shared ON sizes.doc_id = shared.doc_id""".stripMargin
 
+  /** Sequence packing (concat-and-chunk): assign each document to a
+    * fixed-token-budget pack, contiguously in doc_id order WITHIN its
+    * source — the standard way training pipelines pack shuffled corpora
+    * into fixed-length sequences. pack_id = floor(running token offset /
+    * budget), a running-sum window per source: deterministic, and
+    * parallel across sources (the per-source window is the unavoidable
+    * sequential dependency of contiguous packing; at 100 TB you pack
+    * within finer shards, same query shape). */
+  def q51SequencePack(s: SparkSession, d: String): DataFrame = {
+    val budget = 4096L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents(s, d)
+      .withColumn("n_tokens",
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).cast("long"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("offset") / budget).as("pack_id"))
+  }
+
+  val q51Sql: String =
+    """SELECT doc_id, source, n_tokens,
+      |  CAST(floor(CAST(tok_offset AS DOUBLE) / 4096) AS BIGINT) AS pack_id
+      |FROM (
+      |  SELECT doc_id, source, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+      |        AS n_tokens
+      |    FROM documents))""".stripMargin
+
+  /** Deterministic data-mixing sampler: per-source keep rates (e.g.
+    * up-weight curated sources, down-weight crawl) applied via the same
+    * content-keyed md5 buckets as the split — reproducible, engine-
+    * independent, and stable under retries (a rand() sampler re-draws on
+    * task retry and breaks exactly-once lineage). Reports per-source
+    * kept/total and the realized mixture share. */
+  def q52MixtureSample(s: SparkSession, d: String): DataFrame = {
+    // per-source keep rate in [20, 96]: derived from the source id so
+    // every source gets a distinct, reproducible weight (stand-in for a
+    // curated mixture config table, which at scale would broadcast-join)
+    val rate = lit(20) +
+      (substring(col("source"), 4, 10).cast("int") % 20) * lit(4)
+    val docs = documents(s, d)
+      .withColumn("keep",
+        md5Bucket(col("doc_id").cast("string"), 100) < rate)
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+    val total = perSource.agg(sum(col("n_kept")).as("grand")).select(col("grand"))
+    perSource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        round(col("n_kept").cast("double") / col("grand").cast("double"), 6)
+          .as("mixture_share"))
+  }
+
+  val q52Sql: String =
+    """WITH marked AS (
+      |  SELECT source,
+      |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+      |         < 20 + (CAST(substr(source, 4) AS INT) % 20) * 4
+      |    THEN 1 ELSE 0 END AS keep
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept
+      |  FROM marked GROUP BY source)
+      |SELECT source, n_total, n_kept,
+      |  round(CAST(n_kept AS DOUBLE) / (SELECT sum(n_kept) FROM per), 6)
+      |    AS mixture_share
+      |FROM per""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
     "q45_contamination" -> (q45Contamination _, q45Sql),
+    "q51_sequence_pack" -> (q51SequencePack _, q51Sql),
+    "q52_mixture_sample" -> (q52MixtureSample _, q52Sql),
   )
 }

@@ -23,6 +23,40 @@ class CurationSpec extends SparkSpec {
     assert(bySplit.getOrElse("val", 0L) + bySplit.getOrElse("test", 0L) > 0)
   }
 
+  test("sequence packing: packs are contiguous and respect the token budget") {
+    val d = sf("sf0.001")
+    val out = Curation.q51SequencePack(spark, d)
+      .as[(Long, String, Long, Long)].collect()
+    // within each source, pack ids are non-decreasing in doc_id order,
+    // and no pack's STARTING offset exceeds the budget boundary rule:
+    // a doc starts pack p iff its running offset lies in [p*B, (p+1)*B)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var offset = 0L
+      sorted.foreach { case (id, _, n, pack) =>
+        assert(pack === offset / 4096, s"src=$src doc=$id")
+        offset += n
+      }
+    }
+  }
+
+  test("mixture sampling: deterministic, shares sum to 1, rates differ by source") {
+    val d = sf("sf0.001")
+    val a = Curation.q52MixtureSample(spark, d).collect().map(_.toSeq).toSet
+    val b = Curation.q52MixtureSample(spark, d).collect().map(_.toSeq).toSet
+    assert(a === b)
+    val rows = Curation.q52MixtureSample(spark, d)
+      .as[(String, Long, Long, Double)].collect()
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    rows.foreach { case (src, total, kept, _) =>
+      assert(kept <= total, src)
+    }
+    // distinct per-source rates actually bite: not all sources keep the
+    // same fraction (src0 rate 20% vs src19 rate 96%)
+    val fracs = rows.map(r => r._3.toDouble / r._2.toDouble)
+    assert(fracs.max - fracs.min > 0.2, fracs.mkString(","))
+  }
+
   test("PII redaction finds and replaces planted emails and phone numbers") {
     val docs = Seq(
       (1L, "contact me at jane.doe+x@example.org or 555-123-4567 today"),
