@@ -33,15 +33,19 @@ object MinhashBands {
   }
 
   /** FNV-1a 64 over UTF-8 bytes, continued from a running state so a
-    * trigram hashes as one byte stream with separators. */
+    * trigram hashes as one byte stream with separators. A null token
+    * (possible in arbitrary user array columns) hashes like the empty
+    * string instead of NPE-ing the task. */
   @inline private def fnv64(state: Long, s: UTF8String): Long = {
-    val bytes = s.getBytes
     var h = state
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
+    if (s != null) {
+      val bytes = s.getBytes
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
     }
     h ^ 0x1fL // separator so ("ab","c") != ("a","bc")
   }
@@ -125,5 +129,9 @@ object MinhashBands {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[Expr].getName, "minhash_bands"),
-      (exprs: Seq[Expression]) => Expr(exprs(0), exprs(1), exprs(2)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"minhash_bands takes 3 arguments (tokens, bands, rowsPerBand), got ${exprs.length}")
+        Expr(exprs(0), exprs(1), exprs(2))
+      })
 }

@@ -134,10 +134,18 @@ object VecMath {
     reg.registerFunction(
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"vec_dot takes 2 arguments (a, b), got ${exprs.length}")
+        VecDot(exprs(0), exprs(1))
+      })
     reg.registerFunction(
       FunctionIdentifier("sign_buckets"),
       new ExpressionInfo(classOf[SignBuckets].getName, "sign_buckets"),
-      (exprs: Seq[Expression]) => SignBuckets(exprs(0), exprs(1), exprs(2)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"sign_buckets takes 3 arguments (e, tables, bits), got ${exprs.length}")
+        SignBuckets(exprs(0), exprs(1), exprs(2))
+      })
   }
 }

@@ -35,10 +35,12 @@ object ShardCtrler {
   /** Config #0: no groups, every shard on the invalid group 0. */
   val initial: Config = Config(0, Vector.fill(NShards)(0), Map.empty)
 
-  /** The reference's static key→shard hash: first byte mod NShards
-    * (shardkv/client.go:22-28), kept byte-identical for parity. */
+  /** The reference's static key→shard hash: first UTF-8 BYTE mod NShards
+    * (shardkv/client.go:22-28 — Go's key[0] is a byte, not a code point;
+    * charAt(0) would diverge on any non-ASCII key). */
   def key2shard(key: String): Int =
-    (if (key.isEmpty) 0 else key.charAt(0).toInt) % NShards
+    (if (key.isEmpty) 0
+     else key.getBytes(java.nio.charset.StandardCharsets.UTF_8)(0) & 0xff) % NShards
 
   /** Rebalance with minimal movement: keep every shard where it is
     * unless its group is gone or over target; targets differ by ≤1
@@ -96,10 +98,15 @@ object ShardCtrler {
   def query(history: IndexedSeq[Config], num: Int): Config =
     if (num < 0 || num >= history.size) history.last else history(num)
 
-  /** key→gid routing column for a Config (key2shard then shard→gid). */
+  /** key→gid routing column for a Config (key2shard then shard→gid).
+    * First UTF-8 byte via encode+hex — `ascii()` returns the first CODE
+    * POINT (Spark's Ascii uses codePointAt), which disagrees with both
+    * the Go reference's key[0] byte and [[key2shard]] on non-ASCII keys. */
   def gidFor(keyCol: Column, cfg: Config): Column = {
+    val firstByte =
+      conv(substring(hex(encode(keyCol, "UTF-8")), 1, 2), 16, 10).cast("int")
     val shard = when(length(keyCol) === 0, lit(0))
-      .otherwise(pmod(ascii(substring(keyCol, 1, 1)), lit(NShards)))
+      .otherwise(pmod(firstByte, lit(NShards)))
     // shard → gid via a literal lookup array (configs are tiny metadata)
     element_at(array(cfg.shards.map(lit): _*), shard + 1)
   }

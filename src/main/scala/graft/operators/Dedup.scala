@@ -236,6 +236,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // never return silently-wrong labels: a component with diameter > 30
+    // (adversarial long chain) must fail loudly, not under-merge
+    require(changed == 0,
+      s"dedupClusters did not converge in $iter iterations (component " +
+        "diameter exceeds the cap); use star-contraction (large-star/" +
+        "small-star, O(log n) rounds) for long-chain graphs")
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("lbl"))))
@@ -310,13 +316,20 @@ object Dedup {
 
     // Bucket-size cap: an adversarial bucket of k docs (e.g. a boiler-
     // plate band value shared corpus-wide) would emit k² candidates.
-    // Buckets above `maxBucket` are dropped from candidate generation —
-    // the docs inside them still pair up through every OTHER band (LSH
-    // recall degrades gracefully: losing one of 16 bands lowers pair-hit
-    // probability from 1-(1-s^r)^16 to 1-(1-s^r)^15). Oversized buckets
-    // are RARE BY CONSTRUCTION (≤ total_rows/maxBucket of them), so the
-    // cap is a broadcast ANTI-join against that tiny set — no window, no
-    // sort, no extra shuffle of the banded rows.
+    // Buckets above `maxBucket` are dropped from candidate generation.
+    // RECALL CAVEAT: for a group of NEAR-IDENTICAL docs larger than the
+    // cap, ALL 16 band buckets are the same oversized bucket, so the
+    // whole group loses candidate generation — not one band of it (the
+    // DedupSpec cap test shows exactly this). That is the deliberate
+    // trade: such groups are boilerplate floods, and the intended
+    // composition (q40) runs EXACT dedup first, which collapses
+    // identical copies before LSH ever sees them. The q21 oracle has no
+    // cap (the bucket construction isn't SQL-expressible) — it agrees
+    // because no bucket approaches the cap on real corpora; a corpus
+    // with a >maxBucket near-dup flood needs the exact-dedup pass first.
+    // Oversized buckets are RARE BY CONSTRUCTION (≤ total_rows/maxBucket
+    // of them), so the cap is a broadcast ANTI-join against that tiny
+    // set — no window, no sort, no extra shuffle of the banded rows.
     val bigBuckets = banded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > maxBucket)

@@ -173,35 +173,49 @@ object Similarity {
     * shuffle per aggregation, no interpreted lambdas, scales to any
     * corpus since nothing is ever corpus×corpus. */
   def q41LabelCohesion(s: SparkSession, d: String): DataFrame = {
+    // All multi-term sums run in DECIMAL so the result is independent of
+    // partial-aggregation order (parallel double summation is not — the
+    // same dsum convention the relational layer uses for oracle-exact
+    // sums); per-element products stay double (deterministic given the
+    // inputs), only the ACCUMULATION is order-sensitive.
+    def dsum38(c: Column): Column =
+      sum(c.cast("decimal(38,18)")).cast("double")
     val v = embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("e"))
     val ex = v.select(col("label"), col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
-    val cent = ex.groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
+    val cent = ex.groupBy(col("label"), col("i"))
+      .agg((dsum38(col("x")) / count(lit(1))).as("c"))
     val per = ex.join(cent, Seq("label", "i"))
       .groupBy(col("label"), col("vec_id"))
-      .agg(sum(col("x") * col("c")).as("dot"),
-        sqrt(sum(col("x") * col("x"))).as("nv"))
-    val cn = cent.groupBy(col("label")).agg(sqrt(sum(col("c") * col("c"))).as("nc"))
+      .agg(dsum38(col("x") * col("c")).as("dot"),
+        sqrt(dsum38(col("x") * col("x"))).as("nv"))
+    val cn = cent.groupBy(col("label")).agg(sqrt(dsum38(col("c") * col("c"))).as("nc"))
     per.join(cn, Seq("label"))
       .withColumn("cos", col("dot") / (col("nv") * col("nc")))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
-        round(avg(col("cos")), 6).as("avg_cos"),
+        round(dsum38(col("cos")) / count(lit(1)), 6).as("avg_cos"),
         round(min(col("cos")), 6).as("min_cos"))
   }
 
   val q41Sql: String =
     """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |ex AS (SELECT label, vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS x FROM v),
-      |cent AS (SELECT label, i, avg(x) AS c FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT label, i,
+      |           CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c
+      |         FROM ex GROUP BY 1, 2),
       |per AS (
       |  SELECT ex.label, ex.vec_id,
-      |    sum(ex.x * cent.c) AS dot, sqrt(sum(ex.x * ex.x)) AS nv
+      |    CAST(sum(CAST(ex.x * cent.c AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+      |    sqrt(CAST(sum(CAST(ex.x * ex.x AS DECIMAL(38,18))) AS DOUBLE)) AS nv
       |  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
       |  GROUP BY 1, 2),
-      |cn AS (SELECT label, sqrt(sum(c * c)) AS nc FROM cent GROUP BY 1)
+      |cn AS (SELECT label,
+      |         sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS nc
+      |       FROM cent GROUP BY 1)
       |SELECT per.label, count(*) AS n_vecs,
-      |  round(avg(dot / (nv * nc)), 6) AS avg_cos,
+      |  round(CAST(sum(CAST(dot / (nv * nc) AS DECIMAL(38,18))) AS DOUBLE)
+      |        / count(*), 6) AS avg_cos,
       |  round(min(dot / (nv * nc)), 6) AS min_cos
       |FROM per JOIN cn ON per.label = cn.label
       |GROUP BY per.label""".stripMargin

@@ -27,8 +27,16 @@ object Skew {
     * duplicate rows share a salt, so a hot key of pure duplicates stays
     * hot — the right tool there is pre-aggregating the duplicates, not
     * salting. */
-  private def contentSalt(df: DataFrame, salts: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)).cast("int")
+  private def contentSalt(df: DataFrame, salts: Int): org.apache.spark.sql.Column = {
+    // xxhash64 rejects MapType (no canonical order) — hash the hashable
+    // columns; rows differing only in excluded maps then share a salt,
+    // which is a spread concern, never a correctness one
+    val hashable = df.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
+    require(hashable.nonEmpty, "saltedJoin/saltedCount need ≥1 non-map column")
+    pmod(xxhash64(hashable: _*), lit(salts.toLong)).cast("int")
+  }
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)

@@ -44,6 +44,12 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                         first_event: Long, last_event: Long)
 
+  /** Exact epoch-microseconds of a Timestamp: getTime() alone truncates
+    * to milliseconds, which would put this operator on a different gap
+    * convention than q16's epoch-µs arithmetic for sub-ms knife edges. */
+  private def micros(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** Gap-based sessionization via flatMapGroupsWithState: a session
     * closes when its user is silent for `gapSec` (event time). In
     * streaming mode closed sessions emit on watermark timeout; in batch
@@ -58,7 +64,7 @@ object EventStreams {
 
     def update(userId: Long, evs: Iterator[Ev],
                state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val gapMs = gapSec * 1000L
+      val gapUs = gapSec * 1000000L
       // Sort the group's events by (ts, event_id) — the same total order
       // the batch/window formulation uses. BOUND: this materializes one
       // GROUP, not the corpus — in streaming that is the user's slice of
@@ -67,7 +73,7 @@ object EventStreams {
       // window over user_id (the q16 formulation sorts the identical
       // rows). A user hot enough to break that bound needs key salting
       // upstream, not a different operator.
-      val sorted = evs.toArray.sortInPlaceBy(e => (e.ts.getTime, e.event_id))
+      val sorted = evs.toArray.sortInPlaceBy(e => (micros(e.ts), e.event_id))
       var out = List.empty[SessionOut]
 
       if (state.hasTimedOut) {
@@ -78,9 +84,12 @@ object EventStreams {
 
       var cur = state.getOption
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        // SessionState.lastTsMs holds epoch-MICROS (field name kept for
+        // state-schema compatibility); the comparison is the same exact
+        // epoch-µs arithmetic as q16Sessionize
+        val t = micros(e.ts)
         cur match {
-          case Some(s) if t - s.lastTsMs <= gapMs =>
+          case Some(s) if t - s.lastTsMs <= gapUs =>
             cur = Some(s.copy(lastTsMs = t, nEvents = s.nEvents + 1,
               firstEvent = math.min(s.firstEvent, e.event_id),
               lastEvent = math.max(s.lastEvent, e.event_id)))
@@ -95,8 +104,8 @@ object EventStreams {
       cur.foreach { s =>
         if (state.exists || sorted.nonEmpty) {
           state.update(s)
-          if (streaming)
-            state.setTimeoutTimestamp(s.lastTsMs + gapMs)
+          if (streaming) // timeout API takes epoch-millis
+            state.setTimeoutTimestamp((s.lastTsMs + gapUs) / 1000L)
         }
       }
       // In batch mode state never times out; a group's final open

@@ -82,12 +82,15 @@ object NeardupStream {
   }
 
   /** Kept set from a claims frame: a doc survives iff it claimed EVERY
-    * band (no bucket was owned by an earlier doc). Plain aggregation —
-    * in streaming deployments this runs in the sink (foreachBatch) or a
-    * downstream batch job over the claims table. */
-  def keptDocs(claims: DataFrame, bands: Int = 16): DataFrame =
+    * band (no bucket was owned by an earlier doc). The expected band
+    * count is each doc's OWN claim count — not a parameter that could
+    * silently disagree with the `bands` used in [[bandClaims]]. Plain
+    * aggregation — in streaming deployments this runs in the sink
+    * (foreachBatch) or a downstream batch job over the claims table. */
+  def keptDocs(claims: DataFrame): DataFrame =
     claims.groupBy(col("doc_id"))
-      .agg(sum(when(col("claimed"), 1).otherwise(0)).as("n_claimed"))
-      .filter(col("n_claimed") === bands)
+      .agg(sum(when(col("claimed"), 1).otherwise(0)).as("n_claimed"),
+        count(lit(1)).as("n_bands"))
+      .filter(col("n_claimed") === col("n_bands"))
       .select(col("doc_id"))
 }
