@@ -211,7 +211,7 @@ object Dedup {
     * tiny for dedup clusters (copy chains); an adversarial long-path
     * graph would call for large-star/small-star contraction instead
     * (same join shape, O(log n) rounds). */
-  def dedupClusters(pairs: DataFrame): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
@@ -221,7 +221,7 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 30) {
+    while (changed > 0 && iter < maxIters) {
       val nmin = edges
         .join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("lbl")).as("nlbl"))

@@ -58,11 +58,26 @@ class ShardCtrlerSpec extends SparkSpec {
   }
 
   test("key2shard matches the reference's first-byte-mod-10 hash") {
-    // shardkv/client.go:22-28: shard = int(key[0]) % 10, 0 for ""
+    // shardkv/client.go:22-28: shard = int(key[0]) % 10, 0 for "" —
+    // key[0] in Go is the first UTF-8 BYTE, not a code point
     assert(key2shard("") === 0)
     assert(key2shard("a") === 'a'.toInt % 10)
     assert(key2shard("xyzzy") === 'x'.toInt % 10)
     assert(key2shard("0weird") === '0'.toInt % 10)
+    assert(key2shard("étoile") === 195 % 10) // é = 0xC3 0xA9 in UTF-8
+    assert(key2shard("日本語") === 230 % 10)  // 日 = 0xE6 0x97 0xA5
+  }
+
+  test("Spark-side routing agrees with key2shard on non-ASCII keys") {
+    import spark.implicits._
+    val cfg = join(initial, Map(1 -> Seq("s1"), 2 -> Seq("s2"), 3 -> Seq("s3")))
+    val keys = Seq("plain", "étoile", "日本語", "ü", "😀x", "")
+    val got = keys.toDF("k")
+      .select(col("k"), ShardCtrler.gidFor(col("k"), cfg).as("gid"))
+      .as[(String, Int)].collect().toMap
+    keys.foreach { k =>
+      assert(got(k) === cfg.shards(key2shard(k)), s"key=$k")
+    }
   }
 
   test("routeByConfig co-locates each group's rows in one partition") {

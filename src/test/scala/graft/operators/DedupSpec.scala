@@ -92,6 +92,16 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 6)
   }
 
+  test("dedup clusters refuse to return unconverged labels") {
+    // an 8-node chain has diameter 7 > 3 allowed rounds → loud failure,
+    // never silently under-merged clusters
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupClusters(chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("stop-gram df cap bounds Jaccard candidate generation") {
     // 50 docs, pairwise-distinct except ONE boilerplate trigram shared by
     // all: without a cap the inverted-index join emits C(50,2) = 1225

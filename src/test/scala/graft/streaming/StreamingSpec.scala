@@ -82,4 +82,23 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(viaState === viaWindow)
   }
+
+  test("sessionize gap test is exact to the microsecond (sub-ms knife edge)") {
+    // two events 1800.000400 s apart: a millisecond-truncated diff reads
+    // exactly 1_800_000 ms (no split); the exact epoch-µs convention —
+    // the one q16 uses — reads 1_800_000_400 µs > 1800 s (split)
+    def tsAt(sec: Long, nanos: Int): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(sec * 1000L)
+      t.setNanos(nanos)
+      t
+    }
+    val over = Seq(
+      Ev(1L, 1L, tsAt(1000000L, 100000)),            // t + 100 µs
+      Ev(1L, 2L, tsAt(1001800L, 500000))).toDS()     // +1800.0004 s
+    assert(EventStreams.sessionize(over, 1800).count() === 2L)
+    val under = Seq(
+      Ev(1L, 1L, tsAt(1000000L, 500000)),            // t + 500 µs
+      Ev(1L, 2L, tsAt(1001800L, 100000))).toDS()     // +1799.9996 s
+    assert(EventStreams.sessionize(under, 1800).count() === 1L)
+  }
 }
