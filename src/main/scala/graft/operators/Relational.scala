@@ -741,6 +741,44 @@ object Relational {
       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
       |WHERE total_rev >= 0.9 * (SELECT max(total_rev) FROM rev)""".stripMargin
 
+  private val profileCols = Seq("o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderpriority")
+
+  /** Data profiling — the first query anyone runs on a new dataset:
+    * per-column row/null/distinct counts and min/max in ONE aggregation
+    * pass (Catalyst expands the multi-distinct into one Expand +
+    * two-phase agg — the same exact-distinct plan q09 uses, per column).
+    * EXACT distinct counts are deliberately limited to bounded-
+    * cardinality columns: an exact distinct on a key column shuffles
+    * every distinct value (measured 20 s vs 5 s at sf0.1 adding
+    * l_orderkey/l_partkey — at 100 TB that is the whole key space
+    * through one Expand); the scale answer for key columns is
+    * approx_count_distinct (HLL, no Expand), which this oracle can't
+    * check and q32/SketchSpec already covers. min/max are cast to
+    * string AFTER aggregating, so ordering happens on the native type. */
+  def q53Profile(s: SparkSession, d: String): DataFrame = {
+    val aggs = profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    } :+ count(lit(1)).as("__n")
+    val one = orders(s, d).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = profileCols.map(c =>
+      s"'$c', __n, __n - ${c}__nn, ${c}__nd, ${c}__mn, ${c}__mx").mkString(", ")
+    one.select(expr(
+      s"stack(${profileCols.size}, $stackArgs) AS " +
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"))
+  }
+
+  val q53Sql: String = profileCols.map { c =>
+    s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls,
+       |  count(DISTINCT $c) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_val,
+       |  CAST(max($c) AS VARCHAR) AS max_val FROM orders""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -771,5 +809,6 @@ object Relational {
     "q47_date_window"     -> (q47DateWindow _, q47Sql),
     "q48_market_share"    -> (q48MarketShare _, q48Sql),
     "q49_top_supplier"    -> (q49TopSupplier _, q49Sql),
+    "q53_profile"         -> (q53Profile _, q53Sql),
   )
 }
