@@ -592,10 +592,13 @@ object Relational {
 
   /** JSON functions over a JSON column built from order fields: the
     * serialize → extract → cast pipeline every metadata-bearing pipeline
-    * runs. Only EXTRACTED values are compared across engines (raw JSON
-    * text formatting is engine-specific); doubles roundtrip exactly
-    * through shortest-representation JSON printing. Per-row expressions,
-    * no shuffle. */
+    * runs. The oracle checks ROUNDTRIP IDENTITY — Spark's extracted
+    * values must equal the original base columns — which is both a
+    * stronger property than matching another engine's JSON library and
+    * free of DuckDB's json extension (an autoloaded module that may be
+    * unavailable in an offline gate environment). Doubles roundtrip
+    * exactly through shortest-representation JSON printing. Per-row
+    * expressions, no shuffle. */
   def q46JsonFuncs(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .filter(col("o_orderkey") % 100 === 0)
@@ -608,15 +611,9 @@ object Relational {
         get_json_object(col("j"), "$.st").as("js"))
 
   val q46Sql: String =
-    """SELECT o_orderkey,
-      |  json_extract_string(j, '$.p') AS jp,
-      |  CAST(json_extract(j, '$.t') AS DOUBLE) AS jt,
-      |  json_extract_string(j, '$.st') AS js
-      |FROM (SELECT o_orderkey,
-      |        to_json({'p': o_orderpriority, 't': o_totalprice,
-      |                 'st': o_orderstatus}) AS j
-      |      FROM orders)
-      |WHERE o_orderkey % 100 = 0""".stripMargin
+    """SELECT o_orderkey, o_orderpriority AS jp,
+      |  o_totalprice AS jt, o_orderstatus AS js
+      |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin
 
   /** Date-part extraction + the full ranking-window family (ntile,
     * percent_rank, cume_dist) per order within its month, ordered by
