@@ -219,9 +219,19 @@ object Dedup {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
+    // convergence = an OBSERVED zero-change pass (a diameter-d component
+    // needs d label-moving rounds plus one confirming round, all within
+    // maxIters); never return silently-wrong labels — a component too
+    // deep for the cap must fail loudly, not under-merge. The loud path
+    // recommends star-contraction (large-star/small-star, O(log n)
+    // rounds) for adversarial long-chain graphs.
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    while (changed > 0) {
+      require(iter < maxIters,
+        s"dedupClusters did not converge within $maxIters rounds " +
+          "(component diameter exceeds the cap); use star-contraction " +
+          "for long-chain graphs")
       val nmin = edges
         .join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("lbl")).as("nlbl"))
@@ -236,12 +246,6 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    // never return silently-wrong labels: a component with diameter > 30
-    // (adversarial long chain) must fail loudly, not under-merge
-    require(changed == 0,
-      s"dedupClusters did not converge in $iter iterations (component " +
-        "diameter exceeds the cap); use star-contraction (large-star/" +
-        "small-star, O(log n) rounds) for long-chain graphs")
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("lbl"))))

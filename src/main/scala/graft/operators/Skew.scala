@@ -28,11 +28,19 @@ object Skew {
     * hot — the right tool there is pre-aggregating the duplicates, not
     * salting. */
   private def contentSalt(df: DataFrame, salts: Int): org.apache.spark.sql.Column = {
-    // xxhash64 rejects MapType (no canonical order) — hash the hashable
-    // columns; rows differing only in excluded maps then share a salt,
-    // which is a spread concern, never a correctness one
+    // xxhash64 rejects MapType anywhere in a nested type (no canonical
+    // order) — exclude columns containing maps at ANY depth; rows
+    // differing only in excluded columns then share a salt, which is a
+    // spread concern, never a correctness one
+    import org.apache.spark.sql.types._
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case a: ArrayType  => containsMap(a.elementType)
+      case _             => false
+    }
     val hashable = df.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filterNot(f => containsMap(f.dataType))
       .map(f => col(f.name)).toIndexedSeq
     require(hashable.nonEmpty, "saltedJoin/saltedCount need ≥1 non-map column")
     pmod(xxhash64(hashable: _*), lit(salts.toLong)).cast("int")

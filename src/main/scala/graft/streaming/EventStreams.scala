@@ -38,16 +38,21 @@ object EventStreams {
 
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
 
-  case class SessionState(sessionId: Long, lastTsMs: Long, nEvents: Long,
+  /** lastTsUs is epoch-MICROS. The field was renamed (from lastTsMs)
+    * when the unit changed: a pre-change checkpoint then fails to decode
+    * loudly instead of silently misreading stored millis as micros and
+    * force-splitting every in-flight session. */
+  case class SessionState(sessionId: Long, lastTsUs: Long, nEvents: Long,
                           firstEvent: Long, lastEvent: Long)
 
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                         first_event: Long, last_event: Long)
 
   /** Exact epoch-microseconds of a Timestamp: getTime() alone truncates
-    * to milliseconds, which would put this operator on a different gap
-    * convention than q16's epoch-µs arithmetic for sub-ms knife edges. */
-  private def micros(ts: Timestamp): Long =
+    * to milliseconds, which would put stateful operators on a different
+    * time convention than q16's epoch-µs arithmetic for sub-ms knife
+    * edges. Shared by sessionize and NeardupStream's claim ordering. */
+  private[streaming] def micros(ts: Timestamp): Long =
     math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session
@@ -84,13 +89,11 @@ object EventStreams {
 
       var cur = state.getOption
       sorted.foreach { e =>
-        // SessionState.lastTsMs holds epoch-MICROS (field name kept for
-        // state-schema compatibility); the comparison is the same exact
-        // epoch-µs arithmetic as q16Sessionize
+        // exact epoch-µs arithmetic — same convention as q16Sessionize
         val t = micros(e.ts)
         cur match {
-          case Some(s) if t - s.lastTsMs <= gapUs =>
-            cur = Some(s.copy(lastTsMs = t, nEvents = s.nEvents + 1,
+          case Some(s) if t - s.lastTsUs <= gapUs =>
+            cur = Some(s.copy(lastTsUs = t, nEvents = s.nEvents + 1,
               firstEvent = math.min(s.firstEvent, e.event_id),
               lastEvent = math.max(s.lastEvent, e.event_id)))
           case Some(s) => // gap exceeded: close the session, open the next
@@ -104,8 +107,11 @@ object EventStreams {
       cur.foreach { s =>
         if (state.exists || sorted.nonEmpty) {
           state.update(s)
-          if (streaming) // timeout API takes epoch-millis
-            state.setTimeoutTimestamp((s.lastTsMs + gapUs) / 1000L)
+          if (streaming) // timeout API takes epoch-millis: round UP — a
+            // floored timeout could evict up to 999 µs before the true
+            // gap expiry and split at exactly the boundary an on-time
+            // event (diff == gapUs, inside the <= gap) would extend
+            state.setTimeoutTimestamp((s.lastTsUs + gapUs + 999L) / 1000L)
         }
       }
       // In batch mode state never times out; a group's final open

@@ -62,8 +62,11 @@ object NeardupStream {
               state: GroupState[Long]): Iterator[Claim] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       // one bucket's rows from one micro-batch (streaming) or one
-      // bucket's full history (batch) — bounded like any keyed group
-      val sorted = batch.toArray.sortInPlaceBy(r => (r.ts.getTime, r.doc_id))
+      // bucket's full history (batch) — bounded like any keyed group.
+      // Ordering uses exact epoch-µs (EventStreams.micros): getTime's
+      // ms truncation would flip first-wins ownership on sub-ms ties
+      // vs the batch window formulation's full-precision ORDER BY ts.
+      val sorted = batch.toArray.sortInPlaceBy(r => (EventStreams.micros(r.ts), r.doc_id))
       var owner = state.getOption.getOrElse(-1L)
       var lastTs = 0L
       val out = sorted.map { r =>
