@@ -236,9 +236,24 @@ object Similarity {
       |FROM v a JOIN v b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.e, b.e) >= 0.8""".stripMargin
 
+  /** The IVF ANN machinery under the driver gate: with every cell probed
+    * the index MUST reproduce exact brute-force top-k bit-for-bit (the
+    * assignment, probing and rerank stages all on the line — any dropped
+    * or misrouted vector shows up as a wrong neighbor), so it shares
+    * q23's oracle. Recall/probe trade-offs at nprobe < ncells are
+    * data-dependent and spec-gated instead (SimilaritySpec). */
+  def q54IvfFullProbe(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d)
+    val q = v.filter(col("vec_id") < 10)
+    // stride 37 → ~ncorpus/37 centroids; nprobe well above that count
+    // forces a full probe at any SF the gate runs
+    annIvf(v, q, k = 10, nprobe = 1000000, centroidStride = 37)
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
     "q42_embedding_neardup" -> (q42EmbeddingNeardup _, q42Sql),
+    "q54_ivf_full_probe"    -> (q54IvfFullProbe _, q23Sql),
   )
 }
