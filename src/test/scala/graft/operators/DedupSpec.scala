@@ -92,6 +92,35 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 6)
   }
 
+  test("dedup clusters match a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 30
+      val pairs = Seq.fill(25) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val want = nodes.map { id =>
+        // representative = min node id in the component
+        val root = find(id.toInt)
+        val rep = nodes.filter(o => find(o.toInt) == root).min
+        id -> rep
+      }.toMap
+      val got = Dedup.dedupClusters(pairs.toDF("id_a", "id_b"))
+        .select("doc_id", "cluster_rep")
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("dedup clusters refuse to return unconverged labels") {
     // an 8-node chain has diameter 7 > 3 allowed rounds → loud failure,
     // never silently under-merged clusters
