@@ -61,25 +61,14 @@ object Dedup {
       |  min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Word tokens of normalized text as an array column. */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z]+"), t => length(t) > 0)
-
-  /** Same token semantics without a higher-order lambda (lambdas are
-    * interpreted, not codegen'd): strip leading/trailing non-letters so
-    * split never produces empty tokens. A letterless text yields [""]
+  /** Lowercase a-z word tokens without a higher-order lambda (lambdas
+    * are interpreted, not codegen'd): strip leading/trailing non-letters
+    * so split never produces empty tokens. A letterless text yields [""]
     * (size 1 → callers' short-doc fallback branch), matching the
-    * lambda/oracle semantics of an empty token list joined with ' '. */
+    * oracle semantics of an empty token list joined with ' '. */
   def tokensCodegen(c: Column): Column =
     split(regexp_replace(lower(c), "(^[^a-z]+)|([^a-z]+$)", ""), "[^a-z]+")
 
-  /** Distinct word-trigram shingle ROWS (doc_id, g) — the row-oriented,
-    * whole-stage-codegen form of [[withShingles]] (identical gram sets):
-    * tokens exploded to slim (doc_id, pos, token) rows (the token array
-    * is NOT retained through the explode — retaining it copies the whole
-    * array into every output row), trigrams assembled with window lead()
-    * over (doc_id, pos). Short docs (< 3 tokens) contribute their whole
-    * joined token string. */
   /** DISTINCT 64-bit gram hashes as slim (doc_id, gh) rows. The trigram
     * string is never materialized: the token triple is hashed directly
     * (tokens contain no spaces, so triple ↔ "a b c" string is a
@@ -106,22 +95,6 @@ object Dedup {
     // deployments via spark.graft.dedup.cache — see maybeCache.
     maybeCache(tri.unionAll(short).dropDuplicates("doc_id", "gh"))
   }
-
-  /** Distinct word 3-gram shingles from a `toks` array column; degenerate
-    * short docs fall back to the whole token string so every doc has ≥1
-    * shingle. */
-  def shinglesFromToks: Column =
-    array_distinct(
-      when(size(col("toks")) >= 3,
-        expr("transform(sequence(0, size(toks) - 3)," +
-          " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"))
-        .otherwise(array(concat_ws(" ", col("toks")))))
-
-  /** Distinct word 3-gram shingles of a text column. */
-  def withShingles(docs: DataFrame, textCol: String): DataFrame =
-    docs.withColumn("toks", tokens(col(textCol)))
-      .withColumn("sh", shinglesFromToks)
-      .drop("toks")
 
   /** k-hash MinHash signatures as (doc_id, sig array<long>) from shingle
     * ROWS (see [[gramRows]]). Each shingle string is hashed once
@@ -311,12 +284,14 @@ object Dedup {
     val sigs = minhashSigs(grams, k)
 
     // band key = murmur3 of the signature slice; shared key ⇒ candidate.
-    // Derived per consumer from the CACHED sigs — the explode is free
-    // relative to re-running the signature aggregation.
-    val banded = sigs.select(col("doc_id"),
-      explode(expr(s"transform(sequence(0, ${bands - 1})," +
-        s" b -> struct(b AS band, hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bkey))")).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    // Band index explodes as plain rows and the slice start is a column
+    // expression — no transform() lambda.
+    val banded = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .select(col("doc_id"), col("band"),
+        hash(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("bkey"))
 
     // Bucket-size cap: an adversarial bucket of k docs (e.g. a boiler-
     // plate band value shared corpus-wide) would emit k² candidates.

@@ -19,32 +19,53 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
   import Tables._
 
-  private def toks(c: Column): Column =
-    filter(split(c, "\\s+"), t => length(t) > 0)
+  /** All text-derived metrics run LAMBDA-FREE: Spark evaluates
+    * higher-order array functions (filter/transform/aggregate) with an
+    * interpreted per-element closure, so per-token work in registered
+    * queries uses either row-level regex expressions or the
+    * explode-to-rows + plain-aggregate pattern (whole-stage codegen,
+    * map-side partial agg) instead. */
 
-  private def words(c: Column): Column =
-    filter(split(lower(c), "[^a-z]+"), t => length(t) > 0)
+  /** Lambda-free whitespace token count ("" → 0). */
+  private def nTokensCol(c: Column): Column = {
+    val trimmed = regexp_replace(c, "(^\\s+)|(\\s+$)", "")
+    when(length(trimmed) === 0, 0).otherwise(size(split(trimmed, "\\s+")))
+  }
+
+  /** One (doc_id, w) row per non-empty lowercase a-z word — codegen'd
+    * tokenize + ROW filter, replacing the interpreted
+    * `filter(split(...), t => ...)` array lambda. */
+  private def wordRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(Dedup.tokensCodegen(col("text"))).as("w"))
+      .filter(col("w") =!= "")
 
   private val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
 
   /** Per-document quality metrics: token counts (whitespace and a BPE-ish
     * subword regex), average word length, stopword ratio, punctuation
-    * ratio. The classic cheap quality filters for LLM corpus curation. */
+    * ratio. The classic cheap quality filters for LLM corpus curation.
+    * Per-row regex metrics + one word-row aggregation joined back (docs
+    * with zero words keep zeroed word metrics via the left join). */
   def q24TokenStats(s: SparkSession, d: String): DataFrame = {
-    val sw = typedLit(stopwords)
-    documents(s, d)
-      .withColumn("t", toks(col("text")))
-      .withColumn("w", words(col("text")))
+    val docs = documents(s, d)
+    val wagg = wordRows(docs).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("nw"),
+      sum(length(col("w"))).as("wlen"),
+      sum(when(col("w").isin(stopwords: _*), 1).otherwise(0)).as("nstop"))
+    docs
+      .join(wagg, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        size(col("t")).as("n_tokens"),
+        nTokensCol(col("text")).as("n_tokens"),
         size(expr("regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\\\s]', 0)"))
           .as("n_bpeish"),
-        size(col("w")).as("n_words"),
-        round(expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double") /
-          greatest(size(col("w")), lit(1)).cast("double"), 4).as("avg_word_len"),
-        round(size(filter(col("w"), t => array_contains(sw, t))).cast("double") /
-          greatest(size(col("w")), lit(1)).cast("double"), 4).as("stopword_ratio"),
+        coalesce(col("nw"), lit(0L)).cast("int").as("n_words"),
+        round(coalesce(col("wlen"), lit(0L)).cast("double") /
+          greatest(coalesce(col("nw"), lit(0L)), lit(1L)).cast("double"), 4)
+          .as("avg_word_len"),
+        round(coalesce(col("nstop"), lit(0L)).cast("double") /
+          greatest(coalesce(col("nw"), lit(0L)), lit(1L)).cast("double"), 4)
+          .as("stopword_ratio"),
         round(length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
           greatest(length(col("text")), lit(1)).cast("double"), 4).as("punct_ratio"))
   }
@@ -66,13 +87,16 @@ object TextAnalysis {
       |      FROM documents)""".stripMargin
 
   /** Corpus-wide word-bigram counts (≥ 10 occurrences). One shuffle with
-    * map-side partial aggregation. */
+    * map-side partial aggregation; bigrams assembled with posexplode +
+    * element_at (the gramHashRows pattern) — no transform() lambda. */
   def q25BigramCounts(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("ws", words(col("text")))
-      .filter(size(col("ws")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i + 1]))")).as("bigram"))
+      .withColumn("ws", Dedup.tokensCodegen(col("text")))
+      .filter(size(col("ws")) >= 2) // the letterless [""] singleton is size 1
+      .select(col("ws"), posexplode(col("ws")))
+      .filter(col("pos") <= size(col("ws")) - 2)
+      .select(concat(col("col"), lit(" "),
+        element_at(col("ws"), col("pos") + 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 10)
@@ -90,8 +114,7 @@ object TextAnalysis {
     * idf = ln(N/df); one shuffle of (doc, word) counts, then windows for
     * doclen and df, and a broadcast 1-row corpus size — no rescan. */
   def q26TfidfTop(s: SparkSession, d: String): DataFrame = {
-    val tf = documents(s, d)
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val tf = wordRows(documents(s, d)).withColumnRenamed("w", "word")
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("c"))
     val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -137,28 +160,37 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "et", "du", "en"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"))
 
+  /** Per-doc marker-hit scores, one conditional-sum aggregate per
+    * language over the word rows; docs with no words keep zero scores
+    * via the left join (→ 'und'). Replaces four interpreted filter()
+    * lambdas per row. */
+  private def markerScores(docs: DataFrame): DataFrame = {
+    val aggs = markers.map { case (lang, ms) =>
+      sum(when(col("w").isin(ms: _*), 1).otherwise(0)).as(s"s_$lang")
+    }
+    val scored = wordRows(docs).groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, markers.map { case (lang, _) => s"s_$lang" })
+  }
+
+  private val langPredCol: Column =
+    when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+      col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+      .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de") &&
+        col("s_es") > 0, "es")
+      .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, "fr")
+      .when(col("s_de") > 0, "de")
+      .otherwise("und")
+
   /** Language-ID by stopword-hit scoring: count token hits against small
     * per-language marker lists, argmax with fixed priority, 'und' when
     * nothing hits; aggregated to (predicted lang → doc count). */
-  def q27LangId(s: SparkSession, d: String): DataFrame = {
-    val scored = markers.foldLeft(
-      documents(s, d).withColumn("ws", words(col("text")))) {
-      case (df, (lang, ms)) =>
-        df.withColumn(s"s_$lang",
-          size(filter(col("ws"), t => array_contains(typedLit(ms), t))))
-    }
-    scored
-      .withColumn("lang_pred",
-        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
-          col("s_en") >= col("s_de") && col("s_en") > 0, "en")
-          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_de") &&
-            col("s_es") > 0, "es")
-          .when(col("s_fr") >= col("s_de") && col("s_fr") > 0, "fr")
-          .when(col("s_de") > 0, "de")
-          .otherwise("und"))
+  def q27LangId(s: SparkSession, d: String): DataFrame =
+    markerScores(documents(s, d))
+      .withColumn("lang_pred", langPredCol)
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).as("n_docs"))
-  }
 
   val q27Sql: String =
     """SELECT lang_pred, count(*) AS n_docs FROM (
@@ -181,11 +213,26 @@ object TextAnalysis {
   /** Document fingerprint: minimum md5 over word-trigram shingles — the
     * set-min construction of winnowing-style fingerprints (a content-
     * defined signature stable under reordering-free edits away from the
-    * minimal shingle). Per-row expression, no shuffle. */
-  def q28Fingerprint(s: SparkSession, d: String): DataFrame =
-    Dedup.withShingles(documents(s, d), "text")
+    * minimal shingle). Shingle STRINGS assembled with posexplode +
+    * element_at and reduced by a plain min aggregate (partial agg
+    * map-side) — no transform() lambda; duplicate shingles can't affect
+    * a min, so no distinct step is needed. */
+  def q28Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d)
+      .withColumn("toks", Dedup.tokensCodegen(col("text")))
+    val tri = t.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .filter(col("pos") <= size(col("toks")) - 3)
       .select(col("doc_id"),
-        array_min(expr("transform(sh, x -> md5(x))")).as("fingerprint"))
+        md5(concat_ws(" ", col("col"),
+          element_at(col("toks"), col("pos") + 2),
+          element_at(col("toks"), col("pos") + 3))).as("h"))
+    val short = t.filter(size(col("toks")) < 3)
+      .select(col("doc_id"), md5(concat_ws(" ", col("toks"))).as("h"))
+    tri.unionAll(short)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fingerprint"))
+  }
 
   val q28Sql: String =
     """SELECT doc_id,
@@ -211,14 +258,18 @@ object TextAnalysis {
     * Output: the surviving corpus (doc_id, n_words).
     */
   def q40CorpusPipeline(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
-      .withColumn("ws", words(col("text")))
-      .withColumn("n_words", size(col("ws")))
-    // 1+2: quality + language gates
-    val scored = markers.foldLeft(base) { case (df, (lang, ms)) =>
-      df.withColumn(s"s_$lang",
-        size(filter(col("ws"), t => array_contains(typedLit(ms), t))))
+    val docs = documents(s, d)
+    // 1+2: quality + language gates — word count and all four marker
+    // scores in ONE aggregation over the word rows (no array lambdas),
+    // joined back to carry the text into the dedup stages
+    val scoreAggs = count(lit(1)).as("n_words") +: markers.map {
+      case (lang, ms) =>
+        sum(when(col("w").isin(ms: _*), 1).otherwise(0)).as(s"s_$lang")
     }
+    val scored = docs.select(col("doc_id"), col("text"))
+      .join(wordRows(docs).groupBy(col("doc_id"))
+        .agg(scoreAggs.head, scoreAggs.tail: _*), Seq("doc_id"), "left")
+      .na.fill(0L, "n_words" +: markers.map { case (lang, _) => s"s_$lang" })
     val gated = scored
       .filter(col("n_words").between(20, 1000))
       .filter(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&

@@ -61,6 +61,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("vec_dot"), plan.take(2000))
   }
 
+  test("dedup/text/curation hot paths carry no interpreted lambdas") {
+    // per-token work runs as explode + plain aggregates or row-level
+    // regex, never higher-order array lambdas (interpreted per element)
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "q20" -> Dedup.q20ExactDedup(spark, d),
+      "q21" -> Dedup.q21MinhashNeardup(spark, d),
+      "q22" -> Dedup.q22NgramJaccard(spark, d),
+      "q24" -> TextAnalysis.q24TokenStats(spark, d),
+      "q25" -> TextAnalysis.q25BigramCounts(spark, d),
+      "q26" -> TextAnalysis.q26TfidfTop(spark, d),
+      "q27" -> TextAnalysis.q27LangId(spark, d),
+      "q28" -> TextAnalysis.q28Fingerprint(spark, d),
+      "q31" -> Dedup.q31Simhash(spark, d),
+      "q51" -> Curation.q51SequencePack(spark, d)
+    ).foreach { case (name, df) =>
+      val plan = planOf(df)
+      assert(!plan.toLowerCase.contains("lambdafunction"),
+        s"$name plan contains an interpreted lambda\n${plan.take(1500)}")
+    }
+  }
+
   test("q40 at scale config: gram rows cached — documents not re-tokenized per consumer") {
     // spark.graft.dedup.cache is the large-corpus deployment flag (off by
     // default — BASELINE.md has the measured crossover); under it the
