@@ -135,13 +135,8 @@ object Curation {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // lambda-free token count (higher-order filter() is interpreted):
-    // trim whitespace ends with one regex, then split — "" counts 0
-    val trimmed = regexp_replace(col("text"), "(^\\s+)|(\\s+$)", "")
     documents(s, d)
-      .withColumn("n_tokens",
-        when(length(trimmed) === 0, 0L)
-          .otherwise(size(split(trimmed, "\\s+")).cast("long")))
+      .withColumn("n_tokens", Dedup.nTokensCol(col("text")).cast("long"))
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         floor(col("offset") / budget).as("pack_id"))

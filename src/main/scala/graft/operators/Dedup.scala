@@ -69,6 +69,21 @@ object Dedup {
   def tokensCodegen(c: Column): Column =
     split(regexp_replace(lower(c), "(^[^a-z]+)|([^a-z]+$)", ""), "[^a-z]+")
 
+  /** Lambda-free WHITESPACE token count ("" → 0) — the oracle-matched
+    * semantic shared by the quality stats (q24) and sequence packing
+    * (q51): trim whitespace ends with one regex, then count splits. */
+  private[operators] def nTokensCol(c: Column): Column = {
+    val trimmed = regexp_replace(c, "(^\\s+)|(\\s+$)", "")
+    when(length(trimmed) === 0, 0).otherwise(size(split(trimmed, "\\s+")))
+  }
+
+  /** One (doc_id, w) row per non-empty lowercase a-z word — codegen'd
+    * tokenize + ROW filter; the shared feed for per-word aggregations
+    * (simhash votes, TF-IDF, quality metrics, language scores). */
+  private[operators] def wordRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokensCodegen(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+
   /** DISTINCT 64-bit gram hashes as slim (doc_id, gh) rows. The trigram
     * string is never materialized: the token triple is hashed directly
     * (tokens contain no spaces, so triple ↔ "a b c" string is a
@@ -360,12 +375,8 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     // explode + codegen'd SUM aggregates (partial agg map-side)
     // instead of interpreted higher-order lambdas.
-    val hashed = docs
-      .withColumn("toks", tokensCodegen(col("text")))
-      .select(col("doc_id"), explode(col("toks")).as("t"))
-      .filter(col("t") =!= "")
-      .select(col("doc_id"),
-        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val hashed = wordRows(docs).select(col("doc_id"),
+      conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
     val votes = (0 until simhashBits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$b")
     }

@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * (q28). Every operator is a pure Catalyst plan (string/array built-ins,
   * no UDFs) and every one carries a DuckDB oracle.
   *
-  * Scale notes: q24/q27/q28 are per-row expression pipelines — embarrass-
-  * ingly parallel, no shuffle at all. q25 is one shuffle with partial
-  * aggregation. q26 shuffles (doc, word) counts once and derives doc
-  * length / document frequency / corpus size with windows + one broadcast
-  * scalar — no second scan of the corpus.
+  * Scale notes: every per-token metric runs as explode-to-rows + plain
+  * aggregates with map-side partial aggregation (one shuffle of slim
+  * per-doc partial rows), joined back per doc where the output is
+  * per-document — never as interpreted array lambdas (plan-asserted
+  * lambda-free in PlanAuditSpec). Purely per-row metrics (regex counts,
+  * punctuation ratios) stay shuffle-free row expressions. q26 shuffles
+  * (doc, word) counts once and derives doc length / document frequency /
+  * corpus size with windows + one broadcast scalar — no second scan.
   */
 object TextAnalysis {
   import Tables._
@@ -26,18 +29,7 @@ object TextAnalysis {
     * explode-to-rows + plain-aggregate pattern (whole-stage codegen,
     * map-side partial agg) instead. */
 
-  /** Lambda-free whitespace token count ("" → 0). */
-  private def nTokensCol(c: Column): Column = {
-    val trimmed = regexp_replace(c, "(^\\s+)|(\\s+$)", "")
-    when(length(trimmed) === 0, 0).otherwise(size(split(trimmed, "\\s+")))
-  }
-
-  /** One (doc_id, w) row per non-empty lowercase a-z word — codegen'd
-    * tokenize + ROW filter, replacing the interpreted
-    * `filter(split(...), t => ...)` array lambda. */
-  private def wordRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(Dedup.tokensCodegen(col("text"))).as("w"))
-      .filter(col("w") =!= "")
+  import Dedup.{nTokensCol, wordRows}
 
   private val stopwords = Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
 
