@@ -26,7 +26,15 @@ object MRMain {
         s"usage: MRMain <${registry.keys.toSeq.sorted.mkString("|")}> <inputGlob> <outDir> [nReduce]")
       sys.exit(2)
     }
-    val Array(name, input, out) = args.take(3)
+    // sbt's `runMain` passes quoting through literally (a glob written
+    // '...' inside the sbt command string arrives WITH the quotes and
+    // matches nothing) — strip symmetric surrounding quotes defensively
+    def unquote(s: String): String =
+      if (s.length >= 2 && (s.head == '\'' || s.head == '"') && s.last == s.head)
+        s.substring(1, s.length - 1)
+      else s
+    val Array(name, rawInput, out) = args.take(3)
+    val input = unquote(rawInput)
     val nReduce = if (args.length > 3) args(3).toInt else 10
     val (mapf, reducef) = registry.getOrElse(name, {
       System.err.println(s"unknown workload '$name'; have: ${registry.keys.toSeq.sorted.mkString(", ")}")
