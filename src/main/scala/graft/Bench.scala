@@ -5,10 +5,17 @@ package graft
   * wall seconds. A query that throws is recorded as an `err` entry (and
   * excluded from the total) and the process exits nonzero — a failure must
   * never masquerade as a fast timing.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+  * the MEDIAN: this VM shows ±2-3× transient contention, and one-shot
+  * numbers have repeatedly mislead (r03's 28.4 s q50 artifact re-measured
+  * at a 4.7 s median). The first rep also absorbs the query's codegen
+  * compilation, so the median reflects steady-state execution.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.getOrCreate("graft-bench")
     // Untimed warmup: initialize codegen, parquet reader and shuffle
     // machinery so the first timed query doesn't absorb JVM startup.
@@ -20,18 +27,21 @@ object Bench {
     var failed = List.empty[String]
     val results: Seq[(String, Either[String, Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        // Each query measured from a clean cache: operators that persist
-        // intermediate data (LSH grams/signatures) must pay their own
-        // cache-build cost, and earlier queries' cached blocks must not
-        // occupy storage memory (and drive GC) during later timings.
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
         try {
-          // count() after a pass-through projection materializes every
-          // projected column (same work the verify path does), instead of
-          // letting Catalyst prune the plan down to a bare count.
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          name -> Right((System.nanoTime() - t0) / 1e9)
+          val times = (1 to reps).map { _ =>
+            // Each rep measured from a clean cache: operators that persist
+            // intermediate data (LSH grams/signatures) must pay their own
+            // cache-build cost, and earlier reps' cached blocks must not
+            // occupy storage memory (and drive GC) during later timings.
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            // count() after a pass-through projection materializes every
+            // projected column (same work the verify path does), instead of
+            // letting Catalyst prune the plan down to a bare count.
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          name -> Right(times(times.size / 2))
         } catch {
           case e: Throwable =>
             failed ::= name
@@ -50,7 +60,7 @@ object Bench {
       case (k, Left(e))  => s"${jstr(k)}:{${jstr("err")}:${jstr(e)}}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"failed":${failed.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.sorted.mkString(", ")}")

@@ -36,6 +36,47 @@ object GraftSession {
     graft.functions.FnvHash.register(spark)
     graft.functions.VecMath.register(spark)
     graft.functions.MinhashBands.register(spark)
+    registerCapListener(spark)
     spark
   }
+
+  /** NO SILENT CAPS: operators that bound their work (e.g. the LSH
+    * bucket-size cap in Dedup.neardupPairs) attach paired `observe`
+    * metrics named `graft_*_cap_in` / `graft_*_cap_out` counting rows
+    * entering and surviving the cap; this listener WARNs whenever they
+    * differ, so a recall-affecting cap is always visible in the logs at
+    * action time. Idempotent per session. */
+  def registerCapListener(spark: SparkSession): Unit = synchronized {
+    if (!capListenerSessions.contains(spark)) {
+      capListenerSessions += spark
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          private val log = org.slf4j.LoggerFactory.getLogger("graft.caps")
+          private def report(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+            val m = qe.observedMetrics
+            m.keys.filter(k => k.startsWith("graft_") && k.endsWith("_cap_in"))
+              .foreach { inKey =>
+                val base = inKey.stripSuffix("_in")
+                for {
+                  inRow <- m.get(inKey)
+                  outRow <- m.get(base + "_out")
+                  dropped = inRow.getLong(0) - outRow.getLong(0)
+                  if dropped > 0L
+                } log.warn(s"$base dropped $dropped rows " +
+                  s"(in=${inRow.getLong(0)}, out=${outRow.getLong(0)}) — " +
+                  "bounded operator discarded candidates; see its scaladoc")
+              }
+          }
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = report(qe)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
+  }
+
+  private val capListenerSessions =
+    scala.collection.mutable.Set.empty[SparkSession]
 }

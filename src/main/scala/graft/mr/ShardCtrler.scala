@@ -101,11 +101,16 @@ object ShardCtrler {
   /** key→gid routing column for a Config (key2shard then shard→gid).
     * First UTF-8 byte via encode+hex — `ascii()` returns the first CODE
     * POINT (Spark's Ascii uses codePointAt), which disagrees with both
-    * the Go reference's key[0] byte and [[key2shard]] on non-ASCII keys. */
+    * the Go reference's key[0] byte and [[key2shard]] on non-ASCII keys.
+    * NULL keys route like the empty string (shard 0): without the
+    * coalesce, length(NULL) skips the empty branch and the whole
+    * expression goes NULL — silently routing null-key rows by a null
+    * partition key while the Scala [[key2shard]] would NPE. */
   def gidFor(keyCol: Column, cfg: Config): Column = {
+    val key = coalesce(keyCol, lit(""))
     val firstByte =
-      conv(substring(hex(encode(keyCol, "UTF-8")), 1, 2), 16, 10).cast("int")
-    val shard = when(length(keyCol) === 0, lit(0))
+      conv(substring(hex(encode(key, "UTF-8")), 1, 2), 16, 10).cast("int")
+    val shard = when(length(key) === 0, lit(0))
       .otherwise(pmod(firstByte, lit(NShards)))
     // shard → gid via a literal lookup array (configs are tiny metadata)
     element_at(array(cfg.shards.map(lit): _*), shard + 1)

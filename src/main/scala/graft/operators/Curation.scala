@@ -42,7 +42,11 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
   val q43Sql: String =
-    """SELECT source, split, count(*) AS n_docs, sum(n_chars) AS sum_chars
+    // DuckDB types sum(BIGINT) as HUGEINT (INT128); Spark emits BIGINT.
+    // The driver's result hasher is type-sensitive, so cast explicitly
+    // (same failure class as q16's session_id — Relational.q16Sql).
+    """SELECT source, split, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM (
       |  SELECT source, n_chars,
       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
@@ -164,9 +168,13 @@ object Curation {
   def q52MixtureSample(s: SparkSession, d: String): DataFrame = {
     // per-source keep rate in [20, 96]: derived from the source id so
     // every source gets a distinct, reproducible weight (stand-in for a
-    // curated mixture config table, which at scale would broadcast-join)
+    // curated mixture config table, which at scale would broadcast-join).
+    // The parse is the SAME expression in both engines (first digit run,
+    // capped at 9 digits, empty → 0): substring/CAST variants diverge on
+    // non-numeric or >10-char ids (Spark nulls where DuckDB errors).
     val rate = lit(20) +
-      (substring(col("source"), 4, 10).cast("int") % 20) * lit(4)
+      (coalesce(nullif(regexp_extract(col("source"), "([0-9]{1,9})", 1),
+        lit("")), lit("0")).cast("int") % 20) * lit(4)
     val docs = documents(s, d)
       .withColumn("keep",
         md5Bucket(col("doc_id").cast("string"), 100) < rate)
@@ -184,7 +192,7 @@ object Curation {
     """WITH marked AS (
       |  SELECT source,
       |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
-      |         < 20 + (CAST(substr(source, 4) AS INT) % 20) * 4
+      |         < 20 + (CAST(coalesce(nullif(regexp_extract(source, '([0-9]{1,9})', 1), ''), '0') AS INT) % 20) * 4
       |    THEN 1 ELSE 0 END AS keep
       |  FROM documents),
       |per AS (

@@ -138,8 +138,11 @@ object Dedup {
     * near-certainty (hashes are fixed, so the result is deterministic —
     * verified green at sf0.01; DedupSpec covers mutated copies too). */
   def q21MinhashNeardup(s: SparkSession, d: String): DataFrame =
+    // maxBucket EXPLICIT at the registered entry point: near-dup groups
+    // larger than the cap lose candidate generation (see neardupPairs) —
+    // run exact dedup (q20) first on corpora with boilerplate floods.
     neardupPairs(documents(s, d).select(col("doc_id"), col("text")),
-      bands = 16, rowsPerBand = 4, threshold = 0.8)
+      bands = 16, rowsPerBand = 4, threshold = 0.8, maxBucket = 1000)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
   /** DuckDB replica of the trigram-Jaccard pipelines. `maxDf = 0` means
@@ -215,25 +218,28 @@ object Dedup {
     // rounds) for adversarial long-chain graphs.
     var changed = 1L
     var iter = 0
-    while (changed > 0) {
-      require(iter < maxIters,
-        s"dedupClusters did not converge within $maxIters rounds " +
-          "(component diameter exceeds the cap); use star-contraction " +
-          "for long-chain graphs")
-      val nmin = edges
-        .join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
+    try {
+      while (changed > 0) {
+        require(iter < maxIters,
+          s"dedupClusters did not converge within $maxIters rounds " +
+            "(component diameter exceeds the cap); use star-contraction " +
+            "for long-chain graphs")
+        val nmin = edges
+          .join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
+          .groupBy(col("a").as("id")).agg(min(col("lbl")).as("nlbl"))
+        // The previous label rides along into the checkpointed frame, so
+        // the convergence count is a filter on `next` itself — not a
+        // second join+shuffle against `labels` every round.
+        val next = labels.join(nmin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+            col("lbl").as("prev"))
+          .localCheckpoint(true)
+        changed = next.filter(col("lbl") =!= col("prev")).count()
+        labels = next.select(col("id"), col("lbl"))
+        iter += 1
+      }
+    } finally edges.unpersist() // also on the non-convergence throw path
     labels
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("lbl"))))
@@ -245,9 +251,11 @@ object Dedup {
     * the q21 pair graph. Only documents that appear in ≥1 near-dup pair
     * are emitted (singletons are trivially their own cluster). */
   def q50DedupClusters(s: SparkSession, d: String): DataFrame =
+    // maxBucket explicit for the same reason as q21 (cap trade-off is a
+    // call-site decision, not a buried default).
     dedupClusters(neardupPairs(
       documents(s, d).select(col("doc_id"), col("text")),
-      bands = 16, rowsPerBand = 4, threshold = 0.8))
+      bands = 16, rowsPerBand = 4, threshold = 0.8, maxBucket = 1000))
 
   /** Oracle: the TRUE pair set (exact Jaccard ≥ 0.8) fed to a recursive
     * min-label closure — DuckDB's recursive CTE reaches the same
@@ -294,19 +302,8 @@ object Dedup {
     * (counts, never array materialization through the shuffle). */
   def neardupPairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
                    threshold: Double, maxBucket: Int = 1000): DataFrame = {
-    val k = bands * rowsPerBand
     val grams = gramHashRows(docs)
-    val sigs = minhashSigs(grams, k)
-
-    // band key = murmur3 of the signature slice; shared key ⇒ candidate.
-    // Band index explodes as plain rows and the slice start is a column
-    // expression — no transform() lambda.
-    val banded = sigs
-      .select(col("doc_id"), col("sig"),
-        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
-      .select(col("doc_id"), col("band"),
-        hash(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
-          .as("bkey"))
+    val banded = bandedRows(grams, bands, rowsPerBand)
 
     // Bucket-size cap: an adversarial bucket of k docs (e.g. a boiler-
     // plate band value shared corpus-wide) would emit k² candidates.
@@ -324,11 +321,27 @@ object Dedup {
     // Oversized buckets are RARE BY CONSTRUCTION (≤ total_rows/maxBucket
     // of them), so the cap is a broadcast ANTI-join against that tiny
     // set — no window, no sort, no extra shuffle of the banded rows.
+    // NO SILENT CAPS: CollectMetrics (`observe`) nodes count banded rows
+    // entering and surviving the cap anti-join — zero extra jobs — and
+    // GraftSession's listener WARNs whenever they differ (DedupSpec
+    // asserts the metrics fire on a planted flood). The observes sit on
+    // the MAIN flow: a metric attached to the broadcast (bigBuckets)
+    // subtree is never surfaced in QueryExecution.observedMetrics.
+    // AQE caveat (verified empirically): if EVERY banded row is capped,
+    // AQEPropagateEmptyRelation replaces the emptied subtree and the
+    // metrics vanish with it; partial drops — the realistic silent-
+    // recall-loss case — always report. A monitoring pipeline that needs
+    // the signal even for total drops can exclude that rule via
+    // spark.sql.adaptive.optimizer.excludedRules or run the
+    // [[oversizedBuckets]] diagnostic.
     val bigBuckets = banded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > maxBucket)
       .select(col("band"), col("bkey"))
-    val bounded = banded.join(broadcast(bigBuckets), Seq("band", "bkey"), "left_anti")
+    val bounded = banded
+      .observe("graft_neardup_cap_in", count(lit(1)).as("banded_rows"))
+      .join(broadcast(bigBuckets), Seq("band", "bkey"), "left_anti")
+      .observe("graft_neardup_cap_out", count(lit(1)).as("banded_rows"))
 
     val candidates = bounded.select(col("band"), col("bkey"), col("doc_id").as("id_a"))
       .join(bounded.select(col("band"), col("bkey"), col("doc_id").as("id_b")),
@@ -339,6 +352,33 @@ object Dedup {
 
     verifyJaccard(candidates, grams, threshold)
   }
+
+  /** (doc_id, band, bkey) LSH bucket rows: band key = murmur3 of the
+    * signature slice; shared key ⇒ candidate. Band index explodes as
+    * plain rows and the slice start is a column expression — no
+    * transform() lambda. */
+  private def bandedRows(grams: DataFrame, bands: Int,
+                         rowsPerBand: Int): DataFrame =
+    minhashSigs(grams, bands * rowsPerBand)
+      .select(col("doc_id"), col("sig"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .select(col("doc_id"), col("band"),
+        hash(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
+          .as("bkey"))
+
+  /** Monitoring diagnostic for the [[neardupPairs]] bucket cap: the
+    * (band, bkey, bsize) buckets that a run with this `maxBucket` DROPS
+    * from candidate generation. A curation pipeline runs this next to
+    * the capped dedup when it needs a guaranteed drop signal (the inline
+    * observe metrics disappear under AQE empty-relation propagation when
+    * a flood caps EVERY bucket — see neardupPairs). Same plan shape as
+    * the cap itself: one partial-aggregated groupBy of the banded rows. */
+  def oversizedBuckets(docs: DataFrame, bands: Int, rowsPerBand: Int,
+                       maxBucket: Int): DataFrame =
+    bandedRows(gramHashRows(docs), bands, rowsPerBand)
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucket)
 
   /** Exact Jaccard for candidate pairs from distinct gram rows:
     * |A∩B| via a per-pair gram join, sizes via per-doc counts. */

@@ -707,9 +707,12 @@ object Relational {
       |GROUP BY 1""".stripMargin
 
   /** TPC-H Q15-style top suppliers: suppliers whose half-year revenue is
-    * within 10% of the maximum. The max is a window over the ALREADY
-    * AGGREGATED per-supplier rows (supplier-cardinality, not fact-
-    * cardinality), so the single-partition window is cheap at any SF. */
+    * within 10% of the maximum. The global max is reduced to a ONE-ROW
+    * aggregate and broadcast back over the per-supplier rows (the q52
+    * pattern) — an empty-partitionBy window would instead ship every
+    * per-supplier row into a single partition, and supplier cardinality
+    * scales with the data. AQE dedups the shared `rev` subtree via
+    * ReuseExchange, so the fact table is still scanned once. */
   def q49TopSupplier(s: SparkSession, d: String): DataFrame = {
     val rev = lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -717,8 +720,8 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("total_rev"))
-    rev
-      .withColumn("max_rev", max(col("total_rev")).over(Window.partitionBy()))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(maxRev))
       .filter(col("total_rev") >= lit(0.9) * col("max_rev"))
       .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
@@ -740,23 +743,33 @@ object Relational {
 
   private val profileCols = Seq("o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderpriority")
+  /** Columns whose cardinality is BOUNDED regardless of data size —
+    * only these get exact `countDistinct`. o_custkey and o_totalprice
+    * scale with the data: an exact distinct on either shuffles every
+    * distinct value through the Expand (measured 20 s vs 5 s at sf0.1
+    * adding key columns — at 100 TB that is the whole key space through
+    * one shuffle). Unbounded columns take the HLL path instead. */
+  private val boundedCols = Set("o_orderstatus", "o_orderpriority")
 
   /** Data profiling — the first query anyone runs on a new dataset:
     * per-column row/null/distinct counts and min/max in ONE aggregation
     * pass (Catalyst expands the multi-distinct into one Expand +
     * two-phase agg — the same exact-distinct plan q09 uses, per column).
-    * EXACT distinct counts are deliberately limited to bounded-
-    * cardinality columns: an exact distinct on a key column shuffles
-    * every distinct value (measured 20 s vs 5 s at sf0.1 adding
-    * l_orderkey/l_partkey — at 100 TB that is the whole key space
-    * through one Expand); the scale answer for key columns is
-    * approx_count_distinct (HLL, no Expand), which this oracle can't
-    * check and q32/SketchSpec already covers. min/max are cast to
+    * Unbounded columns (keys, prices) use `approx_count_distinct` (HLL,
+    * no Expand) when `hll=true` — the profile a user runs at scale,
+    * accuracy spec-gated ±5% vs exact in SketchSpec. The driver-gate
+    * variant ([[q53Profile]]) emits NULL n_distinct for those columns
+    * instead, because two engines' HLL estimates can never hash-match;
+    * the gate checks everything else exactly. min/max are cast to
     * string AFTER aggregating, so ordering happens on the native type. */
-  def q53Profile(s: SparkSession, d: String): DataFrame = {
+  def profile(s: SparkSession, d: String, hll: Boolean): DataFrame = {
     val aggs = profileCols.flatMap { c =>
+      val nd =
+        if (boundedCols(c)) countDistinct(col(c))
+        else if (hll) approx_count_distinct(col(c), rsd = 0.02)
+        else max(lit(null).cast("long")) // aggregate-shaped NULL
       Seq(count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
+        nd.as(s"${c}__nd"),
         min(col(c)).cast("string").as(s"${c}__mn"),
         max(col(c)).cast("string").as(s"${c}__mx"))
     } :+ count(lit(1)).as("__n")
@@ -768,10 +781,15 @@ object Relational {
         "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"))
   }
 
+  def q53Profile(s: SparkSession, d: String): DataFrame =
+    profile(s, d, hll = false)
+
   val q53Sql: String = profileCols.map { c =>
+    val nd = if (boundedCols(c)) s"count(DISTINCT $c)"
+             else "CAST(NULL AS BIGINT)"
     s"""SELECT '$c' AS column_name, count(*) AS n_rows,
        |  count(*) - count($c) AS n_nulls,
-       |  count(DISTINCT $c) AS n_distinct,
+       |  $nd AS n_distinct,
        |  CAST(min($c) AS VARCHAR) AS min_val,
        |  CAST(max($c) AS VARCHAR) AS max_val FROM orders""".stripMargin
   }.mkString("\nUNION ALL\n")

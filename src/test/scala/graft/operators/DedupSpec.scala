@@ -154,4 +154,75 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.neardupPairs(docs, 16, 4, 0.8).count() === 66L)
     assert(Dedup.neardupPairs(docs, 16, 4, 0.8, maxBucket = 4).count() === 0L)
   }
+
+  test("LSH cap is not silent: the graft_neardup_cap metrics report drops") {
+    // The in/out observe pair must surface drops at action time (in ==
+    // out exactly when nothing was dropped — symmetric under any
+    // exchange reuse). Two scenarios:
+    //   partial drop (realistic): flood group capped, singleton docs
+    //     survive — metrics fire under DEFAULT confs;
+    //   total drop (adversarial): every banded row capped — AQE's
+    //     empty-relation propagation deletes the emptied subtree and the
+    //     metric nodes with it, so the guaranteed signal needs that rule
+    //     excluded (or the oversizedBuckets diagnostic).
+    val floodDocs = (0 until 12).map(i =>
+      (i.toLong, "the exact same boilerplate text repeated for every " +
+        "document in this corpus to force one giant bucket"))
+    // distinct LETTER-based tokens per doc (the tokenizer strips digits;
+    // a shared phrase + numeric suffix would make these near-dups of
+    // each other and cap their own buckets too)
+    val singletons = (12 until 20).map { i =>
+      val t = ('a' + (i - 12)).toChar.toString * 3
+      (i.toLong, s"${t}foo ${t}bar ${t}baz ${t}qux ${t}quux")
+    }
+
+    @volatile var seen: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        for {
+          in <- qe.observedMetrics.get("graft_neardup_cap_in")
+          out <- qe.observedMetrics.get("graft_neardup_cap_out")
+        } seen = Some((in.getLong(0), out.getLong(0)))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    def await(): Option[(Long, Long)] = {
+      // QueryExecutionListener delivery is async on the listener bus
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      seen
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // partial drop, default confs
+      Dedup.neardupPairs((floodDocs ++ singletons).toDF("doc_id", "text"),
+        16, 4, 0.8, maxBucket = 4).count()
+      val (pin, pout) = await().getOrElse(fail("partial-drop metrics never arrived"))
+      assert(pin - pout >= 192L, s"flood rows must show as dropped: in=$pin out=$pout")
+      assert(pout > 0L, s"singleton rows must survive the cap: out=$pout")
+
+      // total drop, empty propagation excluded
+      seen = None
+      spark.conf.set("spark.sql.adaptive.optimizer.excludedRules",
+        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation")
+      try {
+        Dedup.neardupPairs(floodDocs.toDF("doc_id", "text"),
+          16, 4, 0.8, maxBucket = 4).count()
+        val (tin, tout) = await().getOrElse(fail("total-drop metrics never arrived"))
+        assert(tin === 192L && tout === 0L, s"in=$tin out=$tout")
+      } finally spark.conf.unset("spark.sql.adaptive.optimizer.excludedRules")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("oversizedBuckets diagnostic reports exactly the capped buckets") {
+    val docs = ((0 until 12).map(i => (i.toLong, "identical flood text body")) ++
+      (12 until 15).map(i => (i.toLong, s"unique doc $i ${"q" * i}")))
+      .toDF("doc_id", "text")
+    val dropped = Dedup.oversizedBuckets(docs, 16, 4, maxBucket = 4).collect()
+    // the 12-doc flood shares one bucket per band; singletons never cap
+    assert(dropped.length === 16, dropped.mkString(", "))
+    assert(dropped.forall(_.getAs[Long]("bsize") === 12L), dropped.mkString(", "))
+    assert(Dedup.oversizedBuckets(docs, 16, 4, maxBucket = 12).count() === 0L)
+  }
 }

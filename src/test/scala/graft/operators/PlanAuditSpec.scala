@@ -104,6 +104,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("q49: global max is a broadcast scalar, not a single-partition window") {
+    // an empty-partitionBy window would ship EVERY per-supplier row into
+    // one partition (supplier cardinality scales with the data); the
+    // scale-safe shape is a 1-row aggregate broadcast back over rev.
+    // The scalar agg's own SinglePartition exchange carries one partial
+    // row per map partition — bounded by cluster size, not data size.
+    val plan = planOf(Relational.q49TopSupplier(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"), finalPlan.take(2000))
+    assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
+      finalPlan.contains("BroadcastExchange"), finalPlan.take(2000))
+  }
+
+  test("q53: no exact-distinct Expand over unbounded key columns") {
+    // exact countDistinct on o_custkey/o_totalprice would shuffle every
+    // distinct value; the profile keeps exact distincts only for the
+    // bounded columns and routes key columns to the HLL path (SketchSpec
+    // gates the estimate's accuracy).
+    val plan = planOf(Relational.profile(spark, d, hll = true))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("distinct o_custkey"), finalPlan.take(2000))
+    assert(!finalPlan.contains("distinct o_totalprice"), finalPlan.take(2000))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

@@ -21,6 +21,23 @@ class SketchSpec extends SparkSpec {
     assert(approx1 === approx2) // HLL merge is order/partitioning independent
   }
 
+  test("q53 profile HLL path: key-column estimates within 5% of exact") {
+    // the driver-gate variant emits NULL n_distinct for unbounded columns
+    // (two engines' HLLs can never hash-match); this gates the hll=true
+    // profile a user runs at scale against the exact counts.
+    val prof = Relational.profile(spark, d, hll = true)
+      .select("column_name", "n_distinct").as[(String, Long)].collect().toMap
+    val o = Tables.orders(spark, d)
+    for (c <- Seq("o_custkey", "o_totalprice")) {
+      val exact = o.select(countDistinct(col(c))).as[Long].head()
+      assert(math.abs(prof(c) - exact).toDouble / exact < 0.05,
+        s"$c: hll=${prof(c)} exact=$exact")
+    }
+    // bounded columns stay exact
+    assert(prof("o_orderstatus") ===
+      o.select(countDistinct(col("o_orderstatus"))).as[Long].head())
+  }
+
   test("approx_percentile tracks exact percentile") {
     val li = Tables.lineitem(spark, d)
     val exact = li.select(expr("percentile(l_quantity, 0.5)")).as[Double].head()
