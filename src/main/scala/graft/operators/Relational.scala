@@ -714,9 +714,15 @@ object Relational {
     * scales with the data. AQE dedups the shared `rev` subtree via
     * ReuseExchange, so the fact table is still scanned once. */
   def q49TopSupplier(s: SparkSession, d: String): DataFrame = {
+    // l_suppkey non-null EXPLICIT on rev (not just inferred from the
+    // supplier join): the downstream inner join infers it on the probe
+    // side only, which would make the two rev subtrees canonicalize
+    // differently and defeat ReuseExchange — with it stated once here,
+    // both sides are identical and the fact table is scanned once.
     val rev = lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp") &&
+        col("l_suppkey").isNotNull)
       .groupBy(col("l_suppkey"))
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
         .as("total_rev"))
@@ -736,6 +742,7 @@ object Relational {
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |    AND l_shipdate < TIMESTAMP '1996-07-01'
+      |    AND l_suppkey IS NOT NULL
       |  GROUP BY l_suppkey)
       |SELECT s_suppkey, s_name, round(total_rev, 4) AS total_rev
       |FROM rev JOIN supplier ON l_suppkey = s_suppkey

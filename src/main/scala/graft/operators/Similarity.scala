@@ -250,10 +250,52 @@ object Similarity {
     annIvf(v, q, k = 10, nprobe = 1000000, centroidStride = 37)
   }
 
+  /** The nprobe < ncells trade under the driver gate: per-query ANN
+    * recall vs the EXACT top-10 must clear a floor. The driver's
+    * embeddings table is ISOTROPIC random — there any sublinear index
+    * degrades toward recall ≈ probed fraction (that is the data, not the
+    * code; SimilaritySpec holds the ≥0.9 bar on clustered data where IVF
+    * pruning is meaningful) — so the floor is the scale-independent
+    * sanity bound HALF THE PROBED FRACTION (1.5/ncells at nprobe=3): a
+    * broken probe/rerank stage lands under it, a working one clears it
+    * ~2× at every SF (measured min recall 0.2 vs floor 0.107 at sf0.01,
+    * 0.1 vs 0.027 at sf0.1). Both sides of the recall are computed in
+    * Spark (hashes and tie rules fixed → deterministic); the oracle
+    * renders the engine-independent INVARIANT — every query passes, with
+    * the floor derived identically from the data — so any recall dip
+    * hash-fails the gate. Driver-checkable complement of q54 (full probe
+    * == exact, bit-for-bit). */
+  def q55IvfRecall(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d)
+    val q = v.filter(col("vec_id") < 10)
+    val exact = q23KnnExact(s, d).select(col("query_id"), col("neighbor_id"))
+    val ann = annIvf(v, q, k = 10, nprobe = 3, centroidStride = 37)
+      .select(col("query_id"), col("neighbor_id"))
+    val floor = v.filter(col("vec_id") % 37 === 0)
+      .agg((lit(1.5) / count(lit(1)).cast("double")).as("recall_floor"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .crossJoin(broadcast(floor))
+      .select(col("query_id"), col("recall_floor"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double") >= col("recall_floor")).as("pass"))
+  }
+
+  val q55Sql: String =
+    """SELECT vec_id AS query_id,
+      |  CAST(1.5 AS DOUBLE) /
+      |    (SELECT count(*) FROM embeddings WHERE vec_id % 37 = 0)
+      |    AS recall_floor,
+      |  true AS pass
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
     "q42_embedding_neardup" -> (q42EmbeddingNeardup _, q42Sql),
     "q54_ivf_full_probe"    -> (q54IvfFullProbe _, q23Sql),
+    "q55_ivf_recall"        -> (q55IvfRecall _, q55Sql),
   )
 }

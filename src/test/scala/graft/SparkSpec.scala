@@ -22,6 +22,11 @@ object SharedSpark {
   }
 }
 
+/** Marks long-running soak/repeat tests. They RUN by default (the suite
+  * must be green with them on); exclude for a quick pass with
+  * `testOnly -- -l graft.Slow`. */
+object Slow extends org.scalatest.Tag("graft.Slow")
+
 abstract class SparkSpec extends AnyFunSuite {
   // stable identifier so subclasses can `import spark.implicits._`
   lazy val spark: SparkSession = SharedSpark.spark

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.TaskContext
-import graft.SparkSpec
+import graft.{Slow, SparkSpec}
 
 /** Spark analogs of the reference's engine-property workloads
   * (SURVEY.md §2.2 Q3-Q8):
@@ -25,6 +25,26 @@ object Probes {
     maxLive.updateAndGet(m => math.max(m, n))
   }
   def exit(): Unit = live.decrementAndGet()
+
+  /** Seeded analog of the reference's crash.go maybeCrash dice (1/3
+    * crash, 1/3 stall, 1/3 proceed), per (seed, work item, attempt) so
+    * every trial exercises a different crash/straggler schedule. The
+    * final allowed attempt always proceeds — the shared session runs
+    * maxFailures=4, and the reference's dice likewise re-rolls until its
+    * 10 s watchdog reassignment eventually lands a clean execution.
+    * Lives on this OBJECT so fault-injecting lambdas don't capture the
+    * (unserializable) spec instance. */
+  def diceCrash(seed: Long, ident: String): Unit = {
+    val tc = TaskContext.get()
+    val attempt = if (tc == null) 0 else tc.attemptNumber()
+    val rnd = new scala.util.Random(seed ^ ident.hashCode.toLong ^ attempt * 7919L)
+    rnd.nextInt(3) match {
+      case 0 if attempt < 3 =>
+        throw new RuntimeException(s"injected dice crash: $ident attempt $attempt")
+      case 1 => Thread.sleep(rnd.nextInt(120).toLong)
+      case _ => ()
+    }
+  }
 }
 
 class FaultToleranceSpec extends SparkSpec {
@@ -130,6 +150,28 @@ class FaultToleranceSpec extends SparkSpec {
       .flatMap(p => Files.readAllLines(p).asScala)
       .toSeq.sorted
     assert(lines === (0 until 8).map(i => f"f$i%02d.txt 1").sorted)
+  }
+
+  test("soak: 5 seed-randomized crash schedules all leave output identical (test-mr-many analog)", Slow) {
+    // the reference loops its whole fault suite with fresh seeds
+    // (test-mr-many.sh); one-shot fault tests miss schedule-dependent
+    // commit races, so the differential runs across 5 distinct dice
+    // schedules here
+    val dir = corpus()
+    val clean = MRJob.runToLines(spark, s"$dir/*.txt",
+      Workloads.probeMap, Workloads.sortJoinReduce, nReduce = 5).sorted.toSeq
+    for (trial <- 0 until 5) {
+      val seed = 9000L + 31L * trial
+      val dicedMap: (String, String) => Seq[KV] = (f, c) => {
+        Probes.diceCrash(seed, s"map:$f"); Workloads.probeMap(f, c)
+      }
+      val dicedReduce: (String, Iterator[String]) => String = (k, vs) => {
+        Probes.diceCrash(seed, s"reduce:$k"); Workloads.sortJoinReduce(k, vs)
+      }
+      val faulted = MRJob.runToLines(spark, s"$dir/*.txt",
+        dicedMap, dicedReduce, nReduce = 5).sorted.toSeq
+      assert(faulted === clean, s"trial $trial (seed $seed) diverged")
+    }
   }
 
   test("mtiming/rtiming: at least 2 concurrently running map and reduce tasks (Q7/Q8)") {

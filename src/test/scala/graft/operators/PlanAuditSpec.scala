@@ -115,6 +115,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalPlan.contains("Window"), finalPlan.take(2000))
     assert(finalPlan.contains("BroadcastNestedLoopJoin") ||
       finalPlan.contains("BroadcastExchange"), finalPlan.take(2000))
+    // the shared per-supplier rev subtree must be computed once: AQE
+    // ReuseExchange dedups the max side against the probe side
+    assert(finalPlan.contains("ReusedExchange"), finalPlan.take(3000))
   }
 
   test("q53: no exact-distinct Expand over unbounded key columns") {

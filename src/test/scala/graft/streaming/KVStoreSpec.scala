@@ -59,6 +59,121 @@ class KVStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("linearizability checker: accepts valid, rejects invalid histories") {
+    import Linearizability._
+    // stale read: put completed strictly before the get was invoked,
+    // yet the get returned the pre-put value → NOT linearizable
+    assert(!isLinearizable(Seq(
+      OpRecord(1, 0, 10, "put", "k", "a", ""),
+      OpRecord(2, 20, 30, "get", "k", "", ""))))
+    // same ops OVERLAPPING: the get may linearize before the put → ok
+    assert(isLinearizable(Seq(
+      OpRecord(1, 0, 25, "put", "k", "a", ""),
+      OpRecord(2, 20, 30, "get", "k", "", ""))))
+    // real-time order of two appends is a→b; a later get must not see "ba"
+    val appends = Seq(
+      OpRecord(1, 0, 10, "append", "k", "a", ""),
+      OpRecord(2, 20, 30, "append", "k", "b", ""))
+    assert(isLinearizable(appends :+ OpRecord(3, 40, 50, "get", "k", "", "ab")))
+    assert(!isLinearizable(appends :+ OpRecord(3, 40, 50, "get", "k", "", "ba")))
+    // overlapping appends admit either order
+    val overlapping = Seq(
+      OpRecord(1, 0, 30, "append", "k", "a", ""),
+      OpRecord(2, 10, 40, "append", "k", "b", ""))
+    assert(isLinearizable(overlapping :+ OpRecord(3, 50, 60, "get", "k", "", "ba")))
+    // keys are independent: a cross-key "anomaly" is not an anomaly
+    assert(isLinearizable(Seq(
+      OpRecord(1, 0, 10, "put", "k1", "x", ""),
+      OpRecord(2, 20, 30, "get", "k2", "", ""))))
+    // absent key must read ""
+    assert(!isLinearizable(Seq(OpRecord(1, 0, 10, "get", "k", "", "ghost"))))
+  }
+
+  test("concurrent multi-client histories against the store are linearizable") {
+    // porcupine-style end-to-end check (reference: porcupine/porcupine.go
+    // + models/kv.go): N client THREADS race gets/puts/appends through
+    // one streaming query; each records its [invoke, ret] window and the
+    // observed result; the full concurrent history must admit a
+    // linearization under the get/put/append model.
+    import Linearizability.OpRecord
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KvOp]
+    val q = KVStore.run(mem.toDS())
+      .writeStream.format("memory").queryName("kv_lin")
+      .outputMode(OutputMode.Append).start()
+    val nClients = 4
+    val opsPerClient = 12
+    val keys = Vector("x", "y", "z")
+    val opIds = new java.util.concurrent.atomic.AtomicLong(0L)
+    val pending = new java.util.concurrent.ConcurrentLinkedQueue[KvOp]
+    val results = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, String]
+    val records = new java.util.concurrent.ConcurrentLinkedQueue[OpRecord]
+    @volatile var stopPump = false
+    @volatile var failure: Option[Throwable] = None
+
+    val pump = new Thread(() => {
+      // single pump: drain queued ops into the stream, process the
+      // micro-batch, publish new results; clients block on `results`
+      try {
+        while (!stopPump || !pending.isEmpty) {
+          val batch = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
+          if (batch.nonEmpty) { mem.addData(batch); q.processAllAvailable() }
+          spark.table("kv_lin").as[KvResult].collect()
+            .foreach(r => results.put(r.opId, r.value))
+          Thread.sleep(2)
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    }, "kv-lin-pump")
+
+    def client(cid: Int): Thread = new Thread(() => {
+      try {
+        val rnd = new scala.util.Random(4000L + cid)
+        for (j <- 0 until opsPerClient) {
+          val op = rnd.nextInt(3) match {
+            case 0 => "get"; case 1 => "put"; case 2 => "append"
+          }
+          val key = keys(rnd.nextInt(keys.size))
+          val arg = if (op == "get") "" else s"c$cid-$j."
+          val id = opIds.incrementAndGet()
+          val t0 = System.nanoTime()
+          pending.add(KvOp(id, op, key, arg))
+          var res: String = null
+          while (res == null && failure.isEmpty) {
+            res = results.get(id)
+            if (res == null) Thread.sleep(1)
+          }
+          val t1 = System.nanoTime()
+          if (res != null) records.add(OpRecord(cid, t0, t1, op, key, arg, res))
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    }, s"kv-lin-client-$cid")
+
+    pump.start()
+    val clients = (0 until nClients).map(client)
+    try {
+      clients.foreach(_.start())
+      clients.foreach(_.join(120000))
+    } finally {
+      stopPump = true
+      pump.join(120000)
+      q.stop()
+    }
+    failure.foreach(t => fail(t))
+    import scala.jdk.CollectionConverters._
+    val history = records.asScala.toSeq
+    assert(history.size === nClients * opsPerClient)
+    assert(Linearizability.isLinearizable(history),
+      s"history not linearizable:\n${history.sortBy(_.invoke).mkString("\n")}")
+    // the check has teeth on this very history: corrupting one observed
+    // get result must break linearizability
+    val firstGet = history.filter(o => o.op == "get" && o.key == "x")
+      .sortBy(_.invoke).lastOption
+    firstGet.foreach { g =>
+      val corrupted = history.filterNot(_ eq g) :+ g.copy(result = g.result + "#corrupt")
+      assert(!Linearizability.isLinearizable(corrupted))
+    }
+  }
+
   test("randomized differential vs the model, any partitioning") {
     val gen = Gen.listOfN(200, for {
       op <- Gen.oneOf("get", "put", "append")
