@@ -26,9 +26,16 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: local[32] runs driver+executors in ONE JVM, so heap
+  // 32g default: local[32] runs driver+executors in ONE JVM, so heap
   // covers 32 concurrent tasks plus storage memory for operator caches —
-  // 8g showed GC-dominated timings late in the 40-query bench.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 8g showed GC-dominated timings late in the 40-query bench, and 16g
+  // still inflated the last queries of the 55-query x3-rep run.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // The 240m default JIT code cache fills during a 55-query codegen'd
+  // session; once full the JIT stops compiling and late (alphabetically
+  // last) queries run partly interpreted — measured q50 16.5s -> 9.6s
+  // and suite 58.5s -> 49.2s at sf0.1 from these two flags alone.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 ) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty)
 )
