@@ -193,17 +193,45 @@ object Dedup {
     * mutated copies chains arbitrarily far; the standard resolution is
     * one representative per CONNECTED COMPONENT.
     *
-    * Algorithm: iterative min-label propagation — each node repeatedly
-    * adopts the minimum label among itself and its neighbors until
-    * fixpoint. Each iteration is one join + partial-aggregated groupBy
-    * on the EDGE list (pair graph ≪ corpus); `localCheckpoint` truncates
-    * lineage so plans stay flat across iterations, and convergence is a
-    * distributed count, not a collect. Iterations = component diameter:
-    * tiny for dedup clusters (copy chains); an adversarial long-path
-    * graph would call for large-star/small-star contraction instead
-    * (same join shape, O(log n) rounds). */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    * Two interchangeable algorithms behind one API (`algo`):
+    *
+    *   - "label" (default): iterative min-label propagation — each node
+    *     repeatedly adopts the minimum label among itself and its
+    *     neighbors until fixpoint. One join + partial-aggregated groupBy
+    *     per round on the EDGE list (pair graph ≪ corpus). Rounds =
+    *     component DIAMETER: tiny for real dedup clusters (copy chains),
+    *     and the cheapest per round, so it's the default.
+    *   - "star": alternating large-star/small-star contraction (the
+    *     MapReduce connected-components construction of Kiveris et al.,
+    *     "Connected Components in MapReduce and Beyond", SoCC'14 —
+    *     public algorithm, re-derived here in DataFrame form). Each
+    *     round rewires every node toward its neighborhood minimum, so
+    *     components collapse in O(log n) rounds REGARDLESS of diameter —
+    *     the right tool for adversarial long-path graphs where label
+    *     propagation would need a round per hop.
+    *
+    * Both: `localCheckpoint` truncates lineage so plans stay flat across
+    * iterations, convergence is a distributed count (never a collect),
+    * and exceeding `maxIters` fails LOUDLY — silently under-merged
+    * clusters are never returned. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 30,
+                    algo: String = "label"): DataFrame = {
+    val labels = algo match {
+      case "label" => propagateLabels(pairs, maxIters)
+      case "star"  => starContract(pairs, maxIters)
+      case other => throw new IllegalArgumentException(
+        s"unknown dedupClusters algo '$other' (label | star)")
+    }
     import org.apache.spark.sql.expressions.Window
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"))
+  }
+
+  /** Min-label propagation to fixpoint: (id, lbl = component min). */
+  private def propagateLabels(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -213,16 +241,14 @@ object Dedup {
     // convergence = an OBSERVED zero-change pass (a diameter-d component
     // needs d label-moving rounds plus one confirming round, all within
     // maxIters); never return silently-wrong labels — a component too
-    // deep for the cap must fail loudly, not under-merge. The loud path
-    // recommends star-contraction (large-star/small-star, O(log n)
-    // rounds) for adversarial long-chain graphs.
+    // deep for the cap must fail loudly, not under-merge.
     var changed = 1L
     var iter = 0
     try {
       while (changed > 0) {
         require(iter < maxIters,
           s"dedupClusters did not converge within $maxIters rounds " +
-            "(component diameter exceeds the cap); use star-contraction " +
+            "(component diameter exceeds the cap); use algo=\"star\" " +
             "for long-chain graphs")
         val nmin = edges
           .join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
@@ -241,10 +267,66 @@ object Dedup {
       }
     } finally edges.unpersist() // also on the non-convergence throw path
     labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("lbl"))))
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"),
-        col("cluster_size"))
+  }
+
+  /** Large-star: every node u connects its strictly-LARGER neighbors to
+    * the minimum of its closed neighborhood — emitted as (child, root)
+    * edges with root < child always. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val m = und.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a"), least(col("mn"), col("a")).as("m"))
+    und.join(m, Seq("a"))
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** Small-star: every node u connects its smaller-or-equal neighborhood
+    * (itself included) to that neighborhood's minimum. Input edges are
+    * re-oriented (child > parent) first, so this also canonicalizes. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val lt = e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val m = lt.groupBy(col("u")).agg(min(col("v")).as("m"))
+    lt.join(m, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .unionAll(m.select(col("u").as("a"), col("m").as("b")))
+      .distinct()
+  }
+
+  /** Alternating star contraction to fixpoint: at convergence the edge
+    * set is a union of stars (child, component-min root), checked by an
+    * unchanged-edge-set round. O(log n) rounds on any topology. */
+  private def starContract(pairs: DataFrame, maxIters: Int): DataFrame = {
+    var edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint(true)
+    var n = -1L
+    var converged = false
+    var iter = 0
+    while (!converged) {
+      require(iter < maxIters,
+        s"dedupClusters(star) did not converge within $maxIters rounds")
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val n2 = next.count()
+      // equal cardinality + one-sided set difference empty ⇒ equal sets
+      // (both sides are distinct()); both checks run on checkpointed
+      // frames, so no lineage growth
+      converged = n2 == n && next.except(edges).isEmpty
+      edges = next
+      n = n2
+      iter += 1
+    }
+    // fixpoint edges are (child, root); roots never appear as a child
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+    nodes.join(edges.select(col("a").as("id"), col("b").as("lbl")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
   }
 
   /** Transitive near-dup clusters of the documents corpus: components of

@@ -118,7 +118,27 @@ class DedupSpec extends SparkSpec {
         .select("doc_id", "cluster_rep")
         .as[(Long, Long)].collect().toMap
       assert(got === want, s"trial $trial")
+      // the star-contraction path must agree with union-find AND with
+      // label propagation, full output shape included
+      val star = Dedup.dedupClusters(pairs.toDF("id_a", "id_b"), algo = "star")
+        .select("doc_id", "cluster_rep")
+        .as[(Long, Long)].collect().toMap
+      assert(star === want, s"trial $trial (star)")
     }
+  }
+
+  test("star contraction converges in O(log n) rounds on a long chain") {
+    // a 200-node path has diameter 199: label propagation needs ~200
+    // rounds, star contraction collapses it within 15
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.dedupClusters(chain, maxIters = 15).collect()
+    }
+    val out = Dedup.dedupClusters(chain, maxIters = 15, algo = "star")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 200)
+    assert(out.forall { case (_, rep, sz) => rep == 1L && sz == 200L },
+      out.take(5).mkString(", "))
   }
 
   test("dedup clusters refuse to return unconverged labels") {
