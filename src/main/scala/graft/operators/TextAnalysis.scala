@@ -333,6 +333,89 @@ object TextAnalysis {
       |SELECT doc_id, n_words FROM deduped
       |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
 
+  /** Gopher-style repetition filters (Rae et al. 2021, public): the
+    * fraction of trigram OCCURRENCES belonging to a trigram repeated
+    * within the document, and the share of bigram occurrences taken by
+    * the single most frequent bigram — the standard signals for
+    * boilerplate / looping-generation text that length and stopword
+    * ratios miss. Occurrence-level n-gram rows (NOT the deduplicated
+    * gramHashRows feed) aggregate per (doc, gram-hash) then per doc —
+    * two partial-aggregated shuffles of slim hashed rows; the most-
+    * frequent-bigram share needs only max(c), so no per-doc sort or
+    * window anywhere. Thresholds are illustrative; both engines compare
+    * the same round(…, 6) values so the flag is deterministic. */
+  def q56Repetition(s: SparkSession, d: String): DataFrame =
+    repetitionStats(documents(s, d).select(col("doc_id"), col("text")))
+
+  /** See [[q56Repetition]]; operates on any (doc_id, text) frame. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val t = docs.repartition(col("doc_id"))
+      .withColumn("toks", Dedup.tokensCodegen(col("text")))
+    def occRows(n: Int): DataFrame =
+      t.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+        .filter(col("pos") <= size(col("toks")) - n)
+        .select(col("doc_id"),
+          xxhash64((col("col") +:
+            (2 to n).map(j => element_at(col("toks"), col("pos") + j))): _*)
+            .as("gh"))
+    val triStats = occRows(3)
+      .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tri"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_dup"))
+    val biStats = occRows(2)
+      .groupBy(col("doc_id"), col("gh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bi"), max(col("c")).as("top_bi"))
+    docs.select(col("doc_id"))
+      .join(triStats, Seq("doc_id"), "left")
+      .join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("n_dup").cast("double") / col("n_tri").cast("double"),
+          lit(0.0)), 6).as("dup_trigram_frac"),
+        round(coalesce(col("top_bi").cast("double") / col("n_bi").cast("double"),
+          lit(0.0)), 6).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        col("dup_trigram_frac") >= 0.2 || col("top_bigram_frac") >= 0.2)
+  }
+
+  val q56Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |tri AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE [] END) AS g
+      |  FROM toks),
+      |tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+      |tstats AS (
+      |  SELECT doc_id, sum(c) AS n_tri,
+      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup
+      |  FROM tric GROUP BY 1),
+      |bi AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      |    THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      |    ELSE [] END) AS g
+      |  FROM toks),
+      |bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+      |bstats AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi
+      |           FROM bic GROUP BY 1)
+      |SELECT d.doc_id,
+      |  round(coalesce(CAST(n_dup AS DOUBLE) / CAST(n_tri AS DOUBLE), 0), 6)
+      |    AS dup_trigram_frac,
+      |  round(coalesce(CAST(top_bi AS DOUBLE) / CAST(n_bi AS DOUBLE), 0), 6)
+      |    AS top_bigram_frac,
+      |  (round(coalesce(CAST(n_dup AS DOUBLE) / CAST(n_tri AS DOUBLE), 0), 6) >= 0.2
+      |   OR round(coalesce(CAST(top_bi AS DOUBLE) / CAST(n_bi AS DOUBLE), 0), 6) >= 0.2)
+      |    AS repetitive
+      |FROM documents d
+      |LEFT JOIN tstats ON d.doc_id = tstats.doc_id
+      |LEFT JOIN bstats ON d.doc_id = bstats.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q24_token_stats"   -> (q24TokenStats _, q24Sql),
     "q25_bigram_counts" -> (q25BigramCounts _, q25Sql),
@@ -340,5 +423,6 @@ object TextAnalysis {
     "q27_lang_id"       -> (q27LangId _, q27Sql),
     "q28_fingerprint"   -> (q28Fingerprint _, q28Sql),
     "q40_corpus_pipeline" -> (q40CorpusPipeline _, q40Sql),
+    "q56_repetition"    -> (q56Repetition _, q56Sql),
   )
 }

@@ -96,4 +96,22 @@ class CurationSpec extends SparkSpec {
     assert(out(31L) === false)
     assert(!out.contains(1L)) // eval docs are not scored against themselves
   }
+
+  test("repetition stats flag looping text, pass diverse text (Gopher-style)") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),           // pure loop
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // all-distinct
+      (3L, "tiny"),                                    // below n-gram sizes
+      (4L, "")                                         // empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs)
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((1.0, 1.0, true)))   // every trigram repeated; one bigram
+    assert(out(2L)._1 === 0.0)               // no repeated trigram
+    assert(out(2L)._2 === 0.142857)          // 1/7 rounded to 6
+    assert(out(2L)._3 === false)
+    assert(out(3L) === ((0.0, 0.0, false)))  // no n-grams at all
+    assert(out(4L) === ((0.0, 0.0, false)))
+  }
 }

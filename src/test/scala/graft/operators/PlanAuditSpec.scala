@@ -74,7 +74,8 @@ class PlanAuditSpec extends SparkSpec {
       "q27" -> TextAnalysis.q27LangId(spark, d),
       "q28" -> TextAnalysis.q28Fingerprint(spark, d),
       "q31" -> Dedup.q31Simhash(spark, d),
-      "q51" -> Curation.q51SequencePack(spark, d)
+      "q51" -> Curation.q51SequencePack(spark, d),
+      "q56" -> TextAnalysis.q56Repetition(spark, d)
     ).foreach { case (name, df) =>
       val plan = planOf(df)
       assert(!plan.toLowerCase.contains("lambdafunction"),
