@@ -80,4 +80,40 @@ class MRJobSpec extends SparkSpec {
     assert(r("k", Iterator("b", "a", "c")) === "a b c")
     assert(r("k", Iterator("c", "a", "b")) === "a b c")
   }
+
+  test("registered Reduce UDAFs match the facade's reduce semantics in SQL") {
+    // SURVEY §2.2: the reference Reduce is a UDAF over the group's
+    // values; the registered-Aggregator form must agree with the same
+    // reduce run through the facade path, any partitioning
+    import spark.implicits._
+    ReduceUdaf.register(spark)
+    val kvs = Seq(("w1", "1"), ("w2", "1"), ("w1", "1"), ("w3", "1"),
+      ("w1", "1"), ("w2", "1"))
+    kvs.toDF("k", "v").repartition(5).createOrReplaceTempView("udaf_toks")
+    val wc = spark.sql(
+      "SELECT k, wc_reduce(v) AS out FROM udaf_toks GROUP BY k")
+      .as[(String, String)].collect().toMap
+    val wantWc = kvs.groupBy(_._1).map { case (k, vs) =>
+      k -> Workloads.wcReduce(k, vs.map(_._2).iterator)
+    }
+    assert(wc === wantWc)
+
+    val vals = Seq(("a", "xyzzy"), ("a", "f00.txt"), ("a", "42"),
+      ("b", "zz"), ("b", "aa"))
+    vals.toDF("k", "v").repartition(3).createOrReplaceTempView("udaf_vals")
+    val sj = spark.sql(
+      "SELECT k, sortjoin_reduce(v) AS out FROM udaf_vals GROUP BY k")
+      .as[(String, String)].collect().toMap
+    val wantSj = vals.groupBy(_._1).map { case (k, vs) =>
+      k -> Workloads.sortJoinReduce(k, vs.map(_._2).iterator)
+    }
+    assert(sj === wantSj)
+    // partial/final split actually happens (map-side combine — the
+    // upgrade the reference's reduce-side-only evaluation never gets)
+    val plan = spark.sql(
+      "SELECT k, wc_reduce(v) FROM udaf_toks GROUP BY k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_wcreduce") || plan.contains("partial_"),
+      plan.take(1500))
+  }
 }
