@@ -232,8 +232,16 @@ object Dedup {
 
   /** Min-label propagation to fixpoint: (id, lbl = component min). */
   private def propagateLabels(pairs: DataFrame, maxIters: Int): DataFrame = {
+    // The edge list is joined on `b` EVERY round: hash-partition it on
+    // that key once before persisting. While labels fit the broadcast
+    // threshold the round join broadcasts them and never shuffles
+    // either side (plan-probed); once the graph outgrows broadcast the
+    // join needs hashpartitioning(b) — which the cache then already
+    // provides (AQE leaves cached-plan output partitioning intact by
+    // default), so only the labels frame shuffles per round.
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .repartition(col("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
