@@ -801,6 +801,41 @@ object Relational {
        |  CAST(max($c) AS VARCHAR) AS max_val FROM orders""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** TPC-H Q4-style priority check, adapted to this schema: orders from
+    * one quarter that have at least one LATE line (shipped > 90 days
+    * after the order date), counted per priority. Deliberately written
+    * through `spark.sql` with a correlated EXISTS — the one registered
+    * query exercising Catalyst's subquery DECORRELATION: the equi part
+    * (l_orderkey = o_orderkey) becomes the semi-join key and the
+    * correlated non-equi predicate (l_shipdate > o_orderdate + 90d)
+    * rides along as the join condition, so the plan is a hash semi join,
+    * never a per-order nested-loop probe (plan-asserted). */
+  def q57PriorityCheck(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_q57_orders")
+    lineitem(s, d).createOrReplaceTempView("graft_q57_lineitem")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM graft_q57_orders o
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+        AND EXISTS (
+          SELECT 1 FROM graft_q57_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS)
+      GROUP BY o_orderpriority""")
+  }
+
+  val q57Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1995-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -832,5 +867,6 @@ object Relational {
     "q48_market_share"    -> (q48MarketShare _, q48Sql),
     "q49_top_supplier"    -> (q49TopSupplier _, q49Sql),
     "q53_profile"         -> (q53Profile _, q53Sql),
+    "q57_priority_check"  -> (q57PriorityCheck _, q57Sql),
   )
 }

@@ -132,6 +132,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalPlan.contains("distinct o_totalprice"), finalPlan.take(2000))
   }
 
+  test("q57: correlated EXISTS decorrelates to a hash semi join") {
+    // the equi predicate becomes the join key; the correlated non-equi
+    // date predicate rides the join condition — never a nested loop
+    val plan = planOf(Relational.q57PriorityCheck(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("LeftSemi"), finalPlan.take(2000))
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(2000))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2000))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
