@@ -59,6 +59,34 @@ class KVStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store backend: same results, state survives batches") {
+    // the scale path for streaming state: HDFSBackedStateStore keeps
+    // every key on-heap, RocksDB spills to native memory + disk — at
+    // 100 TB of KV state the provider swap is the difference between
+    // executor OOM and steady state. Results must be identical.
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[KvOp]
+      val q = KVStore.run(mem.toDS())
+        .writeStream.format("memory").queryName("kv_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        mem.addData(KvOp(1, "put", "k", "a"), KvOp(2, "append", "k", "b"))
+        q.processAllAvailable()
+        mem.addData(KvOp(3, "get", "k", ""), KvOp(4, "append", "j", "solo"))
+        q.processAllAvailable()
+        mem.addData(KvOp(5, "get", "j", ""))
+        q.processAllAvailable()
+        val got = spark.table("kv_rocks").as[KvResult].collect()
+          .map(r => r.opId -> r.value).toMap
+        assert(got(3) === "ab")   // state crossed batch boundary in RocksDB
+        assert(got(5) === "solo") // absent key initialized to "" then appended
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("linearizability checker: accepts valid, rejects invalid histories") {
     import Linearizability._
     // stale read: put completed strictly before the get was invoked,
