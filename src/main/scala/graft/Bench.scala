@@ -16,6 +16,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val spark = GraftSession.getOrCreate("graft-bench")
     // Untimed warmup: initialize codegen, parquet reader and shuffle
     // machinery so the first timed query doesn't absorb JVM startup.
@@ -35,13 +36,18 @@ object Bench {
             // occupy storage memory (and drive GC) during later timings.
             spark.catalog.clearCache()
             val t0 = System.nanoTime()
-            // count() after a pass-through projection materializes every
-            // projected column (same work the verify path does), instead of
-            // letting Catalyst prune the plan down to a bare count.
-            fn(spark, sfDir).queryExecution.toRdd.count()
+            // noop sink: materializes every projected column (same work
+            // the verify path does — Catalyst can't prune to a bare
+            // count) AND runs through SQLExecution, so observe metrics
+            // and QueryExecutionListeners (the cap-drop WARN) fire —
+            // a bare toRdd.count() posts no SQL execution events.
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }.sorted
-          name -> Right(times(times.size / 2))
+          // true median (mean of the middle pair when reps is even)
+          name -> Right(
+            if (times.size % 2 == 1) times(times.size / 2)
+            else (times(times.size / 2 - 1) + times(times.size / 2)) / 2)
         } catch {
           case e: Throwable =>
             failed ::= name

@@ -22,7 +22,9 @@ object BenchOne {
     val times = (1 to reps).map { i =>
       if (cold) spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).queryExecution.toRdd.count()
+      // noop sink, matching graft.Bench: full materialization + SQL
+      // execution events (observe metrics / cap listener fire)
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[bench-one] $name rep $i: $sec%.3f s")
       sec

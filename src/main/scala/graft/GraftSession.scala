@@ -48,7 +48,7 @@ object GraftSession {
     * action time. Idempotent per session. */
   def registerCapListener(spark: SparkSession): Unit = synchronized {
     if (!capListenerSessions.contains(spark)) {
-      capListenerSessions += spark
+      capListenerSessions.add(spark)
       spark.listenerManager.register(
         new org.apache.spark.sql.util.QueryExecutionListener {
           private val log = org.slf4j.LoggerFactory.getLogger("graft.caps")
@@ -77,6 +77,9 @@ object GraftSession {
     }
   }
 
-  private val capListenerSessions =
-    scala.collection.mutable.Set.empty[SparkSession]
+  // weak keys: stopped sessions (and their listener closures) must be
+  // collectable — a strong Set would leak every session ever created
+  private val capListenerSessions: java.util.Set[SparkSession] =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean])
 }

@@ -810,20 +810,20 @@ object Relational {
     * correlated non-equi predicate (l_shipdate > o_orderdate + 90d)
     * rides along as the join condition, so the plan is a hash semi join,
     * never a per-order nested-loop probe (plan-asserted). */
-  def q57PriorityCheck(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("graft_q57_orders")
-    lineitem(s, d).createOrReplaceTempView("graft_q57_lineitem")
-    s.sql("""
+  def q57PriorityCheck(s: SparkSession, d: String): DataFrame =
+    // parquet.`path` table syntax keeps this a PURE function of (s, d) —
+    // temp views would be session-global mutable state and racy across
+    // concurrent callers
+    s.sql(s"""
       SELECT o_orderpriority, count(*) AS order_count
-      FROM graft_q57_orders o
+      FROM parquet.`$d/orders.parquet` o
       WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         AND o_orderdate < TIMESTAMP '1995-04-01'
         AND EXISTS (
-          SELECT 1 FROM graft_q57_lineitem l
+          SELECT 1 FROM parquet.`$d/lineitem.parquet` l
           WHERE l.l_orderkey = o.o_orderkey
             AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS)
       GROUP BY o_orderpriority""")
-  }
 
   val q57Sql: String =
     """SELECT o_orderpriority, count(*) AS order_count

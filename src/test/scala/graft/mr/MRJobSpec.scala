@@ -113,7 +113,8 @@ class MRJobSpec extends SparkSpec {
     val plan = spark.sql(
       "SELECT k, wc_reduce(v) FROM udaf_toks GROUP BY k")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_wcreduce") || plan.contains("partial_"),
-      plan.take(1500))
+    // the partial phase must belong to THIS aggregator, not just any
+    // aggregate somewhere in the plan
+    assert(plan.toLowerCase.contains("partial_wc_reduce"), plan.take(1500))
   }
 }
