@@ -38,6 +38,36 @@ object EventStreams {
 
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
 
+  /** Stream-static enrichment: a streaming fact joined to a bounded
+    * static dimension. STATELESS — the dim is broadcast and probed per
+    * micro-batch, nothing accumulates in the state store; the identical
+    * code runs in batch mode (same differential-test pattern as the
+    * other operators here). The 100 TB shape: facts stream, dims are
+    * lookup tables. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+
+  /** Watermarked stream-stream INNER join: impressions matched to the
+    * clicks on the same ad within [imp_ts, imp_ts + 1 hour]. Both sides
+    * carry watermarks and the join condition bounds event time in BOTH
+    * directions, so each side's buffered state is evicted once the
+    * other side's watermark passes the match window — bounded state by
+    * construction, the requirement for an unbounded 100 TB stream.
+    * Batch mode runs the same plan as a plain range join. */
+  def impressionClicks(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions
+      .select(col("ad_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", "2 hours")
+    val clk = clicks
+      .select(col("ad_id").as("c_ad_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    imp.join(clk,
+        col("ad_id") === col("c_ad_id") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("ad_id"), col("imp_ts"), col("click_ts"))
+  }
+
   /** lastTsUs is epoch-MICROS. The field was renamed (from lastTsMs)
     * when the unit changed: a pre-change checkpoint then fails to decode
     * loudly instead of silently misreading stored millis as micros and

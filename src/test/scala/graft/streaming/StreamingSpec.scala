@@ -46,6 +46,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dim enrichment matches batch, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", "engagement"), ("view", "reach"))
+      .toDF("event_type", "category")
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id")
+    val q = EventStreams.enrichWithDim(df, dim)
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = Seq((ts(0), "click", 1L), (ts(1), "view", 2L),
+        (ts(2), "click", 3L), (ts(3), "purchase", 4L)) // no dim row → dropped
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .select("user_id", "category").as[(Long, String)].collect().toSet
+      val batch = EventStreams.enrichWithDim(
+        rows.toDF("ts", "event_type", "user_id"), dim)
+        .select("user_id", "category").as[(Long, String)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, "engagement"), (2L, "reach"), (3L, "engagement")))
+    } finally q.stop()
+  }
+
+  test("watermarked stream-stream join matches batch; matches cross micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val impMem = MemoryStream[(Long, Timestamp)]
+    val clkMem = MemoryStream[(Long, Timestamp)]
+    val imps = impMem.toDF().toDF("ad_id", "ts")
+    val clks = clkMem.toDF().toDF("ad_id", "ts")
+    val q = EventStreams.impressionClicks(imps, clks)
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // impressions arrive FIRST (batch 1); their clicks arrive in a
+      // LATER micro-batch — matching requires buffered join state
+      val impRows = Seq((1L, ts(0)), (2L, ts(5)), (3L, ts(10)))
+      val clkRows = Seq(
+        (1L, ts(30)),   // in window → match
+        (2L, ts(80)),   // 75 min after imp → outside 1 h window
+        (9L, ts(20)))   // no impression
+      impMem.addData(impRows: _*)
+      q.processAllAvailable()
+      clkMem.addData(clkRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .select("ad_id").as[Long].collect().toSet
+      assert(streamed === Set(1L))
+      val batch = EventStreams.impressionClicks(
+        impRows.toDF("ad_id", "ts"), clkRows.toDF("ad_id", "ts"))
+        .select("ad_id").as[Long].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed sessions on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
