@@ -29,7 +29,12 @@ object BenchOne {
       println(f"[bench-one] $name rep $i: $sec%.3f s")
       sec
     }
-    println(f"[bench-one] $name min=${times.min}%.3f median=${times.sorted.apply(reps / 2)}%.3f max=${times.max}%.3f over $reps reps")
+    val sorted = times.sorted
+    // true median (mean of the middle pair for even rep counts) — same
+    // definition graft.Bench reports
+    val median = if (reps % 2 == 1) sorted(reps / 2)
+                 else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
+    println(f"[bench-one] $name min=${times.min}%.3f median=$median%.3f max=${times.max}%.3f over $reps reps")
     spark.stop()
   }
 }

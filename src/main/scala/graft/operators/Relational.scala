@@ -810,20 +810,23 @@ object Relational {
     * correlated non-equi predicate (l_shipdate > o_orderdate + 90d)
     * rides along as the join condition, so the plan is a hash semi join,
     * never a per-order nested-loop probe (plan-asserted). */
-  def q57PriorityCheck(s: SparkSession, d: String): DataFrame =
+  def q57PriorityCheck(s: SparkSession, d: String): DataFrame = {
     // parquet.`path` table syntax keeps this a PURE function of (s, d) —
     // temp views would be session-global mutable state and racy across
-    // concurrent callers
+    // concurrent callers. Backticks in the path are doubled (Spark's
+    // quoted-identifier escape) so any legal directory stays legal SQL.
+    val dir = d.replace("`", "``")
     s.sql(s"""
       SELECT o_orderpriority, count(*) AS order_count
-      FROM parquet.`$d/orders.parquet` o
+      FROM parquet.`$dir/orders.parquet` o
       WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         AND o_orderdate < TIMESTAMP '1995-04-01'
         AND EXISTS (
-          SELECT 1 FROM parquet.`$d/lineitem.parquet` l
+          SELECT 1 FROM parquet.`$dir/lineitem.parquet` l
           WHERE l.l_orderkey = o.o_orderkey
             AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAYS)
       GROUP BY o_orderpriority""")
+  }
 
   val q57Sql: String =
     """SELECT o_orderpriority, count(*) AS order_count
