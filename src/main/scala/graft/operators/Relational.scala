@@ -839,6 +839,26 @@ object Relational {
       |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Explicit GROUPING SETS — the third member of the grouped-analytics
+    * family next to rollup (q11) and cube (q34): exactly the requested
+    * set combinations, nothing more, one Expand + one aggregation pass
+    * like its siblings. */
+  def q59GroupingSets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice"), 2).as("total_price"))
+
+  val q59Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), ())""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -871,5 +891,6 @@ object Relational {
     "q49_top_supplier"    -> (q49TopSupplier _, q49Sql),
     "q53_profile"         -> (q53Profile _, q53Sql),
     "q57_priority_check"  -> (q57PriorityCheck _, q57Sql),
+    "q59_grouping_sets"   -> (q59GroupingSets _, q59Sql),
   )
 }

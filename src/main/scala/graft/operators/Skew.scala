@@ -65,4 +65,19 @@ object Skew {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("n"))
+
+  /** The salted aggregation under the DRIVER gate: per-type event
+    * counts through the two-phase (key, salt) → key plan must equal
+    * the plain GROUP BY the oracle runs — salting redistributes work,
+    * never results. events.user/event_type skew is the realistic
+    * shape; 16 salts spread any hot type over 16 reducers. */
+  def q58SkewAgg(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    saltedCount(Tables.events(s, d), "event_type", salts = 16)
+      .select(col("event_type"), col("n"))
+
+  val q58Sql: String =
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+
+  val all: Map[String, ((org.apache.spark.sql.SparkSession, String) => DataFrame, String)] =
+    Map("q58_skew_agg" -> (q58SkewAgg _, q58Sql))
 }
