@@ -60,4 +60,44 @@ class FormatsSpec extends SparkSpec {
     // written as micros: readable without the nanosAsLong escape hatch
     assert(back.schema("ts").dataType.typeName.startsWith("timestamp"))
   }
+
+  test("malformed JSON: permissive quarantine, dropmalformed, failfast") {
+    // at 100 TB a bad shard must never kill the ingest job: PERMISSIVE
+    // quarantines broken lines into _corrupt_record for a side-channel
+    // audit, DROPMALFORMED keeps only clean rows, FAILFAST is the
+    // strict-contract mode that surfaces corruption loudly
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fmt").resolve("bad_json")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("part-0.json"),
+      """{"id": 1, "name": "ok-one"}
+        |{"id": 2, "name": "ok-two"}
+        |{"id": 3, "name": BROKEN not json
+        |{"id": 4, "name": "ok-three"}
+        |""".stripMargin)
+    val schema = "id BIGINT, name STRING, _corrupt_record STRING"
+
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    try {
+      assert(permissive.count() === 4)
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 1)
+      assert(permissive.filter(col("_corrupt_record").isNull)
+        .select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    } finally permissive.unpersist()
+
+    val dropped = spark.read.schema("id BIGINT, name STRING")
+      .option("mode", "DROPMALFORMED").json(dir.toString)
+    assert(dropped.count() === 3)
+
+    val strict = spark.read.schema("id BIGINT, name STRING")
+      .option("mode", "FAILFAST").json(dir.toString)
+    val e = intercept[org.apache.spark.SparkException] { strict.count() }
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("FAILFAST") || m.contains("Malformed") ||
+        Option(e.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("Malformed"))))
+  }
 }
