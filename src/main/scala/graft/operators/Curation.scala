@@ -31,13 +31,19 @@ object Curation {
   /** Deterministic 80/10/10 split keyed on doc_id, reported per source:
     * the assignment is a pure function of the document identity, so any
     * engine, run, or partitioning reproduces it bit-for-bit. */
-  def q43SplitAssign(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** Per-document split assignment — pure function of doc identity, so
+    * growing the corpus never reshuffles existing docs between train
+    * and eval (scale-invariance asserted in CurationSpec). */
+  def withSplit(docs: DataFrame): DataFrame =
+    docs
       .withColumn("bucket", md5Bucket(col("doc_id").cast("string"), 100))
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test"))
+
+  def q43SplitAssign(s: SparkSession, d: String): DataFrame =
+    withSplit(documents(s, d))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 

@@ -97,6 +97,19 @@ class CurationSpec extends SparkSpec {
     assert(!out.contains(1L)) // eval docs are not scored against themselves
   }
 
+  test("split assignment is scale-invariant: same doc_id, same split at any SF") {
+    // the whole point of content-keyed (never rand()) splitting: growing
+    // the corpus must not reshuffle existing documents between train and
+    // eval — doc_ids present at both SFs get identical assignments
+    def splits(d: String) = Curation.withSplit(Tables.documents(spark, d))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val small = splits(sf("sf0.001"))
+    val big = splits(sf("sf0.01"))
+    val shared = small.keySet intersect big.keySet
+    assert(shared.nonEmpty)
+    assert(shared.forall(id => small(id) == big(id)))
+  }
+
   test("repetition stats flag looping text, pass diverse text (Gopher-style)") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam"),           // pure loop
