@@ -859,6 +859,33 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
       |  (o_orderstatus), ())""".stripMargin
 
+  /** lag/lead window family (the offset functions q07/q08/q47 don't
+    * touch): per-customer days since the previous order and until the
+    * next. Ties on o_orderdate break by o_orderkey so the offset
+    * neighbors are deterministic in both engines; one shuffle on
+    * o_custkey serves both offsets (same window spec). */
+  def q60OrderGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") < 100) // on the partition key → pre-window
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("bigint").as("days_since_prev"),
+        datediff(lead(col("o_orderdate"), 1).over(w), col("o_orderdate"))
+          .cast("bigint").as("days_to_next"))
+  }
+
+  val q60Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(date_diff('day',
+      |    lag(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev,
+      |  CAST(date_diff('day',
+      |    o_orderdate, lead(o_orderdate) OVER w) AS BIGINT) AS days_to_next
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -892,5 +919,6 @@ object Relational {
     "q53_profile"         -> (q53Profile _, q53Sql),
     "q57_priority_check"  -> (q57PriorityCheck _, q57Sql),
     "q59_grouping_sets"   -> (q59GroupingSets _, q59Sql),
+    "q60_order_gaps"      -> (q60OrderGaps _, q60Sql),
   )
 }

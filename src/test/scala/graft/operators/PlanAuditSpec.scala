@@ -142,6 +142,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2000))
   }
 
+  test("q60: lag+lead share one window (one shuffle); custkey filter pushed to scan") {
+    // both offsets use the identical window spec, so the optimizer must
+    // plan a single Window over a single hash exchange on o_custkey —
+    // two Window nodes would mean a second sort (and with differing
+    // specs, a second shuffle) for free-riding semantics.
+    val plan = planOf(Relational.q60OrderGaps(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val windows = finalPlan.linesIterator.count(_.contains("Window ["))
+    assert(windows === 1, s"$windows Window nodes\n${finalPlan.take(2000)}")
+    // the o_custkey predicate is on the partition key → evaluated at the
+    // scan, not after the shuffle
+    assert(finalPlan.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey"),
+      finalPlan.take(2000))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
