@@ -72,11 +72,20 @@ object Similarity {
       |      FROM s)
       |WHERE rnk <= 10""".stripMargin
 
-  /** IVF ANN: deterministically sample centroids (vec_id % stride = 0),
-    * assign each corpus vector to its nearest centroid, probe the
-    * `nprobe` nearest cells per query and exact-rerank only inside them.
-    * Returns (query_id, neighbor_id, rnk, sim) like the exact path —
-    * recall measured against it in SimilaritySpec.
+  /** IVF ANN with a BOUNDED centroid count: pick exactly `ncells`
+    * centroids by deterministic fixed-size sample, assign each corpus
+    * vector to its nearest centroid, probe the `nprobe` nearest cells per
+    * query and exact-rerank only inside them. Returns
+    * (query_id, neighbor_id, rnk, sim) like the exact path — recall
+    * measured against it in SimilaritySpec.
+    *
+    * ncells is an absolute bound, NOT a corpus fraction: the broadcast
+    * centroid table is `ncells` rows whatever the corpus size, and the
+    * per-vector assignment does corpus×ncells dot products — both
+    * invariant under a 100× scale-up (real IVF practice: ncells ≈ 4k or
+    * √n, chosen by the caller, never corpus/K). The earlier stride
+    * parameterization ([[annIvfStride]], kept for differential tests)
+    * grew the centroid table linearly with the corpus.
     *
     * Corpus-side assignment is max_by AGGREGATION over the broadcast
     * centroid join — partial aggregation collapses each vector's
@@ -87,12 +96,32 @@ object Similarity {
     * centroids. Query-side probing keeps the window: the query set is
     * small and needs top-nprobe, not argmax. */
   def annIvf(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-             centroidStride: Int): DataFrame = {
+             ncells: Int): DataFrame = {
+    val cents = sampleCentroids(corpus, ncells)
+    runProbes(assignCells(corpus, cents), queries, cents, k, nprobe)
+  }
+
+  /** Deterministic, order-free, fixed-size centroid sample: the `ncells`
+    * corpus vectors with the smallest xxhash64(vec_id). Hash-ranking makes
+    * the choice independent of row order and partitioning, and the
+    * sort+limit compiles to TakeOrderedAndProject (per-partition top-ncells
+    * heap merged on the driver — plan-asserted in SimilaritySpec), so no
+    * global sort of the corpus ever runs. */
+  private[operators] def sampleCentroids(corpus: DataFrame, ncells: Int): DataFrame =
+    corpus
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("norm").as("cn"))
+      .orderBy(xxhash64(col("cid")), col("cid"))
+      .limit(ncells)
+
+  /** Stride-sampled centroid variant (vec_id % stride = 0). The centroid
+    * count grows with the corpus, so this does NOT survive a blind 100×
+    * scale-up — retained only as a differential harness for the bounded
+    * [[annIvf]]; production callers pass ncells. */
+  def annIvfStride(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+                   centroidStride: Int): DataFrame = {
     val cents = corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("norm").as("cn"))
-
-    val cells = assignCells(corpus, cents)
-    runProbes(cells, queries, cents, k, nprobe)
+    runProbes(assignCells(corpus, cents), queries, cents, k, nprobe)
   }
 
   private def withCsim(df: DataFrame, cents: DataFrame): DataFrame =
@@ -144,20 +173,29 @@ object Similarity {
     call_function("sign_buckets", col("e"), lit(tables), lit(bits))
 
   /** Embedding-cosine near-dup pairs via sign-LSH bucket join + exact
-    * cosine verification — the vector analog of MinHash-LSH text dedup. */
+    * cosine verification — the vector analog of MinHash-LSH text dedup.
+    *
+    * The bucket self-join moves SLIM rows only — (tbl, bucket, vec_id),
+    * ~20 B each — the same discipline Dedup applies to hashed grams; the
+    * `tables`-way-replicated embedding payload (64 doubles ≈ 512 B/row ×
+    * both join sides) never enters the exchanges. Vectors join back per
+    * side only AFTER the pair `dropDuplicates`, so each surviving
+    * candidate pair fetches its two embeddings exactly once for the
+    * exact-cosine verify (asserted in SimilaritySpec: no exchange whose
+    * output includes `bucket` carries an array column). */
   def embeddingNeardup(corpus: DataFrame, tables: Int, bits: Int,
                        minCos: Double): DataFrame = {
     val bucketed = corpus
-      .select(col("vec_id"), col("e"), col("norm"),
-        posexplode(signBuckets(tables, bits)).as(Seq("tbl", "bucket")))
-    val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
-      col("e").as("ea"), col("norm").as("na"))
-    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
-      col("e").as("eb"), col("norm").as("nb"))
-    a.join(b, Seq("tbl", "bucket"))
+      .select(col("vec_id"), posexplode(signBuckets(tables, bits)).as(Seq("tbl", "bucket")))
+    val a = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val b = bucketed.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    val pairs = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ea"), col("eb"), col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // a pair may share buckets in several tables
+    val va = corpus.select(col("vec_id").as("id_a"), col("e").as("ea"), col("norm").as("na"))
+    val vb = corpus.select(col("vec_id").as("id_b"), col("e").as("eb"), col("norm").as("nb"))
+    pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", vdot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -245,9 +283,8 @@ object Similarity {
   def q54IvfFullProbe(s: SparkSession, d: String): DataFrame = {
     val v = vectors(s, d)
     val q = v.filter(col("vec_id") < 10)
-    // stride 37 → ~ncorpus/37 centroids; nprobe well above that count
-    // forces a full probe at any SF the gate runs
-    annIvf(v, q, k = 10, nprobe = 1000000, centroidStride = 37)
+    // nprobe ≥ ncells forces a full probe at any SF the gate runs
+    annIvf(v, q, k = 10, nprobe = 1000000, ncells = 16)
   }
 
   /** The nprobe < ncells trade under the driver gate: per-query ANN
@@ -255,39 +292,35 @@ object Similarity {
     * embeddings table is ISOTROPIC random — there any sublinear index
     * degrades toward recall ≈ probed fraction (that is the data, not the
     * code; SimilaritySpec holds the ≥0.9 bar on clustered data where IVF
-    * pruning is meaningful) — so the floor is the scale-independent
-    * sanity bound HALF THE PROBED FRACTION (1.5/ncells at nprobe=3): a
-    * broken probe/rerank stage lands under it, a working one clears it
-    * ~2× at every SF (measured min recall 0.2 vs floor 0.107 at sf0.01,
-    * 0.1 vs 0.027 at sf0.1). Both sides of the recall are computed in
+    * pruning is meaningful). With ncells FIXED at 10 the probed fraction
+    * is the constant nprobe/ncells = 0.3 at every SF, and the floor is
+    * the constant 1/ncells = 0.1 — a 3× expected margin (measured min
+    * per-query recall 0.3 at sf0.001/sf0.01 and 0.2 at sf0.1 vs floor
+    * 0.1), not a data-derived quantity that could drift under
+    * regenerated driver data. A broken probe/rerank stage lands under the floor; a working
+    * one clears it comfortably. Both sides of the recall are computed in
     * Spark (hashes and tie rules fixed → deterministic); the oracle
     * renders the engine-independent INVARIANT — every query passes, with
-    * the floor derived identically from the data — so any recall dip
-    * hash-fails the gate. Driver-checkable complement of q54 (full probe
-    * == exact, bit-for-bit). */
+    * the same constant floor — so any recall dip hash-fails the gate.
+    * Driver-checkable complement of q54 (full probe == exact,
+    * bit-for-bit). */
   def q55IvfRecall(s: SparkSession, d: String): DataFrame = {
     val v = vectors(s, d)
     val q = v.filter(col("vec_id") < 10)
     val exact = q23KnnExact(s, d).select(col("query_id"), col("neighbor_id"))
-    val ann = annIvf(v, q, k = 10, nprobe = 3, centroidStride = 37)
+    val ann = annIvf(v, q, k = 10, nprobe = 3, ncells = 10)
       .select(col("query_id"), col("neighbor_id"))
-    val floor = v.filter(col("vec_id") % 37 === 0)
-      .agg((lit(1.5) / count(lit(1)).cast("double")).as("recall_floor"))
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
     exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
       .join(hits, Seq("query_id"), "left")
-      .crossJoin(broadcast(floor))
-      .select(col("query_id"), col("recall_floor"),
+      .select(col("query_id"), lit(0.1).as("recall_floor"),
         (coalesce(col("n_hit"), lit(0L)).cast("double") /
-          col("n_exact").cast("double") >= col("recall_floor")).as("pass"))
+          col("n_exact").cast("double") >= lit(0.1)).as("pass"))
   }
 
   val q55Sql: String =
-    """SELECT vec_id AS query_id,
-      |  CAST(1.5 AS DOUBLE) /
-      |    (SELECT count(*) FROM embeddings WHERE vec_id % 37 = 0)
-      |    AS recall_floor,
+    """SELECT vec_id AS query_id, CAST(0.1 AS DOUBLE) AS recall_floor,
       |  true AS pass
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
