@@ -463,6 +463,47 @@ object Relational {
       |  quantile_cont(l_extendedprice, 0.5) AS p50_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q32's 100 TB scale path under the driver gate: `approx_percentile`
+    * (Greenwald–Khanna sketch — one pass, bounded memory, mergeable
+    * partials; the exact `percentile` buffers every value per group) with
+    * its RANK-ERROR GUARANTEE rendered as an engine-independent
+    * invariant. The sketch contract at accuracy a: the returned value's
+    * rank r satisfies |r/n − q| ≤ 1/a. We verify it from first
+    * principles: the value's feasible rank interval among the column is
+    * (count(x < v), count(x ≤ v)] — the duplicate-safe form — and that
+    * interval must intersect [q − tol, q + tol] with tol = 0.01 at
+    * accuracy 1000, a 10× margin over the HARD bound. Unlike a
+    * value-proximity check this holds for ANY data distribution and any
+    * partitioning/merge order of the sketch, so the gate is
+    * scale-independent by construction (SketchSpec additionally measures
+    * value proximity vs exact on a known distribution). One lineitem scan
+    * builds the sketch, a second verifies ranks against the 4-row
+    * broadcast of (quantile, value) — no sort, no per-group buffering. */
+  def q63ApproxPercentileBound(s: SparkSession, d: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val acc = 1000
+    val tol = 0.01
+    val li = lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val sketch = li.agg(
+      percentile_approx(col("x"), array(qs.map(lit): _*), lit(acc)).as("vs"),
+      count(lit(1)).as("n"))
+    val points = sketch.select(posexplode(col("vs")).as(Seq("i", "v")), col("n"))
+    li.crossJoin(broadcast(points))
+      .groupBy(col("i"), col("v"), col("n"))
+      .agg(sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("hi"))
+      .select(
+        element_at(array(qs.map(lit): _*), col("i").cast("int") + 1).as("q"),
+        lit(tol).as("rank_tol"),
+        (col("lo").cast("double") / col("n") <= element_at(array(qs.map(lit): _*), col("i").cast("int") + 1) + tol &&
+          col("hi").cast("double") / col("n") >= element_at(array(qs.map(lit): _*), col("i").cast("int") + 1) - tol)
+          .as("pass"))
+  }
+
+  val q63Sql: String =
+    """SELECT CAST(q AS DOUBLE) AS q, CAST(0.01 AS DOUBLE) AS rank_tol, true AS pass
+      |FROM (VALUES (0.25), (0.5), (0.75), (0.9)) t(q)""".stripMargin
+
   /** Pivot: per-user event counts spread into one column per event type
     * — conditional aggregation, single shuffle. */
   def q33Pivot(s: SparkSession, d: String): DataFrame =
@@ -920,5 +961,6 @@ object Relational {
     "q57_priority_check"  -> (q57PriorityCheck _, q57Sql),
     "q59_grouping_sets"   -> (q59GroupingSets _, q59Sql),
     "q60_order_gaps"      -> (q60OrderGaps _, q60Sql),
+    "q63_approx_percentile" -> (q63ApproxPercentileBound _, q63Sql),
   )
 }

@@ -106,7 +106,14 @@ object Similarity {
     * the choice independent of row order and partitioning, and the
     * sort+limit compiles to TakeOrderedAndProject (per-partition top-ncells
     * heap merged on the driver — plan-asserted in SimilaritySpec), so no
-    * global sort of the corpus ever runs. */
+    * global sort of the corpus ever runs. CAVEAT: Spark only picks
+    * TakeOrderedAndProject when the limit is ≤
+    * spark.sql.execution.topKSortFallbackThreshold (default 10000) —
+    * above it, sort+limit falls back to a GLOBAL corpus sort. Realistic
+    * ncells (≈4k, or √n capped) sits under the default, and
+    * SimilaritySpec asserts the absence of a global Sort node so a
+    * fallback regression is caught, but callers raising ncells past ~10k
+    * must raise the threshold too. */
   private[operators] def sampleCentroids(corpus: DataFrame, ncells: Int): DataFrame =
     corpus
       .select(col("vec_id").as("cid"), col("e").as("ce"), col("norm").as("cn"))
@@ -182,7 +189,19 @@ object Similarity {
     * side only AFTER the pair `dropDuplicates`, so each surviving
     * candidate pair fetches its two embeddings exactly once for the
     * exact-cosine verify (asserted in SimilaritySpec: no exchange whose
-    * output includes `bucket` carries an array column). */
+    * output includes `bucket` carries an array column).
+    *
+    * Cost of that discipline, stated plainly: the corpus is SCANNED THREE
+    * times (`bucketed`, `va`, `vb`) and the va/vb aliases canonicalize
+    * differently, so no ReuseExchange collapses them. That is the
+    * intended trade — at 100 TB two extra columnar scans (sequential,
+    * pruned to vec_id/e/norm) are far cheaper than shuffling a
+    * tables-way-replicated 512 B array payload through the bucket
+    * exchanges, and the pairs side of the re-join is tiny (surviving
+    * candidates only), so AQE broadcasts it and the corpus never
+    * re-shuffles. A caller whose surviving-pair set is large relative to
+    * the corpus should semi-join-filter corpus to the pair ids before the
+    * re-join instead. */
   def embeddingNeardup(corpus: DataFrame, tables: Int, bits: Int,
                        minCos: Double): DataFrame = {
     val bucketed = corpus
@@ -293,11 +312,15 @@ object Similarity {
     * degrades toward recall ≈ probed fraction (that is the data, not the
     * code; SimilaritySpec holds the ≥0.9 bar on clustered data where IVF
     * pruning is meaningful). With ncells FIXED at 10 the probed fraction
-    * is the constant nprobe/ncells = 0.3 at every SF, and the floor is
-    * the constant 1/ncells = 0.1 — a 3× expected margin (measured min
-    * per-query recall 0.3 at sf0.001/sf0.01 and 0.2 at sf0.1 vs floor
-    * 0.1), not a data-derived quantity that could drift under
-    * regenerated driver data. A broken probe/rerank stage lands under the floor; a working
+    * is the constant nprobe/ncells = 0.5 at every SF and the floor is the
+    * constant 1/ncells = 0.1. The FLOOR is scale-independent by
+    * construction; the recall side remains data-dependent — it was
+    * MEASURED, not derived (min per-query recall 0.5 / 0.4 / 0.4 at
+    * sf0.001 / sf0.01 / sf0.1), and nprobe=5 is chosen so the worst
+    * measured query sits ≥4× above the floor — every query must land ≥1
+    * of its 10 exact neighbors in the ~50% probed fraction, wide enough
+    * that a driver-data reseed cannot plausibly produce a 0-hit query. A broken
+    * probe/rerank stage lands under the floor; a working
     * one clears it comfortably. Both sides of the recall are computed in
     * Spark (hashes and tie rules fixed → deterministic); the oracle
     * renders the engine-independent INVARIANT — every query passes, with
@@ -308,7 +331,7 @@ object Similarity {
     val v = vectors(s, d)
     val q = v.filter(col("vec_id") < 10)
     val exact = q23KnnExact(s, d).select(col("query_id"), col("neighbor_id"))
-    val ann = annIvf(v, q, k = 10, nprobe = 3, ncells = 10)
+    val ann = annIvf(v, q, k = 10, nprobe = 5, ncells = 10)
       .select(col("query_id"), col("neighbor_id"))
     val hits = exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))

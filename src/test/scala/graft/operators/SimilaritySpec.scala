@@ -74,8 +74,13 @@ class SimilaritySpec extends SparkSpec {
     // exactly ncells rows whatever the corpus size — the broadcast bound
     assert(cents.count() === 16)
     val plan = cents.queryExecution.executedPlan.toString
-    // per-partition top-ncells heap + driver merge, never a global sort
+    // per-partition top-ncells heap + driver merge, never a global sort.
+    // Both directions asserted: TakeOrderedAndProject present AND no Sort
+    // node anywhere — Spark silently falls back to a global Sort+Limit
+    // when the limit exceeds topKSortFallbackThreshold (default 10000),
+    // and that regression must fail loudly, not just lose the fast node.
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Sort "), plan.take(1500))
     // hash-ranked selection is independent of row order / partitioning
     val a = cents.select(col("cid")).as[Long].collect().toSet
     val b = Similarity.sampleCentroids(corpus.repartition(7), 16)

@@ -45,4 +45,27 @@ class SketchSpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(approx - exact) <= 1.0, s"$approx vs $exact")
   }
+
+  test("approx_percentile rank error is within the sketch's hard bound (q63 invariant)") {
+    // the GK sketch contract at accuracy a: the returned value's feasible
+    // rank interval (count(x<v), count(x<=v)] intersects [q - 1/a, q + 1/a].
+    // q63 gates this at 10x slack under the driver; here we hold the HARD
+    // bound itself, so the driver gate's margin is demonstrated, not assumed.
+    val li = Tables.lineitem(spark, d).select(col("l_extendedprice").as("x")).cache()
+    try {
+      val n = li.count().toDouble
+      for (q <- Seq(0.25, 0.5, 0.75, 0.9)) {
+        val v = li.select(expr(s"approx_percentile(x, $q, 1000)")).as[Double].head()
+        val lo = li.filter(col("x") < v).count() / n
+        val hi = li.filter(col("x") <= v).count() / n
+        assert(lo <= q + 0.001 && hi >= q - 0.001,
+          s"q=$q v=$v rank interval ($lo, $hi] misses +-0.001")
+      }
+      // and the registered driver-gate query agrees with its oracle shape
+      val rows = Relational.q63ApproxPercentileBound(spark, d)
+        .select(col("q"), col("pass")).as[(Double, Boolean)].collect().toMap
+      assert(rows.keySet === Set(0.25, 0.5, 0.75, 0.9))
+      assert(rows.values.forall(identity), s"q63 pass flags: $rows")
+    } finally li.unpersist()
+  }
 }

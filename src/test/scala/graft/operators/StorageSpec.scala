@@ -63,6 +63,34 @@ class StorageSpec extends SparkSpec {
     assert(!scanned.contains("event_type=view"), "non-matching partition scanned")
   }
 
+  test("q61 JSON source read-back equals the parquet relation") {
+    val d = sf("sf0.001")
+    val back = Storage.q61JsonSource(spark, d)
+    val src = Tables.supplier(spark, d)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    }
+    assert(back.schema === src.schema)
+    assert(canon(back) === canon(src))
+  }
+
+  test("q62 sink round-trip prunes to the train partition only") {
+    val q = Storage.q62PartitionedSink(spark, sf("sf0.001"))
+    val plan = q.queryExecution.executedPlan.toString
+    // directory-level pruning: the split filter must be a PartitionFilter
+    // on the read-back scan, never a post-scan Filter over all splits
+    assert(plan.contains("PartitionFilters: [isnotnull(split"), plan.take(1500))
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("split=val") && !scanned.contains("split=test"),
+      "non-matching split partition scanned")
+    // every surviving row really is train-split
+    assert(q.select(col("split")).distinct().collect().map(_.getString(0)).toSeq
+      === Seq("train"))
+  }
+
   test("window top-k is limited before the full sort (WindowGroupLimit)") {
     val q = Relational.q07WindowRank(spark, sf("sf0.001"))
     val plan = q.queryExecution.executedPlan.toString

@@ -117,20 +117,23 @@ class KVStoreSpec extends SparkSpec {
     assert(!isLinearizable(Seq(OpRecord(1, 0, 10, "get", "k", "", "ghost"))))
   }
 
-  test("concurrent multi-client histories against the store are linearizable") {
-    // porcupine-style end-to-end check (reference: porcupine/porcupine.go
-    // + models/kv.go): N client THREADS race gets/puts/appends through
-    // one streaming query; each records its [invoke, ret] window and the
-    // observed result; the full concurrent history must admit a
-    // linearization under the get/put/append model.
+  /** Porcupine-style end-to-end run (reference: porcupine/porcupine.go +
+    * models/kv.go): N client THREADS race gets/puts/appends through one
+    * streaming query (real MemoryStream micro-batches — op batching, and
+    * thus which ops share a batch, varies with thread timing); each
+    * records its [invoke, ret] window and observed result. Returns the
+    * completed concurrent history. nClients*opsPerClient must stay ≤ 63
+    * so even a worst-case all-ops-on-one-key history fits the checker's
+    * bitmask search. */
+  private def concurrentHistory(seedBase: Long, nClients: Int, opsPerClient: Int,
+      queryName: String): Seq[Linearizability.OpRecord] = {
     import Linearizability.OpRecord
+    require(nClients * opsPerClient <= 63)
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[KvOp]
     val q = KVStore.run(mem.toDS())
-      .writeStream.format("memory").queryName("kv_lin")
+      .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Append).start()
-    val nClients = 4
-    val opsPerClient = 12
     val keys = Vector("x", "y", "z")
     val opIds = new java.util.concurrent.atomic.AtomicLong(0L)
     val pending = new java.util.concurrent.ConcurrentLinkedQueue[KvOp]
@@ -146,7 +149,7 @@ class KVStoreSpec extends SparkSpec {
         while (!stopPump || !pending.isEmpty) {
           val batch = Iterator.continually(pending.poll()).takeWhile(_ != null).toSeq
           if (batch.nonEmpty) { mem.addData(batch); q.processAllAvailable() }
-          spark.table("kv_lin").as[KvResult].collect()
+          spark.table(queryName).as[KvResult].collect()
             .foreach(r => results.put(r.opId, r.value))
           Thread.sleep(2)
         }
@@ -155,7 +158,7 @@ class KVStoreSpec extends SparkSpec {
 
     def client(cid: Int): Thread = new Thread(() => {
       try {
-        val rnd = new scala.util.Random(4000L + cid)
+        val rnd = new scala.util.Random(seedBase + cid)
         for (j <- 0 until opsPerClient) {
           val op = rnd.nextInt(3) match {
             case 0 => "get"; case 1 => "put"; case 2 => "append"
@@ -190,15 +193,29 @@ class KVStoreSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val history = records.asScala.toSeq
     assert(history.size === nClients * opsPerClient)
-    assert(Linearizability.isLinearizable(history),
-      s"history not linearizable:\n${history.sortBy(_.invoke).mkString("\n")}")
-    // the check has teeth on this very history: corrupting one observed
-    // get result must break linearizability
-    val firstGet = history.filter(o => o.op == "get" && o.key == "x")
-      .sortBy(_.invoke).lastOption
-    firstGet.foreach { g =>
-      val corrupted = history.filterNot(_ eq g) :+ g.copy(result = g.result + "#corrupt")
-      assert(!Linearizability.isLinearizable(corrupted))
+    history
+  }
+
+  test("concurrent multi-client histories against the store are linearizable (×3 seed soak)") {
+    // seed-randomized soak: each seed drives a DIFFERENT interleaving of
+    // client threads — different op mixes, different micro-batch
+    // groupings — through a fresh streaming query; every resulting
+    // concurrent history must admit a linearization under the
+    // get/put/append model.
+    for ((seed, i) <- Seq(4000L, 9000L, 13000L).zipWithIndex) {
+      val history = concurrentHistory(seed, nClients = 4, opsPerClient = 12,
+        queryName = s"kv_lin_$i")
+      assert(Linearizability.isLinearizable(history),
+        s"seed $seed: history not linearizable:\n${history.sortBy(_.invoke).mkString("\n")}")
+      // the check has teeth on each real history: corrupting one observed
+      // get result must break linearizability
+      val lastGet = history.filter(o => o.op == "get" && o.key == "x")
+        .sortBy(_.invoke).lastOption
+      lastGet.foreach { g =>
+        val corrupted = history.filterNot(_ eq g) :+ g.copy(result = g.result + "#corrupt")
+        assert(!Linearizability.isLinearizable(corrupted),
+          s"seed $seed: corrupted get not rejected")
+      }
     }
   }
 
