@@ -37,8 +37,14 @@ object Dedup {
     * duplicates, with high variance. The flag pays off ACROSS queries —
     * a curation run executing q20/q21/q22/q45 over the same corpus
     * re-tokenizes per query unless the gram rows are cached (shuffle
-    * reuse is per-query; the cache is cross-query). Slim 16-byte rows,
-    * MEMORY_AND_DISK so it spills. Default off. */
+    * reuse is per-query; the cache is cross-query — Spark's CacheManager
+    * matches the canonicalized gramHashRows plan, so every later query
+    * hits the persisted rows). MEASURED (graft.BenchCacheAB, sf0.1, ×5
+    * OFF/ON alternated): bundle median 7.54 s off → 6.30 s on, every
+    * rep's ON beating its OFF — see BASELINE.md round-6. Slim 16-byte
+    * rows, MEMORY_AND_DISK so it spills. Default stays OFF because the
+    * gate/bench paths run one query per cleared cache, where the
+    * build cost is a strict loss; set it for multi-query sessions. */
   private def maybeCache(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.getOption("spark.graft.dedup.cache").exists(_.toBoolean))
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
