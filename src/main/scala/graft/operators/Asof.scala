@@ -59,7 +59,84 @@ object Asof {
       |FROM events e ASOF LEFT JOIN ord o
       |  ON e.user_id = o.k AND CAST(e.ts AS TIMESTAMP) >= o.t""".stripMargin
 
+  /** Bucketed RANGE join (point-in-interval, NO equi key) — the second
+    * temporal-join operator Spark lacks natively: pairs every point row
+    * with every interval containing its timestamp (`start ≤ ts < end`).
+    * Spark's only built-in plan for a pure theta join is
+    * BroadcastNestedLoopJoin — |points|×|intervals| comparisons, a
+    * scale-killer. Quantizing time into fixed-width buckets turns it
+    * into an EQUI join (mandate preference (a) — composition): each
+    * interval explodes to the buckets it covers, each point maps to its
+    * single bucket, the join runs hash-partitioned (or broadcast, for a
+    * small interval side) on the bucket key, and the exact range
+    * predicate filters inside bucket-matched candidates.
+    *
+    * Cost: |points| + Σᵢ ceil(lenᵢ/width) join-input rows instead of a
+    * nested-loop product — pick `bucketMicros` near the TYPICAL interval
+    * length (fan-out per interval = len/width + 1; too-fine buckets
+    * replicate intervals, too-coarse buckets degrade the filter
+    * selectivity, correctness is unaffected either way). A point joins
+    * exactly ONE bucket, so point-in-interval needs no pair dedup
+    * (interval×interval would). Zero-length/inverted intervals are
+    * dropped up front — Spark's `sequence(a, b)` generates DESCENDING
+    * for b < a and would fabricate bucket rows. Timestamps are compared
+    * in exact epoch micros (the q16 convention). */
+  def rangeJoinBucketed(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    val pb = points.withColumn("__bucket",
+      floor(unix_micros(col(tsCol)) / bucketMicros))
+    val ib = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(
+        floor(unix_micros(col(startCol)) / bucketMicros),
+        floor((unix_micros(col(endCol)) - 1) / bucketMicros))))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
+
+  /** The range join under the driver gate: event traffic inside the 10
+    * busiest hours' OFFSET windows ([hour+30 min, hour+90 min) — the
+    * half-open shift makes the counts genuinely range-dependent instead
+    * of re-reading the hourly aggregate). The interval side is 10 rows →
+    * the exploded bucket table broadcasts and the corpus streams through
+    * one scan, no shuffle on the events side (plan-asserted in
+    * AsofSpec). Top-10 cut is deterministic: (count DESC, hour) in both
+    * engines. */
+  def q64RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val windows = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("h"))
+      .limit(10)
+      .select((col("h") + expr("INTERVAL 30 MINUTES")).as("win_start"),
+        (col("h") + expr("INTERVAL 90 MINUTES")).as("win_end"))
+    rangeJoinBucketed(ev.select(col("ts")), "ts",
+        windows, "win_start", "win_end", bucketMicros = 15L * 60 * 1000000)
+      .groupBy(col("win_start"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  val q64Sql: String =
+    """WITH busy AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS n
+      |  FROM events GROUP BY 1
+      |  ORDER BY n DESC, h LIMIT 10),
+      |win AS (
+      |  SELECT h + INTERVAL 30 MINUTE AS win_start,
+      |         h + INTERVAL 90 MINUTE AS win_end
+      |  FROM busy)
+      |SELECT win_start, count(*) AS n_events
+      |FROM events e JOIN win w
+      |  ON CAST(e.ts AS TIMESTAMP) >= w.win_start
+      | AND CAST(e.ts AS TIMESTAMP) < w.win_end
+      |GROUP BY win_start""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q35_asof_join" -> (q35AsofJoin _, q35Sql),
+    "q35_asof_join"  -> (q35AsofJoin _, q35Sql),
+    "q64_range_join" -> (q64RangeJoin _, q64Sql),
   )
 }

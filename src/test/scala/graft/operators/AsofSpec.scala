@@ -2,6 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class AsofSpec extends SparkSpec {
@@ -40,5 +41,43 @@ class AsofSpec extends SparkSpec {
     def run(n: Int) = Asof.asofJoin(left.repartition(n), right.repartition(n max 2), "o_orderkey")
       .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSet
     assert(run(1) === run(13))
+  }
+
+  test("bucketed range join == naive theta join; boundaries half-open; bad intervals dropped") {
+    val points = (0 until 240).map(i => (ts(i), i.toLong)).toDF("ts", "pid")
+    val intervals = Seq(
+      (ts(10), ts(20), "a"),   // plain window
+      (ts(15), ts(40), "b"),   // OVERLAPS a: points 15-19 match both
+      (ts(19), ts(21), "c"),   // straddles a bucket edge at any width
+      (ts(50), ts(50), "d"),   // empty (start == end) -> no matches
+      (ts(70), ts(60), "e"),   // inverted -> dropped, not fabricated
+      (ts(200), ts(1000), "f")) // extends past the last point
+      .toDF("win_start", "win_end", "tag")
+    val naive = points.crossJoin(intervals)
+      .filter(col("ts") >= col("win_start") && col("ts") < col("win_end"))
+      .select(col("pid"), col("tag")).as[(Long, String)].collect().toSet
+    // expected semantics spot-checks: start inclusive, end exclusive
+    assert(naive.contains((10L, "a")) && !naive.contains((20L, "a")))
+    assert(naive.contains((15L, "b")) && naive.contains((15L, "a")))
+    assert(!naive.exists(_._2 == "d") && !naive.exists(_._2 == "e"))
+    // the bucketed join must reproduce the naive pairs at ANY width —
+    // correctness is width-independent (width only tunes cost)
+    for (widthMin <- Seq(1L, 7L, 60L)) {
+      val got = Asof.rangeJoinBucketed(points, "ts", intervals,
+          "win_start", "win_end", bucketMicros = widthMin * 60L * 1000000)
+        .select(col("pid"), col("tag")).as[(Long, String)].collect()
+      assert(got.length === got.toSet.size, s"width=$widthMin produced duplicate pairs")
+      assert(got.toSet === naive, s"width=$widthMin")
+    }
+  }
+
+  test("q64 plan: equi join on buckets, never a nested-loop product") {
+    val q = Asof.q64RangeJoin(spark, sf("sf0.001"))
+    q.queryExecution.toRdd.count() // let AQE finalize join strategies
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the 10-interval side broadcasts; events stream through one scan
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 }
