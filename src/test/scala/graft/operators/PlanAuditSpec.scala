@@ -157,6 +157,19 @@ class PlanAuditSpec extends SparkSpec {
       finalPlan.take(2000))
   }
 
+  test("q63: sketch builds with map-side partial merge; rank verify broadcasts") {
+    val plan = planOf(Relational.q63ApproxPercentileBound(spark, d))
+    // the GK sketch is a TypedImperativeAggregate — partial sketches must
+    // merge map-side (ObjectHashAggregate partial_percentile_approx), so
+    // the shuffle moves one sketch per partition, never raw values
+    assert(plan.contains("partial_percentile_approx"), plan.take(2000))
+    // the 4-row (quantile, value) side broadcasts back over the column —
+    // no shuffle of the lineitem scan for the verification pass
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan.take(2000))
+    assert(!plan.contains("SortAggregate"), plan.take(2000))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
