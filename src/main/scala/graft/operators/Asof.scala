@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,12 @@ object Asof {
       |FROM events e ASOF LEFT JOIN ord o
       |  ON e.user_id = o.k AND CAST(e.ts AS TIMESTAMP) >= o.t""".stripMargin
 
+  /** Exact epoch micros for bucket math (the q16 convention);
+    * TIMESTAMP_NTZ columns (parquet isAdjustedToUTC=false — the orders
+    * table) cast to session-tz instants first, deterministic because
+    * GraftSession pins the session timezone to UTC. */
+  private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Bucketed RANGE join (point-in-interval, NO equi key) — the second
     * temporal-join operator Spark lacks natively: pairs every point row
     * with every interval containing its timestamp (`start ≤ ts < end`).
@@ -80,18 +86,18 @@ object Asof {
     * (interval×interval would). Zero-length/inverted intervals are
     * dropped up front — Spark's `sequence(a, b)` generates DESCENDING
     * for b < a and would fabricate bucket rows. Timestamps are compared
-    * in exact epoch micros (the q16 convention). */
+    * in exact epoch micros via [[micros]]. */
   def rangeJoinBucketed(points: DataFrame, tsCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
     val pb = points.withColumn("__bucket",
-      floor(unix_micros(col(tsCol)) / bucketMicros))
+      floor(micros(col(tsCol)) / bucketMicros))
     val ib = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
-        floor(unix_micros(col(startCol)) / bucketMicros),
-        floor((unix_micros(col(endCol)) - 1) / bucketMicros))))
+        floor(micros(col(startCol)) / bucketMicros),
+        floor((micros(col(endCol)) - 1) / bucketMicros))))
     pb.join(ib, Seq("__bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
@@ -135,8 +141,77 @@ object Asof {
       | AND CAST(e.ts AS TIMESTAMP) < w.win_end
       |GROUP BY win_start""".stripMargin
 
+  /** Interval OVERLAP join ([[rangeJoinBucketed]]'s interval×interval
+    * generalization): pairs every left interval with every right interval
+    * it overlaps (`startL < endR AND startR < endL`, half-open). Both
+    * sides explode to their covered buckets and equi-join on the bucket
+    * key — but unlike the point case, an overlapping pair shares EVERY
+    * bucket in [max(starts), min(ends)), so the raw join emits
+    * duplicates. They are eliminated WITHOUT a dropDuplicates shuffle:
+    * a pair is kept only in the FIRST bucket both sides cover —
+    * `bucket == floor(max(startL, startR) / width)` — a per-row
+    * predicate on columns already present (the standard dedup trick for
+    * bucketed spatial/temporal joins; asserted duplicate-free in
+    * AsofSpec). Join input is Σ ceil(len/width) rows per side; width
+    * tunes the replication/selectivity trade, never correctness.
+    * Column names must be disjoint across the two frames. */
+  def intervalOverlapJoin(left: DataFrame, startL: String, endL: String,
+      right: DataFrame, startR: String, endR: String,
+      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    def exploded(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) > col(s))
+        .withColumn("__bucket", explode(sequence(
+          floor(micros(col(s)) / bucketMicros),
+          floor((micros(col(e)) - 1) / bucketMicros))))
+    exploded(left, startL, endL)
+      .join(exploded(right, startR, endR), Seq("__bucket"))
+      .filter(col(startL) < col(endR) && col(startR) < col(endL))
+      .filter(col("__bucket") === floor(
+        greatest(micros(col(startL)), micros(col(startR))) / bucketMicros))
+      .drop("__bucket")
+  }
+
+  /** The overlap join under the driver gate: how many order fulfillment
+    * windows ([o_orderdate, +3 days)) overlap each of the 10 busiest
+    * order weeks. The 10-row week side explodes and broadcasts; orders
+    * stream through one scan. Top-10 cut deterministic: (count DESC,
+    * week) in both engines. */
+  def q65OverlapJoin(s: SparkSession, d: String): DataFrame = {
+    val ord = orders(s, d)
+    val weeks = ord
+      .groupBy(date_trunc("week", col("o_orderdate")).as("wk"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("wk"))
+      .limit(10)
+      .select(col("wk").as("wk_start"),
+        (col("wk") + expr("INTERVAL 7 DAYS")).as("wk_end"))
+    val spans = ord.select(col("o_orderkey"), col("o_orderdate").as("f_start"),
+      (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("f_end"))
+    intervalOverlapJoin(spans, "f_start", "f_end",
+        weeks, "wk_start", "wk_end", bucketMicros = 7L * 86400 * 1000000)
+      .groupBy(col("wk_start"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val q65Sql: String =
+    """WITH busy AS (
+      |  SELECT date_trunc('week', o_orderdate) AS wk, count(*) AS n
+      |  FROM orders GROUP BY 1
+      |  ORDER BY n DESC, wk LIMIT 10),
+      |win AS (
+      |  SELECT CAST(wk AS TIMESTAMP) AS wk_start,
+      |         CAST(wk AS TIMESTAMP) + INTERVAL 7 DAY AS wk_end
+      |  FROM busy)
+      |SELECT wk_start, count(*) AS n_orders
+      |FROM orders o JOIN win w
+      |  ON o.o_orderdate < w.wk_end
+      | AND o.o_orderdate + INTERVAL 3 DAY > w.wk_start
+      |GROUP BY wk_start""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q35_asof_join"  -> (q35AsofJoin _, q35Sql),
-    "q64_range_join" -> (q64RangeJoin _, q64Sql),
+    "q35_asof_join"    -> (q35AsofJoin _, q35Sql),
+    "q64_range_join"   -> (q64RangeJoin _, q64Sql),
+    "q65_overlap_join" -> (q65OverlapJoin _, q65Sql),
   )
 }

@@ -71,6 +71,36 @@ class AsofSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap join == naive theta join, duplicate-free at any width") {
+    val left = Seq(
+      (1L, ts(0), ts(100)),   // long interval spanning many buckets
+      (2L, ts(10), ts(20)),
+      (3L, ts(20), ts(30)),   // touches 2's end: half-open -> no overlap
+      (4L, ts(25), ts(26)),   // contained inside 1 and 3
+      (5L, ts(500), ts(600))) // overlaps nothing on the right
+      .toDF("lid", "f_start", "f_end")
+    val right = Seq(
+      (10L, ts(15), ts(40)),  // overlaps 1, 2, 3, 4
+      (11L, ts(95), ts(200)), // clips 1's tail only
+      (12L, ts(100), ts(110)),// touches 1's end exactly -> no overlap with 1
+      (13L, ts(300), ts(300)))// empty -> overlaps nothing
+      .toDF("rid", "wk_start", "wk_end")
+    val naive = left.crossJoin(right)
+      .filter(col("f_start") < col("wk_end") && col("wk_start") < col("f_end"))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    assert(naive === Set((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (1L, 11L)))
+    // a pair shares every bucket in [max(starts), min(ends)) — the
+    // first-covered-bucket predicate must kill the duplicates at ANY
+    // width without a dropDuplicates shuffle
+    for (widthMin <- Seq(1L, 13L, 120L)) {
+      val got = Asof.intervalOverlapJoin(left, "f_start", "f_end",
+          right, "wk_start", "wk_end", bucketMicros = widthMin * 60L * 1000000)
+        .select(col("lid"), col("rid")).as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"width=$widthMin produced duplicate pairs")
+      assert(got.toSet === naive, s"width=$widthMin")
+    }
+  }
+
   test("q64 plan: equi join on buckets, never a nested-loop product") {
     val q = Asof.q64RangeJoin(spark, sf("sf0.001"))
     q.queryExecution.toRdd.count() // let AQE finalize join strategies
