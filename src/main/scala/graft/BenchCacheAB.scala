@@ -5,8 +5,10 @@ package graft
   * curation bundle q20+q21+q22+q45 as ONE session pass (the flag's stated
   * payoff is sharing gram/signature rows ACROSS queries; within one query
   * AQE ReuseExchange already dedups, and the cache was measured a loss
-  * there). Alternates OFF/ON per rep so VM drift hits both arms equally;
-  * reports per-arm medians of the bundle wall time.
+  * there). The within-rep arm order is COUNTERBALANCED (OFF→ON on even
+  * reps, ON→OFF on odd) so monotone warm-up — page cache, JIT — and VM
+  * drift hit both arms equally; reports per-arm medians of the bundle
+  * wall time.
   *
   * `runMain graft.BenchCacheAB [sfDir] [reps]` — results recorded in
   * BASELINE.md.
@@ -32,8 +34,13 @@ object BenchCacheAB {
     }
 
     val (off, on) = (1 to reps).map { i =>
-      val o = runBundle(cache = false)
-      val c = runBundle(cache = true)
+      val (o, c) = if (i % 2 == 0) {
+        val o0 = runBundle(cache = false); val c0 = runBundle(cache = true)
+        (o0, c0)
+      } else {
+        val c0 = runBundle(cache = true); val o0 = runBundle(cache = false)
+        (o0, c0)
+      }
       println(f"[cache-ab] rep $i: off=$o%.2f s on=$c%.2f s")
       (o, c)
     }.unzip

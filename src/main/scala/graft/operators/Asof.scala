@@ -65,6 +65,17 @@ object Asof {
     * GraftSession pins the session timezone to UTC. */
   private def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+  /** Bucket KEY for a micros value: the bucket's START in epoch micros,
+    * `m - pmod(m, width)` — pure LONG arithmetic. Never `floor(m / w)`:
+    * Spark evaluates `long / long` as double division, exact only while
+    * micros < 2^53 (~year 2255) — the same hazard class Tables.events
+    * avoids; `pmod` keeps the whole pipeline integral at any epoch (and
+    * floor-consistent for negative, pre-1970 micros too). Using the
+    * start as the key (instead of an index) also means interval bucket
+    * ranges enumerate with a stepped `sequence`, still divisionless. */
+  private def bucketStart(m: Column, width: Long): Column =
+    m - pmod(m, lit(width))
+
   /** Bucketed RANGE join (point-in-interval, NO equi key) — the second
     * temporal-join operator Spark lacks natively: pairs every point row
     * with every interval containing its timestamp (`start ≤ ts < end`).
@@ -92,12 +103,13 @@ object Asof {
       bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
     val pb = points.withColumn("__bucket",
-      floor(micros(col(tsCol)) / bucketMicros))
+      bucketStart(micros(col(tsCol)), bucketMicros))
     val ib = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("__bucket", explode(sequence(
-        floor(micros(col(startCol)) / bucketMicros),
-        floor((micros(col(endCol)) - 1) / bucketMicros))))
+        bucketStart(micros(col(startCol)), bucketMicros),
+        bucketStart(micros(col(endCol)) - 1, bucketMicros),
+        lit(bucketMicros))))
     pb.join(ib, Seq("__bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
@@ -143,13 +155,22 @@ object Asof {
 
   /** Interval OVERLAP join ([[rangeJoinBucketed]]'s interval×interval
     * generalization): pairs every left interval with every right interval
-    * it overlaps (`startL < endR AND startR < endL`, half-open). Both
-    * sides explode to their covered buckets and equi-join on the bucket
-    * key — but unlike the point case, an overlapping pair shares EVERY
-    * bucket in [max(starts), min(ends)), so the raw join emits
+    * it overlaps, under SET-INTERSECTION semantics — two half-open
+    * intervals overlap iff their intersection is non-empty. For non-empty
+    * intervals that is the usual theta predicate
+    * `startL < endR AND startR < endL`; an EMPTY interval (end ≤ start,
+    * the empty set) overlaps NOTHING, even though the raw predicate would
+    * be TRUE for an empty interval strictly inside the other side. That
+    * divergence is deliberate and pinned in AsofSpec ("empty interval
+    * strictly inside"): callers who want the raw-predicate behavior must
+    * widen empty intervals before calling.
+    *
+    * Both sides explode to their covered buckets and equi-join on the
+    * bucket key — but unlike the point case, an overlapping pair shares
+    * EVERY bucket in [max(starts), min(ends)), so the raw join emits
     * duplicates. They are eliminated WITHOUT a dropDuplicates shuffle:
     * a pair is kept only in the FIRST bucket both sides cover —
-    * `bucket == floor(max(startL, startR) / width)` — a per-row
+    * `bucket == bucketStart(max(startL, startR))` — a per-row
     * predicate on columns already present (the standard dedup trick for
     * bucketed spatial/temporal joins; asserted duplicate-free in
     * AsofSpec). Join input is Σ ceil(len/width) rows per side; width
@@ -160,15 +181,16 @@ object Asof {
       bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
     def exploded(df: DataFrame, s: String, e: String): DataFrame =
-      df.filter(col(e) > col(s))
+      df.filter(col(e) > col(s)) // empty = ∅ ⇒ overlaps nothing (see above)
         .withColumn("__bucket", explode(sequence(
-          floor(micros(col(s)) / bucketMicros),
-          floor((micros(col(e)) - 1) / bucketMicros))))
+          bucketStart(micros(col(s)), bucketMicros),
+          bucketStart(micros(col(e)) - 1, bucketMicros),
+          lit(bucketMicros))))
     exploded(left, startL, endL)
       .join(exploded(right, startR, endR), Seq("__bucket"))
       .filter(col(startL) < col(endR) && col(startR) < col(endL))
-      .filter(col("__bucket") === floor(
-        greatest(micros(col(startL)), micros(col(startR))) / bucketMicros))
+      .filter(col("__bucket") === bucketStart(
+        greatest(micros(col(startL)), micros(col(startR))), bucketMicros))
       .drop("__bucket")
   }
 

@@ -22,18 +22,21 @@ import org.apache.spark.sql.functions._
   *     plan-asserted in StorageSpec) — at 100 TB the re-scan reads the
   *     train/ partition only, never listing data files of val/ or test/.
   *
-  * Both queries write to a DETERMINISTIC scratch dir under
-  * java.io.tmpdir (per query × SF, `mode=overwrite`), so re-runs —
-  * Verify once, Bench ×reps — are idempotent and never collide across
-  * SFs. The write happens eagerly at query-build time; the returned
-  * DataFrame is the read-back, so the driver's hash compares what a
-  * downstream consumer of the sink would actually see.
+  * Both queries write to a scratch dir under java.io.tmpdir keyed by
+  * (Spark application id × query × SF, `mode=overwrite`): stable WITHIN
+  * a process, so re-runs — Verify once, Bench ×reps — are idempotent
+  * and never collide across SFs, but unique ACROSS processes, so two
+  * harness runs at the same SF can never interleave one's overwrite
+  * with the other's read-back. The write happens eagerly at query-build
+  * time; the returned DataFrame is the read-back, so the driver's hash
+  * compares what a downstream consumer of the sink would actually see.
   */
 object Storage {
   import Tables._
 
-  private def scratch(tag: String, d: String): String =
-    Paths.get(sys.props("java.io.tmpdir"), "graft-gate", tag,
+  private def scratch(s: SparkSession, tag: String, d: String): String =
+    Paths.get(sys.props("java.io.tmpdir"), "graft-gate",
+      s.sparkContext.applicationId, tag,
       d.replaceAll("[^A-Za-z0-9.]", "_")).toString
 
   /** Supplier through a JSON materialization: parquet → JSON → schema'd
@@ -43,7 +46,7 @@ object Storage {
     * the parquet oracle exactly. */
   def q61JsonSource(s: SparkSession, d: String): DataFrame = {
     val src = supplier(s, d)
-    val dir = scratch("q61_supplier_json", d)
+    val dir = scratch(s, "q61_supplier_json", d)
     src.write.mode("overwrite").json(dir)
     s.read.schema(src.schema).json(dir)
   }
@@ -58,7 +61,7 @@ object Storage {
   def q62PartitionedSink(s: SparkSession, d: String): DataFrame = {
     val out = Curation.withSplit(TextAnalysis.q40CorpusPipeline(s, d))
       .select(col("doc_id"), col("n_words"), col("split"))
-    val dir = scratch("q62_corpus_by_split", d)
+    val dir = scratch(s, "q62_corpus_by_split", d)
     out.write.mode("overwrite").partitionBy("split").parquet(dir)
     s.read.parquet(dir).filter(col("split") === "train")
   }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+
+/** Vocabulary-frequency operators for corpus curation:
+  *
+  *   - [[q68HeavyHitters]]: frequent tokens by the two-pass sketch
+  *     pattern — a Misra–Gries candidate pass with O(k) state per task,
+  *     then an EXACT re-count of only the ≤k candidates. At 100 TB the
+  *     vocabulary (billions of distinct tokens) makes a plain
+  *     groupBy-count a spilling O(|vocab|) shuffle; here pass 1 shuffles
+  *     k-entry summaries (one per partial), pass 2 shuffles only rows
+  *     surviving a broadcast semi-join against ≤k candidate words, with
+  *     map-side partial aggregation bounding it at k rows per task.
+  *   - [[q69LmScore]]: CCNet-style unigram language-model scoring — each
+  *     document's mean negative log-likelihood under the corpus unigram
+  *     distribution, THE classic cheap perplexity proxy for LLM
+  *     training-data quality filtering (Wenzek et al., "CCNet", 2020
+  *     use a KenLM 5-gram; the unigram case is the same pipeline shape).
+  *     One shuffle builds the frequency table, one hash join on the
+  *     token scores word rows (vocabulary-sized build side — shuffle
+  *     join by default, NOT broadcast: at web scale the vocab doesn't
+  *     fit an executor), one per-doc aggregation. Accumulation runs in
+  *     DECIMAL (the q41 dsum convention) so the per-doc mean is
+  *     independent of partial-aggregation order.
+  */
+object Vocab {
+  import Tables._
+  import Dedup.wordRows
+
+  /** Sketch width: deliberately SMALLER than the testdata vocabulary
+    * (31 tokens) so the Misra–Gries truncation path actually executes
+    * under the driver gate; the n/(k+1) retention guarantee makes the
+    * verified output exact at any k. */
+  private val K = 29
+
+  /** Tokens with exact count > n/(K+1), found by MG candidates + exact
+    * re-count. Deterministic despite the sketch: candidates are a
+    * guaranteed SUPERSET of the qualifying set (see MisraGries scaladoc),
+    * and the filter applies exact counts. */
+  def q68HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val mg = wordRows(docs).select(col("w")).as[String]
+      .select(new MisraGries(K).toColumn.name("mg"))
+      .select(explode(col("words")).as("word"), col("n").as("total"))
+    wordRows(docs)
+      .join(broadcast(mg), col("w") === col("word"))
+      .groupBy(col("word"), col("total"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > col("total") / lit(K + 1))
+      .select(col("word"), col("n"))
+  }
+
+  val q68Sql: String =
+    s"""WITH ws AS (
+       |  SELECT unnest(list_filter(
+       |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS w
+       |  FROM documents),
+       |tot AS (SELECT count(*) AS total FROM ws)
+       |SELECT w AS word, count(*) AS n
+       |FROM ws, tot
+       |GROUP BY w, tot.total
+       |HAVING count(*) > total / ${K + 1}""".stripMargin
+
+  /** Per-document mean token surprisal (nats) under the corpus unigram
+    * LM. Low = repetitive/templated text, high = rare-token soup; both
+    * tails are the usual curation cut. Per-token terms are rounded to 8
+    * decimals BEFORE decimal accumulation so the only cross-engine
+    * hazard is a log ULP landing exactly on a rounding boundary (the
+    * accepted q26 ln precedent). Zero-word docs keep n_words=0 and a
+    * NULL score. */
+  def q69LmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val wr = wordRows(docs)
+    val freq = wr.groupBy(col("w")).agg(count(lit(1)).as("wf"))
+    val tot = freq.agg(sum(col("wf")).as("tot"))
+    val scored = wr.join(freq, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(-log(col("wf").cast("double") / col("tot").cast("double")), 8)
+          .as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("nll").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 4).as("avg_nll"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"), col("avg_nll"))
+  }
+
+  val q69Sql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS w
+      |  FROM documents),
+      |freq AS (SELECT w, count(*) AS wf FROM ws GROUP BY 1),
+      |tot AS (SELECT CAST(sum(wf) AS BIGINT) AS tot FROM freq),
+      |per AS (
+      |  SELECT doc_id, count(*) AS n_words,
+      |    round(CAST(sum(CAST(round(-ln(CAST(wf AS DOUBLE) / tot), 8)
+      |        AS DECIMAL(38,18))) AS DOUBLE) / count(*), 4) AS avg_nll
+      |  FROM ws JOIN freq USING (w), tot
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words, p.avg_nll
+      |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "q68_heavy_hitters" -> (q68HeavyHitters _, q68Sql),
+    "q69_lm_score"      -> (q69LmScore _, q69Sql),
+  )
+}

@@ -83,12 +83,22 @@ class AsofSpec extends SparkSpec {
       (10L, ts(15), ts(40)),  // overlaps 1, 2, 3, 4
       (11L, ts(95), ts(200)), // clips 1's tail only
       (12L, ts(100), ts(110)),// touches 1's end exactly -> no overlap with 1
-      (13L, ts(300), ts(300)))// empty -> overlaps nothing
+      (13L, ts(300), ts(300)),// empty -> overlaps nothing
+      (14L, ts(50), ts(50)))  // empty STRICTLY INSIDE 1: raw theta predicate
+                              // is TRUE, set-intersection semantics say no —
+                              // pins the documented divergence
       .toDF("rid", "wk_start", "wk_end")
-    val naive = left.crossJoin(right)
+    // naive reference encodes the OPERATOR's set-intersection semantics:
+    // both sides restricted to non-empty intervals, then the theta predicate
+    val naive = left.filter(col("f_start") < col("f_end"))
+      .crossJoin(right.filter(col("wk_start") < col("wk_end")))
       .filter(col("f_start") < col("wk_end") && col("wk_start") < col("f_end"))
       .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
     assert(naive === Set((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (1L, 11L)))
+    // the raw predicate alone WOULD emit (1,14) — assert the divergence is real
+    assert(left.crossJoin(right)
+      .filter(col("f_start") < col("wk_end") && col("wk_start") < col("f_end"))
+      .filter(col("rid") === 14L).count() > 0)
     // a pair shares every bucket in [max(starts), min(ends)) — the
     // first-covered-bucket predicate must kill the duplicates at ANY
     // width without a dropDuplicates shuffle
