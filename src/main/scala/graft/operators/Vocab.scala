@@ -37,23 +37,28 @@ object Vocab {
     * verified output exact at any k. */
   private val K = 29
 
-  /** Tokens with exact count > n/(K+1), found by MG candidates + exact
-    * re-count. Deterministic despite the sketch: candidates are a
-    * guaranteed SUPERSET of the qualifying set (see MisraGries scaladoc),
-    * and the filter applies exact counts. */
-  def q68HeavyHitters(s: SparkSession, d: String): DataFrame = {
+  /** Two-pass frequent items over a single-column frame of tokens
+    * (column `w`): MG candidate pass, broadcast semi-join, exact
+    * re-count, exact threshold filter. Output (word, n) = exactly the
+    * tokens with true count > n/(k+1), independent of partitioning —
+    * candidates are a guaranteed SUPERSET of the qualifying set (see
+    * MisraGries scaladoc) and the filter applies exact counts. */
+  def frequentWords(words: DataFrame, k: Int): DataFrame = {
+    val s = words.sparkSession
     import s.implicits._
-    val docs = documents(s, d)
-    val mg = wordRows(docs).select(col("w")).as[String]
-      .select(new MisraGries(K).toColumn.name("mg"))
+    val mg = words.select(col("w")).as[String]
+      .select(new MisraGries(k).toColumn.name("mg"))
       .select(explode(col("words")).as("word"), col("n").as("total"))
-    wordRows(docs)
+    words
       .join(broadcast(mg), col("w") === col("word"))
       .groupBy(col("word"), col("total"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") > col("total") / lit(K + 1))
+      .filter(col("n") > col("total") / lit(k + 1))
       .select(col("word"), col("n"))
   }
+
+  def q68HeavyHitters(s: SparkSession, d: String): DataFrame =
+    frequentWords(wordRows(documents(s, d)), K)
 
   val q68Sql: String =
     s"""WITH ws AS (

@@ -1,0 +1,77 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.MisraGries
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Misra-Gries state is hard-bounded at k counters through reduce and merge") {
+    val k = 10
+    val agg = new MisraGries(k)
+    val b = (0 until 10000).foldLeft(agg.zero) { (st, i) =>
+      val next = agg.reduce(st, s"w${i % 500}")
+      assert(next.counts.size <= k)
+      next
+    }
+    val c = (0 until 10000).foldLeft(agg.zero)((st, i) => agg.reduce(st, s"x${i % 7}"))
+    val m = agg.merge(b, c)
+    assert(m.counts.size <= k)
+    assert(m.n === 20000L)
+  }
+
+  test("two-pass frequentWords == exact frequent set at ANY partitioning (vocab >> k)") {
+    // zipf-ish: word i appears ~N/(i+1) times over a 400-word vocabulary;
+    // k=12 << vocab forces constant decrement/truncation traffic
+    val rnd = new Random(42)
+    val words = rnd.shuffle(
+      (0 until 400).flatMap(i => Seq.fill(4000 / (i + 1))(s"w$i")).toList)
+    val k = 12
+    def exact(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] = {
+      val n = df.count()
+      df.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > lit(n.toDouble / (k + 1)))
+        .as[(String, Long)].collect().toSet
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val df = words.toDF("w").repartition(parts)
+      val got = Vocab.frequentWords(df, k).as[(String, Long)].collect()
+      assert(got.length === got.toSet.size, s"parts=$parts duplicates")
+      assert(got.toSet === exact(df), s"parts=$parts")
+    }
+  }
+
+  test("q69 LM score: uniform corpus scores ln(vocab); empty doc stays null") {
+    val docs = Seq(
+      (1L, "aa bb aa bb"),  // p(aa)=p(bb)=1/2 -> every token -ln(1/2)=ln 2
+      (2L, "aa aa bb bb"),
+      (3L, ""))             // zero words -> n_words 0, NULL score
+      .toDF("doc_id", "text")
+    // reuse the registered pipeline via a scratch parquet table
+    val dir = java.nio.file.Files.createTempDirectory("vocabspec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Vocab.q69LmScore(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_words"), Option(x.get(2)))).toMap
+    val ln2 = BigDecimal(math.log(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(r(1L)._1 === 4L && r(2L)._1 === 4L && r(3L)._1 === 0L)
+    assert(r(3L)._2 === None)
+    for (d <- Seq(1L, 2L))
+      assert(math.abs(r(d)._2.get.asInstanceOf[Double] - ln2.toDouble) < 1e-9)
+  }
+
+  test("q69 LM score is partitioning-insensitive (decimal accumulation)") {
+    val q = Vocab.q69LmScore(spark, sf("sf0.001"))
+    val a = q.collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    // same corpus fanned out to maximal parallelism: identical results
+    val docs = Tables.documents(spark, sf("sf0.001")).repartition(32)
+    val dir = java.nio.file.Files.createTempDirectory("vocabspec2").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val b = Vocab.q69LmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(a === b)
+  }
+}
