@@ -76,8 +76,43 @@ object Storage {
        |    FROM (${TextAnalysis.q40Sql})))
        |WHERE split = 'train'""".stripMargin
 
+  /** Bucketed co-located join under the driver gate (was spec-only):
+    * orders and lineitem land as BUCKETED tables (16 buckets on the
+    * join key, bucket-sorted), then join and aggregate. With matching
+    * bucket counts Spark plans a sort-merge join with NO exchange on
+    * either side — at 100 TB, bucketing is the storage-layout lever
+    * that converts every future orderkey join into a map-side merge
+    * (write the shuffle once, reuse it per query). The small-SF gate
+    * run may elect broadcast instead; StorageSpec pins the shuffle-free
+    * SMJ shape with broadcast disabled on THIS registered query.
+    * Revenue accumulates in DECIMAL (the q01 dsum convention) so the
+    * result is aggregation-order-independent and oracle-exact. */
+  def q70BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
+    orders(s, d).write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      .option("path", scratch(s, "q70_orders_b", d))
+      .mode("overwrite").saveAsTable(ot)
+    lineitem(s, d).write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      .option("path", scratch(s, "q70_lineitem_b", d))
+      .mode("overwrite").saveAsTable(lt)
+    s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  val q70Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
+    "q70_bucketed_join"    -> (q70BucketedJoin _, q70Sql),
   )
 }

@@ -170,6 +170,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(2000))
   }
 
+  test("runtime bloom filter: a selective dim filter prunes the fact scan side") {
+    // Spark's InjectRuntimeFilter builds a bloom filter from the join's
+    // selective (filtered) side at runtime and applies might_contain on
+    // the fact side BEFORE the shuffle — at 100 TB this is the lever
+    // that keeps a selective dim join from shuffling the whole fact
+    // table. Thresholds are sized for production (10 MB creation side /
+    // 10 GB application side), so at spec SF we lower them to prove the
+    // MECHANISM; the session defaults leave them at production values.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val q = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val plan = planOf(q).split("== Initial Plan ==").head
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected\n${plan.take(2500)}")
+      assert(plan.contains("bloom_filter_agg") || plan.contains("ObjectHashAggregate"),
+        plan.take(2500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

@@ -48,6 +48,29 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("q70 gated query: bucket-aligned SMJ, no exchange on either join side") {
+    // force the layout (not data size) to decide the join strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Storage.q70BucketedJoin(spark, sf("sf0.001"))
+      q.queryExecution.toRdd.count()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"lineitem side re-shuffled despite bucketing\n${plan.take(1500)}")
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"orders side re-shuffled despite bucketing\n${plan.take(1500)}")
+      // bucket-sorted files: the merge needs no extra Sort on the scan side
+      assert(plan.contains("Scan parquet"), plan.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      val tag = sf("sf0.001").replaceAll("[^A-Za-z0-9]", "_")
+      spark.sql(s"DROP TABLE IF EXISTS graft_orders_b_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_b_$tag")
+    }
+  }
+
   test("partition-by write enables partition pruning in the scan") {
     val dir = Files.createTempDirectory("graft-part").resolve("events")
     Tables.events(spark, sf("sf0.001"))
