@@ -120,8 +120,39 @@ object Analytics {
       |FROM a JOIN f ON a.user_id = f.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** Per-nation top-3 customers by balance, through the custom
+    * [[graft.plans.GroupTopK]] whole-operator (bounded per-group heaps,
+    * partial before the shuffle — no window, no sort of the input; see
+    * its scaladoc for the 100 TB argument). The oracle is the classic
+    * `row_number()` window form, so the gate proves operator ==
+    * window-top-k semantics. Tiebreak on c_custkey makes ties
+    * deterministic on both engines. The nation-name join happens AFTER
+    * the top-k (25 x 3 rows), so the dimension join is over the already
+    * reduced side. */
+  def q71TopPerGroup(s: SparkSession, d: String): DataFrame = {
+    val top = graft.plans.GroupTopKExtension.topKPerGroup(
+      customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_nationkey")),
+      groupCols = Seq("c_nationkey"),
+      order = Seq(("c_acctbal", false), ("c_custkey", true)), k = 3)
+    top.join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  val q71Sql: String =
+    """SELECT n_name, c_custkey, c_name, c_acctbal
+      |FROM (
+      |  SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer) c
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rn <= 3""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
+    "q71_top_per_group" -> (q71TopPerGroup _, q71Sql),
   )
 }

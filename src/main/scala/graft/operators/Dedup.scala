@@ -604,11 +604,75 @@ object Dedup {
 
   val q22Sql: String = exactJaccardSql(0.2, maxDf = 1000)
 
+  /** Duplicated-SPAN statistics per document — the substring-level dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL'22), at fixed span width instead of suffix
+    * arrays: for every word 8-gram OCCURRENCE (position, not distinct
+    * gram — a doc repeating a crawled boilerplate line 10 times has 10
+    * flagged spans), is that 8-gram present in ≥2 distinct documents?
+    * Output per doc: span count, cross-document duplicated span count,
+    * and their ratio — the "fraction of this document that is copied
+    * from elsewhere in the corpus" curation signal.
+    *
+    * Scale shape: occurrence rows are slim (doc_id, pos, 8-byte hash);
+    * the cross-doc gram set is one distinct + partial-aggregated count
+    * on the hash; flagging is a semi join on the hash — inverted-index
+    * passes only, nothing pair×pair, no windows. Docs with < 8 tokens
+    * have no spans and are excluded on both engines. */
+  def q72DupSpans(s: SparkSession, d: String): DataFrame =
+    dupSpanStats(documents(s, d).select(col("doc_id"), col("text")), 8)
+
+  /** See [[q72DupSpans]]; any (doc_id, text) frame, any span width. */
+  def dupSpanStats(docs: DataFrame, n: Int): DataFrame = {
+    val t = docs.repartition(col("doc_id"))
+      .withColumn("toks", tokensCodegen(col("text")))
+      .filter(size(col("toks")) >= n)
+    val spans = t
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")))
+      .filter(col("pos") <= size(col("toks")) - n)
+      .select(col("doc_id"),
+        xxhash64((col("col") +:
+          (2 to n).map(j => element_at(col("toks"), col("pos") + j))): _*)
+          .as("gh"))
+    val crossDoc = spans.dropDuplicates("doc_id", "gh")
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(crossDoc, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") /
+          col("n_spans").cast("double"), 6).as("dup_frac"))
+  }
+
+  val q72Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+      |  FROM toks, UNNEST(range(1, len(ws) - 6)) AS t(i)),
+      |crossdoc AS (
+      |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+      |                 FROM spans GROUP BY 1) WHERE nd >= 2),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) AS n_spans,
+      |    sum(CASE WHEN g IN (SELECT g FROM crossdoc) THEN 1 ELSE 0 END) AS n_dup
+      |  FROM spans GROUP BY 1)
+      |SELECT doc_id, n_spans, CAST(n_dup AS BIGINT) AS n_dup_spans,
+      |  round(CAST(n_dup AS DOUBLE) / n_spans, 6) AS dup_frac
+      |FROM perdoc""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
     "q22_ngram_jaccard"   -> (q22NgramJaccard _, q22Sql),
     "q31_simhash"         -> (q31Simhash _, q31Sql),
     "q50_dedup_clusters"  -> (q50DedupClusters _, q50Sql),
+    "q72_dup_spans"       -> (q72DupSpans _, q72Sql),
   )
 }

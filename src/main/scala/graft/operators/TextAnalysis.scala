@@ -416,6 +416,49 @@ object TextAnalysis {
       |LEFT JOIN tstats ON d.doc_id = tstats.doc_id
       |LEFT JOIN bstats ON d.doc_id = bstats.doc_id""".stripMargin
 
+  /** Shannon entropy of each document's unigram distribution — the
+    * information-density quality signal (low-entropy docs are looping /
+    * template generations; complements q56's repetition ratios, which
+    * only see EXACT n-gram repeats). Computed as
+    * `H = log2(n) - (Σ c·log2(c)) / n` so the only cross-engine
+    * floating-point hazard is each per-word `c·log2(c)` term: terms are
+    * rounded to 6 decimals and summed as DECIMAL (exact, order-free —
+    * the q41 convention), then the single final division and log2 are
+    * bit-identical double ops on identical inputs. One partial-aggregated
+    * shuffle on (doc, word), one on doc — never a per-doc sort. Docs
+    * with no a-z tokens have no distribution and are excluded on both
+    * engines. */
+  def q73TokenEntropy(s: SparkSession, d: String): DataFrame =
+    tokenEntropy(documents(s, d).select(col("doc_id"), col("text")))
+
+  /** See [[q73TokenEntropy]]; operates on any (doc_id, text) frame. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    wordRows(docs)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(round(col("c").cast("double") * log2(col("c")), 6)
+          .cast("decimal(38,6)")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log2(col("n_tokens")) -
+          col("s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("entropy"))
+
+  val q73Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |           t -> t <> '')) AS w
+      |  FROM documents),
+      |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+      |a AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    sum(CAST(round(c * log2(c), 6) AS DECIMAL(38,6))) AS s
+      |  FROM c GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |  round(log2(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6) AS entropy
+      |FROM a""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q24_token_stats"   -> (q24TokenStats _, q24Sql),
     "q25_bigram_counts" -> (q25BigramCounts _, q25Sql),
@@ -424,5 +467,6 @@ object TextAnalysis {
     "q28_fingerprint"   -> (q28Fingerprint _, q28Sql),
     "q40_corpus_pipeline" -> (q40CorpusPipeline _, q40Sql),
     "q56_repetition"    -> (q56Repetition _, q56Sql),
+    "q73_token_entropy" -> (q73TokenEntropy _, q73Sql),
   )
 }

@@ -127,4 +127,22 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === ((0.0, 0.0, false)))  // no n-grams at all
     assert(out(4L) === ((0.0, 0.0, false)))
   }
+
+  test("token entropy: uniform -> log2(k), constant -> 0, letterless excluded") {
+    val docs = Seq(
+      (1L, "aa bb cc dd aa bb cc dd"),   // uniform over 4 words -> H = 2
+      (2L, "loop loop loop loop loop"),  // single word -> H = 0
+      (3L, "aa aa aa bb"),               // 3/4,1/4 -> 2 - (3*log2(3))/4
+      (4L, "123 456 !!!")                // no a-z tokens -> excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((8L, 2.0)))
+    assert(out(2L) === ((5L, 0.0)))
+    val expected3 = BigDecimal(2.0 - 3.0 * (math.log(3.0) / math.log(2.0)) / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(3L)._1 === 4L)
+    assert(math.abs(out(3L)._2 - expected3) < 2e-6, s"${out(3L)._2} vs $expected3")
+    assert(!out.contains(4L))
+  }
 }

@@ -245,4 +245,32 @@ class DedupSpec extends SparkSpec {
     assert(dropped.forall(_.getAs[Long]("bsize") === 12L), dropped.mkString(", "))
     assert(Dedup.oversizedBuckets(docs, 16, 4, maxBucket = 12).count() === 0L)
   }
+
+  test("dup spans: planted shared 8-gram flagged positionally; within-doc repeats don't count") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 words
+    val docs = Seq(
+      // doc 0: shared span + 4 unique words -> 5 spans, 1 duplicated
+      (0L, s"$shared uniqueword anotherone thirdword fourthword"),
+      // doc 1: the shared span twice (plus a separator word):
+      // spans containing the boundary are unique; BOTH full copies flag
+      (1L, s"$shared stop $shared"),
+      // doc 2: no overlap with anyone, 9 words -> 2 spans, 0 duplicated
+      (2L, "one two three four five six seven eight nine"),
+      // doc 3: repeats ITS OWN 8-gram twice but shares nothing cross-doc
+      (3L, "solo dup solo dup solo dup solo dup solo dup solo dup solo dup solo dup"),
+      // doc 4: 7 words -> no spans, excluded
+      (4L, "too short to have any spans here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(docs, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) === ((5L, 1L)))
+    // doc1: 10 tokens... shared(8) stop shared(8) = 17 tokens -> 10 spans;
+    // flagged: the two exact copies of the shared gram
+    assert(out(1L) === ((10L, 2L)))
+    assert(out(2L) === ((2L, 0L)))
+    // doc3: 16 tokens -> 9 spans; its 8-gram "solo dup ..." appears in no
+    // OTHER doc -> 0 flagged (cross-document means >= 2 distinct docs)
+    assert(out(3L) === ((9L, 0L)))
+    assert(!out.contains(4L))
+  }
 }
