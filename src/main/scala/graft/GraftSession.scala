@@ -36,6 +36,7 @@ object GraftSession {
     graft.functions.FnvHash.register(spark)
     graft.functions.VecMath.register(spark)
     graft.functions.MinhashBands.register(spark)
+    graft.functions.ZorderBits.register(spark)
     graft.plans.GroupTopKExtension.install(spark)
     registerCapListener(spark)
     spark

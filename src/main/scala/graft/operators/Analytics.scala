@@ -150,9 +150,118 @@ object Analytics {
       |JOIN nation ON c_nationkey = n_nationkey
       |WHERE rn <= 3""".stripMargin
 
+  /** Gap-filled hourly resample: event counts per (event_type, hour)
+    * with missing hours emitted as explicit zeros — the shape every
+    * downstream charting/anomaly job wants (a gap and a zero are
+    * different signals).
+    *
+    * Scale shape: the raw table is touched ONCE by a partially-aggregated
+    * count (map-side combine shrinks it to |types|x|hours| before the one
+    * shuffle). The dense calendar is generated DISTRIBUTED from a 1-row
+    * min/max aggregate via `sequence()` + explode — never a driver-side
+    * loop — and is bounded (hours x bounded event-type enum: ~9k
+    * rows/year/type), so both sides of the final left join are tiny; the
+    * 100 TB cost is exactly the one count aggregation. */
+  def q74GapFill(s: SparkSession, d: String): DataFrame =
+    gapFillHourly(events(s, d))
+
+  def gapFillHourly(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    // counts/types/calendar all derive from e — rename the count side's
+    // columns so the final join is unambiguous without alias gymnastics
+    val counts = e.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type").as("ct"), col("h").as("ch"), col("n"))
+    val calendar = e
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    val types = e.select(col("event_type")).distinct()
+    calendar.crossJoin(broadcast(types))
+      .join(counts,
+        col("ct") === col("event_type") && col("ch") === col("hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  val q74Sql: String =
+    """WITH e AS (SELECT event_type,
+      |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+      |           FROM events),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+      |cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      |        FROM b),
+      |t AS (SELECT DISTINCT event_type FROM e),
+      |c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2)
+      |SELECT t.event_type, cal.hour, COALESCE(c.n, 0) AS n
+      |FROM cal CROSS JOIN t
+      |LEFT JOIN c ON c.event_type = t.event_type AND c.h = cal.hour""".stripMargin
+
+  /** SCD2 snapshot construction from a changelog — the gaps-and-islands
+    * problem: collapse each user's CONSECUTIVE runs of the same
+    * event_type into one validity interval [valid_from, valid_to), with
+    * valid_to = the next run's start (NULL while current). This is how a
+    * warehouse turns an event stream into a slowly-changing-dimension
+    * table (state-at-time-T joins, as-of semantics).
+    *
+    * Scale shape: run boundaries, run ids (running sum over the change
+    * flag), the per-run collapse, and the valid_to lead all stack over
+    * ONE user_id partitioning — Spark plans the window chain plus the
+    * groupBy over a single Exchange (the q66 trick; ENSURE_REQUIREMENTS
+    * inserts nothing). Ties order by (ts, event_id) so runs are
+    * deterministic on both engines. */
+  def q80Scd2(s: SparkSession, d: String): DataFrame =
+    scd2(events(s, d))
+
+  def scd2(ev: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = ev
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(ord).isNull ||
+          lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("valid_from"))))
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"))
+  }
+
+  val q80Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type, ts,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM flagged),
+      |collapsed AS (
+      |  SELECT user_id, run_id, event_type,
+      |    min(ts) AS valid_from, count(*) AS n_events
+      |  FROM runs GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |    AS valid_to,
+      |  n_events
+      |FROM collapsed""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
     "q71_top_per_group" -> (q71TopPerGroup _, q71Sql),
+    "q74_gap_fill"  -> (q74GapFill _, q74Sql),
+    "q80_scd2"      -> (q80Scd2 _, q80Sql),
   )
 }

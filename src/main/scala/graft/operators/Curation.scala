@@ -209,11 +209,95 @@ object Curation {
       |    AS mixture_share
       |FROM per""".stripMargin
 
+  /** Deterministic per-source downsample: keep the k docs with the
+    * smallest content-keyed md5 per source — a uniform-without-rand()
+    * sample (same reproducibility contract as [[withSplit]]: engine-,
+    * run- and partitioning-invariant, and adding documents to one source
+    * never changes which of the SURVIVING docs another source keeps).
+    *
+    * Rides the [[graft.plans.GroupTopK]] whole-operator, so the scale
+    * cost is a partial bounded-heap per partition + one shuffle carrying
+    * <= groups x k rows per partition — never a full sort or a window
+    * materialization of each source's documents (the oracle's shape). */
+  def q75GroupSample(s: SparkSession, d: String): DataFrame =
+    groupSample(documents(s, d), k = 25)
+
+  /** The k docs with the smallest md5(doc_id) per source. */
+  def groupSample(docs: DataFrame, k: Int): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.GroupTopKExtension.topKPerGroup(
+      keyed, groupCols = Seq("source"),
+      order = Seq(("h", true), ("doc_id", true)), k = k)
+      .select(col("source"), col("doc_id"), col("h"))
+  }
+
+  val q75Sql: String =
+    """SELECT source, doc_id, h FROM (
+      |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 25""".stripMargin
+
+  /** Fixed-token-window chunking with overlap (size 50, stride 40) — the
+    * RAG/pretrain preprocessing step that turns documents into
+    * bounded-length training rows. Chunk starts are 0, stride, 2*stride,
+    * ... while < n_tokens, so consecutive chunks share (size - stride)
+    * tokens and the tail chunk may be short.
+    *
+    * Scale shape: pure per-row project + generate — ZERO shuffles (plan-
+    * asserted in CurationSpec). Each input row expands to ceil(n/stride)
+    * output rows independently of every other row, so the operator
+    * scales embarrassingly; the md5 chunk digest keeps the gate content-
+    * sensitive without hauling chunk text through the comparison. */
+  def q76DocChunks(s: SparkSession, d: String): DataFrame =
+    docChunks(documents(s, d), size = 50, stride = 40)
+
+  def docChunks(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride,
+      s"need size >= stride > 0, got size=$size stride=$stride")
+    val cleaned = regexp_replace(lower(col("text")), "(^[^a-z]+)|([^a-z]+$)", "")
+    docs
+      .select(col("doc_id"),
+        when(length(cleaned) === 0, array().cast("array<string>"))
+          .otherwise(split(cleaned, "[^a-z]+")).as("tk"))
+      .where(org.apache.spark.sql.functions.size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, size(tk) - 1, $stride)")).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(
+          slice(col("tk"), col("start") + 1, lit(size))).cast("long")
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(size))))
+          .as("chunk_hash"))
+  }
+
+  val q76Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, tk,
+      |    unnest(generate_series(0, len(tk) - 1, 40)) AS start
+      |  FROM toks WHERE len(tk) > 0)
+      |SELECT doc_id,
+      |  CAST(start // 40 AS BIGINT) AS chunk_idx,
+      |  CAST(len(list_slice(tk, start + 1, start + 50)) AS BIGINT)
+      |    AS n_chunk_tokens,
+      |  md5(array_to_string(list_slice(tk, start + 1, start + 50), ' '))
+      |    AS chunk_hash
+      |FROM st""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
     "q45_contamination" -> (q45Contamination _, q45Sql),
     "q51_sequence_pack" -> (q51SequencePack _, q51Sql),
     "q52_mixture_sample" -> (q52MixtureSample _, q52Sql),
+    "q75_group_sample"  -> (q75GroupSample _, q75Sql),
+    "q76_doc_chunks"    -> (q76DocChunks _, q76Sql),
   )
 }

@@ -667,6 +667,75 @@ object Dedup {
       |  round(CAST(n_dup AS DOUBLE) / n_spans, 6) AS dup_frac
       |FROM perdoc""".stripMargin
 
+  /** EXACT trigram-set Jaccard similarity self-join via prefix filtering
+    * — the AllPairs/PPJoin candidate-generation scheme (Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW'07): order every
+    * document's distinct shingles by ONE global total order (ascending
+    * document frequency, rarest first), and two sets with Jaccard >= t
+    * MUST share an item within their first n - ceil(t*n) + 1 items. So
+    * candidates come from an inverted index over PREFIXES only, plus the
+    * length filter t*max(n_a,n_b) <= min(n_a,n_b) — and unlike the
+    * MinHash-LSH path (q21, recall < 1) or the df-capped gram join
+    * (q22, drops super-frequent grams), the result is EXACT: the
+    * verification step computes true Jaccard on the full sets and every
+    * qualifying pair provably survives candidate generation
+    * (differential-tested against naive all-pairs in DedupSpec).
+    *
+    * Scale shape: prefix rows are a (1-t) fraction of the distinct-item
+    * rows, and prefixes hold each doc's RAREST shingles, so the
+    * inverted-index join is naturally skew-resistant (a boilerplate gram
+    * shared by every doc lands in almost no prefixes — the opposite of
+    * q22's cap-managed skew). Items are the 8-byte gram hashes of
+    * [[gramHashRows]] (~1e-9 collision odds over a 250k-gram
+    * vocabulary); verification intersects rank-sorted hash arrays
+    * carried once per candidate side. */
+  def q77PrefixJoin(s: SparkSession, d: String): DataFrame =
+    prefixSimilarityJoin(documents(s, d).select(col("doc_id"), col("text")), 0.5)
+
+  /** See [[q77PrefixJoin]]: trigram-shingle sets (the q21/q22 set
+    * granularity, via [[gramHashRows]] — word sets are not discriminative
+    * on near-dup corpora), any threshold. */
+  def prefixSimilarityJoin(docs: DataFrame, t: Double): DataFrame =
+    prefixJoinItems(gramHashRows(docs), t)
+
+  /** Prefix-filtered exact similarity join over DISTINCT (doc_id, gh)
+    * item rows — set granularity is the caller's choice. */
+  def prefixJoinItems(items: DataFrame, t: Double): DataFrame = {
+    require(t > 0 && t <= 1, s"threshold must be in (0,1], got $t")
+    val dfreq = items.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    // per-doc item array, rank-sorted by the shared (df, gh) total order
+    val sets = items.join(dfreq, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("s"))
+      .select(col("doc_id"),
+        expr("transform(s, x -> x.gh)").as("tk"), size(col("s")).as("n"))
+    val prefix = sets.select(col("doc_id"), col("n"),
+      explode(slice(col("tk"), lit(1),
+        (col("n") - ceil(col("n") * lit(t)) + lit(1)).cast("int"))).as("gh"))
+    val cand = prefix
+      .select(col("gh"), col("doc_id").as("id_a"), col("n").as("n_a"))
+      .join(prefix.select(col("gh"), col("doc_id").as("id_b"),
+        col("n").as("n_b")), Seq("gh"))
+      .where(col("id_a") < col("id_b") &&
+        col("n_a") * lit(t) <= col("n_b") && col("n_b") * lit(t) <= col("n_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("tk").as("tk_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("tk").as("tk_b"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= t)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Same trigram-set oracle as q21/q22 but UNCAPPED — the operator's
+    * exactness claim is precisely "q22 semantics without the df-cap
+    * heuristic", so the oracle must not cap either. */
+  val q77Sql: String = exactJaccardSql(0.5)
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
@@ -674,5 +743,6 @@ object Dedup {
     "q31_simhash"         -> (q31Simhash _, q31Sql),
     "q50_dedup_clusters"  -> (q50DedupClusters _, q50Sql),
     "q72_dup_spans"       -> (q72DupSpans _, q72Sql),
+    "q77_prefix_join"     -> (q77PrefixJoin _, q77Sql),
   )
 }

@@ -110,9 +110,68 @@ object Storage {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Append (bx, byy, z) to `df`: each column fixed-width-binned into
+    * `buckets` cells from its GLOBAL min/max (integer arithmetic only —
+    * the divisionless convention; the 1-row bounds frame broadcasts),
+    * then Morton-interleaved by the native `zorder_bits` expression.
+    * Deterministic: a pure function of the value and the global bounds. */
+  def withZorder(df: DataFrame, cx: String, cy: String, buckets: Int): DataFrame = {
+    require(buckets > 0 && buckets <= 65536, s"buckets must be in [1,65536], got $buckets")
+    val b = df.agg(min(col(cx)).as("minx"), max(col(cx)).as("maxx"),
+      min(col(cy)).as("miny"), max(col(cy)).as("maxy"))
+    df.crossJoin(broadcast(b))
+      .withColumn("bx", expr(s"(($cx - minx) * $buckets) div (maxx - minx + 1)"))
+      .withColumn("byy", expr(s"(($cy - miny) * $buckets) div (maxy - miny + 1)"))
+      .withColumn("z", expr("zorder_bits(bx, byy)"))
+      .drop("minx", "maxx", "miny", "maxy")
+  }
+
+  /** Z-ORDERED columnar layout: range-partition by the Morton value and
+    * sort files internally by it, so rows close in BOTH dimensions land
+    * in the same parquet files. At 100 TB this is the data-layout lever
+    * for multi-dimensional workloads: parquet min/max stats then skip
+    * whole files for a selective predicate on EITHER column, where a
+    * linear sort serves one column and scatters the other (clustering
+    * factor measured in StorageSpec via input_file_name). */
+  def zorderWrite(df: DataFrame, cx: String, cy: String, buckets: Int,
+      nFiles: Int, path: String): Unit =
+    withZorder(df, cx, cy, buckets)
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .drop("bx", "byy", "z")
+      .write.mode("overwrite").parquet(path)
+
+  /** The Morton mapping itself under the driver gate: distinct
+    * (l_partkey, l_suppkey) of lineitem with each side's 1024-cell bin
+    * and the interleaved z value — the oracle re-derives the interleave
+    * arithmetically bit by bit, so any error in the native expression's
+    * shift/mask kernel (or the binning) hash-fails. */
+  def q79Zorder(s: SparkSession, d: String): DataFrame =
+    withZorder(lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct(),
+      "l_partkey", "l_suppkey", 1024)
+      .select(col("l_partkey"), col("l_suppkey"), col("bx"), col("byy"), col("z"))
+
+  val q79Sql: String =
+    """WITH b AS (
+      |  SELECT min(l_partkey) AS minx, max(l_partkey) AS maxx,
+      |         min(l_suppkey) AS miny, max(l_suppkey) AS maxy
+      |  FROM lineitem),
+      |r AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |binned AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    ((l_partkey - minx) * 1024) // (maxx - minx + 1) AS bx,
+      |    ((l_suppkey - miny) * 1024) // (maxy - miny + 1) AS byy
+      |  FROM r, b)
+      |SELECT l_partkey, l_suppkey, bx, byy,
+      |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+      |    (((bx >> i) & 1) << (2 * i)) + (((byy >> i) & 1) << (2 * i + 1))))
+      |    AS BIGINT) AS z
+      |FROM binned""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
     "q70_bucketed_join"    -> (q70BucketedJoin _, q70Sql),
+    "q79_zorder"           -> (q79Zorder _, q79Sql),
   )
 }

@@ -113,8 +113,52 @@ object Vocab {
       |SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words, p.avg_nll
       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
 
+  /** One iteration of BPE merge training at word granularity: count
+    * every ADJACENT token pair occurrence (position-sensitive — "a b a
+    * b" contributes "a b" twice) and report the top-k merge candidates.
+    * This is the inner loop of byte-pair-encoding vocabulary induction
+    * (Sennrich et al., ACL'16): the real trainer repeats
+    * count→merge-most-frequent; the count step is the distributed part.
+    *
+    * Scale shape: pair generation is a per-row `transform(sequence(...))`
+    * — zero pre-shuffle joins, no window over token positions; the count
+    * partial-aggregates map-side (pairs follow a Zipf law, so combiners
+    * collapse most volume before the one shuffle), and the global top-k
+    * is TakeOrderedAndProject (per-partition bounded heaps), never a
+    * full sort. Ties break on the pair string so the cut is
+    * deterministic on both engines. */
+  def q78BpePairs(s: SparkSession, d: String): DataFrame =
+    bpePairCounts(documents(s, d), k = 20)
+
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(Dedup.tokensCodegen(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      // element_at is 1-based in BOTH engines — identical expression; the
+      // size>=2 guard keeps sequence() off its descending start>stop path
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+
+  val q78Sql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |pr AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i + 1])) AS pair
+      |  FROM toks WHERE len(tk) >= 2)
+      |SELECT pair, count(*) AS n FROM pr GROUP BY 1
+      |ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q68_heavy_hitters" -> (q68HeavyHitters _, q68Sql),
     "q69_lm_score"      -> (q69LmScore _, q69Sql),
+    "q78_bpe_pairs"     -> (q78BpePairs _, q78Sql),
   )
 }

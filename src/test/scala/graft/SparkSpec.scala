@@ -18,6 +18,7 @@ object SharedSpark {
     graft.functions.FnvHash.register(s)
     graft.functions.VecMath.register(s)
     graft.functions.MinhashBands.register(s)
+    graft.functions.ZorderBits.register(s)
     s
   }
 }

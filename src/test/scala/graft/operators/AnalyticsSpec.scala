@@ -62,4 +62,52 @@ class AnalyticsSpec extends SparkSpec {
     val total = r.filter(_._2 == 0L).map(_._3).sum
     assert(total === 3L)
   }
+
+  test("gap-fill: every (type, hour) cell present, missing hours are zero") {
+    val h = 60 // minutes per hour
+    val ev = Seq(
+      // type A: events in hour 0 (x2) and hour 3; hours 1-2 are gaps
+      (1L, "A", ts(5)), (2L, "A", ts(20)), (3L, "A", ts(3 * h + 1)),
+      // type B: only hour 1
+      (4L, "B", ts(h + 30)))
+      .toDF("event_id", "event_type", "ts")
+    val out = Analytics.gapFillHourly(ev)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Timestamp]("hour").getTime / 60000 / 60,
+        r.getAs[Long]("n")))
+      .toSet
+    // dense grid: 2 types x 4 hours (span hour 0..3), zeros explicit
+    assert(out === Set(
+      ("A", 0L, 2L), ("A", 1L, 0L), ("A", 2L, 0L), ("A", 3L, 1L),
+      ("B", 0L, 0L), ("B", 1L, 1L), ("B", 2L, 0L), ("B", 3L, 0L)))
+  }
+
+  test("scd2: consecutive runs collapse, intervals chain, one shuffle") {
+    val ev = Seq(
+      // u1: A A B A -> three runs (A x2, B, A) — the repeated state
+      // REOPENS a new interval, it does not merge with the first A run
+      (1L, 1L, "A", ts(0)), (2L, 1L, "A", ts(10)),
+      (3L, 1L, "B", ts(20)), (4L, 1L, "A", ts(30)),
+      // u2: single event -> one open-ended interval
+      (5L, 2L, "B", ts(5)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val q = Analytics.scd2(ev)
+    val out = q.collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[String]("event_type"),
+      r.getAs[Timestamp]("valid_from").getTime / 60000,
+      Option(r.getAs[Timestamp]("valid_to")).map(_.getTime / 60000),
+      r.getAs[Long]("n_events"))).toSet
+    assert(out === Set(
+      (1L, "A", 0L, Some(20L), 2L),
+      (1L, "B", 20L, Some(30L), 1L),
+      (1L, "A", 30L, None, 1L),
+      (2L, "B", 5L, None, 1L)))
+    // the whole window chain + collapse costs ONE hash exchange
+    q.queryExecution.toRdd.count()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges === 1, s"expected 1 hash exchange:\n${plan.take(3000)}")
+  }
 }

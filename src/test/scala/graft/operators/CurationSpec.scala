@@ -145,4 +145,62 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(3L)._2 - expected3) < 2e-6, s"${out(3L)._2} vs $expected3")
     assert(!out.contains(4L))
   }
+
+  test("doc chunking: window math, overlap, short/letterless docs, no shuffle") {
+    // all-letter words (the tokenizer splits on [^a-z]+, so digits in a
+    // word would break it apart): encode i's digits as letters a-j
+    def w(tag: String, i: Int) =
+      tag + i.toString.map(c => ('a' + (c - '0')).toChar)
+    def words(n: Int, tag: String) = (1 to n).map(w(tag, _)).mkString(" ")
+    val docs = Seq(
+      (1L, words(100, "a")), // starts 0,40,80 -> sizes 50,50,20
+      (2L, words(50, "b")),  // starts 0,40 -> sizes 50,10 (tail overlap)
+      (3L, words(40, "c")),  // one exact-stride chunk
+      (4L, words(3, "d")),   // short doc -> one short chunk
+      (5L, "123 !!! 456"),   // letterless -> no chunks
+      (6L, words(3, "d"))    // same text as doc 4 -> same chunk hash
+    ).toDF("doc_id", "text")
+    val out = Curation.docChunks(docs, size = 50, stride = 40)
+      .as[(Long, Long, Long, String)].collect()
+    val sizes = out.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(c => (c._2, c._3)).toSeq).toMap
+    assert(sizes(1L) === Seq((0L, 50L), (1L, 50L), (2L, 20L)))
+    assert(sizes(2L) === Seq((0L, 50L), (1L, 10L)))
+    assert(sizes(3L) === Seq((0L, 40L)))
+    assert(sizes(4L) === Seq((0L, 3L)))
+    assert(!sizes.contains(5L))
+    // content-keyed digest: identical text -> identical chunk hashes
+    val h4 = out.filter(_._1 == 4L).map(_._4).toSeq
+    val h6 = out.filter(_._1 == 6L).map(_._4).toSeq
+    assert(h4 === h6 && h4.nonEmpty)
+    // doc 2's tail chunk = tokens 41..50, a strict suffix of chunk 0:
+    // recompute its digest directly to pin the overlap semantics
+    val expectTail = java.security.MessageDigest.getInstance("MD5")
+      .digest((41 to 50).map(w("b", _)).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.find(c => c._1 == 2L && c._2 == 1L).get._4 === expectTail)
+    // zero shuffles: pure project + generate
+    val q = Curation.docChunks(docs, 50, 40)
+    q.queryExecution.toRdd.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(2000)}")
+  }
+
+  test("group sample: deterministic, k-bounded, cross-source invariant") {
+    val docs = (1L to 200L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val s1 = Curation.groupSample(docs, k = 10).as[(String, Long, String)]
+      .collect().toSet
+    // per-group bound + determinism across runs
+    assert(s1.groupBy(_._1).forall(_._2.size == 10))
+    val s2 = Curation.groupSample(docs, k = 10).as[(String, Long, String)]
+      .collect().toSet
+    assert(s1 === s2)
+    // sample only contains input docs of the right source
+    assert(s1.forall { case (src, id, _) => s"src${id % 4}" == src })
+    // dropping an entire OTHER source leaves this source's sample intact
+    val without3 = Curation.groupSample(
+      docs.where(col("source") =!= "src3"), k = 10)
+      .as[(String, Long, String)].collect().toSet
+    assert(without3 === s1.filterNot(_._1 == "src3"))
+  }
 }

@@ -273,4 +273,86 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((9L, 0L)))
     assert(!out.contains(4L))
   }
+
+  /** Naive exact all-pairs word-set Jaccard, same tokenization as the
+    * operator — the differential reference for prefix filtering. */
+  private def naiveJaccardPairs(docs: Seq[(Long, String)], t: Double) = {
+    def toks(s: String): Set[String] =
+      s.toLowerCase.replaceAll("(^[^a-z]+)|([^a-z]+$)", "")
+        .split("[^a-z]+").filter(_.nonEmpty).toSet
+    val sets = docs.map { case (id, s) => id -> toks(s) }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= t
+    } yield (a, b, BigDecimal(j).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+  }
+
+  /** Word-granularity item rows for exercising prefixJoinItems directly
+    * (the q77 entry point uses trigram items via gramHashRows). */
+  private def wordItems(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"),
+        explode(Dedup.tokensCodegen(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), xxhash64(col("w")).as("gh")).distinct()
+
+  test("prefix join: planted pairs found exactly, sub-threshold absent, no cartesian") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),       // jaccard 4/6 with doc 1
+      (3L, "alpha beta nothing shared here at all really"),  // below 0.5
+      (4L, "totally different words everywhere"),
+      (5L, "totally different words everywhere"),  // exact copy -> 1.0
+      (6L, "123 456")                              // letterless -> excluded
+    ).toDF("doc_id", "text")
+    val q = Dedup.prefixJoinItems(wordItems(docs), 0.5)
+    val got = q.as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 0.666667), (4L, 5L, 1.0)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be an equi join:\n${plan.take(2000)}")
+  }
+
+  test("prefix join matches naive all-pairs on random corpora (exactness incl. recall)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 't').map(c => s"$c$c$c")  // 20 words -> dense overlaps
+    for (trial <- 1 to 3; t <- Seq(0.3, 0.6)) {
+      val docs = (1L to 60L).map { id =>
+        val n = 3 + rnd.nextInt(8)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = Dedup.prefixJoinItems(wordItems(docs.toDF("doc_id", "text")), t)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = naiveJaccardPairs(docs, t)
+      assert(got === want,
+        s"trial $trial t=$t: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("q77 trigram prefix join: near-copy found with exact trigram jaccard") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail"),  // shares most trigrams with doc 1
+      (3L, "completely unrelated text with no shingle overlap at all ok")
+    ).toDF("doc_id", "text")
+    // naive trigram sets (gramHashRows semantics: distinct trigrams,
+    // short docs fall back to the whole-text token join)
+    def grams(s: String): Set[String] = {
+      val tk = s.toLowerCase.replaceAll("(^[^a-z]+)|([^a-z]+$)", "")
+        .split("[^a-z]+").toSeq
+      if (tk.size >= 3) tk.sliding(3).map(_.mkString(" ")).toSet
+      else Set(tk.mkString(" "))
+    }
+    val g1 = grams(base); val g2 = grams(base + " tail")
+    val inter = (g1 & g2).size
+    val expectJ = BigDecimal(inter.toDouble / (g1.size + g2.size - inter))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Dedup.prefixSimilarityJoin(docs, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, expectJ)))
+  }
 }

@@ -74,4 +74,22 @@ class VocabSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
     assert(a === b)
   }
+
+  test("BPE pairs: position-sensitive adjacent counts, deterministic tie cut") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // pairs: "a b" x2, "b a" x2
+      (2L, "a b. c"),      // punctuation splits: "a b", "b c"
+      (3L, "solo"),        // one token -> no pairs
+      (4L, "123 !!!")      // letterless -> no pairs
+    ).toDF("doc_id", "text")
+    val out = Vocab.bpePairCounts(docs, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // counts: "a b"->3, "b a"->2, "b c"->1; order (n desc, pair asc)
+    assert(out === Seq(("a b", 3L), ("b a", 2L), ("b c", 1L)))
+    // tie cut: with k=2 the tie between nothing is moot, but with all
+    // counts equal the lexicographic tiebreak decides membership
+    val ties = Seq((1L, "x y"), (2L, "p q"), (3L, "m n")).toDF("doc_id", "text")
+    val cut = Vocab.bpePairCounts(ties, k = 2).as[(String, Long)].collect().toSeq
+    assert(cut === Seq(("m n", 1L), ("p q", 1L)))
+  }
 }
