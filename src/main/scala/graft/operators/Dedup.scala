@@ -703,12 +703,19 @@ object Dedup {
   def prefixJoinItems(items: DataFrame, t: Double): DataFrame = {
     require(t > 0 && t <= 1, s"threshold must be in (0,1], got $t")
     val dfreq = items.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    // per-doc item array, rank-sorted by the shared (df, gh) total order
+    // per-doc item array, rank-sorted by the shared (df, gh) total order.
+    // The set table feeds FOUR consumers (both prefix-join sides, both
+    // verify sides); a lazy localCheckpoint makes them share ONE
+    // materialization of the tokenize→shingle→df-join→collect pipeline
+    // instead of re-deriving it from the raw text per consumer (measured
+    // ~18 scans → 1 at sf0.1), without leaking session cache — the
+    // blocks are reclaimed with the frame by the context cleaner.
     val sets = items.join(dfreq, Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("s"))
       .select(col("doc_id"),
         expr("transform(s, x -> x.gh)").as("tk"), size(col("s")).as("n"))
+      .localCheckpoint(false)
     val prefix = sets.select(col("doc_id"), col("n"),
       explode(slice(col("tk"), lit(1),
         (col("n") - ceil(col("n") * lit(t)) + lit(1)).cast("int"))).as("gh"))
