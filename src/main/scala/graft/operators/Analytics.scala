@@ -166,16 +166,19 @@ object Analytics {
     gapFillHourly(events(s, d))
 
   def gapFillHourly(ev: DataFrame): DataFrame = {
-    val e = ev.select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-    // counts/types/calendar all derive from e — rename the count side's
-    // columns so the final join is unambiguous without alias gymnastics
-    val counts = e.groupBy(col("event_type"), col("h"))
+    // ONE pass over the raw table; the calendar bounds and the type list
+    // both derive from the already-aggregated (bounded) counts frame,
+    // not from re-scans of the input. Count columns are renamed so the
+    // final join is unambiguous (counts/types share lineage).
+    val counts = ev
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .groupBy(col("event_type"), col("h"))
       .agg(count(lit(1)).as("n"))
       .select(col("event_type").as("ct"), col("h").as("ch"), col("n"))
-    val calendar = e
-      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val calendar = counts
+      .agg(min(col("ch")).as("lo"), max(col("ch")).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
-    val types = e.select(col("event_type")).distinct()
+    val types = counts.select(col("ct").as("event_type")).distinct()
     calendar.crossJoin(broadcast(types))
       .join(counts,
         col("ct") === col("event_type") && col("ch") === col("hour"), "left")

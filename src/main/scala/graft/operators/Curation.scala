@@ -252,25 +252,24 @@ object Curation {
     * scales embarrassingly; the md5 chunk digest keeps the gate content-
     * sensitive without hauling chunk text through the comparison. */
   def q76DocChunks(s: SparkSession, d: String): DataFrame =
-    docChunks(documents(s, d), size = 50, stride = 40)
+    docChunks(documents(s, d), width = 50, stride = 40)
 
-  def docChunks(docs: DataFrame, size: Int, stride: Int): DataFrame = {
-    require(stride > 0 && size >= stride,
-      s"need size >= stride > 0, got size=$size stride=$stride")
+  def docChunks(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(stride > 0 && width >= stride,
+      s"need width >= stride > 0, got width=$width stride=$stride")
     val cleaned = regexp_replace(lower(col("text")), "(^[^a-z]+)|([^a-z]+$)", "")
     docs
       .select(col("doc_id"),
         when(length(cleaned) === 0, array().cast("array<string>"))
           .otherwise(split(cleaned, "[^a-z]+")).as("tk"))
-      .where(org.apache.spark.sql.functions.size(col("tk")) > 0)
+      .where(size(col("tk")) > 0)
       .select(col("doc_id"), col("tk"),
         explode(expr(s"sequence(0, size(tk) - 1, $stride)")).as("start"))
       .select(col("doc_id"),
         (col("start") / stride).cast("long").as("chunk_idx"),
-        org.apache.spark.sql.functions.size(
-          slice(col("tk"), col("start") + 1, lit(size))).cast("long")
+        size(slice(col("tk"), col("start") + 1, lit(width))).cast("long")
           .as("n_chunk_tokens"),
-        md5(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(size))))
+        md5(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(width))))
           .as("chunk_hash"))
   }
 

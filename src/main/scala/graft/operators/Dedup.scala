@@ -700,25 +700,47 @@ object Dedup {
 
   /** Prefix-filtered exact similarity join over DISTINCT (doc_id, gh)
     * item rows — set granularity is the caller's choice. */
-  def prefixJoinItems(items: DataFrame, t: Double): DataFrame = {
-    require(t > 0 && t <= 1, s"threshold must be in (0,1], got $t")
-    val dfreq = items.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    // per-doc item array, rank-sorted by the shared (df, gh) total order.
-    // The set table feeds FOUR consumers (both prefix-join sides, both
-    // verify sides); a lazy localCheckpoint makes them share ONE
-    // materialization of the tokenize→shingle→df-join→collect pipeline
-    // instead of re-deriving it from the raw text per consumer (measured
-    // ~18 scans → 1 at sf0.1), without leaking session cache — the
-    // blocks are reclaimed with the frame by the context cleaner.
-    val sets = items.join(dfreq, Seq("gh"))
+  /** Per-doc item array, rank-sorted by the caller's (df, gh) total
+    * order. The set table feeds several consumers (prefix rows, both
+    * verify sides); the lazy localCheckpoint makes them share ONE
+    * materialization of the tokenize→shingle→df-join→collect pipeline
+    * instead of re-deriving it from raw text per consumer (measured ~18
+    * scans → 1 at sf0.1 — BASELINE.md), without leaking session cache:
+    * the blocks are reclaimed with the frame by the context cleaner. */
+  private def rankedSets(items: DataFrame, dfreq: DataFrame): DataFrame =
+    items.join(dfreq, Seq("gh"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("s"))
       .select(col("doc_id"),
         expr("transform(s, x -> x.gh)").as("tk"), size(col("s")).as("n"))
       .localCheckpoint(false)
-    val prefix = sets.select(col("doc_id"), col("n"),
+
+  /** The n − ⌈t·n⌉ + 1 rarest items of each set, exploded to rows. */
+  private def prefixRows(sets: DataFrame, t: Double): DataFrame =
+    sets.select(col("doc_id"), col("n"),
       explode(slice(col("tk"), lit(1),
         (col("n") - ceil(col("n") * lit(t)) + lit(1)).cast("int"))).as("gh"))
+
+  /** Exact-Jaccard verification of candidate (aCol, bCol) pairs against
+    * the rank-sorted set tables. */
+  private def verifyPairs(cand: DataFrame, setsA: DataFrame, setsB: DataFrame,
+      aCol: String, bCol: String, t: Double): DataFrame =
+    cand
+      .join(setsA.select(col("doc_id").as(aCol), col("tk").as("tk_a"),
+        col("n").as("n_a")), Seq(aCol))
+      .join(setsB.select(col("doc_id").as(bCol), col("tk").as("tk_b"),
+        col("n").as("n_b")), Seq(bCol))
+      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= t)
+      .select(col(aCol), col(bCol), round(col("jaccard"), 6).as("jaccard"))
+
+  def prefixJoinItems(items: DataFrame, t: Double): DataFrame = {
+    require(t > 0 && t <= 1, s"threshold must be in (0,1], got $t")
+    val dfreq = items.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val sets = rankedSets(items, dfreq)
+    val prefix = prefixRows(sets, t)
     val cand = prefix
       .select(col("gh"), col("doc_id").as("id_a"), col("n").as("n_a"))
       .join(prefix.select(col("gh"), col("doc_id").as("id_b"),
@@ -726,17 +748,71 @@ object Dedup {
       .where(col("id_a") < col("id_b") &&
         col("n_a") * lit(t) <= col("n_b") && col("n_b") * lit(t) <= col("n_a"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
-      .join(sets.select(col("doc_id").as("id_a"), col("tk").as("tk_a"),
-        col("n").as("n_a")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("tk").as("tk_b"),
-        col("n").as("n_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .where(col("jaccard") >= t)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    verifyPairs(cand, sets, sets, "id_a", "id_b", t)
   }
+
+  /** INCREMENTAL near-dup screen — the production dedup mode: a new
+    * crawl batch is checked against the EXISTING corpus without ever
+    * re-self-joining the corpus. Same prefix-filter guarantee as
+    * [[prefixJoinItems]] (one total order — df over batch ∪ corpus —
+    * shared by both sides makes the cross-table theorem hold: a
+    * batch/corpus pair with Jaccard >= t must collide within the two
+    * prefixes), so the screen is EXACT, and the corpus-side work is one
+    * distinct-item pass + its prefix rows: at 100 TB the corpus prefix
+    * index is write-once/reusable per batch, the batch side is tiny,
+    * and nothing batch-internal or corpus-internal is ever paired. */
+  def prefixJoinItemsTwo(itemsNew: DataFrame, itemsCorpus: DataFrame,
+      t: Double): DataFrame = {
+    require(t > 0 && t <= 1, s"threshold must be in (0,1], got $t")
+    val dfreq = itemsNew.unionAll(itemsCorpus)
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val sn = rankedSets(itemsNew, dfreq)
+    val sc = rankedSets(itemsCorpus, dfreq)
+    val cand = prefixRows(sn, t)
+      .select(col("gh"), col("doc_id").as("id_new"), col("n").as("n_a"))
+      .join(prefixRows(sc, t).select(col("gh"),
+        col("doc_id").as("id_corpus"), col("n").as("n_b")), Seq("gh"))
+      .where(col("n_a") * lit(t) <= col("n_b") &&
+        col("n_b") * lit(t) <= col("n_a"))
+      .select(col("id_new"), col("id_corpus")).distinct()
+    verifyPairs(cand, sn, sc, "id_new", "id_corpus", t)
+  }
+
+  /** See [[prefixJoinItemsTwo]]: the src0 batch against the rest of the
+    * corpus at trigram granularity. */
+  def q82IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"), col("source"))
+    prefixJoinItemsTwo(
+      gramHashRows(docs.where(col("source") === "src0")
+        .select(col("doc_id"), col("text"))),
+      gramHashRows(docs.where(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))), 0.5)
+  }
+
+  val q82Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |glists AS (
+      |  SELECT doc_id, source, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, source, unnest(gs) AS g FROM glists),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_new, b.doc_id AS id_corpus, count(*) AS ninter
+      |  FROM grams a JOIN grams b ON a.g = b.g
+      |  WHERE a.source = 'src0' AND b.source <> 'src0'
+      |  GROUP BY 1, 2)
+      |SELECT id_new, id_corpus,
+      |  round(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_new
+      |JOIN sizes sb ON sb.doc_id = id_corpus
+      |WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.5""".stripMargin
 
   /** Same trigram-set oracle as q21/q22 but UNCAPPED — the operator's
     * exactness claim is precisely "q22 semantics without the df-cap
@@ -751,5 +827,6 @@ object Dedup {
     "q50_dedup_clusters"  -> (q50DedupClusters _, q50Sql),
     "q72_dup_spans"       -> (q72DupSpans _, q72Sql),
     "q77_prefix_join"     -> (q77PrefixJoin _, q77Sql),
+    "q82_incremental_dedup" -> (q82IncrementalDedup _, q82Sql),
   )
 }

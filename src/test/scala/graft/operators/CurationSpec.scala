@@ -160,7 +160,7 @@ class CurationSpec extends SparkSpec {
       (5L, "123 !!! 456"),   // letterless -> no chunks
       (6L, words(3, "d"))    // same text as doc 4 -> same chunk hash
     ).toDF("doc_id", "text")
-    val out = Curation.docChunks(docs, size = 50, stride = 40)
+    val out = Curation.docChunks(docs, width = 50, stride = 40)
       .as[(Long, Long, Long, String)].collect()
     val sizes = out.groupBy(_._1).view
       .mapValues(_.sortBy(_._2).map(c => (c._2, c._3)).toSeq).toMap

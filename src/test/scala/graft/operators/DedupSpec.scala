@@ -332,6 +332,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: batch-vs-corpus only, internal dups unpaired, exact") {
+    val batch = Seq(
+      (101L, "alpha beta gamma delta epsilon"),  // near-copy of corpus 1
+      (102L, "unique batch content nothing shared"),
+      (103L, "unique batch content nothing shared")  // batch-INTERNAL dup
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta zeta"),   // j=4/6 with batch 101
+      (2L, "totally different words here"),
+      (3L, "totally different words here")   // corpus-INTERNAL dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixJoinItemsTwo(wordItems(batch), wordItems(corpus), 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // only the cross-table pair: internal duplicates are NOT the
+    // incremental screen's job (self-join handles those)
+    assert(got === Set((101L, 1L, 0.666667)))
+  }
+
+  test("incremental dedup matches naive cross-table all-pairs on random corpora") {
+    val rnd = new scala.util.Random(21)
+    val vocab = ('a' to 't').map(c => s"$c$c$c")
+    for (t <- Seq(0.3, 0.6)) {
+      def mk(ids: Range) = ids.map { id =>
+        id.toLong -> Seq.fill(3 + rnd.nextInt(8))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val batch = mk(1 to 25); val corpus = mk(101 to 160)
+      val got = Dedup.prefixJoinItemsTwo(
+        wordItems(batch.toDF("doc_id", "text")),
+        wordItems(corpus.toDF("doc_id", "text")), t)
+        .as[(Long, Long, Double)].collect().toSet
+      // cross-table subset of the naive all-pairs over the union
+      val want = naiveJaccardPairs(batch ++ corpus, t)
+        .filter { case (a, b, _) => a <= 25 && b >= 101 }
+      assert(got === want,
+        s"t=$t: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
   test("q77 trigram prefix join: near-copy found with exact trigram jaccard") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(
