@@ -61,7 +61,23 @@ object DumpPlans {
       ("q63_approx_percentile", Relational.q63ApproxPercentileBound(spark, d),
         "one scan builds the GK sketch; rank verification joins the " +
           "4-row (quantile, value) broadcast back against the column — " +
-          "no sort, no per-group value buffering"))
+          "no sort, no per-group value buffering"),
+      ("q71_top_per_group", Analytics.q71TopPerGroup(spark, d),
+        "GroupTopKPartial -> exchange -> GroupTopK bounded heaps (no " +
+          "Window, no input sort); dimension join AFTER the top-k"),
+      ("q77_prefix_join", Dedup.q77PrefixJoin(spark, d),
+        "rank-sorted set table materialized ONCE (localCheckpoint); " +
+          "candidates from an equi join over rarest-item prefixes; " +
+          "exact-Jaccard verify on the checkpointed arrays"),
+      ("q79_zorder", Storage.q79Zorder(spark, d),
+        "native zorder_bits inside whole-stage codegen; the 1-row " +
+          "global-bounds frame broadcasts; integer-only bin math"),
+      ("q80_scd2", Analytics.q80Scd2(spark, d),
+        "change flag, running-sum run ids, per-run collapse and the " +
+          "valid_to lead ALL stack over one user_id exchange"),
+      ("q83_rolling_window", Relational.q83RollingWindow(spark, d),
+        "RANGE frame over integer day numbers: one o_custkey exchange " +
+          "serves both trailing-30-day aggregates; decimal-exact sum"))
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")

@@ -46,29 +46,41 @@ object Graph {
     * undirected graph has out-edges). */
   def pagerank(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, Seq("src")).repartition(col("src")).persist()
-    try {
-      val nodes = e.select(col("src").as("node")).distinct().persist()
-      val n = nodes.count()
-      var r = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-      for (_ <- 1 to Iters) {
-        val contrib = e.join(r, e("src") === r("node"))
-          .select(col("dst"),
-            round(col("rank") / col("deg"), 10)
-              .cast("decimal(38,18)").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-        r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-          .select(nodes("node"),
-            round(lit(0.15 / n) +
-              lit(D) * coalesce(col("s").cast("double"), lit(0.0)), 10)
-              .as("rank"))
-      }
-      r.select(col("node"), round(col("rank"), 8).as("rank"))
-    } finally {
-      // drop only the cache; the returned frame recomputes through the
-      // same (now uncached) lineage if executed later
-      e.unpersist()
+    // localCheckpoint, not persist: the blocks must outlive this builder
+    // (a persist + finally-unpersist would drop the cache before the
+    // returned frame ever executes) and be reclaimed with the frame by
+    // the context cleaner rather than squatting in the session cache.
+    // Checkpointed PARTITIONED AND SORTED on src: every iteration's
+    // rank⋈edges then plans as a zero-Exchange sort-merge join against
+    // the rank frame (itself key-partitioned by its groupBy/distinct
+    // lineage) — no broadcast of the rank vector anywhere, because at
+    // web scale the node set does NOT fit an executor; measured 0 hash
+    // exchanges per iteration at sf0.1.
+    val e = edges.join(deg, Seq("src")).repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    val n = nodes.count()
+    var r = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to Iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst"),
+          round(col("rank") / col("deg"), 10)
+            .cast("decimal(38,18)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          round(lit(0.15 / n) +
+            lit(D) * coalesce(col("s").cast("double"), lit(0.0)), 10)
+            .as("rank"))
+        // truncate the per-iteration lineage (the dedupClusters
+        // lesson): without this, Catalyst re-plans a k-deep join
+        // chain and AQE re-derives every prior iteration per stage.
+        // Lazy, so the loop still executes as one DAG per run.
+        .localCheckpoint(false)
     }
+    r.select(col("node"), round(col("rank"), 8).as("rank"))
   }
 
   private def iterSql(i: Int): String =

@@ -927,6 +927,47 @@ object Relational {
       |WHERE o_custkey < 100
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** Time-RANGE rolling window — the frame type q08 (ROWS running sum)
+    * and q60 (offsets) don't touch: each order's trailing-30-day spend
+    * and order count for its customer, `RANGE BETWEEN 29 PRECEDING AND
+    * CURRENT ROW` over an integer day number (identical frame semantics
+    * in both engines, including same-day peers entering the frame
+    * together). Spend accumulates in DECIMAL so the window sum is
+    * order-free; ONE o_custkey shuffle serves both aggregates.
+    *
+    * 100 TB note: a date-ordered RANGE frame is the scalable rolling
+    * aggregate — state per partition is the 30-day buffer, not the
+    * history; contrast a self-join formulation (orders×orders within 30
+    * days) which explodes quadratically on active customers. */
+  def q83RollingWindow(s: SparkSession, d: String): DataFrame =
+    rollingSpend(orders(s, d), days = 30)
+
+  /** See [[q83RollingWindow]]; any (o_orderkey, o_custkey, o_orderdate,
+    * o_totalprice) frame, any trailing-day width. */
+  def rollingSpend(ord: DataFrame, days: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("dnum")).rangeBetween(-(days - 1), 0)
+    ord
+      .withColumn("dnum",
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))))
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_day"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+  }
+
+  val q83Sql: String =
+    """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_day,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS spend_30d,
+      |  count(*) OVER w AS n_orders_30d
+      |FROM orders
+      |WINDOW w AS (
+      |  PARTITION BY o_custkey
+      |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -962,5 +1003,6 @@ object Relational {
     "q59_grouping_sets"   -> (q59GroupingSets _, q59Sql),
     "q60_order_gaps"      -> (q60OrderGaps _, q60Sql),
     "q63_approx_percentile" -> (q63ApproxPercentileBound _, q63Sql),
+    "q83_rolling_window"  -> (q83RollingWindow _, q83Sql),
   )
 }

@@ -110,4 +110,24 @@ class AnalyticsSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashExchanges === 1, s"expected 1 hash exchange:\n${plan.take(3000)}")
   }
+
+  test("rolling RANGE window: trailing days, boundary exit, same-day peers") {
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"1995-01-${n}%02d 10:30:00")
+    val ord = Seq(
+      (1L, 1L, day(1), 100.0),
+      (2L, 1L, day(3), 10.0),   // sees day 1 (3-day window: days 1..3)
+      (3L, 1L, day(4), 1.0),    // sees days 3,4 — day 1 EXITED the frame
+      (4L, 1L, day(4), 0.5),    // same-day peer: RANGE includes both
+      (5L, 2L, day(2), 7.0))    // other customer, isolated
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.rollingSpend(ord, days = 3)
+      .select("o_orderkey", "spend_30d", "n_orders_30d")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((100.0, 1L)))
+    assert(out(2L) === ((110.0, 2L)))
+    // both day-4 orders see the SAME frame {day3, day4 x2} = 11.5
+    assert(out(3L) === ((11.5, 3L)))
+    assert(out(4L) === ((11.5, 3L)))
+    assert(out(5L) === ((7.0, 1L)))
+  }
 }
