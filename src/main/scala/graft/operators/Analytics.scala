@@ -260,11 +260,79 @@ object Analytics {
       |  n_events
       |FROM collapsed""".stripMargin
 
+  /** Rolling z-score anomaly detection, composed over the GAP-FILLED
+    * hourly series (q74 — the zeros matter: a missing hour IS the
+    * anomaly signal, and without gap fill a ROWS frame silently skips
+    * it): each (type, hour) against its trailing-24h mean/stddev,
+    * full frames only, |z| > 3 reported.
+    *
+    * Cross-engine determinism: the window accumulates the EXACT moments
+    * (Σn, Σn² in DECIMAL — never a running double variance, whose
+    * accumulation order and formula differ between engines), and both
+    * engines then evaluate the identical closed-form z from identical
+    * exact inputs, rounded to 4 before the threshold compare. Zero-σ
+    * frames are excluded before the division. One event_type exchange
+    * carries all three window aggregates. */
+  def q85Anomaly(s: SparkSession, d: String): DataFrame =
+    anomalies(gapFillHourly(events(s, d)), window = 24, zThresh = 3.0)
+
+  def anomalies(series: DataFrame, window: Int, zThresh: Double): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-(window - 1), 0)
+    series
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n").cast("decimal(38,0)")).over(w))
+      .withColumn("s2", sum((col("n").cast("decimal(19,0)") *
+        col("n").cast("decimal(19,0)"))).over(w))
+      .where(col("cnt") === window)
+      .withColumn("mean", col("s").cast("double") / window)
+      .withColumn("sigma", sqrt((col("s2").cast("double") -
+        col("s").cast("double") * col("s").cast("double") / window) /
+        (window - 1)))
+      .where(col("sigma") > 0)
+      .withColumn("z", round(abs(col("n") - col("mean")) / col("sigma"), 4))
+      .where(col("z") > zThresh)
+      .select(col("event_type"), col("hour"), col("n"), col("z"))
+  }
+
+  val q85Sql: String =
+    """WITH e AS (SELECT event_type,
+      |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+      |           FROM events),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+      |cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      |        FROM b),
+      |t AS (SELECT DISTINCT event_type FROM e),
+      |c AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+      |series AS (
+      |  SELECT t.event_type, cal.hour, COALESCE(c.n, 0) AS n
+      |  FROM cal CROSS JOIN t
+      |  LEFT JOIN c ON c.event_type = t.event_type AND c.h = cal.hour),
+      |w AS (
+      |  SELECT event_type, hour, n,
+      |    count(*) OVER fr AS cnt,
+      |    sum(CAST(n AS DECIMAL(38,0))) OVER fr AS s,
+      |    sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))) OVER fr AS s2
+      |  FROM series
+      |  WINDOW fr AS (PARTITION BY event_type ORDER BY hour
+      |                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+      |f AS (
+      |  SELECT event_type, hour, n,
+      |    CAST(s AS DOUBLE) / 24 AS mean,
+      |    sqrt((CAST(s2 AS DOUBLE) -
+      |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 24) / 23) AS sigma
+      |  FROM w WHERE cnt = 24)
+      |SELECT event_type, hour, n,
+      |  round(abs(n - mean) / sigma, 4) AS z
+      |FROM f
+      |WHERE sigma > 0 AND round(abs(n - mean) / sigma, 4) > 3.0""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
     "q71_top_per_group" -> (q71TopPerGroup _, q71Sql),
     "q74_gap_fill"  -> (q74GapFill _, q74Sql),
     "q80_scd2"      -> (q80Scd2 _, q80Sql),
+    "q85_anomaly"   -> (q85Anomaly _, q85Sql),
   )
 }

@@ -504,6 +504,38 @@ object Relational {
     """SELECT CAST(q AS DOUBLE) AS q, CAST(0.01 AS DOUBLE) AS rank_tol, true AS pass
       |FROM (VALUES (0.25), (0.5), (0.75), (0.9)) t(q)""".stripMargin
 
+  /** q63's invariant, PER GROUP — the grouped sketch path a profiling
+    * job actually runs at 100 TB (mergeable GK partials per group, no
+    * per-group value buffering, vs exact `percentile` whose state is the
+    * group's whole column). The per-group (median, n) frame is
+    * groups-sized and broadcasts back onto the fact table for the
+    * duplicate-safe feasible-rank check; same 10× margin over the hard
+    * 1/accuracy bound, so the gate is distribution- and
+    * partitioning-independent per group. */
+  def q84GroupedPercentiles(s: SparkSession, d: String): DataFrame = {
+    val qv = 0.5
+    val acc = 1000
+    val tol = 0.01
+    val li = lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    val sk = li.groupBy(col("g"))
+      .agg(percentile_approx(col("x"), lit(qv), lit(acc)).as("v"),
+        count(lit(1)).as("n"))
+    li.join(broadcast(sk), Seq("g"))
+      .groupBy(col("g"), col("v"), col("n"))
+      .agg(sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("hi"))
+      .select(col("g").as("l_returnflag"), lit(qv).as("q"),
+        lit(tol).as("rank_tol"),
+        (col("lo").cast("double") / col("n") <= qv + tol &&
+          col("hi").cast("double") / col("n") >= qv - tol).as("pass"))
+  }
+
+  val q84Sql: String =
+    """SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
+      |  CAST(0.01 AS DOUBLE) AS rank_tol, true AS pass
+      |FROM (SELECT DISTINCT l_returnflag FROM lineitem) t""".stripMargin
+
   /** Pivot: per-user event counts spread into one column per event type
     * — conditional aggregation, single shuffle. */
   def q33Pivot(s: SparkSession, d: String): DataFrame =
@@ -1004,5 +1036,6 @@ object Relational {
     "q60_order_gaps"      -> (q60OrderGaps _, q60Sql),
     "q63_approx_percentile" -> (q63ApproxPercentileBound _, q63Sql),
     "q83_rolling_window"  -> (q83RollingWindow _, q83Sql),
+    "q84_grouped_percentiles" -> (q84GroupedPercentiles _, q84Sql),
   )
 }

@@ -111,6 +111,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected 1 hash exchange:\n${plan.take(3000)}")
   }
 
+  test("anomalies: spike flagged with closed-form z; partial frames and flat series excluded") {
+    def hr(n: Int) = new Timestamp(3600000L * n)
+    // type A: hours 0..3 counts (1,1,1,9) — window 4: at hour 3 the frame
+    // is full, mean=3, sigma=4, z=(9-3)/4=1.5; with thresh 1.4 flagged.
+    // Hours 0-2 have partial frames -> excluded regardless of value.
+    // type B: constant series -> sigma=0 -> never flagged.
+    val series = (Seq((0, 1L), (1, 1L), (2, 1L), (3, 9L)).map {
+      case (h, n) => ("A", hr(h), n) } ++
+      (0 to 3).map(h => ("B", hr(h), 5L)))
+      .toDF("event_type", "hour", "n")
+    val out = Analytics.anomalies(series, window = 4, zThresh = 1.4)
+      .as[(String, Timestamp, Long, Double)].collect()
+    assert(out.toSeq === Seq(("A", hr(3), 9L, 1.5)))
+    // raising the threshold above the closed-form z empties the result
+    assert(Analytics.anomalies(series, 4, 1.6).count() === 0)
+  }
+
   test("rolling RANGE window: trailing days, boundary exit, same-day peers") {
     def day(n: Int) = java.sql.Timestamp.valueOf(f"1995-01-${n}%02d 10:30:00")
     val ord = Seq(
