@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * trade graph (an edge per distinct (o_custkey, l_suppkey) pair traded
   * through orders⋈lineitem; customers get even node ids, suppliers odd).
   *
-  * Determinism across engines (the q41/q69 decimal convention): each
-  * contribution rank/deg rounds to 10 decimals and accumulates as
-  * DECIMAL(38,18) — exact, aggregation-order-free — and the damped
-  * update re-rounds to 10 decimals per iteration, so Spark and the
-  * DuckDB oracle walk bit-identical rank vectors; the 1e-18 double→
-  * decimal cast wobble is 8 digits below the re-rounding cut.
+  * Determinism across engines: the iteration is INTEGER FIXED-POINT —
+  * ranks are BIGINT units of 1e-12 ("rank_e12"), contributions are
+  * floor divisions rank div deg, the damped update is
+  * base + (85·Σ) div 100 with base = 15e12 div (100·n) — so every
+  * quantity on both engines is an exactly-summed integer and the walk
+  * is bit-identical BY CONSTRUCTION. (A double formulation with
+  * per-iteration round(x, 10) measurably diverges: Spark rounds the
+  * shortest decimal representation HALF_UP while DuckDB multiplies and
+  * rounds in binary, and across 5 iterations × |V| values dozens of
+  * 1-ULP boundary hits survive to the output. Floor quantization loses
+  * ≤1e-12 mass per edge per step — a defined, engine-free semantic.)
   *
   * Scale shape: the edge list (with out-degrees pre-joined) is
   * partitioned on src and persisted ONCE; each of the k iterations is
@@ -27,8 +32,9 @@ import org.apache.spark.sql.functions._
 object Graph {
   import Tables._
 
-  private val D = 0.85
   private val Iters = 5
+  /** Fixed-point scale: ranks are BIGINT multiples of 1e-12. */
+  private val Scale = 1000000000000L
 
   def q81Pagerank(s: SparkSession, d: String): DataFrame = {
     val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -45,7 +51,6 @@ object Graph {
     * graphs pass both directions). Nodes = sources (every node of an
     * undirected graph has out-edges). */
   def pagerank(edges: DataFrame): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // localCheckpoint, not persist: the blocks must outlive this builder
     // (a persist + finally-unpersist would drop the cache before the
     // returned frame ever executes) and be reclaimed with the frame by
@@ -55,44 +60,45 @@ object Graph {
     // the rank frame (itself key-partitioned by its groupBy/distinct
     // lineage) — no broadcast of the rank vector anywhere, because at
     // web scale the node set does NOT fit an executor; measured 0 hash
-    // exchanges per iteration at sf0.1.
+    // exchanges per iteration at sf0.1. (A window-count variant for the
+    // degrees — saving the groupBy+join — measured ~2x SLOWER here: the
+    // whole-partition window buffers every src group, while the partial-
+    // aggregated groupBy shuffles only group-sized rows.)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = edges.join(deg, Seq("src")).repartition(col("src"))
       .sortWithinPartitions(col("src"))
       .localCheckpoint(false)
     val nodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint(false)
     val n = nodes.count()
-    var r = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    // fixed-point: rank_e12 units of 1e-12; all ops integer, both engines
+    var r = nodes.select(col("node"), lit(Scale / n).as("rank_e12"))
+    val base = (15L * Scale) / (100L * n)
     for (_ <- 1 to Iters) {
       val contrib = e.join(r, e("src") === r("node"))
-        .select(col("dst"),
-          round(col("rank") / col("deg"), 10)
-            .cast("decimal(38,18)").as("c"))
+        .select(col("dst"), expr("rank_e12 div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
         .select(nodes("node"),
-          round(lit(0.15 / n) +
-            lit(D) * coalesce(col("s").cast("double"), lit(0.0)), 10)
-            .as("rank"))
+          (lit(base) + expr("coalesce(s, 0L) * 85 div 100")).as("rank_e12"))
         // truncate the per-iteration lineage (the dedupClusters
         // lesson): without this, Catalyst re-plans a k-deep join
         // chain and AQE re-derives every prior iteration per stage.
         // Lazy, so the loop still executes as one DAG per run.
         .localCheckpoint(false)
     }
-    r.select(col("node"), round(col("rank"), 8).as("rank"))
+    r.select(col("node"), col("rank_e12"))
   }
 
   private def iterSql(i: Int): String =
     s"""rk$i AS (
-       |  SELECT e.dst AS node,
-       |    sum(CAST(round(r.rank / e.deg, 10) AS DECIMAL(38,18))) AS s
+       |  SELECT e.dst AS node, sum(r.rank_e12 // e.deg) AS s
        |  FROM ed e JOIN r${i - 1} r ON e.src = r.node
        |  GROUP BY 1),
        |r$i AS (
        |  SELECT n0.node,
-       |    round(0.15 / nn.n + 0.85 * COALESCE(CAST(rk$i.s AS DOUBLE), 0.0),
-       |      10) AS rank
+       |    CAST((15 * $Scale) // (100 * nn.n) +
+       |         (COALESCE(rk$i.s, 0) * 85) // 100 AS BIGINT) AS rank_e12
        |  FROM nodes n0 CROSS JOIN nn
        |  LEFT JOIN rk$i ON rk$i.node = n0.node)""".stripMargin
 
@@ -107,9 +113,10 @@ object Graph {
        |       JOIN deg d ON d.src = e.src),
        |nodes AS (SELECT DISTINCT src AS node FROM edges),
        |nn AS (SELECT count(*) AS n FROM nodes),
-       |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+       |r0 AS (SELECT node, CAST($Scale // nn.n AS BIGINT) AS rank_e12
+       |       FROM nodes CROSS JOIN nn),
        |${(1 to Iters).map(iterSql).mkString(",\n")}
-       |SELECT node, round(rank, 8) AS rank FROM r$Iters""".stripMargin
+       |SELECT node, rank_e12 FROM r$Iters""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q81_pagerank" -> (q81Pagerank _, q81Sql),

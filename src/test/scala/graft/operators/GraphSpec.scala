@@ -6,56 +6,54 @@ import graft.SparkSpec
 class GraphSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Reference power iteration replicating the operator's rounding
-    * schedule exactly (round-10 contributions, decimal-exact sums,
-    * round-10 damped update, round-8 output). */
-  private def slowPagerank(edges: Seq[(Long, Long)]): Map[Long, Double] = {
-    def r10(x: Double) =
-      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+  private val Scale = 1000000000000L
+
+  /** Reference power iteration replicating the operator's integer
+    * fixed-point schedule exactly (floor divisions, exact integer
+    * sums) — any deviation in the distributed formulation shows as an
+    * exact-integer mismatch, not a tolerance failure. */
+  private def slowPagerank(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val nodes = edges.map(_._1).distinct.sorted
-    val n = nodes.size
-    var r = nodes.map(_ -> 1.0 / n).toMap
+    val n = nodes.size.toLong
+    val base = (15L * Scale) / (100L * n)
+    var r = nodes.map(_ -> Scale / n).toMap
     for (_ <- 1 to 5) {
       val in = edges.groupBy(_._2).view.mapValues(
-        _.map { case (s, _) => BigDecimal(r10(r(s) / deg(s))) }.sum).toMap
-      r = nodes.map(v => v ->
-        r10(0.15 / n + 0.85 * in.getOrElse(v, BigDecimal(0)).toDouble)).toMap
+        _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(v => v -> (base + in.getOrElse(v, 0L) * 85L / 100L)).toMap
     }
-    r.view.mapValues(x => BigDecimal(x)
-      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    r
   }
 
   private def undirected(e: Seq[(Long, Long)]): Seq[(Long, Long)] =
     e ++ e.map(_.swap)
 
   test("pagerank: symmetric pair stays uniform; star center dominates") {
-    // two nodes, one undirected edge: by symmetry rank stays 0.5/0.5
+    // two nodes, one undirected edge: by symmetry both hold Scale/2
     val pair = Graph.pagerank(undirected(Seq((1L, 2L))).toDF("src", "dst"))
-      .as[(Long, Double)].collect().toMap
-    assert(pair === Map(1L -> 0.5, 2L -> 0.5))
+      .as[(Long, Long)].collect().toMap
+    assert(pair(1L) === pair(2L))
+    assert(math.abs(pair(1L) - Scale / 2) < 5)  // floor-quantization slack
     // star: center 1 linked to 2,3,4 — center outranks leaves, which tie
     val star = Graph.pagerank(
       undirected(Seq((1L, 2L), (1L, 3L), (1L, 4L))).toDF("src", "dst"))
-      .as[(Long, Double)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     assert(star(1L) > star(2L))
     assert(star(2L) === star(3L) && star(3L) === star(4L))
-    // mass conservation (undirected -> no dangling leak): sum == 1
-    assert(math.abs(star.values.sum - 1.0) < 1e-6, star)
+    // mass conservation up to floor loss (< 1e-12 per edge per step)
+    assert(math.abs(star.values.sum - Scale) < 1000, star)
   }
 
-  test("pagerank matches the reference iteration on random graphs") {
+  test("pagerank matches the fixed-point reference exactly on random graphs") {
     val rnd = new scala.util.Random(13)
     for (trial <- 1 to 3) {
       val edges = undirected((1 to 40).map(_ =>
         (rnd.nextInt(12).toLong, 12L + rnd.nextInt(8))).distinct)
       val got = Graph.pagerank(edges.toDF("src", "dst"))
-        .as[(Long, Double)].collect().toMap
+        .as[(Long, Long)].collect().toMap
       val want = slowPagerank(edges)
-      assert(got.keySet === want.keySet, s"trial $trial")
-      got.foreach { case (v, x) =>
-        assert(math.abs(x - want(v)) < 1e-8, s"trial $trial node $v: $x vs ${want(v)}")
-      }
+      assert(got === want, s"trial $trial")
     }
   }
 }
