@@ -220,9 +220,11 @@ object Analytics {
       .orderBy(col("ts"), col("event_id"))
     val runs = ev
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      // null-SAFE boundary detection (<=> / IS DISTINCT FROM): a null
+      // state is its own run, not silently merged into the previous one
+      // (plain <> returns NULL against a null state -> chg would be 0)
       .withColumn("chg",
-        when(lag(col("event_type"), 1).over(ord).isNull ||
-          lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L)
+        when(!(lag(col("event_type"), 1).over(ord) <=> col("event_type")), 1L)
           .otherwise(0L))
       .withColumn("run_id", sum(col("chg")).over(
         ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -241,8 +243,7 @@ object Analytics {
       |  FROM events),
       |flagged AS (
       |  SELECT user_id, event_id, event_type, ts,
-      |    CASE WHEN lag(event_type) OVER w IS NULL
-      |           OR lag(event_type) OVER w <> event_type
+      |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
       |         THEN 1 ELSE 0 END AS chg
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |runs AS (

@@ -1000,6 +1000,34 @@ object Relational {
       |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
       |  RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** The `RewriteWindowTopK` optimizer rule itself under the driver
+    * gate: a plain SQL `row_number() <= k` top-k — the shape EXISTING
+    * user queries have — that the rule silently replaces with the
+    * GroupTopK bounded-heap operator (the rank column is dropped, so
+    * the rewrite applies; GroupTopKSpec asserts this query's executed
+    * plan contains GroupTopK and no Window). The DuckDB oracle runs the
+    * original window form, so the gate proves rewritten == original
+    * semantics end-to-end, ties and all. */
+  def q86WindowTopkRewrite(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GroupTopKExtension.install(s)
+    val dir = d.replace("`", "``")
+    s.sql(s"""
+      SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM parquet.`$dir/orders.parquet`) t
+      WHERE rn <= 3""")
+  }
+
+  val q86Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -1037,5 +1065,6 @@ object Relational {
     "q63_approx_percentile" -> (q63ApproxPercentileBound _, q63Sql),
     "q83_rolling_window"  -> (q83RollingWindow _, q83Sql),
     "q84_grouped_percentiles" -> (q84GroupedPercentiles _, q84Sql),
+    "q86_window_topk_rewrite" -> (q86WindowTopkRewrite _, q86Sql),
   )
 }

@@ -114,7 +114,16 @@ object Storage {
     * `buckets` cells from its GLOBAL min/max (integer arithmetic only —
     * the divisionless convention; the 1-row bounds frame broadcasts),
     * then Morton-interleaved by the native `zorder_bits` expression.
-    * Deterministic: a pure function of the value and the global bounds. */
+    * Deterministic: a pure function of the value and the global bounds.
+    *
+    * Known trade-offs, stated: (1) the input is scanned twice (bounds +
+    * rows) — at scale the bounds often come free from table metadata or
+    * a prior profiling pass; (2) min/max binning is outlier-sensitive
+    * (one extreme value squashes everyone else into few cells) — for
+    * skewed columns bin on rank boundaries instead (approx_percentile
+    * cut points broadcast exactly like the bounds frame; the interleave
+    * and write path are unchanged). The gate keys on the min/max form
+    * because it is closed-form replicable in the oracle. */
   def withZorder(df: DataFrame, cx: String, cy: String, buckets: Int): DataFrame = {
     require(buckets > 0 && buckets <= 65536, s"buckets must be in [1,65536], got $buckets")
     val b = df.agg(min(col(cx)).as("minx"), max(col(cx)).as("maxx"),

@@ -111,6 +111,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(hashExchanges === 1, s"expected 1 hash exchange:\n${plan.take(3000)}")
   }
 
+  test("scd2: null states form their own runs (null-safe boundaries); empty input") {
+    val ev = Seq(
+      (1L, 1L, Some("A"), ts(0)),
+      (2L, 1L, None, ts(10)),        // null state: its OWN run, not merged
+      (3L, 1L, None, ts(20)),        // consecutive nulls collapse together
+      (4L, 1L, Some("A"), ts(30)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.scd2(ev).collect()
+      .map(r => (Option(r.getAs[String]("event_type")),
+        r.getAs[Timestamp]("valid_from").getTime / 60000,
+        r.getAs[Long]("n_events"))).toSet
+    assert(out === Set(
+      (Some("A"), 0L, 1L), (None, 10L, 2L), (Some("A"), 30L, 1L)))
+    assert(Analytics.scd2(ev.limit(0)).count() === 0)
+    // empty gap-fill input: no bounds -> empty calendar, no crash
+    assert(Analytics.gapFillHourly(
+      Seq.empty[(String, Timestamp)].toDF("event_type", "ts")).count() === 0)
+  }
+
   test("anomalies: spike flagged with closed-form z; partial frames and flat series excluded") {
     def hr(n: Int) = new Timestamp(3600000L * n)
     // type A: hours 0..3 counts (1,1,1,9) — window 4: at hour 3 the frame

@@ -350,6 +350,15 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((101L, 1L, 0.666667)))
   }
 
+  test("incremental dedup: empty batch and empty corpus both yield empty, no crash") {
+    val docs = Seq((1L, "some corpus text here")).toDF("doc_id", "text")
+    val empty = docs.limit(0)
+    assert(Dedup.prefixJoinItemsTwo(wordItems(empty), wordItems(docs), 0.5)
+      .count() === 0)
+    assert(Dedup.prefixJoinItemsTwo(wordItems(docs), wordItems(empty), 0.5)
+      .count() === 0)
+  }
+
   test("incremental dedup matches naive cross-table all-pairs on random corpora") {
     val rnd = new scala.util.Random(21)
     val vocab = ('a' to 't').map(c => s"$c$c$c")

@@ -153,4 +153,14 @@ class GroupTopKSpec extends SparkSpec {
     val ref = windowTopK(df, Seq("g"), Seq($"v".desc, $"id".asc), 7)
     assert(sortedRows(ours) === sortedRows(ref))
   }
+
+  test("q86 gated query actually runs the rewrite: GroupTopK, no Window") {
+    val q = graft.operators.Relational.q86WindowTopkRewrite(
+      spark, "/root/testdata/sf0.001")
+    q.queryExecution.toRdd.count()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("GroupTopK"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
 }
