@@ -86,6 +86,45 @@ class StorageSpec extends SparkSpec {
     assert(!scanned.contains("event_type=view"), "non-matching partition scanned")
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    // the 100 TB star-join lever: the fact side is partitioned on the
+    // join key, the dim filter is only known at runtime — DPP turns it
+    // into a partition filter on the fact scan (subquery reuse), so the
+    // fact table reads ONLY the partitions the filtered dim reaches
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dpp").resolve("orders")
+    Tables.orders(spark, sf("sf0.001"))
+      .write.partitionBy("o_orderpriority").mode("overwrite")
+      .parquet(dir.toString)
+    // the dim must be a SOURCE relation: a local Seq constant-folds its
+    // filter into the LocalRelation, and DPP requires a Filter node on
+    // the dim side to call the predicate selective
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("1-URGENT", "hot"), ("5-LOW", "cold")).toDF("prio", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    // at toy size the stats-based benefit estimate vetoes DPP (pruning a
+    // few KB never beats the subquery); disable it HERE ONLY so the test
+    // exercises the mechanism — at real scale catalog stats drive this
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val q = spark.read.parquet(dir.toString)
+        .join(dim.filter(col("tier") === "hot"),
+          col("o_orderpriority") === col("prio"))
+        .agg(count(lit(1)).as("n"))
+      q.queryExecution.toRdd.count()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+        s"expected a DPP filter on the fact scan:\n${plan.take(2500)}")
+      // and the result is correct: only urgent orders counted
+      val want = Tables.orders(spark, sf("sf0.001"))
+        .filter(col("o_orderpriority") === "1-URGENT").count()
+      assert(q.as[Long].head() === want)
+    } finally spark.conf.set(key, old)
+  }
+
   test("q61 JSON source read-back equals the parquet relation") {
     val d = sf("sf0.001")
     val back = Storage.q61JsonSource(spark, d)
