@@ -740,16 +740,29 @@ object Dedup {
     require(t > 0 && t <= 1, s"threshold must be in (0,1], got $t")
     val dfreq = items.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val sets = rankedSets(items, dfreq)
+    verifyPairs(prefixCandidates(sets, t), sets, sets, "id_a", "id_b", t)
+  }
+
+  /** The candidate stage alone (visible for DedupSpec's skew-resistance
+    * assertion): pairs sharing a PREFIX item + passing the length
+    * filter. A corpus-wide stopword generates ~no candidates here — it
+    * sorts LAST in the df order and thus falls outside almost every
+    * prefix — where a plain shared-token inverted index would emit all
+    * O(n²) pairs. */
+  private[operators] def prefixCandidates(sets: DataFrame, t: Double): DataFrame = {
     val prefix = prefixRows(sets, t)
-    val cand = prefix
+    prefix
       .select(col("gh"), col("doc_id").as("id_a"), col("n").as("n_a"))
       .join(prefix.select(col("gh"), col("doc_id").as("id_b"),
         col("n").as("n_b")), Seq("gh"))
       .where(col("id_a") < col("id_b") &&
         col("n_a") * lit(t) <= col("n_b") && col("n_b") * lit(t) <= col("n_a"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyPairs(cand, sets, sets, "id_a", "id_b", t)
   }
+
+  /** Rank-sorted set table for [[prefixCandidates]] tests. */
+  private[operators] def rankedSetsOf(items: DataFrame): DataFrame =
+    rankedSets(items, items.groupBy(col("gh")).agg(count(lit(1)).as("df")))
 
   /** INCREMENTAL near-dup screen — the production dedup mode: a new
     * crawl batch is checked against the EXISTING corpus without ever

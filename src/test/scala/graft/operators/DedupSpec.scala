@@ -350,6 +350,27 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((101L, 1L, 0.666667)))
   }
 
+  test("prefix filter is skew-resistant: a universal stopword generates ~no candidates") {
+    // 120 docs, each = the SAME stopword + 4 unique tokens. A shared-
+    // token inverted index would emit all C(120,2) = 7140 pairs; the
+    // prefix filter orders the stopword LAST (max df), so at t=0.6 the
+    // 3-token prefixes hold only unique tokens -> zero candidates.
+    val docs = (1L to 120L).map { i =>
+      // letter-encoded ids: digits would split into shared fragments
+      val u = "u" + i.toString.map(c => ('a' + (c - '0')).toChar)
+      (i, s"zzz ${u}ww ${u}xx ${u}yy ${u}zz")
+    }.toDF("doc_id", "text")
+    val cand = Dedup.prefixCandidates(Dedup.rankedSetsOf(wordItems(docs)), 0.6)
+    assert(cand.count() === 0)
+    // sanity: the stopword IS shared — drop the filter idea entirely and
+    // a token-level join explodes
+    val tok = wordItems(docs)
+    val allPairs = tok.select(col("gh"), col("doc_id").as("a"))
+      .join(tok.select(col("gh"), col("doc_id").as("b")), Seq("gh"))
+      .where(col("a") < col("b")).distinct().count()
+    assert(allPairs === 120L * 119 / 2)
+  }
+
   test("incremental dedup: empty batch and empty corpus both yield empty, no crash") {
     val docs = Seq((1L, "some corpus text here")).toDF("doc_id", "text")
     val empty = docs.limit(0)

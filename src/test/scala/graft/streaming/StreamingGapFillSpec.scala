@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.Analytics
+
+class StreamingGapFillSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def at(hour: Int, min: Int) =
+    new Timestamp(hour * 3600000L + min * 60000L)
+
+  test("streaming gap fill: zeros for silent hours, timers advance silent types") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GapFillStream.In]
+    val q = GapFillStream.hourlyGapFill(mem.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("gapfill_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 10: A x2, B x1; hour 11: silence; hour 12: A x1
+      mem.addData(
+        GapFillStream.In("A", at(10, 5)), GapFillStream.In("A", at(10, 40)),
+        GapFillStream.In("B", at(10, 20)), GapFillStream.In("A", at(12, 15)))
+      q.processAllAvailable()
+      // push the watermark to 14:30 (15:00 - 30min); B receives NO new
+      // data — its zeros must come from the event-time TIMER
+      mem.addData(GapFillStream.In("A", at(15, 0)))
+      q.processAllAvailable()
+      // one more batch so the 14:30 watermark (derived after the
+      // previous batch) drives finalization
+      mem.addData(GapFillStream.In("A", at(15, 1)))
+      q.processAllAvailable()
+
+      val got = spark.table("gapfill_out")
+        .as[GapFillStream.HourCount].collect()
+        .map(r => (r.event_type, r.hour.getTime / 3600000L, r.n)).toSet
+      val want = Set(
+        ("A", 10L, 2L), ("A", 11L, 0L), ("A", 12L, 1L), ("A", 13L, 0L),
+        ("B", 10L, 1L), ("B", 11L, 0L), ("B", 12L, 0L), ("B", 13L, 0L))
+      assert(got === want)
+
+      // differential vs the batch operator on the same rows, over the
+      // finalized horizon (hours 10-13) — the dense series agrees
+      val rows = Seq(
+        ("A", at(10, 5)), ("A", at(10, 40)), ("B", at(10, 20)),
+        ("A", at(12, 15)), ("A", at(15, 0)), ("A", at(15, 1)))
+        .toDF("event_type", "ts")
+      val batch = Analytics.gapFillHourly(rows)
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L,
+          r.getLong(2)))
+        .filter(x => x._2 <= 13L).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+}
