@@ -77,7 +77,13 @@ object DumpPlans {
           "valid_to lead ALL stack over one user_id exchange"),
       ("q83_rolling_window", Relational.q83RollingWindow(spark, d),
         "RANGE frame over integer day numbers: one o_custkey exchange " +
-          "serves both trailing-30-day aggregates; decimal-exact sum"))
+          "serves both trailing-30-day aggregates; decimal-exact sum"),
+      ("q82_incremental_dedup", Dedup.q82IncrementalDedup(spark, d),
+        "batch and corpus set tables checkpointed once each; candidates " +
+          "only from prefix-item collisions; corpus never self-joined"),
+      ("q86_window_topk_rewrite", Relational.q86WindowTopkRewrite(spark, d),
+        "user-shaped SQL row_number()<=k silently planned as the " +
+          "GroupTopK bounded-heap operator: no Window, no input sort"))
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")

@@ -120,10 +120,11 @@ object Storage {
     * rows) — at scale the bounds often come free from table metadata or
     * a prior profiling pass; (2) min/max binning is outlier-sensitive
     * (one extreme value squashes everyone else into few cells) — for
-    * skewed columns bin on rank boundaries instead (approx_percentile
-    * cut points broadcast exactly like the bounds frame; the interleave
-    * and write path are unchanged). The gate keys on the min/max form
-    * because it is closed-form replicable in the oracle. */
+    * skewed columns use [[withZorderByRank]] (equi-depth bins from
+    * approx_percentile cut points; StorageSpec plants the outlier that
+    * collapses this form and shows the rank form keeping spread). The
+    * gate keys on the min/max form because it is closed-form replicable
+    * in the oracle. */
   def withZorder(df: DataFrame, cx: String, cy: String, buckets: Int): DataFrame = {
     require(buckets > 0 && buckets <= 65536, s"buckets must be in [1,65536], got $buckets")
     val b = df.agg(min(col(cx)).as("minx"), max(col(cx)).as("maxx"),
@@ -133,6 +134,32 @@ object Storage {
       .withColumn("byy", expr(s"(($cy - miny) * $buckets) div (maxy - miny + 1)"))
       .withColumn("z", expr("zorder_bits(bx, byy)"))
       .drop("minx", "maxx", "miny", "maxy")
+  }
+
+  /** [[withZorder]] with RANK-BOUNDARY binning — the outlier-robust
+    * variant the min/max form's scaladoc promises: bucket cut points
+    * come from `approx_percentile` over each column (equi-DEPTH bins),
+    * so one extreme value costs one bin instead of squashing everyone
+    * else into a single cell. The boundary arrays are bounded
+    * (buckets-1 entries), broadcast exactly like the bounds frame, and
+    * the per-row bin is a counting fold over the array — no join, no
+    * sort, stays in whole-stage codegen. Interleave and write path are
+    * shared with the min/max form. */
+  def withZorderByRank(df: DataFrame, cx: String, cy: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 1 && buckets <= 65536,
+      s"buckets must be in [2,65536], got $buckets")
+    val qs = (1 until buckets).map(_.toDouble / buckets)
+    val b = df.agg(
+      percentile_approx(col(cx), typedLit(qs), lit(10000)).as("cutsx"),
+      percentile_approx(col(cy), typedLit(qs), lit(10000)).as("cutsy"))
+    def bin(c: String, cuts: String) = expr(
+      s"aggregate($cuts, 0L, (acc, b) -> acc + CASE WHEN $c >= b THEN 1L ELSE 0L END)")
+    df.crossJoin(broadcast(b))
+      .withColumn("bx", bin(cx, "cutsx"))
+      .withColumn("byy", bin(cy, "cutsy"))
+      .withColumn("z", expr("zorder_bits(bx, byy)"))
+      .drop("cutsx", "cutsy")
   }
 
   /** Z-ORDERED columnar layout: range-partition by the Morton value and

@@ -86,6 +86,27 @@ class StorageSpec extends SparkSpec {
     assert(!scanned.contains("event_type=view"), "non-matching partition scanned")
   }
 
+  test("rank-binned z-order survives outliers where min/max binning collapses") {
+    import spark.implicits._
+    // uniform values 1..10000 plus ONE outlier at 10^12: min/max binning
+    // maps every regular row of that column to bucket 0 — the curve
+    // degenerates to one dimension — while equi-depth bins keep spread
+    val rows = ((1L to 10000L).map(i => (i, i % 97)) :+ (1000000000000L, 50L))
+      .toDF("x", "y")
+    val minmax = Storage.withZorder(rows, "x", "y", 64)
+      .where(col("x") <= 10000)
+    val rank = Storage.withZorderByRank(rows, "x", "y", 64)
+      .where(col("x") <= 10000)
+    val mmBuckets = minmax.select(col("bx")).distinct().count()
+    val rkBuckets = rank.select(col("bx")).distinct().count()
+    assert(mmBuckets === 1, s"min/max binning should collapse, got $mmBuckets")
+    assert(rkBuckets >= 32, s"equi-depth bins should keep spread, got $rkBuckets")
+    // bin is monotone in the value (order-preserving: z-curve stays valid)
+    val pairs = rank.select(col("x"), col("bx")).as[(Long, Long)]
+      .collect().sortBy(_._1)
+    assert(pairs.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+  }
+
   test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
     // the 100 TB star-join lever: the fact side is partitioned on the
     // join key, the dim filter is only known at runtime — DPP turns it
