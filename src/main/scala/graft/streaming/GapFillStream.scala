@@ -41,16 +41,19 @@ object GapFillStream extends Serializable {
       val wm = state.getCurrentWatermarkMs()
       var st = state.getOption.getOrElse(
         GapState(Map.empty, Long.MinValue, 0L))
-      it.foreach { e =>
-        val h = math.floorDiv(e.ts.getTime, HourMs) * HourMs
-        if (st.lastFinalized != Long.MinValue && h <= st.lastFinalized)
+      // materialize the group (bounded: one type's slice of one micro-
+      // batch): the chain anchor must be the MINIMUM hour in the batch —
+      // initializing from whichever event the iterator yields first
+      // would misclassify earlier same-batch hours as late
+      val hours = it.map(e => math.floorDiv(e.ts.getTime, HourMs) * HourMs).toArray
+      if (st.lastFinalized == Long.MinValue && hours.nonEmpty)
+        st = st.copy(lastFinalized = hours.min - HourMs)
+      hours.foreach { h =>
+        if (h <= st.lastFinalized)
           st = st.copy(lateDropped = st.lateDropped + 1)
-        else {
+        else
           st = st.copy(pending = st.pending + (h ->
             (st.pending.getOrElse(h, 0L) + 1L)))
-          if (st.lastFinalized == Long.MinValue)
-            st = st.copy(lastFinalized = h - HourMs)
-        }
       }
       // finalize every hour whose END the watermark has passed — the
       // same loop serves data batches and pure-timeout wakeups, and it

@@ -57,4 +57,27 @@ class StreamingGapFillSpec extends SparkSpec {
       assert(got === batch)
     } finally q.stop()
   }
+
+  test("gap fill anchors on the batch MIN hour, not iterator order") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GapFillStream.In]
+    val q = GapFillStream.hourlyGapFill(mem.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("gapfill_order_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // later hour FIRST in the batch: the hour-20 row must still count
+      // (a first-seen anchor would classify it as late and drop it)
+      mem.addData(
+        GapFillStream.In("C", at(23, 30)), GapFillStream.In("C", at(20, 10)))
+      q.processAllAvailable()
+      mem.addData(GapFillStream.In("C", at(26, 0)))
+      q.processAllAvailable()
+      mem.addData(GapFillStream.In("C", at(26, 1)))
+      q.processAllAvailable()
+      val got = spark.table("gapfill_order_out")
+        .as[GapFillStream.HourCount].collect()
+        .map(r => (r.hour.getTime / 3600000L, r.n)).toSet
+      assert(got === Set((20L, 1L), (21L, 0L), (22L, 0L), (23L, 1L), (24L, 0L)))
+    } finally q.stop()
+  }
 }
