@@ -1028,6 +1028,49 @@ object Relational {
       |  FROM orders) t
       |WHERE rn <= 3""".stripMargin
 
+  /** Higher-order array-function surface (transform / aggregate-fold /
+    * filter / array_max / reverse / slice-free concat digest) over
+    * per-order quantity arrays pinned to l_linenumber order — the
+    * array-programming API q37's scalar tour doesn't touch. Every
+    * output is an exact integer or a digest of exact integers, so the
+    * gate has no floating-point surface at all. One shuffle (the
+    * groupBy); arrays are bounded by lines-per-order. HOF lambdas are
+    * interpreted, not codegen'd — fine here (tiny arrays), and exactly
+    * why the HOT paths (vec math, minhash) use native expressions
+    * instead. */
+  def q87ArrayFuncs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).where(col("l_orderkey") <= 2000)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"),
+        col("l_quantity").cast("long").as("q")))).as("s"))
+      .select(col("l_orderkey"), expr("transform(s, x -> x.q)").as("qa"))
+      .select(col("l_orderkey"),
+        size(col("qa")).cast("long").as("n_lines"),
+        expr("aggregate(qa, 0L, (a, x) -> a + x)").as("qty_sum"),
+        expr("array_max(qa)").as("qty_max"),
+        expr("size(filter(qa, x -> x % 2 = 0))").cast("long").as("n_even"),
+        element_at(reverse(col("qa")), 1).as("last_qty"),
+        md5(concat_ws(",", expr("transform(qa, x -> cast(x as string))")))
+          .as("line_sig"))
+
+  val q87Sql: String =
+    """WITH q AS (
+      |  SELECT l_orderkey,
+      |    -- the synthetic data REUSES l_linenumber within an order, so
+      |    -- the tiebreak on quantity (= the struct sort's second field
+      |    -- on the Spark side) is what makes the array order total
+      |    list(CAST(l_quantity AS BIGINT)
+      |      ORDER BY l_linenumber, CAST(l_quantity AS BIGINT)) AS qa
+      |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY 1)
+      |SELECT l_orderkey,
+      |  CAST(len(qa) AS BIGINT) AS n_lines,
+      |  CAST(list_sum(qa) AS BIGINT) AS qty_sum,
+      |  CAST(list_max(qa) AS BIGINT) AS qty_max,
+      |  CAST(len(list_filter(qa, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+      |  qa[-1] AS last_qty,
+      |  md5(array_to_string(qa, ',')) AS line_sig
+      |FROM q""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -1066,5 +1109,6 @@ object Relational {
     "q83_rolling_window"  -> (q83RollingWindow _, q83Sql),
     "q84_grouped_percentiles" -> (q84GroupedPercentiles _, q84Sql),
     "q86_window_topk_rewrite" -> (q86WindowTopkRewrite _, q86Sql),
+    "q87_array_funcs"     -> (q87ArrayFuncs _, q87Sql),
   )
 }
