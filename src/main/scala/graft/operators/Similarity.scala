@@ -347,11 +347,73 @@ object Similarity {
       |  true AS pass
       |FROM embeddings WHERE vec_id < 10""".stripMargin
 
+  /** Int8 SCALAR QUANTIZATION of the embedding table — the standard 4×
+    * memory cut before IVF/rerank (store codes + per-vector (min, span),
+    * search on codes, rerank survivors on floats). Per-vector min/max
+    * affine map to 0..255; codes are exact integers, so the gate
+    * digests the full code arrays with NO floating-point surface, plus
+    * a from-first-principles reconstruction-error bound: every
+    * dimension must reconstruct within span/510 (half a quantization
+    * step, +1e-9 double slack) — the SQ8 contract, distribution-free.
+    *
+    * Determinism: the affine map runs in DOUBLE on both engines from
+    * identical inputs (FLOAT→DOUBLE widening is exact) and quantizes
+    * via floor(q + 0.5) — plain IEEE ops, bit-identical — NEVER
+    * round(double), whose decimal-vs-binary implementations differ
+    * across engines (the q81 lesson). Constant vectors (span 0) code
+    * to all-zeros by definition. Per-row, shuffle-free. */
+  def q88ScalarQuantize(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"),
+        array_min(col("embedding")).cast("double").as("vmin"),
+        array_max(col("embedding")).cast("double").as("vmax"),
+        col("embedding"))
+      .withColumn("span", col("vmax") - col("vmin"))
+      .withColumn("codes", expr(
+        "transform(embedding, v -> CASE WHEN span = 0D THEN 0L ELSE " +
+          "CAST(floor((CAST(v AS DOUBLE) - vmin) * 255D / span + 0.5D) AS BIGINT) END)"))
+      .withColumn("ok", expr(
+        "forall(zip_with(embedding, codes, (v, c) -> " +
+          "abs(CAST(v AS DOUBLE) - (vmin + CAST(c AS DOUBLE) * span / 255D)) " +
+          "<= span / 510D + 1e-9), x -> x)"))
+      .select(col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        // exact values, NOT round(double, d): vmin is a datum (float
+        // widened), span one IEEE subtraction — identical bits on both
+        // engines with zero rounding surface
+        col("vmin"), col("span"),
+        md5(concat_ws(",", expr("transform(codes, c -> cast(c as string))")))
+          .as("code_sig"),
+        col("ok"))
+
+  val q88Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_min(embedding) AS DOUBLE) AS vmin,
+      |    CAST(list_max(embedding) AS DOUBLE) AS vmax
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, embedding, vmin, vmax - vmin AS span,
+      |    list_transform(embedding, v -> CASE WHEN vmax - vmin = 0 THEN 0
+      |      ELSE CAST(floor((CAST(v AS DOUBLE) - vmin) * 255 / (vmax - vmin)
+      |        + 0.5) AS BIGINT) END) AS codes
+      |  FROM base)
+      |SELECT vec_id,
+      |  CAST(len(codes) AS BIGINT) AS n_dims,
+      |  vmin, span,
+      |  md5(array_to_string(codes, ',')) AS code_sig,
+      |  CASE WHEN span = 0 THEN TRUE ELSE
+      |    len(list_filter(list_zip(embedding, codes), x ->
+      |      abs(CAST(x[1] AS DOUBLE) - (vmin + CAST(x[2] AS DOUBLE) * span / 255))
+      |        > span / 510 + 1e-9)) = 0 END AS ok
+      |FROM q""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
     "q42_embedding_neardup" -> (q42EmbeddingNeardup _, q42Sql),
     "q54_ivf_full_probe"    -> (q54IvfFullProbe _, q23Sql),
     "q55_ivf_recall"        -> (q55IvfRecall _, q55Sql),
+    "q88_scalar_quantize"   -> (q88ScalarQuantize _, q88Sql),
   )
 }
