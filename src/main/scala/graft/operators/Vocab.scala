@@ -156,9 +156,83 @@ object Vocab {
       |SELECT pair, count(*) AS n FROM pr GROUP BY 1
       |ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  /** Okapi BM25 document scoring against a fixed query (k1=1.2,
+    * b=0.75) — THE classic lexical retrieval scorer, complementing the
+    * LM perplexity proxy (q69) on the quality/relevance side.
+    *
+    * Scale shape: doc lengths and per-(doc, query-term) tfs are two
+    * partial-aggregated passes; the query-term df table and the corpus
+    * (N, Σdl) scalars broadcast (both bounded by the QUERY, not the
+    * corpus); scoring is then per-row arithmetic + one doc-keyed sum.
+    * Cross-engine determinism: ln() differs at ULP level between libms,
+    * so each term contribution rounds to 8 decimals BEFORE the
+    * DECIMAL(38,18) accumulation (the q26/q69 convention); all other
+    * constants are written as identical decimal literals in both
+    * engines (never Scala-side arithmetic like 1.2+1, whose double can
+    * differ from parsing "2.2"). Top-k cut is TakeOrderedAndProject
+    * with a doc_id tiebreak. */
+  def q89Bm25(s: SparkSession, d: String): DataFrame =
+    bm25(documents(s, d), Seq("hash", "join", "merge", "window"), 50)
+
+  def bm25(docs: DataFrame, query: Seq[String], k: Int): DataFrame = {
+    val wr = Dedup.wordRows(docs)
+    val dl = wr.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = wr.where(col("w").isin(query: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("contrib", round(
+        col("idf") * col("tf").cast("double") * lit(2.2) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))),
+        8))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib").cast("decimal(38,18)")).cast("double"), 4)
+        .as("bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  val q89Sql: String =
+    """WITH wr AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS w
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM wr GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      |          FROM dl),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM wr
+      |       WHERE w IN ('hash', 'join', 'merge', 'window') GROUP BY 1, 2),
+      |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |c AS (
+      |  SELECT tf.doc_id,
+      |    round(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |               / (CAST(df AS DOUBLE) + 0.5))
+      |      * CAST(tf AS DOUBLE) * 2.2
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+      |      8) AS contrib
+      |  FROM tf JOIN dfq USING (w) JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats)
+      |SELECT doc_id,
+      |  round(CAST(sum(CAST(contrib AS DECIMAL(38,18))) AS DOUBLE), 4) AS bm25,
+      |  count(*) AS n_terms
+      |FROM c GROUP BY 1
+      |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q68_heavy_hitters" -> (q68HeavyHitters _, q68Sql),
     "q69_lm_score"      -> (q69LmScore _, q69Sql),
     "q78_bpe_pairs"     -> (q78BpePairs _, q78Sql),
+    "q89_bm25"          -> (q89Bm25 _, q89Sql),
   )
 }

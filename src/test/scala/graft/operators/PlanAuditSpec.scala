@@ -132,6 +132,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalPlan.contains("distinct o_totalprice"), finalPlan.take(2000))
   }
 
+  test("q83 rolling RANGE window: ONE customer exchange serves both aggregates") {
+    val plan = planOf(Relational.q83RollingWindow(spark, d))
+      .split("== Initial Plan ==").head
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex === 1, s"expected 1 hash exchange:\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "rolling windows must never become a self-join")
+  }
+
+  test("q84 grouped sketch: partial percentile buffers merge — no per-group value sort") {
+    val plan = planOf(Relational.q84GroupedPercentiles(spark, d))
+    assert(plan.contains("partial_percentile_approx"),
+      s"sketch must partial-aggregate map-side:\n${plan.take(2000)}")
+    // exact percentile would buffer and sort each group's column
+    assert(!plan.contains("partial_percentile(") && !plan.contains("Window"),
+      plan.take(2000))
+  }
+
+  test("q88 quantizer: per-row project only — no shuffle, no join") {
+    val plan = planOf(Similarity.q88ScalarQuantize(spark, d))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"SQ8 must stay embarrassingly parallel:\n${plan.take(2000)}")
+  }
+
   test("q57: correlated EXISTS decorrelates to a hash semi join") {
     // the equi predicate becomes the join key; the correlated non-equi
     // date predicate rides the join condition — never a nested loop

@@ -92,4 +92,25 @@ class VocabSpec extends SparkSpec {
     val cut = Vocab.bpePairCounts(ties, k = 2).as[(String, Long)].collect().toSeq
     assert(cut === Seq(("m n", 1L), ("p q", 1L)))
   }
+
+  test("BM25: closed-form scores, non-matching docs absent, ranking correct") {
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "hash join hash"),        // two query terms, tf(hash)=2
+      (2L, "merge sort"),            // one query term
+      (3L, "nothing relevant here")  // no query terms -> absent
+    ).toDF("doc_id", "text")
+    val out = Vocab.bm25(docs, Seq("hash", "join", "merge", "window"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    // replicate the operator's arithmetic: N=3, avgdl=8/3, df=1 each
+    val avgdl = 8.0 / 3.0
+    val idf = math.log(1.0 + (3.0 - 1.0 + 0.5) / 1.5)
+    def contrib(tf: Double, dl: Double) =
+      r(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 8)
+    val d1 = r(contrib(2, 3) + contrib(1, 3), 4)
+    val d2 = r(contrib(1, 2), 4)
+    assert(out === Seq((1L, d1, 2L), (2L, d2, 1L)))
+    assert(d1 > d2)
+  }
 }
