@@ -211,7 +211,11 @@ object Analytics {
     * ONE user_id partitioning — Spark plans the window chain plus the
     * groupBy over a single Exchange (the q66 trick; ENSURE_REQUIREMENTS
     * inserts nothing). Ties order by (ts, event_id) so runs are
-    * deterministic on both engines. */
+    * deterministic on both engines; the valid_to lead additionally
+    * tiebreaks on run_id — two runs of one user CAN share valid_from
+    * (same-ts events of different types split by the event_id tiebreak),
+    * and run_id is the run sequence in (ts, event_id) order, so
+    * (valid_from, run_id) is a total order on both engines. */
   def q80Scd2(s: SparkSession, d: String): DataFrame =
     scd2(events(s, d))
 
@@ -232,7 +236,8 @@ object Analytics {
       .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(
-        Window.partitionBy(col("user_id")).orderBy(col("valid_from"))))
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"), col("run_id"))))
       .select(col("user_id"), col("event_type"), col("valid_from"),
         col("valid_to"), col("n_events"))
   }
@@ -256,7 +261,8 @@ object Analytics {
       |    min(ts) AS valid_from, count(*) AS n_events
       |  FROM runs GROUP BY 1, 2, 3)
       |SELECT user_id, event_type, valid_from,
-      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |  lead(valid_from) OVER (PARTITION BY user_id
+      |                         ORDER BY valid_from, run_id)
       |    AS valid_to,
       |  n_events
       |FROM collapsed""".stripMargin

@@ -111,10 +111,14 @@ object Storage {
       |GROUP BY 1""".stripMargin
 
   /** Append (bx, byy, z) to `df`: each column fixed-width-binned into
-    * `buckets` cells from its GLOBAL min/max (integer arithmetic only —
-    * the divisionless convention; the 1-row bounds frame broadcasts),
-    * then Morton-interleaved by the native `zorder_bits` expression.
-    * Deterministic: a pure function of the value and the global bounds.
+    * `buckets` cells from its GLOBAL min/max (pure integer arithmetic;
+    * the 1-row bounds frame broadcasts), then Morton-interleaved by the
+    * native `zorder_bits` expression. Deterministic: a pure function of
+    * the value and the global bounds. Binning normalizes every column
+    * to the full bucket domain without Long overflow: narrow ranges
+    * scale up by multiply (bounded by buckets^2), wide ranges
+    * (epoch-micros, ~1e15) scale down by a precomputed bucket width
+    * (bounded by the range itself) — StorageSpec pins both regimes.
     *
     * Known trade-offs, stated: (1) the input is scanned twice (bounds +
     * rows) — at scale the bounds often come free from table metadata or
@@ -129,9 +133,24 @@ object Storage {
     require(buckets > 0 && buckets <= 65536, s"buckets must be in [1,65536], got $buckets")
     val b = df.agg(min(col(cx)).as("minx"), max(col(cx)).as("maxx"),
       min(col(cy)).as("miny"), max(col(cy)).as("maxy"))
+    // Overflow-safe NORMALIZED binning, two integer regimes:
+    //  - range < buckets: scale UP, bin = (v-min)*buckets div (range+1).
+    //    The product is < buckets^2 <= 2^32 — cannot overflow. Scaling
+    //    up matters: a narrow column left in low bins contributes no
+    //    high Morton bits and the z-curve degenerates to a linear sort
+    //    on the wide column (StorageSpec's clustering test catches it).
+    //  - range >= buckets: scale DOWN, bin = (v-min) div ((range div
+    //    buckets)+1). The intermediate never exceeds the column's own
+    //    range, so epoch-micros-scale ranges (~1e15) cannot wrap Long
+    //    the way (v-min)*buckets would (silent negative bins, corrupt
+    //    curve); the +1-width guarantees bin <= buckets-1.
+    def bin(c: String, lo: String, hi: String) = expr(
+      s"""CASE WHEN $hi - $lo < $buckets
+         |  THEN (($c - $lo) * $buckets) div ($hi - $lo + 1)
+         |  ELSE ($c - $lo) div ((($hi - $lo) div $buckets) + 1) END""".stripMargin)
     df.crossJoin(broadcast(b))
-      .withColumn("bx", expr(s"(($cx - minx) * $buckets) div (maxx - minx + 1)"))
-      .withColumn("byy", expr(s"(($cy - miny) * $buckets) div (maxy - miny + 1)"))
+      .withColumn("bx", bin(cx, "minx", "maxx"))
+      .withColumn("byy", bin(cy, "miny", "maxy"))
       .withColumn("z", expr("zorder_bits(bx, byy)"))
       .drop("minx", "maxx", "miny", "maxy")
   }
@@ -195,8 +214,12 @@ object Storage {
       |r AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
       |binned AS (
       |  SELECT l_partkey, l_suppkey,
-      |    ((l_partkey - minx) * 1024) // (maxx - minx + 1) AS bx,
-      |    ((l_suppkey - miny) * 1024) // (maxy - miny + 1) AS byy
+      |    CASE WHEN maxx - minx < 1024
+      |      THEN ((l_partkey - minx) * 1024) // (maxx - minx + 1)
+      |      ELSE (l_partkey - minx) // (((maxx - minx) // 1024) + 1) END AS bx,
+      |    CASE WHEN maxy - miny < 1024
+      |      THEN ((l_suppkey - miny) * 1024) // (maxy - miny + 1)
+      |      ELSE (l_suppkey - miny) // (((maxy - miny) // 1024) + 1) END AS byy
       |  FROM r, b)
       |SELECT l_partkey, l_suppkey, bx, byy,
       |  CAST(list_sum(list_transform(generate_series(0, 15), i ->

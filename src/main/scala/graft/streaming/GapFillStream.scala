@@ -19,17 +19,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * horizon (delay/1h + in-flight), independent of stream length; the
   * emitted chain is contiguous from the type's first-seen hour, so
   * consumers get the same dense series the batch operator produces
-  * (differential in StreamingGapFillSpec). Late rows for already-
-  * finalized hours are counted in `late_dropped` rather than silently
-  * lost (the streaming-dedup contract: post-watermark stragglers are
-  * the caller's delay-budget decision).
+  * (differential in StreamingGapFillSpec). Until finalization begins,
+  * an out-of-order straggler for an hour EARLIER than the current
+  * anchor — but still inside the watermark — LOWERS the anchor instead
+  * of being dropped (the anchor is provisional until the first emit;
+  * only the watermark, never batch arrival order, decides lateness).
+  *
+  * Post-watermark stragglers never reach the handler at all: the
+  * stateful operator's watermark pre-filter (`WatermarkSupport.
+  * eventTimeWatermarkForLateEvents` on `FlatMapGroupsWithStateExec`)
+  * drops them first and counts them in the per-operator
+  * `numRowsDroppedByWatermark` metric on `StreamingQueryProgress` —
+  * THAT is where a consumer observes the drops (spec-asserted). An
+  * in-state late counter would be dead code: an hour finalizes only
+  * once h+1h <= wm, so every row of a finalized hour has ts < wm and
+  * is pre-filtered. The defensive skip below is therefore
+  * unreachable-by-construction and exists only to keep the chain
+  * invariant (never re-open a finalized hour) locally obvious.
   */
 object GapFillStream extends Serializable {
 
   case class In(event_type: String, ts: Timestamp)
   case class HourCount(event_type: String, hour: Timestamp, n: Long)
   case class GapState(pending: Map[Long, Long], lastFinalized: Long,
-      lateDropped: Long)
+      started: Boolean)
 
   private val HourMs = 3600000L
 
@@ -40,18 +53,29 @@ object GapFillStream extends Serializable {
         state: GroupState[GapState]): Iterator[HourCount] = {
       val wm = state.getCurrentWatermarkMs()
       var st = state.getOption.getOrElse(
-        GapState(Map.empty, Long.MinValue, 0L))
+        GapState(Map.empty, Long.MinValue, started = false))
       // materialize the group (bounded: one type's slice of one micro-
       // batch): the chain anchor must be the MINIMUM hour in the batch —
       // initializing from whichever event the iterator yields first
       // would misclassify earlier same-batch hours as late
       val hours = it.map(e => math.floorDiv(e.ts.getTime, HourMs) * HourMs).toArray
-      if (st.lastFinalized == Long.MinValue && hours.nonEmpty)
-        st = st.copy(lastFinalized = hours.min - HourMs)
+      // the anchor is PROVISIONAL until the first emit: a later batch
+      // may carry an even earlier hour the watermark has not passed yet
+      // (nothing is finalized, so lowering re-opens nothing)
+      if (!st.started && hours.nonEmpty) {
+        val fillable = hours.filter(h => h + HourMs > wm)
+        if (fillable.nonEmpty) {
+          val anchor = fillable.min - HourMs
+          if (st.lastFinalized == Long.MinValue || anchor < st.lastFinalized)
+            st = st.copy(lastFinalized = anchor)
+        } else if (st.lastFinalized == Long.MinValue)
+          st = st.copy(lastFinalized = hours.min - HourMs)
+      }
       hours.foreach { h =>
-        if (h <= st.lastFinalized)
-          st = st.copy(lateDropped = st.lateDropped + 1)
-        else
+        // h <= lastFinalized is unreachable (watermark pre-filter, see
+        // scaladoc); skipping rather than counting keeps the invariant
+        // that a finalized hour is never re-opened
+        if (h > st.lastFinalized)
           st = st.copy(pending = st.pending + (h ->
             (st.pending.getOrElse(h, 0L) + 1L)))
       }
@@ -63,7 +87,8 @@ object GapFillStream extends Serializable {
         var h = st.lastFinalized + HourMs
         while (h + HourMs <= wm) {
           out ::= HourCount(tpe, new Timestamp(h), st.pending.getOrElse(h, 0L))
-          st = st.copy(pending = st.pending - h, lastFinalized = h)
+          st = st.copy(pending = st.pending - h, lastFinalized = h,
+            started = true)
           h += HourMs
         }
       }

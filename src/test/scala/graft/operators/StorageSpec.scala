@@ -107,6 +107,24 @@ class StorageSpec extends SparkSpec {
     assert(pairs.sliding(2).forall(p => p(0)._2 <= p(1)._2))
   }
 
+  test("min/max z-order binning survives wide-range columns without Long overflow") {
+    import spark.implicits._
+    // epoch-micros-scale range (~3e15) at 1024 buckets: the multiply
+    // form (v-min)*1024 ~ 3e18..6e19 wraps Long and yields negative
+    // bins; the bounded-width form never exceeds the column's own range
+    val rows = (0L to 20L).map(i => i * 150000000000000L)
+      .map(v => (v, v / 3)).toDF("x", "y")
+    val z = Storage.withZorder(rows, "x", "y", 1024)
+      .select(col("x"), col("bx"), col("byy"), col("z"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(z.forall(t => t._2 >= 0 && t._2 < 1024), "bx out of range")
+    assert(z.forall(t => t._3 >= 0 && t._3 < 1024), "byy out of range")
+    assert(z.forall(_._4 >= 0), "negative Morton value")
+    // binning stays order-preserving across the full range
+    assert(z.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    assert(z.last._2 > z.head._2, "all rows collapsed into one bin")
+  }
+
   test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
     // the 100 TB star-join lever: the fact side is partitioned on the
     // join key, the dim filter is only known at runtime — DPP turns it

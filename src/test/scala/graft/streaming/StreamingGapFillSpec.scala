@@ -80,4 +80,62 @@ class StreamingGapFillSpec extends SparkSpec {
       assert(got === Set((20L, 1L), (21L, 0L), (22L, 0L), (23L, 1L), (24L, 0L)))
     } finally q.stop()
   }
+
+  test("pre-anchor straggler inside the watermark lowers the anchor across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GapFillStream.In]
+    val q = GapFillStream.hourlyGapFill(mem.toDS(), "3 hours")
+      .writeStream.format("memory").queryName("gapfill_preanchor_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 anchors at hour 22 (min hour 23); watermark -> 20:30
+      mem.addData(GapFillStream.In("D", at(23, 30)))
+      q.processAllAvailable()
+      // batch 2: hour 21 is BELOW the provisional anchor but its end
+      // (22:00) is past the 20:30 watermark — must lower the anchor
+      // and count, not drop (nothing is finalized yet)
+      mem.addData(GapFillStream.In("D", at(21, 15)))
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize hours 21-26
+      mem.addData(GapFillStream.In("D", at(30, 0)))
+      q.processAllAvailable()
+      mem.addData(GapFillStream.In("D", at(30, 1)))
+      q.processAllAvailable()
+      val got = spark.table("gapfill_preanchor_out")
+        .as[GapFillStream.HourCount].collect()
+        .map(r => (r.hour.getTime / 3600000L, r.n)).toSet
+      assert(got === Set((21L, 1L), (22L, 0L), (23L, 1L), (24L, 0L),
+        (25L, 0L), (26L, 0L)))
+    } finally q.stop()
+  }
+
+  test("post-watermark straggler: series intact, drop visible in the operator metric") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GapFillStream.In]
+    val q = GapFillStream.hourlyGapFill(mem.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("gapfill_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(GapFillStream.In("E", at(10, 0)), GapFillStream.In("E", at(14, 0)))
+      q.processAllAvailable()
+      mem.addData(GapFillStream.In("E", at(14, 1)))
+      q.processAllAvailable() // hours 10-12 finalized (wm 13:30)
+      // straggler for the already-finalized hour 11: the stateful
+      // operator's watermark pre-filter drops it BEFORE the handler —
+      // the finalized series stays intact and the drop is observable in
+      // numRowsDroppedByWatermark (the advertised surfacing point)
+      mem.addData(GapFillStream.In("E", at(11, 30)), GapFillStream.In("E", at(15, 0)))
+      q.processAllAvailable()
+      mem.addData(GapFillStream.In("E", at(15, 1)))
+      q.processAllAvailable()
+      val rows = spark.table("gapfill_late_out")
+        .as[GapFillStream.HourCount].collect()
+        .map(r => (r.hour.getTime / 3600000L, r.n)).toSet
+      assert(rows.contains((11L, 0L))) // finalized count unchanged
+      assert(rows.contains((13L, 0L))) // chain advanced past the drop
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1L, s"straggler drop not surfaced (dropped=$dropped)")
+    } finally q.stop()
+  }
 }
