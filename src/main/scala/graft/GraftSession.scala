@@ -37,6 +37,7 @@ object GraftSession {
     graft.functions.VecMath.register(spark)
     graft.functions.MinhashBands.register(spark)
     graft.functions.ZorderBits.register(spark)
+    graft.functions.BloomFilterFns.register(spark)
     graft.plans.GroupTopKExtension.install(spark)
     registerCapListener(spark)
     spark

@@ -334,6 +334,80 @@ object Analytics {
       |FROM f
       |WHERE sigma > 0 AND round(abs(n - mean) / sigma, 4) > 3.0""".stripMargin
 
+  /** CDC changelog apply — the MERGE INTO analog on plain columnar
+    * storage: fold a stream of keyed change records (op ∈ {U, D}, a
+    * sequence number, replacement payload) into a base snapshot,
+    * LATEST-WINS per key. U on an existing key replaces its payload; U
+    * on an unseen key inserts; D deletes (including a base row with no
+    * other change). `src` marks which side produced each surviving row.
+    *
+    * Determinism: the per-key winner is `max(struct(seq, op, payload…))`
+    * — lexicographic struct max, so even a duplicated seq resolves
+    * identically on any engine/partitioning (the oracle's row_number
+    * DESC over the same triple is the same total order). The struct max
+    * is an ordinary aggregate: partial (map-side) combine applies, so
+    * at 100 TB the changelog collapses BEFORE its shuffle — the join
+    * then moves one row per changed key, not one per change. Base and
+    * collapsed changes full-outer-join on the key (both sides hash on
+    * it; AQE may broadcast a small change set), and nothing in the
+    * plan is per-change-record after the first aggregate. */
+  def applyChangelog(base: DataFrame, changes: DataFrame, key: String,
+      seq: String, op: String): DataFrame = {
+    val payload = changes.columns.filterNot(Set(key, seq, op)).toSeq
+    require(payload.nonEmpty && payload.forall(base.columns.contains),
+      s"base must carry the change payload columns $payload")
+    val latest = changes.groupBy(col(key))
+      .agg(max(struct((seq +: op +: payload).map(col): _*)).as("w"))
+      .select(col(key).as("_k") +:
+        col(s"w.$op").as("_op") +:
+        payload.map(p => col(s"w.$p").as(s"_p_$p")): _*)
+    base.select((key +: payload).map(col): _*)
+      .join(latest, col(key) === col("_k"), "full_outer")
+      .filter(coalesce(col("_op"), lit("U")) =!= "D")
+      .select(coalesce(col(key), col("_k")).as(key) +:
+        payload.map(p => coalesce(col(s"_p_$p"), col(p)).as(p)) :+
+        when(col("_k").isNotNull, lit("chg")).otherwise(lit("base")).as("src"): _*)
+  }
+
+  /** [[applyChangelog]] under the gate: orders replayed as a synthetic
+    * changelog against the customer base — o_orderkey is the sequence,
+    * every 7th order is a delete, every 11th targets a key outside the
+    * base (the insert path), the rest update c_acctbal to the order
+    * total. Exercises insert, update, delete, and untouched-base in one
+    * deterministic query. */
+  def q91CdcApply(s: SparkSession, d: String): DataFrame = {
+    val chg = orders(s, d).select(
+      when(col("o_orderkey") % 11 === 0, col("o_custkey") + 100000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      col("o_orderkey").as("seq"),
+      when(col("o_orderkey") % 7 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      col("o_totalprice").as("c_acctbal"))
+    applyChangelog(
+      customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+      chg, "c_custkey", "seq", "op")
+  }
+
+  val q91Sql: String =
+    """WITH chg AS (
+      |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 100000
+      |              ELSE o_custkey END AS k,
+      |    o_orderkey AS seq,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    o_totalprice AS bal
+      |  FROM orders),
+      |latest AS (
+      |  SELECT k, op, bal FROM (
+      |    SELECT k, op, bal,
+      |      row_number() OVER (PARTITION BY k
+      |                         ORDER BY seq DESC, op DESC, bal DESC) AS rn
+      |    FROM chg) WHERE rn = 1)
+      |SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
+      |  COALESCE(l.bal, b.c_acctbal) AS c_acctbal,
+      |  CASE WHEN l.k IS NOT NULL THEN 'chg' ELSE 'base' END AS src
+      |FROM (SELECT c_custkey, c_acctbal FROM customer) b
+      |FULL OUTER JOIN latest l ON b.c_custkey = l.k
+      |WHERE COALESCE(l.op, 'U') <> 'D'""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -341,5 +415,6 @@ object Analytics {
     "q74_gap_fill"  -> (q74GapFill _, q74Sql),
     "q80_scd2"      -> (q80Scd2 _, q80Sql),
     "q85_anomaly"   -> (q85Anomaly _, q85Sql),
+    "q91_cdc_apply" -> (q91CdcApply _, q91Sql),
   )
 }

@@ -290,6 +290,65 @@ object Curation {
       |    AS chunk_hash
       |FROM st""".stripMargin
 
+  /** Rank-based winsorization — outlier clamping before training-data
+    * statistics: per group, clamp values below the k-th smallest (or
+    * above the k-th largest) to that boundary, k = 1 + n/100 (≈ the 1st
+    * and 99th percentile by RANK). Rank boundaries, not interpolated
+    * percentiles, on purpose: the k-th order statistic is an exact
+    * integer selection both engines agree on, where interpolated
+    * quantiles (`percentile` / `quantile_cont`) mix doubles engine-
+    * specifically (the q84 lesson); and n_chars is integral, so every
+    * number in the gate is exact integer arithmetic end to end.
+    *
+    * Scale shape: both row_numbers, both boundary picks, and the final
+    * collapse share the ONE lang partitioning — a single Exchange,
+    * stacked Windows, then partial-agg'd groupBy (same plan discipline
+    * as q66/q80). The two window sorts (asc + desc) are per-partition
+    * sorts, not extra shuffles. */
+  def winsorize(df: DataFrame, group: String, value: String,
+      tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(group))
+    val wa = w.orderBy(col(value), col(tiebreak))
+    val wd = w.orderBy(col(value).desc, col(tiebreak).desc)
+    df.select(col(group), col(value), col(tiebreak))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("k", expr("1L + n div 100"))
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rd", row_number().over(wd))
+      .withColumn("lo", max(when(col("ra") === col("k"), col(value))).over(w))
+      .withColumn("hi", max(when(col("rd") === col("k"), col(value))).over(w))
+      .withColumn("clamped", least(greatest(col(value), col("lo")), col("hi")))
+  }
+
+  def q92Winsorize(s: SparkSession, d: String): DataFrame =
+    winsorize(documents(s, d), "lang", "n_chars", "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("lo")).as("lo"),
+        min(col("hi")).as("hi"),
+        sum(col("n_chars")).as("raw_total"),
+        sum(col("clamped")).as("clamped_total"))
+
+  val q92Sql: String =
+    """WITH t AS (
+      |  SELECT lang, n_chars,
+      |    count(*) OVER (PARTITION BY lang) AS n,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY n_chars, doc_id) AS ra,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY n_chars DESC, doc_id DESC) AS rd
+      |  FROM documents),
+      |kb AS (SELECT *, 1 + n // 100 AS k FROM t),
+      |b AS (
+      |  SELECT lang, n_chars, n,
+      |    max(CASE WHEN ra = k THEN n_chars END) OVER (PARTITION BY lang) AS lo,
+      |    max(CASE WHEN rd = k THEN n_chars END) OVER (PARTITION BY lang) AS hi
+      |  FROM kb)
+      |SELECT lang, count(*) AS n, min(lo) AS lo, min(hi) AS hi,
+      |  CAST(sum(n_chars) AS BIGINT) AS raw_total,
+      |  CAST(sum(least(greatest(n_chars, lo), hi)) AS BIGINT) AS clamped_total
+      |FROM b GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -298,5 +357,6 @@ object Curation {
     "q52_mixture_sample" -> (q52MixtureSample _, q52Sql),
     "q75_group_sample"  -> (q75GroupSample _, q75Sql),
     "q76_doc_chunks"    -> (q76DocChunks _, q76Sql),
+    "q92_winsorize"     -> (q92Winsorize _, q92Sql),
   )
 }

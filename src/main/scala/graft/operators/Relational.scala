@@ -1071,6 +1071,92 @@ object Relational {
       |  md5(array_to_string(qa, ',')) AS line_sig
       |FROM q""".stripMargin
 
+  /** TPC-H Q22 analog ("global sales opportunity"): customers whose
+    * balance beats their market segment's positive-balance average and
+    * who have never placed an URGENT order, rolled up per segment (the
+    * synthetic data gives every customer at least one order, so the
+    * classic "never ordered" form is vacuously empty — the filtered
+    * anti join keeps the exact Q22 plan shape with live rows).
+    *
+    * Determinism: the average is never materialized as a division —
+    * `bal > total/n` is compared as `bal*n > total` in exact DECIMAL, so
+    * there is no engine-specific decimal-division scale or double
+    * rounding anywhere in the predicate; the rollup sum is the house
+    * decimal-exact dsum.
+    *
+    * Scale shape: the segment aggregate is 5 rows → broadcast; the
+    * anti join shuffles customer×orders on custkey (orders projected to
+    * the single join column before the exchange). One customer scan
+    * feeds both the aggregate and the probe side (ReusedExchange). */
+  def q90GlobalCustomer(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val seg = c.filter(col("c_acctbal") > 0)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("c_acctbal").cast(DecimalType(18, 2))).as("seg_total"),
+        count(lit(1)).as("seg_n"))
+    c.join(broadcast(seg), Seq("c_mktsegment"))
+      .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("seg_n")
+        > col("seg_total"))
+      .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal"), 2).as("total_bal"))
+  }
+
+  val q90Sql: String =
+    """WITH seg AS (
+      |  SELECT c_mktsegment,
+      |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS seg_total,
+      |    count(*) AS seg_n
+      |  FROM customer WHERE c_acctbal > 0 GROUP BY 1)
+      |SELECT c.c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+      |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * seg.seg_n > seg.seg_total
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY 1""".stripMargin
+
+  /** NTILE decile profile: each return flag's prices split into 10
+    * equal-frequency buckets, with per-bucket count / bounds / exact
+    * sum — the one ranking window function the suite didn't exercise
+    * yet. The order (x, orderkey, linenumber) is total, so bucket
+    * boundaries are deterministic on both engines (NTILE's front-loaded
+    * remainder rule is ANSI and shared).
+    *
+    * Scale caveat, stated: NTILE over a 3-value partition key
+    * serializes each group through one window task. That is the honest
+    * cost of exact equi-frequency global buckets; at 100 TB the scale
+    * path is approx-percentile cut points (q84) or rank×k/n arithmetic
+    * over a range-partitioned global sort (q07's shape), both already
+    * gated — this query pins the exact-window semantics they
+    * approximate. */
+  def q94NtileDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("x"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("l_returnflag"), col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
+        max(col("x")).as("hi"), dsum(col("x"), 2).as("total"))
+  }
+
+  val q94Sql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_extendedprice AS x,
+      |    CAST(ntile(10) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |      AS BIGINT) AS decile
+      |  FROM lineitem)
+      |SELECT l_returnflag, decile, count(*) AS n,
+      |  min(x) AS lo, max(x) AS hi,
+      |  CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM t GROUP BY 1, 2""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -1110,5 +1196,7 @@ object Relational {
     "q84_grouped_percentiles" -> (q84GroupedPercentiles _, q84Sql),
     "q86_window_topk_rewrite" -> (q86WindowTopkRewrite _, q86Sql),
     "q87_array_funcs"     -> (q87ArrayFuncs _, q87Sql),
+    "q90_global_customer" -> (q90GlobalCustomer _, q90Sql),
+    "q94_ntile_deciles"   -> (q94NtileDeciles _, q94Sql),
   )
 }

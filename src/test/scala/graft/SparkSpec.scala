@@ -19,6 +19,7 @@ object SharedSpark {
     graft.functions.VecMath.register(s)
     graft.functions.MinhashBands.register(s)
     graft.functions.ZorderBits.register(s)
+    graft.functions.BloomFilterFns.register(s)
     s
   }
 }

@@ -166,4 +166,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(4L) === ((11.5, 3L)))
     assert(out(5L) === ((7.0, 1L)))
   }
+
+  test("cdc apply: latest-wins update, delete, insert, untouched base") {
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "bal")
+    val changes = Seq(
+      (1L, 1L, "U", 11.0), (1L, 3L, "U", 13.0), (1L, 2L, "U", 12.0), // latest seq=3 wins
+      (2L, 1L, "U", 21.0), (2L, 2L, "D", 0.0),                       // updated then deleted
+      (9L, 1L, "U", 99.0),                                            // insert: key not in base
+      (3L, 1L, "D", 0.0), (3L, 2L, "U", 33.0))                        // deleted then re-upserted
+      .toDF("k", "seq", "op", "bal")
+    val out = Analytics.applyChangelog(base, changes, "k", "seq", "op")
+      .as[(Long, Double, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      1L -> ((13.0, "chg")),   // latest update applied
+      3L -> ((33.0, "chg")),   // D then U: U is latest → row lives
+      4L -> ((40.0, "base")),  // untouched base row
+      9L -> ((99.0, "chg"))))  // pure insert
+    // key 2: latest op is D → gone entirely
+    assert(!out.contains(2L))
+  }
 }

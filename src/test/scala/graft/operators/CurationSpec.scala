@@ -203,4 +203,25 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, String)].collect().toSet
     assert(without3 === s1.filterNot(_._1 == "src3"))
   }
+
+  test("winsorize: rank boundaries clamp exactly k-1 values per tail") {
+    // group g: values 1..200 → n=200, k = 1 + 200/100 = 3 → lo = 3rd
+    // smallest = 3, hi = 3rd largest = 198; values 1,2 clamp up to 3,
+    // values 199,200 clamp down to 198
+    val df = (1L to 200L).map(v => ("g", v, v + 1000)).toDF("grp", "v", "id")
+    val out = Curation.winsorize(df, "grp", "v", "id")
+    val got = out.select(col("v"), col("lo"), col("hi"), col("clamped"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.forall(r => r._2 == 3L && r._3 == 198L))
+    assert(got.map(_._4).min === 3L)
+    assert(got.map(_._4).max === 198L)
+    val changed = got.filter(r => r._1 != r._4)
+    assert(changed.map(_._1).sorted.toSeq === Seq(1L, 2L, 199L, 200L))
+    // a small group (n < 100) has k=1: boundaries are the min and max,
+    // so NOTHING changes — the operator degrades to identity, not junk
+    val small = (1L to 50L).map(v => ("s", v, v)).toDF("grp", "v", "id")
+    val sOut = Curation.winsorize(small, "grp", "v", "id")
+      .filter(col("v") =!= col("clamped")).count()
+    assert(sOut === 0L)
+  }
 }
