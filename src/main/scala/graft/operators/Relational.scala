@@ -1157,6 +1157,50 @@ object Relational {
       |  CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** Pearson correlation + sample covariance of (quantity, price) per
+    * return flag — via EXACT DECIMAL MOMENTS, not the corr/covar_samp
+    * built-ins: those accumulate doubles in partition order, so their
+    * low bits vary run to run and engine to engine. Here Σx, Σy, Σxy,
+    * Σx², Σy² are decimal sums (order-free; the per-row products are
+    * deterministic double ops cast to decimal once), both engines cast
+    * the identical exact moments to double, and evaluate the identical
+    * closed form rounded to 1e-6 — the q85 discipline applied to
+    * second-moment statistics. Map-side partial aggregation applies to
+    * all five moments; one shuffle total. */
+  def q96CorrMoments(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    val m = lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum(y.cast(DecimalType(18, 2))).cast("double").as("sy"),
+        sum((x * y).cast(DecimalType(28, 4))).cast("double").as("sxy"),
+        sum((x * x).cast(DecimalType(28, 4))).cast("double").as("sxx"),
+        sum((y * y).cast(DecimalType(28, 4))).cast("double").as("syy"))
+    m.select(col("l_returnflag"), col("n"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr6"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * (col("n") - 1)), 6).as("covar6"))
+  }
+
+  val q96Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  round((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr6,
+      |  round((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar6
+      |FROM m""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -1198,5 +1242,6 @@ object Relational {
     "q87_array_funcs"     -> (q87ArrayFuncs _, q87Sql),
     "q90_global_customer" -> (q90GlobalCustomer _, q90Sql),
     "q94_ntile_deciles"   -> (q94NtileDeciles _, q94Sql),
+    "q96_corr_moments"    -> (q96CorrMoments _, q96Sql),
   )
 }

@@ -408,6 +408,72 @@ object Similarity {
       |        > span / 510 + 1e-9)) = 0 END AS ok
       |FROM q""".stripMargin
 
+  /** Spherical k-means E-step: assign every corpus vector to its
+    * max-cosine centroid, centroids being the k corpus vectors with the
+    * smallest md5(vec_id) — the engine-portable flavor of
+    * [[sampleCentroids]]'s bounded deterministic sample (md5, not
+    * xxhash64, because the GATE recomputes the pick in DuckDB).
+    * Embedding practice is cosine k-means (unit-sphere clustering), so
+    * this shares the IVF machinery: broadcast centroid table, corpus ×
+    * k dot products in codegen'd vec_dot, argmax via max_by partial
+    * aggregation — no window, no shuffle of the candidate rows, and
+    * the whole E-step is corpus-linear at ANY corpus size since k is an
+    * absolute bound. Cosine rounds to 1e-6 before the argmax (the q23
+    * convention) so the winner is identical on both engines; ties break
+    * to the smallest cid via the (sim, -cid) struct key. */
+  def kmeansAssign(corpus: DataFrame, k: Int): DataFrame = {
+    val cents = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("norm").as("cn"))
+    withCsim(corpus, cents)
+      .withColumn("sim", round(col("csim"), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("sim")),
+        struct(col("sim"), negate(col("cid")))).as("w"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), col("w.cid").as("cid"), col("w.sim").as("sim"),
+        col("e"))
+  }
+
+  /** Spherical k-means M-step numerators, ORDER-FREE exact: per cluster,
+    * the element count and the component-wise sum of member vectors in
+    * fixed-point BIGINT units (floor(x·1e7 + 0.5) per element — floor on
+    * plain IEEE doubles, the q88 quantizer rule, never round(double)).
+    * Double summation would be partitioning-dependent; BIGINT summation
+    * commutes, so the new centroids are bit-identical at any
+    * parallelism. posexplode → (cid, pos) partial-agg'd sums →
+    * sort_array(collect_list) reassembly keeps every stage shuffled on
+    * bounded keys (k × dims rows after the first aggregate). Callers
+    * divide by n (and renormalize) to get the next centroid set. */
+  def kmeansUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+      .withColumn("fp", floor(col("x") * lit(1e7) + lit(0.5)).cast("long"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("fp")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n"),
+        sort_array(collect_list(struct(col("pos"), col("s")))).as("ps"))
+      .select(col("cid"), col("n"),
+        expr("transform(ps, p -> p.s)").as("sums_fp"))
+
+  def q95KmeansAssign(s: SparkSession, d: String): DataFrame =
+    kmeansAssign(vectors(s, d), 8).select(col("vec_id"), col("cid"), col("sim"))
+
+  val q95Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, e AS ce FROM v
+      |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sims AS (SELECT vec_id, cid,
+      |           round(list_cosine_similarity(e, ce), 6) AS sim
+      |         FROM v, cent)
+      |SELECT vec_id, cid, sim FROM (
+      |  SELECT vec_id, cid, sim,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY sim DESC, cid) AS rn
+      |  FROM sims) WHERE rn = 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
@@ -415,5 +481,6 @@ object Similarity {
     "q54_ivf_full_probe"    -> (q54IvfFullProbe _, q23Sql),
     "q55_ivf_recall"        -> (q55IvfRecall _, q55Sql),
     "q88_scalar_quantize"   -> (q88ScalarQuantize _, q88Sql),
+    "q95_kmeans_assign"     -> (q95KmeansAssign _, q95Sql),
   )
 }

@@ -176,4 +176,39 @@ class SimilaritySpec extends SparkSpec {
     val q2 = exactTop(corpus.repartition(11), corpus.filter(col("vec_id") < 3), 5)
     assert(q1 === q2)
   }
+
+  test("kmeans: assignment recovers planted clusters; M-step sums are exact and order-free") {
+    // two tight cones around orthogonal axes: any 2-centroid spherical
+    // k-means assignment must split them exactly by cone
+    val rows = (0L until 40L).map { i =>
+      val axis = (i % 2).toInt // 0 → x-cone, 1 → y-cone
+      val w = 0.05 * ((i / 2) % 5)
+      val e = Array(0.0, 0.0, 1.0).updated(axis, 1.0).updated(2, w)
+      (i, e.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "e")
+      .withColumn("norm", sqrt(call_function("vec_dot", col("e"), col("e"))))
+    val assigned = Similarity.kmeansAssign(corpus, 2)
+    val byCone = assigned.select(col("vec_id"), col("cid"))
+      .as[(Long, Long)].collect().groupBy(_._1 % 2).map {
+        case (cone, xs) => cone -> xs.map(_._2).toSet
+      }
+    assert(byCone(0L).size === 1 && byCone(1L).size === 1, s"cones split: $byCone")
+    assert(byCone(0L) !== byCone(1L), "both cones mapped to one centroid")
+    // M-step: fixed-point sums match the closed form, at any partitioning
+    val up1 = Similarity.kmeansUpdate(assigned.repartition(3))
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    val up2 = Similarity.kmeansUpdate(assigned.repartition(7))
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    assert(up1.toSeq === up2.toSeq, "M-step depends on partitioning")
+    val members = assigned.select(col("cid"), col("e"))
+      .as[(Long, Seq[Double])].collect().groupBy(_._1)
+    up1.foreach { case (cid, n, sums) =>
+      val es = members(cid).map(_._2)
+      assert(n === es.length)
+      val want = (0 until 3).map(d =>
+        es.map(e => math.floor(e(d) * 1e7 + 0.5).toLong).sum)
+      assert(sums.toSeq === want, s"cluster $cid sums")
+    }
+  }
 }
