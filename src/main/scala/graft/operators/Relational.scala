@@ -1157,6 +1157,70 @@ object Relational {
       |  CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM t GROUP BY 1, 2""".stripMargin
 
+  /** DISTRIBUTED global rank — dense total ordering of an entire table
+    * without ever collapsing it to one task. The naive form
+    * (`row_number() OVER (ORDER BY …)`) plans an Exchange
+    * SinglePartition: at 100 TB that is one executor sorting the world.
+    * This is the classic two-pass alternative:
+    *
+    *   1. range-repartition on the (value, tiebreak) total order —
+    *      Spark's RangePartitioner samples boundaries, so partition
+    *      COUNTS vary run to run, but the final rank below is invariant
+    *      to where the cuts land;
+    *   2. per-partition local row_number (the partition id is the
+    *      window key, so each window task sorts only its own slice);
+    *   3. add each partition's starting offset — a running sum over the
+    *      per-partition counts, a ≤`parts`-row frame that broadcasts.
+    *
+    * rank(row) = offset(pid) + local_rank is exactly the global
+    * row_number for the (value, tiebreak) order whatever the sampled
+    * boundaries, because ranges are contiguous. The range-partitioned
+    * table is localCheckpoint'ed (the q77 set-table discipline) because
+    * TWO consumers read it: were the exchange re-executed per consumer,
+    * a re-sampled boundary set would hand offsets and local ranks
+    * DIFFERENT pid assignments — rank corruption, not slowness.
+    * GlobalRankSpec pins equality against the single-partition window
+    * form and across different `parts`. */
+  def globalRank(df: DataFrame, value: Column, tiebreak: Column,
+      parts: Int): DataFrame = {
+    val parted = df.repartitionByRange(parts, value, tiebreak)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    parted
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(value, tiebreak)))
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("rnk", col("offset") + col("lrn"))
+      .drop("pid", "lrn", "offset")
+  }
+
+  /** [[globalRank]] under the gate: every 1000th rank of the global
+    * price order (plus the first and last), so the gate checks exact
+    * rank arithmetic across the full distribution at ~600 output rows
+    * per 600k inputs. */
+  def q97GlobalRank(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_extendedprice").as("x"),
+      col("l_orderkey"), col("l_linenumber"))
+    globalRank(li, col("x"), struct(col("l_orderkey"), col("l_linenumber")),
+      parts = 32)
+      .filter(col("rnk") % 1000 === 1)
+      .select(col("rnk"), col("x"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q97Sql: String =
+    """SELECT rnk, x, l_orderkey, l_linenumber FROM (
+      |  SELECT l_extendedprice AS x, l_orderkey, l_linenumber,
+      |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+      |                       l_linenumber) AS rnk
+      |  FROM lineitem)
+      |WHERE rnk % 1000 = 1""".stripMargin
+
   /** Pearson correlation + sample covariance of (quantity, price) per
     * return flag — via EXACT DECIMAL MOMENTS, not the corr/covar_samp
     * built-ins: those accumulate doubles in partition order, so their
@@ -1243,5 +1307,6 @@ object Relational {
     "q90_global_customer" -> (q90GlobalCustomer _, q90Sql),
     "q94_ntile_deciles"   -> (q94NtileDeciles _, q94Sql),
     "q96_corr_moments"    -> (q96CorrMoments _, q96Sql),
+    "q97_global_rank"     -> (q97GlobalRank _, q97Sql),
   )
 }

@@ -44,36 +44,7 @@ class BloomPruneSpec extends SparkSpec {
       "bloom probe should be below the join in the plan tree\n" + plan.take(2000))
   }
 
-  test("Catalyst injects its own runtime bloom filter when thresholds allow") {
-    // the operator reuses the exact expressions InjectRuntimeFilter
-    // plants; this pins that the automatic path works in this build too
-    // (thresholds lowered: toy scans are below the 10 GB default)
-    val confs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10")
-    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val d = sf("sf0.001")
-      // force a shuffle join: below the broadcast threshold AQE would
-      // broadcast the dim and the rule would see no exchange to protect
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val dim = Tables.part(spark, d).filter(col("p_size") < 5)
-        .select(col("p_partkey"))
-      val q = Tables.lineitem(spark, d)
-        .join(dim, col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-      val optimized = q.queryExecution.optimizedPlan.toString
-      assert(optimized.contains("might_contain") ||
-        optimized.contains("bloom_filter"),
-        "runtime filter not injected\n" + optimized.take(2000))
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
-      old.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
-      }
-    }
-  }
+  // NOTE: Catalyst's AUTOMATIC runtime bloom-filter injection (the rule
+  // whose expressions BloomFilterFns re-exposes) is already pinned in
+  // PlanAuditSpec's "runtime bloom filter" test — not duplicated here.
 }
