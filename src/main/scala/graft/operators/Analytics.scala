@@ -408,6 +408,103 @@ object Analytics {
       |FULL OUTER JOIN latest l ON b.c_custkey = l.k
       |WHERE COALESCE(l.op, 'U') <> 'D'""".stripMargin
 
+  /** Point-in-time attribution — [[scd2]] composed with an interval
+    * join, the standard warehouse question "what state was the user in
+    * WHEN they converted": build the SCD2 dimension from all
+    * NON-purchase events, then join each purchase to the interval
+    * containing its timestamp. Purchases before the user's first state
+    * run (or by users with no non-purchase events) attribute to 'none'.
+    *
+    * Correctness lean on q80's determinism fix: intervals chain
+    * half-open [valid_from, valid_to) in (valid_from, run_id) order, so
+    * they are DISJOINT (a tie produces a zero-length interval that can
+    * match nothing) and every purchase matches at most one state — the
+    * left join cannot fan out.
+    *
+    * Scale shape: the dimension is run-count sized (collapsed, much
+    * smaller than events); the join is an equi join on user_id with the
+    * interval bounds as residual filters — both sides hash-partition on
+    * user_id, nothing is events×events. */
+  def q98PitAttribution(s: SparkSession, d: String): DataFrame =
+    pitAttribution(events(s, d))
+
+  def pitAttribution(ev: DataFrame): DataFrame = {
+    val states = scd2(ev.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id").as("s_user"), col("event_type").as("state"),
+        col("valid_from"), col("valid_to"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(states, col("user_id") === col("s_user") &&
+        col("ts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts") < col("valid_to")), "left")
+      .groupBy(coalesce(col("state"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val q98Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM e WHERE event_type <> 'purchase'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_type, ts,
+      |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM flagged),
+      |collapsed AS (
+      |  SELECT user_id, run_id, event_type, min(ts) AS valid_from
+      |  FROM runs GROUP BY 1, 2, 3),
+      |states AS (
+      |  SELECT user_id AS s_user, event_type AS state, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id
+      |                           ORDER BY valid_from, run_id) AS valid_to
+      |  FROM collapsed)
+      |SELECT COALESCE(state, 'none') AS state,
+      |  count(*) AS n_purchases, count(DISTINCT user_id) AS n_users
+      |FROM (SELECT user_id, ts FROM e WHERE event_type = 'purchase') p
+      |LEFT JOIN states ON p.user_id = s_user
+      |  AND p.ts >= valid_from
+      |  AND (valid_to IS NULL OR p.ts < valid_to)
+      |GROUP BY 1""".stripMargin
+
+  /** Rolling distinct actives (DAU + trailing-7-day WAU per day) — the
+    * exact form of the windowed-distinct problem. `count(DISTINCT)`
+    * does not compose over sliding windows (users active on several
+    * days must count once), so the exact answer is a day-grid × user-day
+    * interval join: the grid is BOUNDED (one row per day — dozens at
+    * any corpus size), so the nested-loop side broadcasts and the real
+    * work is the one distinct-agg shuffle, ~7× the user-day table. At
+    * 100 TB the approximate path is per-day HLL sketches merged over
+    * the trailing window (q53's HLL discipline applied over time);
+    * this gate pins the exact semantics those sketches approximate. */
+  def q99RollingActives(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val days = ud.select(col("day").as("d")).distinct()
+    ud.join(broadcast(days),
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+        countDistinct(when(col("day") === col("d"), col("user_id"))).as("dau"))
+  }
+
+  val q99Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |days AS (SELECT DISTINCT day AS d FROM ud)
+      |SELECT d, count(DISTINCT user_id) AS wau,
+      |  count(DISTINCT CASE WHEN day = d THEN user_id END) AS dau
+      |FROM ud JOIN days ON day BETWEEN d - INTERVAL 6 DAY AND d
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -416,5 +513,7 @@ object Analytics {
     "q80_scd2"      -> (q80Scd2 _, q80Sql),
     "q85_anomaly"   -> (q85Anomaly _, q85Sql),
     "q91_cdc_apply" -> (q91CdcApply _, q91Sql),
+    "q98_pit_attribution" -> (q98PitAttribution _, q98Sql),
+    "q99_rolling_actives" -> (q99RollingActives _, q99Sql),
   )
 }

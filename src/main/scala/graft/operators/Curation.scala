@@ -349,6 +349,52 @@ object Curation {
       |  CAST(sum(least(greatest(n_chars, lo), hi)) AS BIGINT) AS clamped_total
       |FROM b GROUP BY 1""".stripMargin
 
+  /** Corpus training-readiness report — the capstone composition a
+    * pipeline owner actually reads before a run: per (source, split),
+    * document count, exact-dedup survivor count (global keep-first
+    * winners, so a duplicate spanning sources is kept in exactly ONE of
+    * them), raw vs surviving character volume. Composes [[withSplit]]
+    * (content-keyed, scale-invariant) with q20's canonical content hash.
+    *
+    * Scale shape: ONE shuffle on the content hash (the window min that
+    * decides keepers — the same exchange exact dedup itself costs),
+    * then a partial-agg'd groupBy on the bounded (source, split) pair.
+    * Integer columns end to end: the gate has no FP surface at all. */
+  def q100CorpusReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = withSplit(documents(s, d))
+      .withColumn("h", md5(Dedup.normText(col("text"))))
+    docs
+      .withColumn("keep",
+        (min(col("doc_id")).over(Window.partitionBy(col("h")))
+          === col("doc_id")).cast("long"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_unique"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(when(col("keep") === 1L, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+  }
+
+  val q100Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) % 100 AS b,
+      |    CASE WHEN min(doc_id) OVER (PARTITION BY
+      |        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+      |      = doc_id THEN 1 ELSE 0 END AS keep
+      |  FROM documents)
+      |SELECT source,
+      |  CASE WHEN b < 80 THEN 'train'
+      |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(keep) AS BIGINT) AS n_unique,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS kept_chars
+      |FROM k GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -358,5 +404,6 @@ object Curation {
     "q75_group_sample"  -> (q75GroupSample _, q75Sql),
     "q76_doc_chunks"    -> (q76DocChunks _, q76Sql),
     "q92_winsorize"     -> (q92Winsorize _, q92Sql),
+    "q100_corpus_report" -> (q100CorpusReport _, q100Sql),
   )
 }

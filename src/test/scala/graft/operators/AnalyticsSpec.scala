@@ -186,4 +186,26 @@ class AnalyticsSpec extends SparkSpec {
     // key 2: latest op is D → gone entirely
     assert(!out.contains(2L))
   }
+
+  test("pit attribution: purchases land in the containing state interval; none before it") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"1995-01-01 10:${m}%02d:00")
+    val ev = Seq(
+      // user 1: view state, purchase, click state, purchase
+      (1L, 1L, "view", t(1)), (2L, 1L, "purchase", t(2)),
+      (3L, 1L, "click", t(3)), (4L, 1L, "purchase", t(4)),
+      // user 2: purchase BEFORE any state exists → none
+      (5L, 2L, "purchase", t(1)), (6L, 2L, "view", t(2)),
+      // user 3: only purchases → none
+      (7L, 3L, "purchase", t(5)),
+      // user 4: purchase exactly AT a state boundary → the NEW state
+      (8L, 4L, "view", t(1)), (9L, 4L, "click", t(3)),
+      (10L, 4L, "purchase", t(3)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Analytics.pitAttribution(ev)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "view"  -> ((1L, 1L)),  // user 1's first purchase
+      "click" -> ((2L, 2L)),  // user 1's second + user 4's boundary purchase
+      "none"  -> ((2L, 2L)))) // user 2 pre-state + user 3 stateless
+  }
 }
