@@ -83,7 +83,23 @@ object DumpPlans {
           "only from prefix-item collisions; corpus never self-joined"),
       ("q86_window_topk_rewrite", Relational.q86WindowTopkRewrite(spark, d),
         "user-shaped SQL row_number()<=k silently planned as the " +
-          "GroupTopK bounded-heap operator: no Window, no input sort"))
+          "GroupTopK bounded-heap operator: no Window, no input sort"),
+      ("q90_global_customer", Relational.q90GlobalCustomer(spark, d),
+        "TPC-H Q22 shape: 5-row segment aggregate broadcasts; the " +
+          "average compares multiplied-through in exact decimal; " +
+          "anti join on the filtered orders projection"),
+      ("q93_bloom_prune", BloomPrune.q93BloomPrune(spark, d),
+        "one-row bloom sketch built with map-side merge, reaches the " +
+          "fact side as a scalar subquery; might_contain probes BELOW " +
+          "the semi join, so non-matching rows never enter the shuffle"),
+      ("q95_kmeans_assign", Similarity.q95KmeansAssign(spark, d),
+        "bounded md5-ranked centroid pick (TakeOrdered), broadcast to " +
+          "the corpus; argmax via max_by partial agg — no window, " +
+          "corpus-linear at any size"),
+      ("q97_global_rank", Relational.q97GlobalRank(spark, d),
+        "global row_number with NO SinglePartition exchange on the data " +
+          "path: range partition (checkpointed once), per-partition " +
+          "local rank, tiny offsets frame broadcast back"))
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")
