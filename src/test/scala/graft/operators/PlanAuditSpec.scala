@@ -228,6 +228,55 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q91 cdc: changelog collapses with a partial aggregate before its shuffle") {
+    val plan = planOf(Analytics.q91CdcApply(spark, d))
+    // the latest-wins max(struct(...)) must be an ordinary two-phase
+    // aggregate: at 100 TB the shuffle moves one row per changed key,
+    // not one per change record
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q92 winsorize: the whole chain runs over ONE lang exchange") {
+    val plan = planOf(Curation.q92Winsorize(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // both window sorts (asc+desc), the boundary window maxes, and the
+    // final collapse reuse the lang hash partitioning: exactly one
+    // Exchange hashpartitioning(lang) on the data path, no roundtrips
+    val exchanges = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected 1 lang exchange, got $exchanges\n${finalPlan.take(2500)}")
+  }
+
+  test("q96 correlation: five exact moments merge map-side, one shuffle") {
+    val plan = planOf(Relational.q96CorrMoments(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_"), finalPlan.take(2000))
+    val exchanges = finalPlan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected 1 exchange, got $exchanges\n${finalPlan.take(2500)}")
+  }
+
+  test("q99 rolling actives: the day grid broadcasts — never a shuffled theta join") {
+    val plan = planOf(Analytics.q99RollingActives(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the interval predicate is non-equi: the only sane shape is the
+    // BOUNDED grid broadcast against the user-day table
+    assert(finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(2000))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2000))
+  }
+
+  test("q95 kmeans: assignment is an aggregate, not a window over the corpus") {
+    val plan = planOf(Similarity.q95KmeansAssign(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"), finalPlan.take(2000))
+    assert(finalPlan.contains("BroadcastExchange"),
+      "centroids should broadcast\n" + finalPlan.take(2000))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
