@@ -412,6 +412,44 @@ object Relational {
       |    FROM events))
       |GROUP BY user_id, session_id""".stripMargin
 
+  /** NATIVE session windows — `session_window(ts, gap)` in batch mode,
+    * gated against the gaps-and-islands formulation the oracle states
+    * directly. Proves the built-in's merge rule equals q16's manual
+    * islands (boundary probe: an event at EXACTLY prev+gap MERGES —
+    * new session only when the gap is strictly exceeded), so streaming
+    * jobs using the native operator and warehouse SQL using islands
+    * agree row-for-row. Session end = last event + gap by definition;
+    * all bound arithmetic is exact micros (the q16 convention).
+    *
+    * Scale shape: one user_id exchange; sessions merge inside the
+    * MergingSessions aggregate (sort-based within partitions), never a
+    * window-over-everything. */
+  def q101SessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n_events"), col("first_event"))
+
+  val q101Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+      |         WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      |              - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+      |              > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT user_id, event_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS s_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  count(*) AS n_events, min(event_id) AS first_event
+      |FROM runs GROUP BY user_id, sid""".stripMargin
+
   /** TPC-H Q17 analog: revenue from small-quantity lines relative to the
     * per-part average — expressed as a window aggregate over l_partkey
     * instead of self-join-on-aggregate: ONE shuffle of lineitem on
@@ -1308,5 +1346,6 @@ object Relational {
     "q94_ntile_deciles"   -> (q94NtileDeciles _, q94Sql),
     "q96_corr_moments"    -> (q96CorrMoments _, q96Sql),
     "q97_global_rank"     -> (q97GlobalRank _, q97Sql),
+    "q101_session_window" -> (q101SessionWindow _, q101Sql),
   )
 }
