@@ -124,6 +124,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("STREAMING native session_window matches the batch q101 operator on the same rows") {
+    // the third sessionization mechanism in the suite: q16 islands SQL
+    // == custom flatMapGroupsWithState == native session_window — this
+    // pins the native operator's STREAMING mode (watermarked session
+    // merge in the state store) against its own batch form, which the
+    // driver gate already proves equal to the islands oracle
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = mem.toDS().toDF()
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n_events"), col("first_event"))
+      .writeStream.format("memory").queryName("native_sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two merged events + a boundary-exact third (EXACTLY
+      // prev+30min — must merge, the q101 probe rule); user 2: split
+      mem.addData(Ev(1, 100, ts(0)), Ev(1, 101, ts(10)), Ev(2, 200, ts(5)))
+      q.processAllAvailable()
+      mem.addData(Ev(1, 102, ts(40)), Ev(2, 201, ts(50)))
+      q.processAllAvailable()
+      // close everything via watermark
+      mem.addData(Ev(9, 900, ts(300)))
+      q.processAllAvailable()
+      mem.addData(Ev(9, 901, ts(301)))
+      q.processAllAvailable()
+      val got = spark.table("native_sess_out")
+        .filter(col("user_id") < 9)
+        .select(col("user_id"), col("s_start"), col("s_end"),
+          col("n_events"), col("first_event"))
+        .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+      val batch = Seq(Ev(1, 100, ts(0)), Ev(1, 101, ts(10)), Ev(2, 200, ts(5)),
+        Ev(1, 102, ts(40)), Ev(2, 201, ts(50)))
+        .toDF()
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .select(col("user_id"), col("w.start").as("s_start"),
+          col("w.end").as("s_end"), col("n_events"), col("first_event"))
+        .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+      assert(got === batch)
+      // the boundary-exact event DID merge: user 1 has ONE session of 3
+      assert(got.count(_._1 == 1L) === 1)
+      assert(got.find(_._1 == 1L).get._4 === 3L)
+    } finally q.stop()
+  }
+
   test("sessionize in batch mode equals the q16 window formulation on real events") {
     val d = sf("sf0.001")
     val evs = graft.operators.Tables.events(spark, d)
