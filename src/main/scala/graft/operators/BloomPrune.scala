@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * cuts shuffle input, never decides membership (same contract as the
   * injected runtime filter; differential + FP-rate spec in
   * BloomPruneSpec, plan audit in PlanAuditSpec).
+  *
+  * When to apply (measured, BenchBloomAB in BASELINE.md): ONLY in
+  * front of a SHUFFLE join — there it wins even single-JVM at sf0.1
+  * (1.27×) because pruned rows never enter the exchange, and the win
+  * grows with fact size on a real network. In front of a broadcast
+  * join it is pure overhead: the broadcast hash probe is already a
+  * perfect filter, so the sketch build+probe buys nothing.
   */
 object BloomPrune {
   import Tables._

@@ -1303,6 +1303,40 @@ object Relational {
       |  round((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar6
       |FROM m""".stripMargin
 
+  /** UNPIVOT (wide → long melt) — the inverse of q33's pivot and the
+    * remaining reshaping surface: three measure columns stacked into
+    * (metric, v) rows, then aggregated per (flag, metric). Spark plans
+    * `Dataset.unpivot` as an Expand — a per-row projection multiplying
+    * rows WITHOUT any shuffle, so the partial aggregate still combines
+    * map-side and the only exchange is the final 15-group collapse.
+    * The oracle states the equivalent stacked-UNION form, pinning the
+    * semantics equivalence (unpivot == union of per-measure
+    * projections) rather than leaning on DuckDB's own UNPIVOT sugar. */
+  def q102Unpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "v")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"), dsum(col("v"), 4).as("total"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+
+  val q102Sql: String =
+    """WITH long AS (
+      |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS v
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+      |SELECT l_returnflag, metric, count(*) AS n,
+      |  CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS total,
+      |  min(v) AS lo, max(v) AS hi
+      |FROM long GROUP BY 1, 2""".stripMargin
+
   /** name → (query fn, oracle SQL) for everything in this module. */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
@@ -1347,5 +1381,6 @@ object Relational {
     "q96_corr_moments"    -> (q96CorrMoments _, q96Sql),
     "q97_global_rank"     -> (q97GlobalRank _, q97Sql),
     "q101_session_window" -> (q101SessionWindow _, q101Sql),
+    "q102_unpivot"        -> (q102Unpivot _, q102Sql),
   )
 }
