@@ -60,4 +60,44 @@ class StreamingCdcSpec extends SparkSpec {
       assert(streamSnap === batchSnap)
     } finally q.stop()
   }
+
+  test("transformWithState port agrees with the mapGroupsWithState fold") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState keeps each named state variable in its own
+    // column family — RocksDB-backed only (the default HDFS provider
+    // refuses); this is also the intended production backend
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Chg]
+    val q = CdcStreamV2.latestWins(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_v2_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // same shuffled arrival script as the v1 test
+      mem.addData(Chg(1L, 5L, "U", 15.0), Chg(2L, 1L, "U", 21.0))
+      q.processAllAvailable()
+      mem.addData(Chg(1L, 3L, "U", 13.0), Chg(2L, 2L, "D", 0.0),
+        Chg(3L, 1L, "D", 0.0))
+      q.processAllAvailable()
+      mem.addData(Chg(3L, 2L, "U", 33.0), Chg(4L, 1L, "U", 44.0))
+      q.processAllAvailable()
+      val got = spark.table("cdc_v2_out").as[Chg].collect()
+        .groupBy(_.k).map { case (k, xs) =>
+          k -> xs.maxBy(c => (c.seq, c.op, c.bal))
+        }
+      assert(got === Map(
+        1L -> Chg(1L, 5L, "U", 15.0),
+        2L -> Chg(2L, 2L, "D", 0.0),
+        3L -> Chg(3L, 2L, "U", 33.0),
+        4L -> Chg(4L, 1L, "U", 44.0)))
+    } finally {
+      q.stop()
+      oldProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None    => spark.conf.unset(provKey)
+      }
+    }
+  }
 }
