@@ -505,6 +505,52 @@ object Analytics {
       |FROM ud JOIN days ON day BETWEEN d - INTERVAL 6 DAY AND d
       |GROUP BY 1""".stripMargin
 
+  /** Markov transition counts over each user's event stream: the
+    * (from_type → to_type) adjacency of consecutive events, with the
+    * per-source row total carried alongside so P(to|from) = cnt /
+    * from_total is computable by the caller without a division in the
+    * gated output (cross-engine decimal-division scale rules differ;
+    * both factors are exact BIGINTs). Order within a user is
+    * (ts, event_id) — the same deterministic total order the SCD2 runs
+    * (q80) use, so same-timestamp events tie-break identically on both
+    * engines.
+    *
+    * Scale shape: one shuffle of events on user_id for the lead()
+    * window (the partitioning sessionize/q16/q80 already use — at a
+    * real deployment these share one exchange), then a partially-
+    * aggregated groupBy down to the |types|² transition matrix; the
+    * from_total window runs on that matrix-sized frame, never on the
+    * event log. */
+  def q104EventTransitions(s: SparkSession, d: String): DataFrame =
+    eventTransitions(events(s, d))
+
+  def eventTransitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.withColumn("from_total",
+      sum(col("cnt")).over(Window.partitionBy(col("from_type"))))
+  }
+
+  val q104Sql: String =
+    """WITH steps AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |      AS to_type
+      |  FROM events),
+      |m AS (
+      |  SELECT from_type, to_type, count(*) AS cnt FROM steps
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, cnt,
+      |  CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
+      |FROM m""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -515,5 +561,6 @@ object Analytics {
     "q91_cdc_apply" -> (q91CdcApply _, q91Sql),
     "q98_pit_attribution" -> (q98PitAttribution _, q98Sql),
     "q99_rolling_actives" -> (q99RollingActives _, q99Sql),
+    "q104_event_transitions" -> (q104EventTransitions _, q104Sql),
   )
 }

@@ -118,7 +118,114 @@ object Graph {
        |${(1 to Iters).map(iterSql).mkString(",\n")}
        |SELECT node, rank_e12 FROM r$Iters""".stripMargin
 
+  /** Baskets with more distinct parts than this are excluded from edge
+    * generation — a basket of k parts emits k²/2 pairs, so one
+    * pathological mega-order would otherwise dominate the edge list
+    * (the q22 stop-gram-cap discipline applied to co-occurrence). The
+    * cap is part of the operator's semantic and replicated in the
+    * oracle. TPC-H baskets are ≤7 parts, so at test SFs it never bites. */
+  private val BasketCap = 64
+
+  /** Per-node triangle counts over the part co-purchase graph (parts
+    * are adjacent iff some order contains both). The algorithm is the
+    * classic DEGREE-ORIENTED count (Schank–Wagner / Cohen's MapReduce
+    * form): orient every undirected edge from its (degree, id)-smaller
+    * endpoint, build wedges only at each edge's low-degree apex, and
+    * close them against the oriented edge list. Orientation bounds the
+    * per-node wedge fan-out by O(√m) — the hub that would generate
+    * deg² wedges undirected generates almost none oriented, which is
+    * what makes the count feasible on power-law graphs at scale.
+    *
+    * Scale shape: three partially-aggregated shuffles (edge dedup,
+    * degrees, final count) plus two equi-joins on the apex/closing
+    * keys; the oriented edge list is localCheckpointed once and reused
+    * by both sides of the wedge join and the closing probe, so the
+    * basket self-join runs exactly once. Everything is BIGINT —
+    * bit-identical across engines by construction. */
+  def q105TriangleCount(s: SparkSession, d: String): DataFrame = {
+    val basket = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val sized = basket
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))))
+      .filter(col("bsz") <= BasketCap)
+      .select(col("ok"), col("pk"))
+    val e = sized.as("a").join(sized.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct()
+    triangleCounts(e)
+  }
+
+  /** Degree-oriented per-node triangle counts over a DISTINCT
+    * undirected edge list given as (u, v) with u < v. */
+  def triangleCounts(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+    // Orient u→v iff (deg_u, u) < (deg_v, v); e has u < v, so degree
+    // ties keep the id order. Carry the TARGET's degree so the wedge
+    // join can order its two legs without re-joining degrees.
+    val fwd = col("du") < col("dv") || (col("du") === col("dv"))
+    val o = e
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("s"),
+        when(fwd, col("v")).otherwise(col("u")).as("t"),
+        when(fwd, col("dv")).otherwise(col("du")).as("dt"))
+      // reused by wedge-left, wedge-right AND the closing probe: pin the
+      // blocks so the basket self-join executes once, not three times
+      .localCheckpoint(false)
+    // Wedge (s; t1, t2) with (dt1, t1) < (dt2, t2): the closing edge, if
+    // present, is then oriented t1→t2 by construction.
+    val w = o.as("e1").join(o.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    val tri = w.join(o.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  val q105Sql: String =
+    s"""WITH basket AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |sized AS (
+       |  SELECT ok, pk FROM (
+       |    SELECT ok, pk, count(*) OVER (PARTITION BY ok) AS bsz FROM basket)
+       |  WHERE bsz <= $BasketCap),
+       |e AS (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM sized a JOIN sized b ON a.ok = b.ok AND a.pk < b.pk),
+       |deg AS (
+       |  SELECT x, count(*) AS dg FROM (
+       |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+       |o AS (
+       |  SELECT CASE WHEN du <= dv THEN u ELSE v END AS s,
+       |         CASE WHEN du <= dv THEN v ELSE u END AS t,
+       |         CASE WHEN du <= dv THEN dv ELSE du END AS dt
+       |  FROM (SELECT u, v, d1.dg AS du, d2.dg AS dv
+       |        FROM e JOIN deg d1 ON d1.x = e.u
+       |               JOIN deg d2 ON d2.x = e.v)),
+       |wdg AS (
+       |  SELECT e1.s AS a, e1.t AS b, e2.t AS c
+       |  FROM o e1 JOIN o e2 ON e1.s = e2.s
+       |   AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))),
+       |tri AS (
+       |  SELECT a, b, c FROM wdg JOIN o ON o.s = wdg.b AND o.t = wdg.c)
+       |SELECT node, count(*) AS tri_cnt FROM (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q81_pagerank" -> (q81Pagerank _, q81Sql),
+    "q105_triangle_count" -> (q105TriangleCount _, q105Sql),
   )
 }

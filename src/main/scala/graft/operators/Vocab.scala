@@ -229,10 +229,94 @@ object Vocab {
       |FROM c GROUP BY 1
       |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Stop-term df-cap for cosine candidate generation: a term is a stop
+    * term if it appears in more than 1/5 of the corpus (a RELATIVE
+    * threshold — an absolute df is meaningless across corpus sizes: at
+    * 5k docs of a small synthetic vocabulary every word clears df=100),
+    * bounded above by an ABSOLUTE ceiling so the worst-case per-term
+    * pair fan-out stays ≤ CosDfCeil²/2 no matter how large the corpus
+    * grows. Capped terms are excluded from candidate generation AND
+    * from the norms — the bounded "capped cosine" semantic, exactly the
+    * q22 stop-gram discipline. Both bounds are replicated in the
+    * oracle. */
+  private val CosDfCeil = 5000
+
+  /** All-pairs document similarity by TERM-FREQUENCY COSINE over the
+    * inverted index (Bayardo et al., WWW'07 all-pairs style): pairs are
+    * generated ONLY from shared sub-cap terms (term-at-a-time partial
+    * products — never a doc×doc cross product), then gated on
+    * cos(a,b) ≥ 0.8. The gate is evaluated in INTEGER arithmetic —
+    * 25·dot² ≥ 16·‖a‖²·‖b‖² avoids sqrt and division entirely, so both
+    * engines compare exactly (widened first: dot and the norms are
+    * BIGINTs whose product can exceed 2⁶³ on long documents — Spark
+    * compares in DECIMAL(38,0), DuckDB in HUGEINT).
+    *
+    * Scale shape: one shuffle of slim (doc, term, tf) rows; the df-cap
+    * semi-join bounds every term's pair fan-out at CosDfCeil²/2; partial
+    * products partially aggregate map-side before the (id_a, id_b)
+    * shuffle; norms are a groups-sized frame joined back per side. The
+    * tf index is localCheckpointed once and reused by the df filter,
+    * the norms, and both join sides. */
+  def q106TfCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val tf = Dedup.wordRows(documents(s, d))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val nd = documents(s, d).agg(count(lit(1)).as("nd"))
+    val okWords = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") <= least(expr("nd div 5"), lit(CosDfCeil.toLong)))
+      .select(col("w"))
+    val capped = tf.join(okWords, Seq("w")).localCheckpoint(false)
+    val nsq = capped.groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("c")).as("nsq"))
+    val dots = capped.as("a").join(capped.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (col("a.c") * col("b.c")).as("p"))
+      .groupBy(col("id_a"), col("id_b")).agg(sum(col("p")).as("dot"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    dots
+      .join(nsq.select(col("doc_id").as("id_a"), col("nsq").as("nsq_a")), Seq("id_a"))
+      .join(nsq.select(col("doc_id").as("id_b"), col("nsq").as("nsq_b")), Seq("id_b"))
+      .filter(dec(col("dot")) * col("dot") * 25 >=
+        dec(col("nsq_a")) * col("nsq_b") * 16)
+      .select(col("id_a"), col("id_b"), col("dot"),
+        col("nsq_a"), col("nsq_b"))
+  }
+
+  val q106Sql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_filter(
+       |      string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS w
+       |    FROM documents)
+       |  GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT doc_id, w, c FROM tf
+       |  WHERE w IN (SELECT w FROM tf GROUP BY w
+       |              HAVING count(*) <= least(
+       |                (SELECT count(*) // 5 FROM documents), $CosDfCeil))),
+       |nsq AS (
+       |  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS nsq
+       |  FROM capped GROUP BY 1),
+       |dots AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+       |  FROM capped a JOIN capped b
+       |    ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, dot, na.nsq AS nsq_a, nb.nsq AS nsq_b
+       |FROM dots
+       |JOIN nsq na ON na.doc_id = id_a
+       |JOIN nsq nb ON nb.doc_id = id_b
+       |WHERE CAST(dot AS HUGEINT) * dot * 25 >=
+       |      CAST(na.nsq AS HUGEINT) * nb.nsq * 16""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q68_heavy_hitters" -> (q68HeavyHitters _, q68Sql),
     "q69_lm_score"      -> (q69LmScore _, q69Sql),
     "q78_bpe_pairs"     -> (q78BpePairs _, q78Sql),
     "q89_bm25"          -> (q89Bm25 _, q89Sql),
+    "q106_tf_cosine_pairs" -> (q106TfCosinePairs _, q106Sql),
   )
 }

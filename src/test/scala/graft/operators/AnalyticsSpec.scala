@@ -10,6 +10,33 @@ class AnalyticsSpec extends SparkSpec {
 
   private def ts(m: Long) = new Timestamp(60000L * m)
 
+  test("eventTransitions: per-user adjacency counts, (ts, event_id) tie-break") {
+    val ev = Seq(
+      // u1: a→b→a (two transitions)
+      (1L, 1L, "a", ts(0)), (2L, 1L, "b", ts(1)), (3L, 1L, "a", ts(2)),
+      // u2: same-timestamp pair — event_id orders b BEFORE c
+      (5L, 2L, "b", ts(0)), (6L, 2L, "c", ts(0)),
+      // u3: single event → no transitions at all
+      (7L, 3L, "a", ts(9)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Analytics.eventTransitions(ev)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("a", "b", 1L, 1L),   // from-total of 'a' counts only a→b
+      ("b", "a", 1L, 2L),   // 'b' fans out to a and c → from_total 2
+      ("b", "c", 1L, 2L)))
+    // swapping the event_ids at the tied timestamp flips the transition
+    val flipped = ev.withColumn("event_id",
+      when(col("event_id") === 5L, 6L)
+        .when(col("event_id") === 6L, 5L).otherwise(col("event_id")))
+    val got2 = Analytics.eventTransitions(flipped)
+      .as[(String, String, Long, Long)].collect().toSet
+    // u2's b→c becomes c→b; u1's transitions (and b→a) are untouched,
+    // so 'b' now fans out only to 'a' → its from_total drops to 1
+    assert(got2 === Set(
+      ("a", "b", 1L, 1L), ("b", "a", 1L, 1L), ("c", "b", 1L, 1L)))
+  }
+
   test("funnel: strict ordering per step, first-touch attribution") {
     val ev = Seq(
       // u1: full funnel in order

@@ -56,4 +56,45 @@ class GraphSpec extends SparkSpec {
       assert(got === want, s"trial $trial")
     }
   }
+
+  /** Naive O(n³) triangle enumeration over an undirected u<v edge set. */
+  private def slowTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && es((a, b))
+      c <- nodes if b < c && es((b, c)) && es((a, c))
+    } yield Seq(a, b, c)
+    tris.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("triangleCounts: closed forms — K4, star, and a hub with one chord") {
+    // K4: every node is in C(3,2) = 3 triangles
+    val k4 = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val gotK4 = Graph.triangleCounts(k4.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotK4 === (1L to 4L).map(_ -> 3L).toMap)
+    // star has no triangles at all → empty output
+    val star = (2L to 6L).map(h => (1L, h))
+    assert(Graph.triangleCounts(star.toDF("u", "v")).count() === 0)
+    // one chord on the star closes exactly one triangle — and the hub's
+    // high degree must not inflate the count (orientation correctness)
+    val chord = star :+ (2L, 3L)
+    val gotChord = Graph.triangleCounts(chord.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotChord === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts matches naive enumeration on random graphs") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 120).map { _ =>
+        val a = rnd.nextInt(20).toLong; val b = rnd.nextInt(20).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 < e._2).distinct
+      val got = Graph.triangleCounts(edges.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === slowTriangles(edges), s"trial $trial")
+    }
+  }
 }

@@ -93,6 +93,30 @@ class VocabSpec extends SparkSpec {
     assert(cut === Seq(("m n", 1L), ("p q", 1L)))
   }
 
+  test("TF-cosine pairs: exact integer witnesses, threshold gate, df-cap") {
+    // 10 docs so the relative df-cap (n div 5 = 2) is the binding bound
+    val docs = Seq(
+      (1L, "alpha beta alpha"),   // tf: alpha 2, beta 1 (both df 2)
+      (2L, "alpha beta beta"),    // cos vs d1 = 4/sqrt(5·5) = 0.8 → in
+      (3L, "gamma delta"),        // d3–d4 share gamma only: dot 1,
+      (4L, "gamma epsilon"),      //   norms 2,2 → cos 0.5 → out
+      (5L, "zeta"), (6L, "eta"), (7L, "theta"),
+      // 'common' appears in 3 docs > cap 2 → excluded everywhere:
+      (8L, "common common"),
+      (9L, "common iota"), (10L, "common iota common"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("vocabcos").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Vocab.q106TfCosinePairs(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // d1–d2: dot = 2·1 + 1·2 = 4, ‖·‖² = 5 each → cos exactly 0.8 (the
+    // >= boundary is IN). d9–d10 share iota AND the capped 'common':
+    // with the cap applied both sides reduce to iota alone → witnesses
+    // (dot 1, norms 1, 1); uncapped they would be (3, 2, 5) — the
+    // witness values prove the cap reached the norms too.
+    assert(got === Set((1L, 2L, 4L, 5L, 5L), (9L, 10L, 1L, 1L, 1L)))
+  }
+
   test("BM25: closed-form scores, non-matching docs absent, ranking correct") {
     def r(x: Double, s: Int) =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
