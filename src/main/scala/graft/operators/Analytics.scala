@@ -551,6 +551,72 @@ object Analytics {
       |  CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
       |FROM m""".stripMargin
 
+  /** Gaps-and-islands interval coalescing: each order is "open" from
+    * o_orderdate to its LAST shipment; overlapping/touching open windows
+    * of one customer merge into maximal engagement periods. The merge is
+    * the classic running-max island construction: a row starts a new
+    * island iff its start strictly exceeds the max end seen so far in
+    * (start, end) order. Island EXTENTS are tie-order invariant (equal
+    * starts: whichever row the engine visits first opens the island,
+    * the other lands in it), so both engines agree on the output even
+    * though ROWS frames order ties differently.
+    *
+    * Scale shape: one shuffle on the merge key for the windowed sort
+    * (both window functions share the single sort), running max/sum
+    * stream in O(1) memory per row, and the output is islands-sized.
+    * Timestamp comparisons are exact micros — no float anywhere. */
+  def q107IntervalMerge(s: SparkSession, d: String): DataFrame = {
+    val spans = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("s"))
+      .agg(max(col("l_shipdate")).as("mx"))
+      .select(col("k"), col("s"), greatest(col("mx"), col("s")).as("e"))
+    intervalMerge(spans)
+  }
+
+  /** Merge overlapping closed intervals (k, s, e) per key k; touching
+    * intervals (next.s == prev.e) merge. */
+  def intervalMerge(iv: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+    iv
+      .withColumn("pmax", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("island"))
+      .agg(min(col("s")).as("merged_from"), max(col("e")).as("merged_to"),
+        count(lit(1)).as("n_spans"))
+  }
+
+  val q107Sql: String =
+    """WITH spans AS (
+      |  SELECT o_custkey AS k, o_orderdate AS s,
+      |    greatest(max(l_shipdate), o_orderdate) AS e
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT k, s, e,
+      |    max(e) OVER (PARTITION BY k ORDER BY s, e
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS pmax
+      |  FROM spans),
+      |g AS (
+      |  SELECT k, s, e,
+      |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+      |  FROM f),
+      |h AS (
+      |  SELECT k, s, e,
+      |    CAST(sum(brk) OVER (PARTITION BY k ORDER BY s, e
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      |  FROM g)
+      |SELECT k, island, min(s) AS merged_from, max(e) AS merged_to,
+      |  count(*) AS n_spans
+      |FROM h GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -562,5 +628,6 @@ object Analytics {
     "q98_pit_attribution" -> (q98PitAttribution _, q98Sql),
     "q99_rolling_actives" -> (q99RollingActives _, q99Sql),
     "q104_event_transitions" -> (q104EventTransitions _, q104Sql),
+    "q107_interval_merge" -> (q107IntervalMerge _, q107Sql),
   )
 }

@@ -1338,6 +1338,59 @@ object Relational {
       |FROM long GROUP BY 1, 2""".stripMargin
 
   /** name → (query fn, oracle SQL) for everything in this module. */
+  /** Robust location/spread per group: lower MEDIAN and MEDIAN ABSOLUTE
+    * DEVIATION of extended price per return flag. Cross-engine
+    * determinism comes from PICKING order statistics, never computing
+    * them: the lower median is the row with rank (n+1) div 2 in value
+    * order (rank ties share the value, so the pick is unique), and each
+    * deviation is a SINGLE IEEE subtraction |x − med| — one correctly-
+    * rounded op, bit-identical on both engines — then the MAD is again
+    * a rank pick over those. No interpolation (whose a+(b−a)·q vs
+    * (a+b)/2 forms differ by ULPs across engines) and no float sums.
+    *
+    * Scale shape: two windowed sorts partitioned on the group key (the
+    * order-statistics cost class, same as q07/q84), each streaming
+    * rank+count in one pass; medians are a groups-sized frame broadcast
+    * back. At 100 TB the approx path (q63) answers first; this is the
+    * exact-semantics member of that family. */
+  def q108RobustStats(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("g"))
+      df.withColumn("rk", row_number().over(w.orderBy(col(v))))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("g"), col("n"), col(v).as(out))
+    }
+    val med = lowerMedian(li, "x", "med")
+    val dev = li.join(broadcast(med.drop("n")), Seq("g"))
+      .select(col("g"), abs(col("x") - col("med")).as("dv"))
+    lowerMedian(dev, "dv", "mad").drop("n")
+      .join(broadcast(med), Seq("g"))
+      .select(col("g").as("l_returnflag"), col("n"), col("med"), col("mad"))
+  }
+
+  val q108Sql: String =
+    """WITH r1 AS (
+      |  SELECT l_returnflag AS g, l_extendedprice AS x,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |                       ORDER BY l_extendedprice) AS rk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem),
+      |med AS (SELECT g, n, x AS med FROM r1 WHERE rk = (n + 1) // 2),
+      |dev AS (
+      |  SELECT r1.g, abs(r1.x - med.med) AS dv
+      |  FROM r1 JOIN med ON r1.g = med.g),
+      |r2 AS (
+      |  SELECT g, dv,
+      |    row_number() OVER (PARTITION BY g ORDER BY dv) AS rk,
+      |    count(*) OVER (PARTITION BY g) AS n
+      |  FROM dev)
+      |SELECT r2.g AS l_returnflag, med.n, med.med, r2.dv AS mad
+      |FROM r2 JOIN med ON r2.g = med.g
+      |WHERE r2.rk = (r2.n + 1) // 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
     "q02_filter_pushdown" -> (q02FilterPushdown _, q02Sql),
@@ -1374,6 +1427,7 @@ object Relational {
     "q63_approx_percentile" -> (q63ApproxPercentileBound _, q63Sql),
     "q83_rolling_window"  -> (q83RollingWindow _, q83Sql),
     "q84_grouped_percentiles" -> (q84GroupedPercentiles _, q84Sql),
+    "q108_robust_stats" -> (q108RobustStats _, q108Sql),
     "q86_window_topk_rewrite" -> (q86WindowTopkRewrite _, q86Sql),
     "q87_array_funcs"     -> (q87ArrayFuncs _, q87Sql),
     "q90_global_customer" -> (q90GlobalCustomer _, q90Sql),

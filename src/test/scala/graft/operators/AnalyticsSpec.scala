@@ -37,6 +37,47 @@ class AnalyticsSpec extends SparkSpec {
       ("a", "b", 1L, 1L), ("b", "a", 1L, 1L), ("c", "b", 1L, 1L)))
   }
 
+  test("intervalMerge: overlap and touch merge, strict gaps split, keys isolate") {
+    val iv = Seq(
+      (1L, ts(0), ts(10)), (1L, ts(5), ts(7)),  // contained span
+      (1L, ts(10), ts(20)),                     // touching endpoint → merges
+      (1L, ts(21), ts(30)),                     // strict gap → new island
+      (2L, ts(0), ts(1)))                       // second key stays isolated
+      .toDF("k", "s", "e")
+    val got = Analytics.intervalMerge(iv)
+      .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, ts(0), ts(20), 3L),
+      (1L, 2L, ts(21), ts(30), 1L),
+      (2L, 1L, ts(0), ts(1), 1L)))
+  }
+
+  test("intervalMerge matches a naive scan-merge on random interval sets") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val iv = (1 to 200).map { _ =>
+        val k = rnd.nextInt(5).toLong
+        val s = rnd.nextInt(100).toLong
+        (k, s, s + rnd.nextInt(8))
+      }
+      val got = Analytics.intervalMerge(iv.toDF("k", "s", "e"))
+        .select("k", "merged_from", "merged_to", "n_spans")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = iv.groupBy(_._1).flatMap { case (k, spans) =>
+        val sorted = spans.map(t => (t._2, t._3)).sorted
+        val islands = sorted.tail.foldLeft(
+          List((sorted.head._1, sorted.head._2, 1L))) {
+          case ((f, t, n) :: rest, (s2, e2)) =>
+            if (s2 > t) (s2, e2, 1L) :: (f, t, n) :: rest
+            else (f, math.max(t, e2), n + 1) :: rest
+          case (Nil, _) => Nil
+        }
+        islands.map { case (f, t, n) => (k, f, t, n) }
+      }.toSet
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("funnel: strict ordering per step, first-touch attribution") {
     val ev = Seq(
       // u1: full funnel in order

@@ -68,4 +68,20 @@ class SketchSpec extends SparkSpec {
       assert(rows.values.forall(identity), s"q63 pass flags: $rows")
     } finally li.unpersist()
   }
+
+  test("q108 robust stats: lower-median picks and MAD closed forms") {
+    import spark.implicits._
+    // A (odd n): sorted 1,3,100 → rank (3+1) div 2 = 2 → med 3;
+    //   deviations 2,0,97 sorted 0,2,97 → mad 2 (robust to the outlier)
+    // B (even n): sorted 1,2,4,8 → LOWER median rank 2 → 2;
+    //   deviations 1,0,2,6 sorted 0,1,2,6 → mad 1
+    val dir = java.nio.file.Files.createTempDirectory("madspec").toString
+    Seq(("A", 1.0), ("A", 3.0), ("A", 100.0),
+        ("B", 1.0), ("B", 2.0), ("B", 4.0), ("B", 8.0))
+      .toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.q108RobustStats(spark, dir)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(got === Set(("A", 3L, 3.0, 2.0), ("B", 4L, 2.0, 1.0)))
+  }
 }
