@@ -277,6 +277,46 @@ class PlanAuditSpec extends SparkSpec {
       "centroids should broadcast\n" + finalPlan.take(2000))
   }
 
+  test("q104 transitions: matrix-sized second window, partial agg, no extra event shuffle") {
+    val plan = planOf(Analytics.q104EventTransitions(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // events shuffle once on user_id for the lead window, the groupBy
+    // partially aggregates map-side, and the from_total window runs on
+    // the matrix — three hash exchanges in total, none more
+    val exchanges = finalPlan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 3, s"$exchanges exchanges\n" + finalPlan.take(2500))
+    assert(finalPlan.contains("partial_count") || finalPlan.contains("partial_"),
+      finalPlan.take(2500))
+  }
+
+  test("q106 cosine pairs: candidates only from the term join — no cartesian; partial products combine map-side") {
+    val plan = planOf(Vocab.q106TfCosinePairs(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(2500))
+    assert(finalPlan.contains("partial_sum"), finalPlan.take(2500))
+  }
+
+  test("q107 interval merge: both window functions share ONE sort and exchange") {
+    val plan = planOf(Analytics.q107IntervalMerge(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // running-max and island-sum must land in a single Window operator
+    // chain over one hashpartitioning(k) exchange — a second sort of the
+    // span list would double the dominant cost at scale
+    val windowSorts = finalPlan.linesIterator.count(l =>
+      l.contains("Sort [") && l.contains("k#"))
+    assert(windowSorts <= 1, s"$windowSorts span sorts\n" + finalPlan.take(2500))
+  }
+
+  test("q108 robust stats: two order-statistics sorts, medians broadcast back") {
+    val plan = planOf(Relational.q108RobustStats(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(2500))
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
