@@ -99,7 +99,23 @@ object DumpPlans {
       ("q97_global_rank", Relational.q97GlobalRank(spark, d),
         "global row_number with NO SinglePartition exchange on the data " +
           "path: range partition (checkpointed once), per-partition " +
-          "local rank, tiny offsets frame broadcast back"))
+          "local rank, tiny offsets frame broadcast back"),
+      ("q105_triangle_count", Graph.q105TriangleCount(spark, d),
+        "degree-oriented wedges: the edge list is checkpointed once and " +
+          "reused by both wedge legs and the closing probe; equi-joins " +
+          "only, no cartesian; orientation bounds wedge fan-out at " +
+          "O(sqrt m) per node"),
+      ("q106_tf_cosine_pairs", Vocab.q106TfCosinePairs(spark, d),
+        "inverted-index all-pairs: candidates only from shared sub-cap " +
+          "terms; partial products combine map-side before the pair " +
+          "shuffle; norms are a groups-sized frame joined back"),
+      ("q107_interval_merge", Analytics.q107IntervalMerge(spark, d),
+        "both window functions (running max, island sum) share ONE sort " +
+          "and exchange on the merge key; output is islands-sized"),
+      ("q109_bfs_distances", Graph.q109BfsDistances(spark, d),
+        "frontier BFS, final round's flat plan: the edge list is " +
+          "partitioned+checkpointed once; each round joins only the " +
+          "new frontier, merged with a partial-agg min"))
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")

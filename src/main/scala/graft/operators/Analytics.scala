@@ -617,6 +617,43 @@ object Analytics {
       |  count(*) AS n_spans
       |FROM h GROUP BY 1, 2""".stripMargin
 
+  /** Exponentially time-decayed activity score per event type ("what's
+    * trending") with a one-week half-life, in INTEGER FIXED-POINT: an
+    * event k full weeks old weighs 2³⁰⁻ᵏ units of 2⁻³⁰ (floored at 30
+    * weeks — beyond that an event contributes one unit). Powers of two
+    * make the decay exact integer arithmetic on both engines — the q81
+    * discipline applied to decay curves, where a pow(0.5, age/7.0)
+    * double formulation would diverge ULP-by-ULP across engines and
+    * accumulation orders. The anchor is the corpus max day (data-driven,
+    * so the operator is re-runnable on any snapshot).
+    *
+    * Scale shape: anchor is a 1-row broadcast; weights are per-row
+    * expressions; one partially-aggregated shuffle onto the types-sized
+    * output. */
+  def q110TrendingDecay(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+    val mx = ev.agg(max(col("day")).as("maxd"))
+    ev.crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        expr("shiftright(1073741824L, " +
+          "cast(least(datediff(maxd, day) div 7, 30) as int))").as("wt"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("wt")).as("decayed_e30"), count(lit(1)).as("n_events"))
+  }
+
+  val q110Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      |  FROM events),
+      |mx AS (SELECT max(day) AS maxd FROM ev)
+      |SELECT event_type,
+      |  CAST(sum(1073741824 >> least(datediff('day', day, maxd) // 7, 30))
+      |    AS BIGINT) AS decayed_e30,
+      |  count(*) AS n_events
+      |FROM ev CROSS JOIN mx GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -629,5 +666,6 @@ object Analytics {
     "q99_rolling_actives" -> (q99RollingActives _, q99Sql),
     "q104_event_transitions" -> (q104EventTransitions _, q104Sql),
     "q107_interval_merge" -> (q107IntervalMerge _, q107Sql),
+    "q110_trending_decay" -> (q110TrendingDecay _, q110Sql),
   )
 }

@@ -160,7 +160,12 @@ object Graph {
 
   /** Degree-oriented per-node triangle counts over a DISTINCT
     * undirected edge list given as (u, v) with u < v. */
-  def triangleCounts(e: DataFrame): DataFrame = {
+  def triangleCounts(eRaw: DataFrame): DataFrame = {
+    // The edge build above this call can be expensive (basket self-join
+    // + dedup) and has THREE consumers here (both legs of the degree
+    // union and the orientation join) — pin it once or it re-executes
+    // per consumer (measured 3× the 8 s build at sf0.1 without this).
+    val e = eRaw.localCheckpoint(false)
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dg"))
     // Orient u→v iff (deg_u, u) < (deg_v, v); e has u < v, so degree
@@ -179,12 +184,20 @@ object Graph {
       .localCheckpoint(false)
     // Wedge (s; t1, t2) with (dt1, t1) < (dt2, t2): the closing edge, if
     // present, is then oriented t1→t2 by construction.
-    val w = o.as("e1").join(o.as("e2"),
+    // Both joins run SHUFFLED HASH, not sort-merge: the probe side is
+    // the wedge stream (Σ d_out² rows — 17M at sf0.1), and sorting it
+    // for an SMJ would dominate the whole query; the build side is the
+    // edges-sized o, whose per-partition hash table is m/parts rows.
+    // Wedges are never materialized or sorted — they stream from the
+    // first join's output straight into the closing probe's exchange.
+    val w = o.as("e1").join(o.as("e2").hint("SHUFFLE_HASH"),
         col("e1.s") === col("e2.s") &&
           (col("e1.dt") < col("e2.dt") ||
             (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
       .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-    val tri = w.join(o.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+    val tri = w.join(
+        o.select(col("s").as("b"), col("t").as("c")).hint("SHUFFLE_HASH"),
+        Seq("b", "c"))
       .select(col("a"), col("b"), col("c"))
     tri.select(col("a").as("node"))
       .unionAll(tri.select(col("b").as("node")))
@@ -224,8 +237,87 @@ object Graph {
        |  UNION ALL SELECT c FROM tri)
        |GROUP BY 1""".stripMargin
 
+  private val BfsDepth = 4
+
+  /** Bounded-depth BFS shortest-path distances over the undirected
+    * customer–supplier trade graph (q81's node encoding), seeded from
+    * the customers of one nation. FRONTIER-BASED: each round expands
+    * only the nodes first reached in the previous round — not the whole
+    * distance table — so round cost is frontier-out-degree, not
+    * |reached|·degree; on a small-diameter graph the frontier collapses
+    * after 2–3 hops and later rounds are near-free. Distances are
+    * integers, so the iteration is bit-identical across engines with no
+    * numeric convention needed; depth is FIXED (the q81 discipline:
+    * lineage linear in k, never convergence-chased), and each round's
+    * min-merge is localCheckpointed to keep Catalyst from re-deriving
+    * prior rounds per stage.
+    *
+    * The oracle unrolls the same rounds as chained CTEs — a recursive
+    * CTE would enumerate all ≤k-hop PATHS (degreeᵏ blow-up); the
+    * unrolled min-merge is polynomial, the same work the Spark plan
+    * does. */
+  def q109BfsDistances(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs.select(col("src"), col("dst"))
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = customer(s, d).filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    bfs(edges, seeds, BfsDepth)
+  }
+
+  /** Frontier BFS from `seeds` over a DIRECTED edge list (undirected
+    * graphs pass both directions); returns (node, dist) for every node
+    * within `k` hops. */
+  def bfs(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    // partitioned+sorted once, reused every round (the q81 schedule)
+    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint(false)
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    var frontier = dist
+    for (i <- 1 to k) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"), lit(i.toLong).as("dist"))
+        .distinct()
+      val merged = dist.unionAll(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+      frontier = merged.filter(col("dist") === i)
+      dist = merged
+    }
+    dist
+  }
+
+  private def bfsIterSql(i: Int): String =
+    s"""n$i AS (
+       |  SELECT DISTINCT e.dst AS node, $i AS dist
+       |  FROM d${i - 1} f JOIN edges e ON e.src = f.node
+       |  WHERE f.dist = ${i - 1}),
+       |d$i AS (
+       |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+       |    SELECT node, dist FROM d${i - 1}
+       |    UNION ALL SELECT node, dist FROM n$i)
+       |  GROUP BY 1)""".stripMargin
+
+  val q109Sql: String =
+    s"""WITH eraw AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT src, dst FROM eraw
+       |          UNION ALL SELECT dst, src FROM eraw),
+       |d0 AS (SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM customer WHERE c_nationkey = 0),
+       |${(1 to BfsDepth).map(bfsIterSql).mkString(",\n")}
+       |SELECT node, dist FROM d$BfsDepth""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q81_pagerank" -> (q81Pagerank _, q81Sql),
     "q105_triangle_count" -> (q105TriangleCount _, q105Sql),
+    "q109_bfs_distances" -> (q109BfsDistances _, q109Sql),
   )
 }

@@ -1391,6 +1391,42 @@ object Relational {
       |FROM r2 JOIN med ON r2.g = med.g
       |WHERE r2.rk = (r2.n + 1) // 2""".stripMargin
 
+  private val HistBins = 20
+
+  /** Equi-width histogram of extended price — the data-profiling
+    * companion to q53 (distribution shape, not just cardinalities).
+    * Cross-engine determinism WITHOUT integers this time: both engines
+    * evaluate the IDENTICAL sequence of correctly-rounded IEEE ops —
+    * (x − mn) / ((mx − mn) / 20.0), floor, clamp — on identical doubles,
+    * so every row lands in the same bin bit-for-bit. The sequence is
+    * spelled the same in the operator and the oracle ON PURPOSE; an
+    * algebraically-equivalent rewrite (e.g. x·20/(mx−mn) − mn·20/(mx−mn))
+    * rounds differently and WOULD flip boundary rows.
+    *
+    * Scale shape: min/max is a 1-row broadcast (partial-agg'd), binning
+    * is a per-row expression, and the output shuffle carries 20 groups
+    * with map-side combine. */
+  def q111Histogram(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_extendedprice").as("x"))
+    val mm = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    li.crossJoin(broadcast(mm))
+      .select(least(
+          floor((col("x") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(HistBins.toDouble))),
+          lit((HistBins - 1).toLong)).cast("bigint").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  val q111Sql: String =
+    s"""WITH mm AS (
+       |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+       |  FROM lineitem)
+       |SELECT CAST(least(floor((l_extendedprice - mn) /
+       |         ((mx - mn) / ${HistBins}.0)), ${HistBins - 1}) AS BIGINT)
+       |    AS bin,
+       |  count(*) AS cnt
+       |FROM lineitem CROSS JOIN mm GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
     "q02_filter_pushdown" -> (q02FilterPushdown _, q02Sql),
@@ -1428,6 +1464,7 @@ object Relational {
     "q83_rolling_window"  -> (q83RollingWindow _, q83Sql),
     "q84_grouped_percentiles" -> (q84GroupedPercentiles _, q84Sql),
     "q108_robust_stats" -> (q108RobustStats _, q108Sql),
+    "q111_histogram" -> (q111Histogram _, q111Sql),
     "q86_window_topk_rewrite" -> (q86WindowTopkRewrite _, q86Sql),
     "q87_array_funcs"     -> (q87ArrayFuncs _, q87Sql),
     "q90_global_customer" -> (q90GlobalCustomer _, q90Sql),

@@ -78,6 +78,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("trending decay: 2^-30 fixed-point weights, weekly halving, 30-week floor") {
+    // events.parquet carries raw nanos (the production schema)
+    val day = 86400L * 1000000000L
+    val anchor = 1000L * day
+    val ev = Seq(
+      (1L, anchor, 7L, "a", 0.0, ""),            // age 0 → 2^30
+      (2L, anchor - 7 * day, 7L, "a", 0.0, ""),  // 1 full week → 2^29
+      (3L, anchor - 6 * day, 7L, "b", 0.0, ""),  // 6 days: week 0 → 2^30
+      (4L, anchor - 300 * 7 * day, 7L, "a", 0.0, ""))  // ≥30 weeks → 1
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("decayspec").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q110TrendingDecay(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "a" -> ((1L << 30) + (1L << 29) + 1L, 3L),
+      "b" -> ((1L << 30), 1L)))
+  }
+
   test("funnel: strict ordering per step, first-touch attribution") {
     val ev = Seq(
       // u1: full funnel in order

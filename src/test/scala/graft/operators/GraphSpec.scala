@@ -85,6 +85,50 @@ class GraphSpec extends SparkSpec {
     assert(gotChord === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  /** Textbook queue BFS, depth-capped. */
+  private def slowBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      k: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (i <- 1 to k) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Nil))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> i.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfs: path-graph layers, unreached stays absent, depth cap binds") {
+    // path 1-2-3-4-5-6-7 seeded at 1, depth 4 → nodes 1..5; 6,7 absent
+    val path = undirected((1L to 6L).map(i => (i, i + 1)))
+    val got = Graph.bfs(path.toDF("src", "dst"),
+        Seq(1L).toDF("node"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // two seeds meet in the middle: min distance wins
+    val two = Graph.bfs(path.toDF("src", "dst"),
+        Seq(1L, 7L).toDF("node"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(two === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      7L -> 0L, 6L -> 1L, 5L -> 2L))
+  }
+
+  test("bfs matches queue BFS on random graphs") {
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val edges = undirected((1 to 60).map(_ =>
+        (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2).distinct)
+      val seeds = Set(0L, 1L)
+      val got = Graph.bfs(edges.toDF("src", "dst"),
+          seeds.toSeq.toDF("node"), 3)
+        .as[(Long, Long)].collect().toMap
+      assert(got === slowBfs(edges, seeds, 3), s"trial $trial")
+    }
+  }
+
   test("triangleCounts matches naive enumeration on random graphs") {
     val rnd = new scala.util.Random(29)
     for (trial <- 1 to 3) {

@@ -69,6 +69,19 @@ class SketchSpec extends SparkSpec {
     } finally li.unpersist()
   }
 
+  test("q111 histogram: equi-width bins, max value clamps into the last bin") {
+    import spark.implicits._
+    // mn=0, mx=10, 20 bins of width 0.5: value v lands in floor(v/0.5);
+    // v == mx computes bin 20 and must clamp to 19
+    val dir = java.nio.file.Files.createTempDirectory("histspec").toString
+    (Seq(0.0, 0.25, 0.5, 9.74, 10.0, 10.0))
+      .toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.q111Histogram(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 2L, 1L -> 1L, 19L -> 3L))
+  }
+
   test("q108 robust stats: lower-median picks and MAD closed forms") {
     import spark.implicits._
     // A (odd n): sorted 1,3,100 → rank (3+1) div 2 = 2 → med 3;
