@@ -143,17 +143,22 @@ object Graph {
     * basket self-join runs exactly once. Everything is BIGINT —
     * bit-identical across engines by construction. */
   def q105TriangleCount(s: SparkSession, d: String): DataFrame = {
-    val basket = lineitem(s, d)
+    // Basket pairs via ONE shuffle: collect_set per order (subsumes the
+    // old distinct-over-(ok,pk) pre-shuffle), sort, expand the i<j pairs
+    // per row with array lambdas. The previous window-count + self-join
+    // form shuffled the basket table three times (distinct, window sort,
+    // join) and measured ~8 s of the query's 11 s at sf0.1; pair fan-out
+    // is unchanged (≤ C(cap,2) per order) and the cap bounds the lambda
+    // work per row, so the expansion never needs a shuffle of its own.
+    val e = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val sized = basket
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))))
-      .filter(col("bsz") <= BasketCap)
-      .select(col("ok"), col("pk"))
-    val e = sized.as("a").join(sized.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .filter(size(col("ps")) <= BasketCap)
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(" +
+          "slice(ps, i + 2, size(ps)), y -> named_struct('u', x, 'v', y))))"))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
       .distinct()
     triangleCounts(e)
   }
@@ -161,10 +166,11 @@ object Graph {
   /** Degree-oriented per-node triangle counts over a DISTINCT
     * undirected edge list given as (u, v) with u < v. */
   def triangleCounts(eRaw: DataFrame): DataFrame = {
-    // The edge build above this call can be expensive (basket self-join
-    // + dedup) and has THREE consumers here (both legs of the degree
-    // union and the orientation join) — pin it once or it re-executes
-    // per consumer (measured 3× the 8 s build at sf0.1 without this).
+    // The edge build above this call can be expensive (basket pair
+    // expansion + dedup) and has THREE consumers here (both legs of the
+    // degree union and the orientation join) — pin it once or it
+    // re-executes per consumer (measured 3× the build cost at sf0.1
+    // without this).
     val e = eRaw.localCheckpoint(false)
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("dg"))
@@ -185,7 +191,7 @@ object Graph {
     // Wedge (s; t1, t2) with (dt1, t1) < (dt2, t2): the closing edge, if
     // present, is then oriented t1→t2 by construction.
     // Both joins run SHUFFLED HASH, not sort-merge: the probe side is
-    // the wedge stream (Σ d_out² rows — 17M at sf0.1), and sorting it
+    // the wedge stream (Σ d_out² rows — 41M at sf0.1), and sorting it
     // for an SMJ would dominate the whole query; the build side is the
     // edges-sized o, whose per-partition hash table is m/parts rows.
     // Wedges are never materialized or sorted — they stream from the
@@ -195,7 +201,18 @@ object Graph {
           (col("e1.dt") < col("e2.dt") ||
             (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
       .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
-    val tri = w.join(
+    // The closing exchange is the query's dominant data movement, and
+    // most wedges DON'T close (1.9M of 41M at sf0.1 — 4.6%): a bloom
+    // over the oriented edge keys probes each wedge BEFORE its shuffle,
+    // so only closings + the FP tail (~3%) enter the exchange — a ~13×
+    // cut. The exact join downstream keeps correctness; the bloom only
+    // cuts shuffle input (the BloomPrune contract). Sized from the
+    // checkpointed edge count — a metadata-cheap count, not a recompute.
+    val wf = BloomPrune.bloomPrefilter(
+      w.withColumn("bck", xxhash64(col("b"), col("c"))),
+      o.select(xxhash64(col("s"), col("t")).as("stk")),
+      "bck", "stk", nItems = math.max(o.count(), 1000L))
+    val tri = wf.join(
         o.select(col("s").as("b"), col("t").as("c")).hint("SHUFFLE_HASH"),
         Seq("b", "c"))
       .select(col("a"), col("b"), col("c"))
@@ -315,9 +332,84 @@ object Graph {
        |${(1 to BfsDepth).map(bfsIterSql).mkString(",\n")}
        |SELECT node, dist FROM d$BfsDepth""".stripMargin
 
+  private val CoreK = 4
+  private val PeelRounds = 3
+
+  /** k-core decomposition membership by PARALLEL PEELING: each round
+    * recomputes degrees over the surviving subgraph and removes every
+    * node below k at once (the standard distributed formulation — a
+    * sequential min-degree peel has no parallel schedule). Rounds are
+    * FIXED (the q81 discipline: lineage linear in rounds, never
+    * convergence-chased), so the result is "the r-round peel of the
+    * k-core", identical on both engines by construction — all-integer,
+    * no numeric convention needed; GraphSpec checks the fixpoint
+    * semantics separately with enough rounds to converge. Returns every
+    * surviving node with its degree inside the surviving subgraph.
+    *
+    * Scale shape: the edge list is partitioned on src and checkpointed
+    * ONCE; each round is two semi joins against the node-sized live set
+    * plus one partially-aggregated degree count — no edges-sized state
+    * ever reshuffles on a new key, and the live frame only shrinks. */
+  def q113KCore(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs.select(col("src"), col("dst"))
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    kcore(edges, CoreK, PeelRounds)
+  }
+
+  /** `rounds` peeling rounds toward the `k`-core over a DIRECTED edge
+    * list (undirected graphs pass both directions); returns
+    * (node, core_deg) for survivors, core_deg measured in the FINAL
+    * surviving subgraph. */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint(false)
+    def aliveDeg(live: DataFrame): DataFrame =
+      e.join(live.select(col("node").as("src")), Seq("src"), "leftsemi")
+        .join(live.select(col("node").as("dst")), Seq("dst"), "leftsemi")
+        .groupBy(col("src")).agg(count(lit(1)).as("dg"))
+    var live = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      live = aliveDeg(live).filter(col("dg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint(false)
+    }
+    aliveDeg(live).select(col("src").as("node"), col("dg").as("core_deg"))
+  }
+
+  private def kcoreIterSql(i: Int): String =
+    s"""a$i AS (
+       |  SELECT e.src, e.dst FROM edges e
+       |  JOIN l${i - 1} x ON e.src = x.node
+       |  JOIN l${i - 1} y ON e.dst = y.node),
+       |l$i AS (
+       |  SELECT src AS node FROM a$i
+       |  GROUP BY 1 HAVING count(*) >= $CoreK)""".stripMargin
+
+  val q113Sql: String =
+    s"""WITH eraw AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (SELECT src, dst FROM eraw
+       |          UNION ALL SELECT dst, src FROM eraw),
+       |l0 AS (SELECT DISTINCT src AS node FROM edges),
+       |${(1 to PeelRounds).map(kcoreIterSql).mkString(",\n")},
+       |af AS (
+       |  SELECT e.src, e.dst FROM edges e
+       |  JOIN l$PeelRounds x ON e.src = x.node
+       |  JOIN l$PeelRounds y ON e.dst = y.node)
+       |SELECT src AS node, count(*) AS core_deg FROM af GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q81_pagerank" -> (q81Pagerank _, q81Sql),
     "q105_triangle_count" -> (q105TriangleCount _, q105Sql),
     "q109_bfs_distances" -> (q109BfsDistances _, q109Sql),
+    "q113_kcore" -> (q113KCore _, q113Sql),
   )
 }

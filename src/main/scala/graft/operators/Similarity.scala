@@ -474,6 +474,70 @@ object Similarity {
       |                       ORDER BY sim DESC, cid) AS rn
       |  FROM sims) WHERE rn = 1""".stripMargin
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embedding space, then prune near-duplicate pairs ONLY within a
+    * cluster — the published recipe for semantic dedup at corpus scale,
+    * where all-pairs cosine is quadratic-impossible and clustering makes
+    * the candidate set Σ|cluster|² instead of n². Stage 1 is exactly the
+    * [[kmeansAssign]] E-step (broadcast centroids, max_by argmax,
+    * corpus-linear). Stage 2 self-joins the assignment ON THE CLUSTER ID
+    * — the only join in the operator — computes pair cosine in codegen'd
+    * vec_dot, and marks the LARGER vec_id of every pair at or above
+    * `minCos` as dropped (greedy keep-smallest: a total-order rule, so
+    * the survivor set is deterministic and needs no iteration; the
+    * cluster step already localCheckpoints because both join legs and
+    * the final projection consume it).
+    *
+    * 100 TB honesty: k is the scale knob and must GROW with the corpus
+    * (SemDeDup uses k ≈ n/⟨cluster⟩, e.g. 50k clusters for LAION-440M) —
+    * per-cluster work is quadratic, so fixed k does not survive a blind
+    * 100× scale-up; with k ∝ n the pair join is linear in n·⟨cluster⟩
+    * and each cluster's pairs co-locate in one task. Cosines round to
+    * 1e-6 before the threshold (the q23/q95 convention both engines
+    * agree on). */
+  def semanticDedup(corpus: DataFrame, k: Int, minCos: Double): DataFrame = {
+    val a = kmeansAssign(corpus, k)
+      .select(col("vec_id"), col("cid"), col("e"))
+      .withColumn("norm", sqrt(vdot(col("e"), col("e"))))
+      .localCheckpoint(false)
+    val l = a.select(col("cid"), col("vec_id").as("a_id"),
+      col("e").as("ae"), col("norm").as("an"))
+    val r = a.select(col("cid"), col("vec_id").as("b_id"),
+      col("e").as("be"), col("norm").as("bn"))
+    val dropped = l.join(r, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(vdot(col("ae"), col("be")) / (col("an") * col("bn")), 6)
+        >= minCos)
+      .select(col("b_id").as("vec_id")).distinct()
+    a.select(col("vec_id"), col("cid"))
+      .join(dropped.withColumn("d", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("d"), lit(false)).as("dropped"))
+  }
+
+  def q112SemanticDedup(s: SparkSession, d: String): DataFrame =
+    semanticDedup(vectors(s, d), k = 8, minCos = 0.8)
+
+  val q112Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, e AS ce FROM v
+      |         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sims AS (SELECT vec_id, cid,
+      |           round(list_cosine_similarity(e, ce), 6) AS sim
+      |         FROM v, cent),
+      |asg AS (SELECT s.vec_id, s.cid, v.e FROM (
+      |          SELECT vec_id, cid,
+      |            row_number() OVER (PARTITION BY vec_id
+      |                               ORDER BY sim DESC, cid) AS rn
+      |          FROM sims) s
+      |        JOIN v ON v.vec_id = s.vec_id WHERE rn = 1),
+      |drp AS (SELECT DISTINCT b.vec_id
+      |        FROM asg a JOIN asg b
+      |          ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |        WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.8)
+      |SELECT g.vec_id, g.cid, (d.vec_id IS NOT NULL) AS dropped
+      |FROM asg g LEFT JOIN drp d ON d.vec_id = g.vec_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
@@ -482,5 +546,6 @@ object Similarity {
     "q55_ivf_recall"        -> (q55IvfRecall _, q55Sql),
     "q88_scalar_quantize"   -> (q88ScalarQuantize _, q88Sql),
     "q95_kmeans_assign"     -> (q95KmeansAssign _, q95Sql),
+    "q112_semantic_dedup"   -> (q112SemanticDedup _, q112Sql),
   )
 }

@@ -129,6 +129,45 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Fixpoint peel: rounds until the live set stops shrinking. */
+  private def slowKcore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var live = edges.map(_._1).toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.filter(e => live(e._1) && live(e._2))
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val next = live.filter(n => deg.getOrElse(n, 0L) >= k)
+      changed = next != live
+      live = next
+    }
+    edges.filter(e => live(e._1) && live(e._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("kcore: tail peels, triangle survives, cascades empty a path") {
+    // triangle 1-2-3 plus tail 3-4: 2-core = the triangle, each deg 2
+    val tri = undirected(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    val got = Graph.kcore(tri.toDF("src", "dst"), 2, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // path 1-2-3: ends peel in round 1, middle cascades in round 2
+    val path = undirected(Seq((1L, 2L), (2L, 3L)))
+    assert(Graph.kcore(path.toDF("src", "dst"), 2, 3).count() === 0)
+  }
+
+  test("kcore matches fixpoint peeling on random graphs") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val edges = undirected((1 to 80).map(_ =>
+        (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+        .filter(e => e._1 != e._2).distinct)
+      // 20 rounds ≥ the worst cascade on 20 nodes ⇒ converged
+      val got = Graph.kcore(edges.toDF("src", "dst"), 3, 20)
+        .as[(Long, Long)].collect().toMap
+      assert(got === slowKcore(edges, 3), s"trial $trial")
+    }
+  }
+
   test("triangleCounts matches naive enumeration on random graphs") {
     val rnd = new scala.util.Random(29)
     for (trial <- 1 to 3) {

@@ -211,4 +211,53 @@ class SimilaritySpec extends SparkSpec {
       assert(sums.toSeq === want, s"cluster $cid sums")
     }
   }
+
+  test("semanticDedup: greedy keep-smallest is single-pass, witnesses need not survive") {
+    // k=1 ⇒ one cluster ⇒ a pure pair-rule test. Angles on the unit
+    // circle: x at 0°, y at 36° (cos ≈ 0.809 ≥ 0.8 → y drops via x),
+    // z at 72° (cos(y,z) ≈ 0.809 → z drops via the ALREADY-DROPPED y;
+    // cos(x,z) ≈ 0.309 alone would keep z). The documented semantics is
+    // the non-iterative EXISTS rule — a dropped row still witnesses —
+    // so z must drop; an iterative "only survivors witness" variant
+    // would keep it.
+    def at(deg: Double) = {
+      val r = math.toRadians(deg); Seq(math.cos(r), math.sin(r))
+    }
+    val corpus = Seq((1L, at(0)), (2L, at(36)), (3L, at(72)))
+      .toDF("vec_id", "e")
+      .withColumn("norm", sqrt(call_function("vec_dot", col("e"), col("e"))))
+    val got = Similarity.semanticDedup(corpus, 1, 0.8)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
+  test("semanticDedup matches a naive within-cluster pair scan") {
+    // clustered() noise keeps same-cluster cosines ≈ 0.6, so plant exact
+    // duplicates (id+1000) to guarantee drops at τ = 0.9; the dup lands
+    // in its source's cluster (same vector, same argmax), so the
+    // cluster-bounded candidate set cannot miss it
+    val base = clustered()
+    val corpus = base.unionAll(
+      base.filter(col("vec_id") % 100 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000))
+    val tau = 0.9
+    val got = Similarity.semanticDedup(corpus, 4, tau)
+      .as[(Long, Long, Boolean)].collect()
+    val asg = Similarity.kmeansAssign(corpus, 4)
+      .select(col("vec_id"), col("cid"), col("e"))
+      .as[(Long, Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = asg.map { case (v, c, e) =>
+      v -> asg.exists { case (u, cu, eu) =>
+        cu == c && u < v && cos(eu, e) >= tau
+      }
+    }.toMap
+    assert(got.map(r => r._1 -> r._3).toMap === want)
+    assert(got.exists(_._3) && got.exists(!_._3), "fixture exercises both outcomes")
+  }
 }
