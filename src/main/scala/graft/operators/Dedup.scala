@@ -393,10 +393,9 @@ object Dedup {
       documents(s, d).select(col("doc_id"), col("text")),
       bands = 16, rowsPerBand = 4, threshold = 0.8, maxBucket = 1000))
 
-  /** Oracle: the TRUE pair set (exact Jaccard ≥ 0.8) fed to a recursive
-    * min-label closure — DuckDB's recursive CTE reaches the same
-    * fixpoint the label propagation does. */
-  val q50Sql: String =
+  /** Shared CTE chain: exact-Jaccard pair graph → recursive min-label
+    * closure → (id, cluster_rep). Tail of q50Sql and q114Sql. */
+  private val closureCte: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
@@ -426,10 +425,58 @@ object Dedup {
       |  SELECT id, id AS lbl FROM nodes
       |  UNION
       |  SELECT e.a AS id, cc.lbl FROM edges e JOIN cc ON e.b = cc.id),
-      |reps AS (SELECT id, min(lbl) AS cluster_rep FROM cc GROUP BY id)
-      |SELECT id AS doc_id, cluster_rep,
-      |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
-      |FROM reps""".stripMargin
+      |reps AS (SELECT id, min(lbl) AS cluster_rep FROM cc GROUP BY id)""".stripMargin
+
+  /** Oracle: the TRUE pair set (exact Jaccard ≥ 0.8) fed to a recursive
+    * min-label closure — DuckDB's recursive CTE reaches the same
+    * fixpoint the label propagation does. */
+  val q50Sql: String =
+    s"""$closureCte
+       |SELECT id AS doc_id, cluster_rep,
+       |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |FROM reps""".stripMargin
+
+  /** Representative selection — the curation policy AFTER clustering:
+    * per near-dup cluster keep the member with the most whitespace
+    * tokens (when near-dups are truncations/elisions of one document,
+    * the longest version carries the most content), ties to the
+    * smallest doc_id. One row per cluster: the kept doc, its token
+    * count, and the cluster size.
+    *
+    * Scale shape: the argmax is max_by PARTIAL aggregation on the
+    * (n_tokens, -doc_id) struct key — candidates collapse map-side, no
+    * window, no per-cluster sort; the token-count join touches only
+    * clustered docs (clusters-graph-sized, not corpus-sized). Token
+    * convention is [[nTokensCol]], the q24/q51 oracle-matched count. */
+  def q114ClusterKeep(s: SparkSession, d: String): DataFrame = {
+    val cl = q50DedupClusters(s, d)
+    val nt = documents(s, d)
+      .select(col("doc_id"), nTokensCol(col("text")).as("n_tokens"))
+    cl.join(nt, Seq("doc_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(
+        max_by(struct(col("doc_id"), col("n_tokens")),
+          struct(col("n_tokens"), negate(col("doc_id")))).as("w"),
+        max(col("cluster_size")).as("cluster_size"))
+      .select(col("cluster_rep"), col("w.doc_id").as("kept_doc"),
+        col("w.n_tokens").as("kept_tokens"), col("cluster_size"))
+  }
+
+  val q114Sql: String =
+    s"""$closureCte,
+       |csz AS (SELECT cluster_rep, count(*) AS cluster_size
+       |        FROM reps GROUP BY 1),
+       |nt AS (SELECT doc_id,
+       |         len(list_filter(string_split_regex(text, '\\s+'),
+       |             t -> t <> '')) AS n_tokens
+       |       FROM documents)
+       |SELECT r.cluster_rep, kept_doc, kept_tokens, cluster_size FROM (
+       |  SELECT cluster_rep, id AS kept_doc, n_tokens AS kept_tokens,
+       |    row_number() OVER (PARTITION BY cluster_rep
+       |                       ORDER BY n_tokens DESC, id) AS rn
+       |  FROM reps JOIN nt ON nt.doc_id = reps.id) r
+       |JOIN csz ON csz.cluster_rep = r.cluster_rep
+       |WHERE rn = 1""".stripMargin
 
   /** The general banded-LSH near-dup pipeline over (doc_id, text).
     * Everything row-oriented and codegen'd: shingle rows → hashed once →
@@ -878,6 +925,7 @@ object Dedup {
     "q22_ngram_jaccard"   -> (q22NgramJaccard _, q22Sql),
     "q31_simhash"         -> (q31Simhash _, q31Sql),
     "q50_dedup_clusters"  -> (q50DedupClusters _, q50Sql),
+    "q114_cluster_keep"   -> (q114ClusterKeep _, q114Sql),
     "q72_dup_spans"       -> (q72DupSpans _, q72Sql),
     "q77_prefix_join"     -> (q77PrefixJoin _, q77Sql),
     "q82_incremental_dedup" -> (q82IncrementalDedup _, q82Sql),

@@ -424,4 +424,25 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(got === Set((1L, 2L, expectJ)))
   }
+
+  test("cluster keep: longest member wins, digits pad tokens not grams, ties to smallest id") {
+    // 1 and 2 share every a-z trigram (digits aren't letter tokens), but
+    // 2 carries two extra WHITESPACE tokens → 2 is kept though its id is
+    // larger and the cluster label is min-id 1. 3 == 4 exactly → token
+    // tie → smaller id 3 kept.
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, a), (2L, a + " 123 456"),
+      (3L, b), (4L, b),
+      (5L, "unclustered text about cooking pasta with garlic and olive oil"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("keepspec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q114ClusterKeep(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 15L, 2L),  // kept 2: 13 word tokens + "123" + "456"
+      (3L, 3L, 10L, 2L)))
+  }
 }
