@@ -104,7 +104,16 @@ object DumpPlans {
         "degree-oriented wedges: the edge list is checkpointed once and " +
           "reused by both wedge legs and the closing probe; equi-joins " +
           "only, no cartesian; orientation bounds wedge fan-out at " +
-          "O(sqrt m) per node"),
+          "O(sqrt m) per node; a bloom over the oriented edge keys " +
+          "prunes non-closing wedges BEFORE the closing exchange"),
+      ("q112_semantic_dedup", Similarity.q112SemanticDedup(spark, d),
+        "SemDeDup: broadcast-centroid assignment (checkpointed once for " +
+          "both pair-join legs), then ONE cluster-keyed self-join — " +
+          "candidates are sum of cluster^2, never n^2; no cartesian"),
+      ("q113_kcore", Graph.q113KCore(spark, d),
+        "parallel peeling, final round's plan: edge list checkpointed " +
+          "once; per round two semi joins against the node-sized live " +
+          "set and a partially-aggregated degree count"),
       ("q106_tf_cosine_pairs", Vocab.q106TfCosinePairs(spark, d),
         "inverted-index all-pairs: candidates only from shared sub-cap " +
           "terms; partial products combine map-side before the pair " +

@@ -47,13 +47,39 @@ object NeardupStream {
       .select(col("doc_id"), col("ts"),
         posexplode(col("bkeys")).as(Seq("band", "bkey")))
 
+  /** (doc_id, ts, band, bkey) rows for an embedding ingest stream
+    * (vec_id, ts, e) — the sign-LSH analog of [[bandRows]]: each vector
+    * hashes into one bucket per table via the codegen'd `sign_buckets`
+    * expression (q42's batch machinery), so SEMANTIC near-dups — not
+    * just textual ones — are caught at ingest by the same first-wins
+    * claim state. Caveat shared with the batch operator: sign-LSH
+    * recall is probabilistic in (tables, bits); a claims consumer
+    * wanting exactness verifies candidate cosines downstream. */
+  def embeddingBandRows(vecs: DataFrame, tables: Int, bits: Int): DataFrame =
+    vecs.select(col("vec_id").as("doc_id"), col("ts"),
+      posexplode(call_function("sign_buckets",
+        col("e"), lit(tables), lit(bits))).as(Seq("band", "bkey")))
+
   /** First-wins bucket claims over a (possibly streaming) document
     * frame. `watermarkDelay` bounds state lifetime in streaming mode. */
   def bandClaims(docs: DataFrame, watermarkDelay: String,
-                 bands: Int = 16, rowsPerBand: Int = 4): Dataset[Claim] = {
-    val s = docs.sparkSession
+                 bands: Int = 16, rowsPerBand: Int = 4): Dataset[Claim] =
+    claimsFromRows(bandRows(docs, bands, rowsPerBand), watermarkDelay)
+
+  /** First-wins bucket claims for an embedding ingest stream — the
+    * semantic-dedup-at-ingest form. Same state contract as the text
+    * path: one owner long per observed bucket, event-time eviction. */
+  def embeddingClaims(vecs: DataFrame, watermarkDelay: String,
+                      tables: Int = 8, bits: Int = 16): Dataset[Claim] =
+    claimsFromRows(embeddingBandRows(vecs, tables, bits), watermarkDelay)
+
+  /** Shared first-wins keyed state over any (doc_id, ts, band, bkey)
+    * frame, batch or streaming. */
+  private def claimsFromRows(bandedRows: DataFrame,
+                             watermarkDelay: String): Dataset[Claim] = {
+    val s = bandedRows.sparkSession
     import s.implicits._
-    val rows = bandRows(docs, bands, rowsPerBand)
+    val rows = bandedRows
       .withWatermark("ts", watermarkDelay)
       .as[BandRow]
     val streaming = rows.isStreaming

@@ -317,6 +317,13 @@ class PlanAuditSpec extends SparkSpec {
       !finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(2500))
   }
 
+  test("q112 semantic dedup: pair candidates only from the cluster join — no cartesian") {
+    val plan = planOf(Similarity.q112SemanticDedup(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

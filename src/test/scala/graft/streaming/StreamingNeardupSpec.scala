@@ -85,4 +85,51 @@ class StreamingNeardupSpec extends SparkSpec {
     assert(!kept.contains(21L))
     assert(kept.contains(22L))
   }
+
+  // sign-LSH is scale-invariant (buckets hash SIGNS of hyperplane dots),
+  // so v and 2v share every bucket deterministically — no probabilistic
+  // recall in this fixture; -v flips every sign, so it collides nowhere.
+  private val v1 = Array.tabulate(16)(i => math.sin(i + 1.0)).toSeq
+  private val v2 = v1.map(_ * 2.0)
+  private val v3 = v1.map(x => -x)
+
+  test("streaming embedding near-dup: scaled copy in a later batch is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val df = mem.toDF().toDF("vec_id", "ts", "e")
+    val q = NeardupStream.embeddingClaims(df, "1 hour")
+      .writeStream.format("memory").queryName("emb_claims_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, ts(0), v1))
+      q.processAllAvailable()
+      mem.addData((2L, ts(5), v2), (3L, ts(6), v3))
+      q.processAllAvailable()
+      val kept = NeardupStream.keptDocs(spark.table("emb_claims_out"))
+        .as[Long].collect().toSet
+      assert(kept === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("embedding claims in batch mode equal the window formulation") {
+    val vecs = Seq(
+      (30L, ts(0), v1),
+      (31L, ts(1), v2),  // scaled copy → loses all 8 tables to 30
+      (32L, ts(2), v3))
+      .toDF("vec_id", "ts", "e")
+    val viaState = NeardupStream.keptDocs(
+        NeardupStream.embeddingClaims(vecs, "1 hour").toDF())
+      .as[Long].collect().toSet
+    val rows = NeardupStream.embeddingBandRows(vecs, 8, 16)
+    val w = Window.partitionBy(col("band"), col("bkey"))
+      .orderBy(col("ts"), col("doc_id"))
+    val viaWindow = rows
+      .withColumn("owner", first(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("doc_id") === col("owner"), 1).otherwise(0)).as("n"))
+      .filter(col("n") === 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaState === viaWindow)
+    assert(viaState === Set(30L, 32L))
+  }
 }
