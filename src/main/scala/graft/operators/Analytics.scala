@@ -654,6 +654,52 @@ object Analytics {
       |  count(*) AS n_events
       |FROM ev CROSS JOIN mx GROUP BY 1""".stripMargin
 
+  private val MaxLag = 6
+
+  /** Lead–lag cross-correlation of event-type hourly series: for every
+    * ordered type pair (a, b) and lag 0..6 hours, the RAW product sum
+    * Σ_h cnt_a(h)·cnt_b(h+lag) plus the overlap size — "does b follow a
+    * k hours later". The sum is exact BIGINT on integer counts, so the
+    * sweep is bit-identical across engines; mean-centering/normalizing
+    * to a Pearson r is float territory deliberately left to consumers
+    * (the q96 moments give them the exact ingredients).
+    *
+    * Scale shape: the ONE events-sized stage is the hourly partial-agg
+    * (types×hours output); the lag sweep explodes THAT small matrix ×7
+    * and self-joins on the shifted hour — never events×events, and the
+    * frame is checkpointed once for both join legs. Output is bounded
+    * by |types|²·(MaxLag+1). */
+  def q117LagXcorr(s: SparkSession, d: String): DataFrame = {
+    val h = events(s, d)
+      .groupBy(col("event_type").as("et"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val a = h.select(col("et").as("type_a"), col("hr"), col("cnt").as("ca"))
+    val b = h.select(col("et").as("type_b"), col("hr").as("bhr"),
+      col("cnt").as("cb"))
+    a.withColumn("lag", explode(array((0 to MaxLag).map(l => lit(l.toLong)): _*)))
+      .withColumn("bhr", col("hr") + col("lag"))
+      .join(b, Seq("bhr"))
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(sum(col("ca") * col("cb")).as("xprod"),
+        count(lit(1)).as("n_hours"))
+  }
+
+  val q117Sql: String =
+    s"""WITH h AS (
+       |  SELECT event_type AS et,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |l AS (SELECT unnest(range(0, ${MaxLag + 1})) AS lag)
+       |SELECT a.et AS type_a, b.et AS type_b, l.lag,
+       |  CAST(sum(a.cnt * b.cnt) AS BIGINT) AS xprod,
+       |  count(*) AS n_hours
+       |FROM h a CROSS JOIN l
+       |JOIN h b ON b.hr = a.hr + l.lag
+       |GROUP BY 1, 2, 3""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -667,5 +713,6 @@ object Analytics {
     "q104_event_transitions" -> (q104EventTransitions _, q104Sql),
     "q107_interval_merge" -> (q107IntervalMerge _, q107Sql),
     "q110_trending_decay" -> (q110TrendingDecay _, q110Sql),
+    "q117_lag_xcorr" -> (q117LagXcorr _, q117Sql),
   )
 }

@@ -1427,6 +1427,70 @@ object Relational {
        |  count(*) AS cnt
        |FROM lineitem CROSS JOIN mm GROUP BY 1""".stripMargin
 
+  /** Referential-integrity audit — the data-quality profiling companion
+    * to q53/q111: for every FK relation in the schema, the count of
+    * child rows whose key has no parent (LEFT ANTI join). A NULL child
+    * key counts as an orphan on BOTH engines (Spark's null-rejecting
+    * anti join keeps it; the oracle uses NOT EXISTS, whose null
+    * comparison also never matches — deliberately NOT `NOT IN`, whose
+    * three-valued-logic result would differ).
+    *
+    * Scale shape: each relation is ONE anti join — Catalyst broadcasts
+    * the parent keyset while it fits (nation/supplier/customer) and
+    * shuffles otherwise; the 7 audits are independent one-row
+    * aggregates unioned at the end, so a scheduler runs them
+    * concurrently. At 100 TB the shuffling audits take a bloom
+    * prefilter the same way q93 does. */
+  def q116RefIntegrity(s: SparkSession, d: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, key: String,
+              parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key).as("k"))
+        .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(rel).as("relation"), col("n_orphans"))
+    Seq(
+      audit("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+        orders(s, d), "o_orderkey"),
+      audit("lineitem.l_partkey->part", lineitem(s, d), "l_partkey",
+        part(s, d), "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", lineitem(s, d), "l_suppkey",
+        supplier(s, d), "s_suppkey"),
+      audit("orders.o_custkey->customer", orders(s, d), "o_custkey",
+        customer(s, d), "c_custkey"),
+      audit("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
+        nation(s, d), "n_nationkey"),
+      audit("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
+        nation(s, d), "n_nationkey"),
+      audit("events.user_id->customer", events(s, d), "user_id",
+        customer(s, d), "c_custkey"),
+    ).reduce(_ unionAll _)
+  }
+
+  val q116Sql: String = {
+    def one(rel: String, child: String, key: String, parent: String,
+            pkey: String): String =
+      s"""SELECT '$rel' AS relation,
+         |  (SELECT count(*) FROM $child c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+         |                     WHERE p.$pkey = c.$key)) AS n_orphans""".stripMargin
+    Seq(
+      one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      one("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      one("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      one("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      one("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      one("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      one("events.user_id->customer", "events", "user_id",
+        "customer", "c_custkey"),
+    ).mkString("\nUNION ALL\n")
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
     "q02_filter_pushdown" -> (q02FilterPushdown _, q02Sql),
@@ -1465,6 +1529,7 @@ object Relational {
     "q84_grouped_percentiles" -> (q84GroupedPercentiles _, q84Sql),
     "q108_robust_stats" -> (q108RobustStats _, q108Sql),
     "q111_histogram" -> (q111Histogram _, q111Sql),
+    "q116_ref_integrity" -> (q116RefIntegrity _, q116Sql),
     "q86_window_topk_rewrite" -> (q86WindowTopkRewrite _, q86Sql),
     "q87_array_funcs"     -> (q87ArrayFuncs _, q87Sql),
     "q90_global_customer" -> (q90GlobalCustomer _, q90Sql),

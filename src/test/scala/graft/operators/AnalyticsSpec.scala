@@ -98,6 +98,25 @@ class AnalyticsSpec extends SparkSpec {
       "b" -> ((1L << 30), 1L)))
   }
 
+  test("lag xcorr: closed-form product sums, missing-overlap pairs absent") {
+    // x: hours 0 (2 events), 1 (3); y: hours 1 (5), 2 (7); ts in nanos
+    val hour = 3600L * 1000000000L
+    def evs(t: String, h: Long, n: Int) =
+      (1 to n).map(i => (h * 100 + i, h * hour + i * 1000L, 7L, t, 0.0, ""))
+    val ev = (evs("x", 0, 2) ++ evs("x", 1, 3) ++ evs("y", 1, 5) ++ evs("y", 2, 7))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("xcorrspec").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q117LagXcorr(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    assert(got(("x", "y", 0L)) === ((15L, 1L)))        // hr1: 3*5
+    assert(got(("x", "y", 1L)) === ((31L, 2L)))        // 2*5 + 3*7
+    assert(got(("x", "y", 2L)) === ((14L, 1L)))        // hr0→hr2: 2*7
+    assert(got(("x", "x", 0L)) === ((13L, 2L)))        // 4 + 9
+    assert(!got.contains(("y", "x", 1L)))              // no overlapping hours
+  }
+
   test("funnel: strict ordering per step, first-touch attribution") {
     val ev = Seq(
       // u1: full funnel in order

@@ -82,6 +82,36 @@ class SketchSpec extends SparkSpec {
     assert(got === Map(0L -> 2L, 1L -> 1L, 19L -> 3L))
   }
 
+  test("q116 referential integrity: planted orphans counted, NULL key is an orphan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("refspec").toString
+    Seq((1L, 10L, 100L), (2L, 10L, 100L), (1L, 99L, 100L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$dir/lineitem.parquet")          // order 2, part 99 dangle
+    Seq((1L, 500L), (3L, 999L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$dir/orders.parquet")            // customer 999 dangles
+    Seq(Tuple1(10L)).toDF("p_partkey").write.parquet(s"$dir/part.parquet")
+    Seq((100L, 8L)).toDF("s_suppkey", "s_nationkey")
+      .write.parquet(s"$dir/supplier.parquet")          // nation 8 dangles
+    Seq((500L, 7L)).toDF("c_custkey", "c_nationkey")
+      .write.parquet(s"$dir/customer.parquet")
+    Seq(Tuple1(7L)).toDF("n_nationkey").write.parquet(s"$dir/nation.parquet")
+    Seq((1L, Some(500L)), (2L, None), (3L, Some(777L)))
+      .toDF("event_id", "user_id")
+      .withColumn("ts", lit(1000L * 3600L * 1000000000L))
+      .write.parquet(s"$dir/events.parquet")            // null + 777 orphan
+    val got = Relational.q116RefIntegrity(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "lineitem.l_orderkey->orders" -> 1L,
+      "lineitem.l_partkey->part" -> 1L,
+      "lineitem.l_suppkey->supplier" -> 0L,
+      "orders.o_custkey->customer" -> 1L,
+      "customer.c_nationkey->nation" -> 0L,
+      "supplier.s_nationkey->nation" -> 1L,
+      "events.user_id->customer" -> 2L))
+  }
+
   test("q108 robust stats: lower-median picks and MAD closed forms") {
     import spark.implicits._
     // A (odd n): sorted 1,3,100 → rank (3+1) div 2 = 2 → med 3;
