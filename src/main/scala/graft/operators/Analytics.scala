@@ -654,6 +654,39 @@ object Analytics {
       |  count(*) AS n_events
       |FROM ev CROSS JOIN mx GROUP BY 1""".stripMargin
 
+  /** Modal event type per user (dominant-activity profile) with the
+    * deterministic tie rule "highest count, then lexicographically
+    * smallest type" — expressed as min_by on the (−count, type) struct
+    * key so the argmax is PARTIAL aggregation end to end: candidate
+    * (type, count) rows collapse map-side and the user's winner needs
+    * no window or per-user sort. Counts are BIGINT; no numeric
+    * convention needed. */
+  def q115UserMode(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(struct(col("event_type"), col("n")),
+          struct(negate(col("n")), col("event_type"))).as("w"),
+        sum(col("n")).as("n_events"))
+      .select(col("user_id"), col("w.event_type").as("modal_type"),
+        col("w.n").as("n_modal"), col("n_events"))
+
+  val q115Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, event_type, n,
+      |    sum(n) OVER (PARTITION BY user_id) AS n_events,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY n DESC, event_type) AS rn
+      |  FROM c)
+      |SELECT user_id, event_type AS modal_type, n AS n_modal,
+      |  CAST(n_events AS BIGINT) AS n_events
+      |FROM r WHERE rn = 1""".stripMargin
+
   private val MaxLag = 6
 
   /** Lead–lag cross-correlation of event-type hourly series: for every
@@ -713,6 +746,7 @@ object Analytics {
     "q104_event_transitions" -> (q104EventTransitions _, q104Sql),
     "q107_interval_merge" -> (q107IntervalMerge _, q107Sql),
     "q110_trending_decay" -> (q110TrendingDecay _, q110Sql),
+    "q115_user_mode" -> (q115UserMode _, q115Sql),
     "q117_lag_xcorr" -> (q117LagXcorr _, q117Sql),
   )
 }

@@ -98,6 +98,22 @@ class AnalyticsSpec extends SparkSpec {
       "b" -> ((1L << 30), 1L)))
   }
 
+  test("user mode: highest count wins, count ties break to smallest type") {
+    val hour = 3600L * 1000000000L
+    val rows =
+      Seq((7L, "b"), (7L, "b"), (7L, "a"), (7L, "a"),   // tie 2-2 → a
+        (8L, "b"), (8L, "b"), (8L, "b"), (8L, "a"))     // b by count
+        .zipWithIndex.map { case ((u, t), i) =>
+          (i.toLong, hour + i * 1000L, u, t, 0.0, "")
+        }
+    val dir = java.nio.file.Files.createTempDirectory("modespec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q115UserMode(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === Set((7L, "a", 2L, 4L), (8L, "b", 3L, 4L)))
+  }
+
   test("lag xcorr: closed-form product sums, missing-overlap pairs absent") {
     // x: hours 0 (2 events), 1 (3); y: hours 1 (5), 2 (7); ts in nanos
     val hour = 3600L * 1000000000L
