@@ -124,7 +124,20 @@ object DumpPlans {
       ("q109_bfs_distances", Graph.q109BfsDistances(spark, d),
         "frontier BFS, final round's flat plan: the edge list is " +
           "partitioned+checkpointed once; each round joins only the " +
-          "new frontier, merged with a partial-agg min"))
+          "new frontier, merged with a partial-agg min"),
+      ("q115_user_mode", Analytics.q115UserMode(spark, d),
+        "per-user modal type: (user,type) partial-agg counts, then the " +
+          "argmax as min_by on the (-n, type) struct — partial agg end " +
+          "to end, no window, no per-user sort"),
+      ("q116_ref_integrity", Relational.q116RefIntegrity(spark, d),
+        "seven FK audits union'd, each ONE left-anti join collapsing to " +
+          "a 1-row count; parent keysets broadcast while they fit, " +
+          "independent subtrees schedule concurrently"),
+      ("q117_lag_xcorr", Analytics.q117LagXcorr(spark, d),
+        "the one events-sized stage is the hourly partial agg; the lag " +
+          "sweep explodes the types x hours matrix x7 and self-joins on " +
+          "the shifted hour (checkpointed once for both legs) — never " +
+          "events x events"))
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")

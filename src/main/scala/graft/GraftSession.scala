@@ -26,8 +26,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // events.parquet ships TIMESTAMP(NANOS); read as long, convert in
-      // Tables.events (see comment there).
+      // Older testdata generations shipped events.ts as TIMESTAMP(NANOS),
+      // which Spark 4.x refuses to read without this flag (it then surfaces
+      // as a raw long). Harmless for current timestamp[us] data; Tables.events
+      // branches on the loaded dtype either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

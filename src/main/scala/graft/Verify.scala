@@ -9,6 +9,9 @@ object Verify {
     // checks (the driver always calls with 2 args = full suite)
     val pick = args.lift(2).map(_.r)
     val spark = GraftSession.getOrCreate("graft-verify")
+    // fail fast with named column diffs if the driver regenerated the
+    // testdata under the operators' schema assumptions (round-8 postmortem)
+    graft.operators.SchemaGuard.require(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => pick.forall(_.findFirstIn(name).isDefined) }

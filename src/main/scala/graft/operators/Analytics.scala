@@ -733,6 +733,84 @@ object Analytics {
        |JOIN h b ON b.hr = a.hr + l.lag
        |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Hourly OHLC bars per event type — the time-series downsampling
+    * primitive (resample + first/last/min/max/volume). open/close are
+    * min_by/max_by on the (ts, event_id) struct: deterministic under ts
+    * ties via the unique event_id, and PARTIAL aggregation end to end —
+    * no window, no per-bar sort, ONE shuffle on the (type, hour) bar
+    * key with map-side combine, so it scales as pure aggregation.
+    * (The oracle has no composite-key arg_min, so it uses row_number
+    * windows — deliberately NOT the shape we run.)
+    *
+    * Numeric convention: open/high/low/close are raw stored doubles
+    * (no arithmetic → bit-exact across engines); turnover sums in
+    * DECIMAL(38,10) after an identical cast on both sides, so the
+    * addition order doesn't matter. */
+  def q119OhlcBars(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"),
+        sum(col("value").cast("decimal(38,10)")).as("turnover"))
+
+  val q119Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    ts, event_id, value
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, hr
+      |                       ORDER BY ts, event_id) AS rn_o,
+      |    row_number() OVER (PARTITION BY event_type, hr
+      |                       ORDER BY ts DESC, event_id DESC) AS rn_c
+      |  FROM e)
+      |SELECT event_type, hr,
+      |  max(CASE WHEN rn_o = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rn_c = 1 THEN value END) AS close,
+      |  count(*) AS volume,
+      |  sum(CAST(value AS DECIMAL(38,10))) AS turnover
+      |FROM w GROUP BY 1, 2""".stripMargin
+
+  /** Cumulative distinct users by day ("growth curve"). Running
+    * count-distinct is the textbook unscalable window; the scalable
+    * identity is first-seen collapse: distinct-users-through-day-d =
+    * Σ_{d'≤d} (#users first seen on d'). One user-keyed partial-agg
+    * min, one day-keyed count, and a running sum over the tiny
+    * days-sized frame — the events table is never windowed. */
+  def q122CumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val perDay = firstSeen.groupBy(col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    perDay
+      .withColumn("cum_users",
+        sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), col("new_users"), col("cum_users"))
+  }
+
+  val q122Sql: String =
+    """WITH fs AS (
+      |  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+      |  FROM events GROUP BY 1),
+      |pd AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+      |SELECT day, new_users,
+      |  sum(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+      |FROM pd""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -748,5 +826,7 @@ object Analytics {
     "q110_trending_decay" -> (q110TrendingDecay _, q110Sql),
     "q115_user_mode" -> (q115UserMode _, q115Sql),
     "q117_lag_xcorr" -> (q117LagXcorr _, q117Sql),
+    "q119_ohlc_bars" -> (q119OhlcBars _, q119Sql),
+    "q122_cumulative_users" -> (q122CumulativeUsers _, q122Sql),
   )
 }

@@ -20,19 +20,34 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4.x
-    * rejects outright on read. Read it as raw long nanos
-    * (`legacy.parquet.nanosAsLong` — set once at session build in
-    * GraftSession, NOT mutated here per call) and convert with integer
-    * arithmetic: epoch-nanos ≈ 1.7e18 exceeds double's 53-bit integer
-    * precision, so a `/1e9` double divide would corrupt microseconds —
-    * `ts div 1000` keeps the conversion exact and matches DuckDB's
-    * CAST(ts AS TIMESTAMP) micros truncation. */
+  /** events.parquet has shipped `ts` under two physical types across
+    * testdata generations, so normalize by the *loaded* dtype rather than
+    * assuming one:
+    *   - parquet TIMESTAMP(NANOS): Spark 4.x rejects it on read unless
+    *     `legacy.parquet.nanosAsLong=true` (set once at session build in
+    *     GraftSession), which surfaces it as a raw LongType of epoch-nanos.
+    *     Convert with integer arithmetic: epoch-nanos ≈ 1.7e18 exceeds
+    *     double's 53-bit integer precision, so a `/1e9` double divide would
+    *     corrupt microseconds — `ts div 1000` keeps the conversion exact and
+    *     matches DuckDB's CAST(ts AS TIMESTAMP) micros truncation.
+    *   - parquet timestamp[us] (isAdjustedToUTC=false): Spark reads it
+    *     natively as TIMESTAMP_NTZ; cast to session-TZ TIMESTAMP, which is
+    *     exact under the UTC session timezone GraftSession pins.
+    * Either way every consumer sees `ts: timestamp` in UTC micros. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(set by GraftSession.builder)")
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts loaded as unexpected type $other (dir=$d); " +
+            "expected LongType (nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")

@@ -459,6 +459,72 @@ object TextAnalysis {
       |  round(log2(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6) AS entropy
       |FROM a""".stripMargin
 
+  /** PMI collocations over the q25 bigrams: for every adjacent token
+    * pair seen ≥10 times, pmi = ln(P(a,b) / (P(a)·P(b))) with unigram
+    * probabilities over total tokens and pair probability over total
+    * pairs — the classic collocation-extraction score (phrase mining
+    * for tokenizer/vocab curation).
+    *
+    * Scale shape: token and pair counts are plain partial-agg
+    * aggregations; the two 1-row totals broadcast; the unigram joins
+    * key on a word each — nothing is ever corpus×corpus, and the ≥10
+    * support floor keeps the join output collocation-sized.
+    *
+    * Numeric convention: ln() inputs are built with the IDENTICAL
+    * double expression tree on both engines ((n_ab·Nu·Nu)/(Np·n_a·n_b)
+    * — IEEE ops are deterministic given the same tree), and the single
+    * ln() result rounds to 6 dp per the q26 convention. */
+  def q120PmiBigrams(s: SparkSession, d: String): DataFrame = {
+    val ws = documents(s, d).withColumn("ws", Dedup.tokensCodegen(col("text")))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val pairRows = ws.filter(size(col("ws")) >= 2)
+      .select(col("ws"), posexplode(col("ws")))
+      .filter(col("pos") <= size(col("ws")) - 2)
+      .select(col("col").as("wa"),
+        element_at(col("ws"), col("pos") + 2).as("wb"))
+    val nu = uni.agg(sum(col("n_w")).as("nu"))
+    val np = pairRows.agg(count(lit(1)).as("np"))
+    pairRows
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 10)
+      .join(uni.select(col("w").as("wa"), col("n_w").as("n_a")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("n_w").as("n_b")), Seq("wb"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(np))
+      .select(
+        concat(col("wa"), lit(" "), col("wb")).as("bigram"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(log(
+          (col("n_ab").cast("double") * col("nu") * col("nu")) /
+            (col("np").cast("double") * col("n_a") * col("n_b"))), 6)
+          .as("pmi"))
+  }
+
+  val q120Sql: String =
+    """WITH t AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |         x -> x <> '') AS ws FROM documents),
+      |uni AS (
+      |  SELECT w, count(*) AS n_w
+      |  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+      |pr AS (
+      |  SELECT ws[i] AS wa, ws[i+1] AS wb
+      |  FROM t, unnest(range(1, len(ws))) AS r(i) WHERE len(ws) >= 2),
+      |pc AS (
+      |  SELECT wa, wb, count(*) AS n_ab FROM pr GROUP BY 1, 2
+      |  HAVING count(*) >= 10),
+      |nu AS (SELECT sum(n_w) AS nu FROM uni),
+      |np AS (SELECT count(*) AS np FROM pr)
+      |SELECT pc.wa || ' ' || pc.wb AS bigram, pc.n_ab, a.n_w AS n_a,
+      |  b.n_w AS n_b,
+      |  round(ln((CAST(pc.n_ab AS DOUBLE) * nu.nu * nu.nu) /
+      |           (CAST(np.np AS DOUBLE) * a.n_w * b.n_w)), 6) AS pmi
+      |FROM pc
+      |JOIN uni a ON a.w = pc.wa
+      |JOIN uni b ON b.w = pc.wb
+      |CROSS JOIN nu CROSS JOIN np""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q24_token_stats"   -> (q24TokenStats _, q24Sql),
     "q25_bigram_counts" -> (q25BigramCounts _, q25Sql),
@@ -468,5 +534,6 @@ object TextAnalysis {
     "q40_corpus_pipeline" -> (q40CorpusPipeline _, q40Sql),
     "q56_repetition"    -> (q56Repetition _, q56Sql),
     "q73_token_entropy" -> (q73TokenEntropy _, q73Sql),
+    "q120_pmi_bigrams"  -> (q120PmiBigrams _, q120Sql),
   )
 }

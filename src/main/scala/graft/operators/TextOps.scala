@@ -83,9 +83,46 @@ object TextOps {
         org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType))))
   }
 
+  /** The indexer routed through the generic MR facade, completing the
+    * facade-gated pair (q30 = wc, q118 = indexer — the reference's only
+    * two real workloads). Map emits each word ONCE per document via a
+    * per-doc set (indexer.go:26-31 does the same dedup with a map);
+    * reduce receives the posting docs, sorts them, and emits the
+    * reference's exact `"<count> <doc1,doc2,...>"` value
+    * (indexer.go:36-39), which we split into the q19 oracle's typed
+    * columns. Per-task memory is one document's vocab on the map side
+    * and one word's posting list on the reduce side — the same inherent
+    * bounds as q19's collect_list. */
+  def q118MrIndexer(s: SparkSession, d: String): DataFrame = {
+    val pairs = documents(s, d)
+      .select(col("doc_id").cast("string").as("doc"), col("text"))
+      .rdd
+      .flatMap { r =>
+        val doc = r.getString(0)
+        r.getString(1).split(tokenRe).iterator.filter(_.nonEmpty)
+          .toSet[String].iterator.map(w => (w, doc))
+      }
+    val reduced = MRJob.onPairs(pairs, (_, vs) => {
+      val docs = vs.toArray.distinct.sorted
+      s"${docs.length} ${docs.mkString(",")}"
+    }, nReduce = 32)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("docs",
+        org.apache.spark.sql.types.StringType)))
+    s.createDataFrame(reduced.map { case (w, v) =>
+      val sp = v.indexOf(' ')
+      org.apache.spark.sql.Row(w, v.substring(0, sp).toLong, v.substring(sp + 1))
+    }, schema)
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q18_wordcount"      -> (q18Wordcount _, q18Sql),
     "q19_inverted_index" -> (q19InvertedIndex _, q19Sql),
     "q30_mr_wordcount"   -> (q30MrWordcount _, q18Sql),
+    "q118_mr_indexer"    -> (q118MrIndexer _, q19Sql),
   )
 }
