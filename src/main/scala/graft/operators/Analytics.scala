@@ -746,8 +746,19 @@ object Analytics {
     * (no arithmetic → bit-exact across engines); turnover sums in
     * DECIMAL(38,10) after an identical cast on both sides, so the
     * addition order doesn't matter. */
-  def q119OhlcBars(s: SparkSession, d: String): DataFrame =
-    events(s, d)
+  /** Aggregate-strategy note (measured, see BenchOhlcAB + BASELINE.md):
+    * the struct ordering key makes the aggregation buffer a struct, which
+    * HashAggregate can't mutate in place — Spark plans SortAggregate with
+    * a per-partition sort on the bar key. The tempting "fix" — packing
+    * (ts, event_id) into one DECIMAL(38,0) scalar so the buffer stays
+    * hash-mutable — LOSES ~40% at sf0.1 (0.53 s vs 0.37 s median): two
+    * wide-decimal multiplies per row cost more than the sort, and the
+    * sort's per-task cost is BOUNDED at any corpus size because task
+    * input is fixed by partition sizing (the log n factor is log of rows
+    * per task, not rows total). Both forms are partial-agg before the one
+    * bar-key exchange; the struct form is the measured winner. */
+  private[operators] def ohlcBars(ev: DataFrame): DataFrame =
+    ev
       .select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("hr"),
         col("ts"), col("event_id"), col("value"))
@@ -759,6 +770,9 @@ object Analytics {
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("volume"),
         sum(col("value").cast("decimal(38,10)")).as("turnover"))
+
+  def q119OhlcBars(s: SparkSession, d: String): DataFrame =
+    ohlcBars(events(s, d))
 
   val q119Sql: String =
     """WITH e AS (
@@ -787,8 +801,8 @@ object Analytics {
     * Σ_{d'≤d} (#users first seen on d'). One user-keyed partial-agg
     * min, one day-keyed count, and a running sum over the tiny
     * days-sized frame — the events table is never windowed. */
-  def q122CumulativeUsers(s: SparkSession, d: String): DataFrame = {
-    val firstSeen = events(s, d)
+  private[operators] def cumulativeUsers(ev: DataFrame): DataFrame = {
+    val firstSeen = ev
       .groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("day"))
     val perDay = firstSeen.groupBy(col("day"))
@@ -801,6 +815,9 @@ object Analytics {
       .select(col("day"), col("new_users"), col("cum_users"))
   }
 
+  def q122CumulativeUsers(s: SparkSession, d: String): DataFrame =
+    cumulativeUsers(events(s, d))
+
   val q122Sql: String =
     """WITH fs AS (
       |  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
@@ -810,6 +827,56 @@ object Analytics {
       |  sum(new_users) OVER (ORDER BY day
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
       |FROM pd""".stripMargin
+
+  /** χ² contingency of event_type × customer market segment — "does
+    * behavior depend on segment", the independence test behind every
+    * segmentation dashboard. Output is the full contingency matrix with
+    * observed counts, expected counts under independence, and per-cell
+    * χ² contributions (their sum is the statistic; kept per-cell so the
+    * oracle compares exactly and the interesting cells are visible).
+    *
+    * Scale shape: ONE fact×dim join (events to customer — broadcast
+    * while the dim fits, shuffle-hash beyond; orphan user_ids drop on
+    * both engines by the inner join), collapsed immediately to the
+    * types×segments matrix by partial agg; marginals and the total are
+    * aggregates OF THE MATRIX, so everything after the first join is
+    * bounded by |types|·|segments| regardless of corpus size. */
+  def q124Chi2(s: SparkSession, d: String): DataFrame =
+    chi2Contingency(events(s, d), customer(s, d))
+
+  /** See [[q124Chi2]]; any events-shaped and customer-shaped frames. */
+  private[operators] def chi2Contingency(ev: DataFrame, cust: DataFrame): DataFrame = {
+    val o = ev
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("event_type"), col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("obs"))
+    val r = o.groupBy(col("event_type")).agg(sum(col("obs")).as("rt"))
+    val c = o.groupBy(col("segment")).agg(sum(col("obs")).as("ct"))
+    val n = o.agg(sum(col("obs")).as("n"))
+    val e = (col("rt").cast("double") * col("ct")) / col("n")
+    o.join(r, Seq("event_type")).join(c, Seq("segment"))
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("segment"), col("obs"),
+        round(e, 6).as("expected"),
+        round(((col("obs").cast("double") - e) * (col("obs").cast("double") - e)) / e, 6)
+          .as("contrib"))
+  }
+
+  val q124Sql: String =
+    """WITH o AS (
+      |  SELECT event_type, c_mktsegment AS segment, count(*) AS obs
+      |  FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |  GROUP BY 1, 2),
+      |r AS (SELECT event_type, sum(obs) AS rt FROM o GROUP BY 1),
+      |c AS (SELECT segment, sum(obs) AS ct FROM o GROUP BY 1),
+      |n AS (SELECT sum(obs) AS n FROM o)
+      |SELECT o.event_type, o.segment, obs,
+      |  round((CAST(rt AS DOUBLE) * ct) / n, 6) AS expected,
+      |  round(((CAST(obs AS DOUBLE) - (CAST(rt AS DOUBLE) * ct) / n) *
+      |         (CAST(obs AS DOUBLE) - (CAST(rt AS DOUBLE) * ct) / n)) /
+      |        ((CAST(rt AS DOUBLE) * ct) / n), 6) AS contrib
+      |FROM o JOIN r ON r.event_type = o.event_type
+      |JOIN c ON c.segment = o.segment CROSS JOIN n""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
@@ -828,5 +895,6 @@ object Analytics {
     "q117_lag_xcorr" -> (q117LagXcorr _, q117Sql),
     "q119_ohlc_bars" -> (q119OhlcBars _, q119Sql),
     "q122_cumulative_users" -> (q122CumulativeUsers _, q122Sql),
+    "q124_chi2_contingency" -> (q124Chi2 _, q124Sql),
   )
 }

@@ -919,6 +919,69 @@ object Dedup {
     * heuristic", so the oracle must not cap either. */
   val q77Sql: String = exactJaccardSql(0.5)
 
+  /** DIRECTED trigram containment |A∩B|/|A| ≥ 0.8 — the asymmetric
+    * near-dup relation Jaccard misses: a short doc fully embedded in a
+    * much longer one (quoted boilerplate, a page wrapped in a bigger
+    * crawl) has low Jaccard (union is large) but high containment, and
+    * the standard curation policy is to drop the CONTAINED side. Output
+    * is the ordered pair (id_a contained-in id_b).
+    *
+    * Scale shape: identical to q22 — one inverted-index self-join over
+    * df-capped gram hashes (slim 8-byte keys, map-side-combined
+    * intersection counts), with only the pair direction and the
+    * denominator changed. The df cap bounds per-gram fan-out; nothing
+    * is ever corpus×corpus. Both directions of a mutual pair can
+    * appear (near-identical docs contain each other) — correct, and
+    * what the cluster layer (q50) consumes. */
+  def q121Containment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(documents(s, d).select(col("doc_id"), col("text")),
+      maxDf = 1000, threshold = 0.8)
+
+  /** See [[q121Containment]]; any (doc_id, text) frame. */
+  private[operators] def containmentPairs(docs: DataFrame, maxDf: Int,
+      threshold: Double): DataFrame = {
+    val gh = gramHashRows(docs)
+    val bounded = capGramDf(gh, maxDf)
+    val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = bounded.select(col("doc_id").as("id_a"), col("gh"))
+      .join(bounded.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .withColumn("containment",
+        col("ninter").cast("double") / col("sz_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  val q121Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |glists AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM glists),
+      |capped AS (
+      |  SELECT doc_id, g FROM grams
+      |  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) <= 1000)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+      |  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(ninter AS DOUBLE) / sa.sz, 6) AS containment
+      |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+      |WHERE CAST(ninter AS DOUBLE) / sa.sz >= 0.8""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
@@ -930,5 +993,6 @@ object Dedup {
     "q77_prefix_join"     -> (q77PrefixJoin _, q77Sql),
     "q82_incremental_dedup" -> (q82IncrementalDedup _, q82Sql),
     "q103_edit_distance"  -> (q103EditDistance _, q103Sql),
+    "q121_containment"    -> (q121Containment _, q121Sql),
   )
 }

@@ -474,8 +474,11 @@ object TextAnalysis {
     * double expression tree on both engines ((n_ab·Nu·Nu)/(Np·n_a·n_b)
     * — IEEE ops are deterministic given the same tree), and the single
     * ln() result rounds to 6 dp per the q26 convention. */
-  def q120PmiBigrams(s: SparkSession, d: String): DataFrame = {
-    val ws = documents(s, d).withColumn("ws", Dedup.tokensCodegen(col("text")))
+  def q120PmiBigrams(s: SparkSession, d: String): DataFrame =
+    pmiBigrams(documents(s, d), minSupport = 10)
+
+  private[operators] def pmiBigrams(docs: DataFrame, minSupport: Int): DataFrame = {
+    val ws = docs.withColumn("ws", Dedup.tokensCodegen(col("text")))
     val uni = ws.select(explode(col("ws")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
@@ -488,7 +491,7 @@ object TextAnalysis {
     val np = pairRows.agg(count(lit(1)).as("np"))
     pairRows
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 10)
+      .filter(col("n_ab") >= minSupport)
       .join(uni.select(col("w").as("wa"), col("n_w").as("n_a")), Seq("wa"))
       .join(uni.select(col("w").as("wb"), col("n_w").as("n_b")), Seq("wb"))
       .crossJoin(broadcast(nu)).crossJoin(broadcast(np))
@@ -525,6 +528,64 @@ object TextAnalysis {
       |JOIN uni b ON b.w = pc.wb
       |CROSS JOIN nu CROSS JOIN np""".stripMargin
 
+  /** KL divergence of each source's token distribution from the corpus
+    * distribution — the drift/contamination monitor for a multi-source
+    * training mix ("which crawl slice stopped looking like the rest").
+    * KL(p_s ‖ p_corpus) = Σ_w (n_sw/N_s)·ln((n_sw·N)/(N_s·n_w)); only
+    * words the source CONTAINS contribute (n_sw > 0), so no smoothing
+    * is needed and the sum is exact over the source's vocab.
+    *
+    * Scale shape: ONE tokenize pass feeds (source, word) partial-agg
+    * counts; corpus word counts and per-source totals are second-level
+    * aggregates of that same frame (never a re-scan); the vocab-sized
+    * join keys on the word, the sources-sized totals broadcast. The
+    * per-term round(8)-then-decimal-sum convention (q26/q69) makes the
+    * double sum order-independent and engine-exact. */
+  def q123SourceKl(s: SparkSession, d: String): DataFrame =
+    sourceKl(documents(s, d))
+
+  /** See [[q123SourceKl]]; any (source, text) frame. */
+  private[operators] def sourceKl(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"),
+        explode(Dedup.tokensCodegen(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val sw = toks.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n_sw"))
+    val st = sw.groupBy(col("source")).agg(sum(col("n_sw")).as("n_s"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("n_sw")).as("n_w"))
+    val tot = sw.agg(sum(col("n_sw")).as("n"))
+    sw.join(st, Seq("source")).join(cw, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term", round(
+        (col("n_sw").cast("double") / col("n_s")) *
+          log((col("n_sw").cast("double") * col("n")) /
+            (col("n_s").cast("double") * col("n_w"))), 8))
+      .groupBy(col("source"), col("n_s").cast("long").as("n_tokens"))
+      .agg(round(sum(col("term").cast("decimal(38,18)")).cast("double"), 6)
+        .as("kl"))
+  }
+
+  val q123Sql: String =
+    """WITH toks AS (
+      |  SELECT source, w FROM (
+      |    SELECT source,
+      |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |             x -> x <> '')) AS w
+      |    FROM documents)),
+      |sw AS (SELECT source, w, count(*) AS n_sw FROM toks GROUP BY 1, 2),
+      |st AS (SELECT source, sum(n_sw) AS n_s FROM sw GROUP BY 1),
+      |cw AS (SELECT w, sum(n_sw) AS n_w FROM sw GROUP BY 1),
+      |tot AS (SELECT sum(n_sw) AS n FROM sw)
+      |SELECT sw.source, CAST(st.n_s AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(CAST(round(
+      |    (CAST(n_sw AS DOUBLE) / n_s) *
+      |    ln((CAST(n_sw AS DOUBLE) * n) / (CAST(n_s AS DOUBLE) * n_w)), 8)
+      |    AS DECIMAL(38,18))) AS DOUBLE), 6) AS kl
+      |FROM sw JOIN st ON st.source = sw.source
+      |JOIN cw ON cw.w = sw.w CROSS JOIN tot
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q24_token_stats"   -> (q24TokenStats _, q24Sql),
     "q25_bigram_counts" -> (q25BigramCounts _, q25Sql),
@@ -535,5 +596,6 @@ object TextAnalysis {
     "q56_repetition"    -> (q56Repetition _, q56Sql),
     "q73_token_entropy" -> (q73TokenEntropy _, q73Sql),
     "q120_pmi_bigrams"  -> (q120PmiBigrams _, q120Sql),
+    "q123_source_kl"    -> (q123SourceKl _, q123Sql),
   )
 }

@@ -36,6 +36,25 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"), col("approx_users"))
 
+  /** Streaming form of the q119 OHLC bars: tumbling 1-hour windows, the
+    * same min_by/max_by-on-(ts, event_id) formulation — per-bar state is
+    * O(1) (six running values), never a buffer of events, and bars emit
+    * once the watermark closes the window. Identical code runs in batch;
+    * StreamingSpec diffs the two. */
+  def hourlyOhlc(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        // struct key = the measured-faster batch form (Analytics.ohlcBars)
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("w.start").as("hour"), col("event_type"), col("open"),
+        col("high"), col("low"), col("close"), col("volume"))
+
   case class Ev(user_id: Long, event_id: Long, ts: Timestamp)
 
   /** Stream-static enrichment: a streaming fact joined to a bounded

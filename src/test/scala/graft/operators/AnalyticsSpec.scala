@@ -331,4 +331,79 @@ class AnalyticsSpec extends SparkSpec {
       "click" -> ((2L, 2L)),  // user 1's second + user 4's boundary purchase
       "none"  -> ((2L, 2L)))) // user 2 pre-state + user 3 stateless
   }
+
+  test("ohlcBars: OHLC picks, hour buckets, (ts, event_id) tie-break, decimal turnover") {
+    val hr = 3600000L // one hour of millis
+    val ev = Seq(
+      // type a, hour 0: ts order 1,2,3 → open=5.0, close=7.0
+      (1L, 1L, "a", ts(1), 5.0), (2L, 1L, "a", ts(2), 9.0),
+      (3L, 1L, "a", ts(3), 7.0),
+      // type a, hour 1 (single event): all four prices equal
+      (4L, 1L, "a", new java.sql.Timestamp(hr + 60000L), 2.5),
+      // type b, hour 0: TIED ts → event_id breaks: open=id5's 4.0, close=id6's 1.0
+      (5L, 2L, "b", ts(10), 4.0), (6L, 2L, "b", ts(10), 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analytics.ohlcBars(df).collect().map { r =>
+        ((r.getString(0), r.getLong(1)),
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6), r.getDecimal(7).doubleValue))
+      }.toMap
+    val got = run(ev)
+    assert(got === Map(
+      ("a", 0L) -> ((5.0, 9.0, 5.0, 7.0, 3L, 21.0)),
+      ("a", 1L) -> ((2.5, 2.5, 2.5, 2.5, 1L, 2.5)),
+      ("b", 0L) -> ((4.0, 4.0, 1.0, 1.0, 2L, 5.0))))
+    // swapping the tied events' ids flips open/close for b, nothing else
+    val flipped = ev.withColumn("event_id",
+      when(col("event_id") === 5L, 6L)
+        .when(col("event_id") === 6L, 5L).otherwise(col("event_id")))
+    assert(run(flipped)(("b", 0L)) === ((1.0, 4.0, 1.0, 4.0, 2L, 5.0)))
+  }
+
+  test("chi2 contingency: hand-computed 2x2, orphan users drop, marginals exact") {
+    val ev = Seq(
+      (1L, 1L, "a", ts(0)), (2L, 1L, "a", ts(1)), (3L, 2L, "a", ts(2)),
+      (4L, 1L, "b", ts(3)),
+      (5L, 2L, "b", ts(4)), (6L, 2L, "b", ts(5)), (7L, 2L, "b", ts(6)),
+      (8L, 9L, "a", ts(7))) // user 9 has no customer row → dropped
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val cust = Seq((1L, "S1"), (2L, "S2")).toDF("c_custkey", "c_mktsegment")
+    val got = Analytics.chi2Contingency(ev, cust)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // matrix: a=(S1:2, S2:1), b=(S1:1, S2:3); rt: a=3 b=4; ct: S1=3 S2=4; N=7
+    def cell(o: Long, rt: Long, ct: Long): (Long, Double, Double) = {
+      val e = (rt.toDouble * ct) / 7
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (o, r6(e), r6((o.toDouble - e) * (o.toDouble - e) / e))
+    }
+    assert(got === Map(
+      ("a", "S1") -> cell(2, 3, 3), ("a", "S2") -> cell(1, 3, 4),
+      ("b", "S1") -> cell(1, 4, 3), ("b", "S2") -> cell(3, 4, 4)))
+  }
+
+  test("cumulativeUsers: first-seen collapse == naive running count-distinct") {
+    val day = 86400000L
+    def at(d: Int, m: Int) = new java.sql.Timestamp(d * day + m * 60000L)
+    val ev = Seq(
+      (1L, 1L, "a", at(0, 1)), (2L, 1L, "a", at(2, 1)), // u1 spans days 0,2
+      (3L, 2L, "a", at(0, 5)),                          // u2 day 0 only
+      (4L, 3L, "a", at(1, 0)), (5L, 3L, "a", at(1, 9)), // u3 twice day 1
+      (6L, 4L, "a", at(3, 0)))                          // u4 day 3
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val got = Analytics.cumulativeUsers(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    // day 2 is ABSENT (no new users) — the curve reports first-seen days only
+    assert(got === Set(
+      ("1970-01-01", 2L, 2L), ("1970-01-02", 1L, 3L), ("1970-01-04", 1L, 4L)))
+    // cross-check the collapse identity against the naive per-day distinct scan
+    val naive = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    val days = got.map(_._1)
+    days.foreach { d =>
+      val cum = naive.filter(_._1 <= d).map(_._2).distinct.length
+      assert(got.find(_._1 == d).get._3 === cum.toLong, s"day $d")
+    }
+  }
 }

@@ -224,4 +224,45 @@ class CurationSpec extends SparkSpec {
       .filter(col("v") =!= col("clamped")).count()
     assert(sOut === 0L)
   }
+
+  test("PMI bigrams: closed-form score, support floor, unigram marginals") {
+    // corpus: 3×"x y" + 1×"x z y" → tokens: x:4 y:4 z:1 (Nu=9);
+    // pairs: (x,y):3 (x,z):1 (z,y):1 (Np=5)
+    val docs = (Seq.fill(3)("x y") :+ "x z y").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(docs, minSupport = 2)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // only (x,y) reaches support 2; singleton pairs are floored out
+    assert(got.keySet === Set("x y"))
+    val (nab, na, nb, pmi) = got("x y")
+    assert((nab, na, nb) === ((3L, 4L, 4L)))
+    // pmi = round(ln((3·9·9)/(5·4·4)), 6), the exact expression both engines run
+    val expect = BigDecimal(math.log((3.0 * 9 * 9) / (5.0 * 4 * 4)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(pmi === expect)
+  }
+
+  test("source KL: identical distribution -> 0; skewed source -> hand-computed KL") {
+    // source A: "x x y" ×2 docs; source B: "x y y" — corpus: x:5 y:4 (N=9)
+    val docs = Seq(
+      (1L, "A", "x x y"), (2L, "A", "x x y"), (3L, "B", "x y y"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.sourceKl(docs)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === Set("A", "B"))
+    assert(got("A")._1 === 6L && got("B")._1 === 3L)
+    def term(nsw: Long, ns: Long, nw: Long, n: Long): BigDecimal =
+      BigDecimal((nsw.toDouble / ns) * math.log((nsw.toDouble * n) / (ns.toDouble * nw)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    def kl(terms: Seq[BigDecimal]): Double =
+      terms.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // A: x 4/6 vs 5/9, y 2/6 vs 4/9; B: x 1/3 vs 5/9, y 2/3 vs 4/9
+    assert(got("A")._2 === kl(Seq(term(4, 6, 5, 9), term(2, 6, 4, 9))))
+    assert(got("B")._2 === kl(Seq(term(1, 3, 5, 9), term(2, 3, 4, 9))))
+    // a uniform split scores exactly 0 in every source
+    val even = Seq((1L, "A", "x y"), (2L, "B", "x y")).toDF("doc_id", "source", "text")
+    val zeros = TextAnalysis.sourceKl(even).collect().map(_.getDouble(2))
+    assert(zeros.forall(_ === 0.0))
+  }
 }

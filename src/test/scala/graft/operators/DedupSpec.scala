@@ -445,4 +445,23 @@ class DedupSpec extends SparkSpec {
       (1L, 2L, 15L, 2L),  // kept 2: 13 word tokens + "123" + "456"
       (3L, 3L, 10L, 2L)))
   }
+
+  test("containment: embedded doc flagged one-way, mutual dups both ways, strangers absent") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"     // 4 trigrams
+    val long = short + " eta theta iota kappa lambda mu nu xi " +
+      "omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      (1L, short),              // fully contained in 2 → (1,2) at 1.0
+      (2L, long),               // containment(2 in 1) = 4/25 — absent
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six"),  // exact dup of 3 → both ways
+      (5L, "totally unrelated words here nothing shared"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, maxDf = 1000, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet === Set((1L, 2L), (3L, 4L), (4L, 3L)))
+    assert(got((1L, 2L)) === 1.0)
+    assert(got((3L, 4L)) === 1.0 && got((4L, 3L)) === 1.0)
+  }
 }

@@ -324,6 +324,43 @@ class PlanAuditSpec extends SparkSpec {
       !finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(2500))
   }
 
+  test("q119 OHLC: partial aggregation, no window, exactly one bar-key exchange") {
+    val plan = planOf(Analytics.q119OhlcBars(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // struct-keyed min_by/max_by plans as SortAggregate (struct buffers
+    // aren't hash-mutable) — the MEASURED winner over a hash-aggregable
+    // packed-decimal key (BenchOhlcAB: 0.37 vs 0.53 s). What must hold:
+    // map-side combine before the single bar-key shuffle, and no Window
+    // (a window formulation would shuffle per-bar ORDERED rows).
+    assert(!finalPlan.contains("Window"), finalPlan.take(2000))
+    assert(finalPlan.contains("partial_min_by"), finalPlan.take(2000))
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"$exchanges exchanges\n${finalPlan.take(2500)}")
+  }
+
+  test("q122 growth curve: events are never windowed — only the days-sized frame is") {
+    val plan = planOf(Analytics.q122CumulativeUsers(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the running sum's single-partition window must sit ABOVE the per-day
+    // aggregate (days-sized input), with both event-sized stages partial-agg
+    val winIdx = finalPlan.indexOf("Window")
+    assert(winIdx >= 0, finalPlan.take(2000))
+    assert(finalPlan.contains("partial_"), finalPlan.take(2000))
+    // no window keyed on user_id/event rows: exactly one Window operator
+    assert(finalPlan.indexOf("Window", winIdx + 1) < 0, finalPlan.take(2500))
+  }
+
+  test("q120 PMI: no cartesian beyond the two 1-row total broadcasts; counts combine map-side") {
+    val plan = planOf(TextAnalysis.q120PmiBigrams(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2500))
+    // the 1-row nu/np frames ride BroadcastNestedLoopJoin by construction;
+    // anything joining the word-keyed tables that way would be a scale bug
+    val bnlj = finalPlan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"$bnlj nested-loop joins\n${finalPlan.take(2500)}")
+    assert(finalPlan.contains("partial_"), finalPlan.take(2000))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

@@ -46,6 +46,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars over MemoryStream match batch; tie-break carries over") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Long, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id", "event_id", "value")
+    val q = EventStreams.hourlyOhlc(df)
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = Seq(
+        (ts(0), "click", 1L, 1L, 5.0), (ts(10), "click", 2L, 2L, 9.0),
+        (ts(50), "click", 1L, 3L, 7.0),                  // hour 1 bar: 5/9/5/7
+        (ts(20), "view", 3L, 4L, 2.0), (ts(20), "view", 3L, 5L, 8.0), // tied ts
+        (ts(70), "click", 2L, 6L, 4.0))                  // second hour bar
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)   // tied rows arrive in a later batch
+      q.processAllAvailable()
+      mem.addData((ts(600), "late", 9L, 99L, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("ohlc_out")
+        .select("hour", "event_type", "open", "high", "low", "close", "volume")
+        .as[(Timestamp, String, Double, Double, Double, Double, Long)]
+        .collect().toSet
+      val batch = EventStreams.hourlyOhlc(
+        rows.toDF("ts", "event_type", "user_id", "event_id", "value"))
+        .select("hour", "event_type", "open", "high", "low", "close", "volume")
+        .as[(Timestamp, String, Double, Double, Double, Double, Long)]
+        .collect().toSet
+      assert(streamed === batch)
+      // the tied-ts pair resolved by event_id: open=id4's 2.0, close=id5's 8.0
+      val view = streamed.find(_._2 == "view").get
+      assert((view._3, view._6) === ((2.0, 8.0)))
+    } finally q.stop()
+  }
+
   test("stream-static dim enrichment matches batch, stateless") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", "engagement"), ("view", "reach"))
