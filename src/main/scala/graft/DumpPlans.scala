@@ -137,7 +137,23 @@ object DumpPlans {
         "the one events-sized stage is the hourly partial agg; the lag " +
           "sweep explodes the types x hours matrix x7 and self-joins on " +
           "the shifted hour (checkpointed once for both legs) — never " +
-          "events x events"))
+          "events x events"),
+      ("q119_ohlc_bars", Analytics.q119OhlcBars(spark, d),
+        "struct-keyed min_by/max_by partial SortAggregate, ONE bar-key " +
+          "exchange — the MEASURED winner over the hash-aggregable " +
+          "packed-decimal key (BenchOhlcAB: 0.37 vs 0.53 s at sf0.1)"),
+      ("q125_brand_basket", Relational.q125BrandBasket(spark, d),
+        "pair fan-out keys on the order (bounded by basket size); " +
+          "support counts combine map-side; brand marginals and the " +
+          "1-row order total broadcast back onto the pairs frame"),
+      ("q126_centroid_sim", Similarity.q126CentroidSim(spark, d),
+        "embeddings scanned ONCE into labels x dims centroid partials; " +
+          "all pairwise work runs on that matrix — quadratic in labels, " +
+          "constant in corpus"),
+      ("q128_zipf_slope", TextAnalysis.q128ZipfSlope(spark, d),
+        "rank value is consumed (x = ln rank) so the Window stays, but " +
+          "partial+final WindowGroupLimit caps both sides of the " +
+          "exchange at k rows per lang — never a vocab-sized sort"))
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")

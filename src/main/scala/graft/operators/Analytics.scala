@@ -878,6 +878,43 @@ object Analytics {
       |FROM o JOIN r ON r.event_type = o.event_type
       |JOIN c ON c.segment = o.segment CROSS JOIN n""".stripMargin
 
+  /** Inter-event time distribution per event type — the arrival-process
+    * profile (bot detection, cadence monitoring, retention-model input):
+    * for each consecutive same-type pair within a user's stream, the gap
+    * in seconds; reported as exact p50/p90 per type. Gap ordering uses
+    * the (ts, event_id) tiebreak so ties can't flip a gap's sign.
+    *
+    * Scale shape: ONE (user, type) exchange serves the lag window; the
+    * percentile then groups by type. `percentile` is EXACT (buffers per
+    * type) to stay oracle-comparable — the 100 TB swap is
+    * `approx_percentile`, whose rank-error contract q63 gates. */
+  def q127EventGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us / 1000000.0D, 0.5D)"), 6).as("p50_s"),
+        round(expr("percentile(gap_us / 1000000.0D, 0.9D)"), 6).as("p90_s"))
+  }
+
+  val q127Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) -
+      |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  round(quantile_cont(gap_us / 1000000.0, 0.5), 6) AS p50_s,
+      |  round(quantile_cont(gap_us / 1000000.0, 0.9), 6) AS p90_s
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -896,5 +933,6 @@ object Analytics {
     "q119_ohlc_bars" -> (q119OhlcBars _, q119Sql),
     "q122_cumulative_users" -> (q122CumulativeUsers _, q122Sql),
     "q124_chi2_contingency" -> (q124Chi2 _, q124Sql),
+    "q127_event_gaps" -> (q127EventGaps _, q127Sql),
   )
 }

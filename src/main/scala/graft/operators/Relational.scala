@@ -1491,6 +1491,60 @@ object Relational {
     ).mkString("\nUNION ALL\n")
   }
 
+  /** Brand basket-lift over orders — market-basket co-occurrence mining
+    * on the fact table: for every brand pair appearing together in ≥10
+    * orders, the support and the lift P(ab)/(P(a)·P(b)) over order
+    * baskets. lift > 1 = bought together more than independence
+    * predicts.
+    *
+    * Scale shape: the only events-sized work is the lineitem→part key
+    * join (dim broadcasts while it fits) and the distinct (order, brand)
+    * collapse. The pair self-join keys on the ORDER, so fan-out per
+    * order is C(brands-in-order, 2) — bounded by basket size (~7 items),
+    * never corpus². Support counts combine map-side; the brand marginals
+    * and the 1-row order total broadcast back onto the pairs frame. */
+  def q125BrandBasket(s: SparkSession, d: String): DataFrame =
+    brandBasket(lineitem(s, d), part(s, d), minSupport = 10)
+
+  /** See [[q125BrandBasket]]; any lineitem/part-shaped frames. */
+  private[operators] def brandBasket(li: DataFrame, pt: DataFrame,
+      minSupport: Int): DataFrame = {
+    val ob = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+      .distinct()
+    val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
+    val bs = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+    val pairs = ob.select(col("ok"), col("b").as("brand_a"))
+      .join(ob.select(col("ok"), col("b").as("brand_b")), Seq("ok"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(bs.select(col("b").as("brand_a"), col("nb").as("n_a")), Seq("brand_a"))
+      .join(bs.select(col("b").as("brand_b"), col("nb").as("n_b")), Seq("brand_b"))
+      .crossJoin(broadcast(n))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab").cast("double") * col("n_orders")) /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+  }
+
+  val q125Sql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+      |bs AS (SELECT b, count(*) AS nb FROM ob GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.b AS brand_a, c.b AS brand_b, count(*) AS n_ab
+      |  FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+      |  GROUP BY 1, 2 HAVING count(*) >= 10)
+      |SELECT brand_a, brand_b, n_ab, ba.nb AS n_a, bb.nb AS n_b,
+      |  round((CAST(n_ab AS DOUBLE) * n_orders) /
+      |        (CAST(ba.nb AS DOUBLE) * bb.nb), 6) AS lift
+      |FROM pairs JOIN bs ba ON ba.b = brand_a
+      |JOIN bs bb ON bb.b = brand_b CROSS JOIN n""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
     "q02_filter_pushdown" -> (q02FilterPushdown _, q02Sql),
@@ -1530,6 +1584,7 @@ object Relational {
     "q108_robust_stats" -> (q108RobustStats _, q108Sql),
     "q111_histogram" -> (q111Histogram _, q111Sql),
     "q116_ref_integrity" -> (q116RefIntegrity _, q116Sql),
+    "q125_brand_basket" -> (q125BrandBasket _, q125Sql),
     "q86_window_topk_rewrite" -> (q86WindowTopkRewrite _, q86Sql),
     "q87_array_funcs"     -> (q87ArrayFuncs _, q87Sql),
     "q90_global_customer" -> (q90GlobalCustomer _, q90Sql),

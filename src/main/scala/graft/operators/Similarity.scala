@@ -538,6 +538,66 @@ object Similarity {
       |SELECT g.vec_id, g.cid, (d.vec_id IS NOT NULL) AS dropped
       |FROM asg g LEFT JOIN drp d ON d.vec_id = g.vec_id""".stripMargin
 
+  /** Pairwise cosine similarity between per-label centroids — the
+    * label-space structure report ("which classes live close together",
+    * the confusion-risk map for a labeled embedding corpus). Companion
+    * to q41 (within-label cohesion): q41 measures tightness, this
+    * measures between-label separation.
+    *
+    * Scale shape: the corpus is touched ONCE (the exploded (label, dim)
+    * partial-agg sums); everything pairwise runs on the labels×dims
+    * centroid frame, so the quadratic part is |labels|², independent of
+    * corpus size. Numeric convention: q41's — per-element products stay
+    * double, every multi-term ACCUMULATION runs in DECIMAL(38,18) so
+    * partial-agg order can't move a bit; sqrt/divide are IEEE-exact on
+    * the deterministic inputs. */
+  def q126CentroidSim(s: SparkSession, d: String): DataFrame =
+    centroidSim(embeddings(s, d))
+
+  /** See [[q126CentroidSim]]; any (label, embedding) frame. */
+  private[operators] def centroidSim(vecs: DataFrame): DataFrame = {
+    def dsum38(c: Column): Column =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val ex = vecs
+      .select(col("label"), col("embedding").cast("array<double>").as("e"))
+      .select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
+    val cent = ex.groupBy(col("label"), col("i"))
+      .agg((dsum38(col("x")) / count(lit(1))).as("c"))
+    val dots = cent.select(col("label").as("label_a"), col("i"), col("c").as("ca"))
+      .join(cent.select(col("label").as("label_b"), col("i"), col("c").as("cb")),
+        Seq("i"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(dsum38(col("ca") * col("cb")).as("dot"))
+    val norms = cent.groupBy(col("label"))
+      .agg(sqrt(dsum38(col("c") * col("c"))).as("nrm"))
+    dots
+      .join(norms.select(col("label").as("label_a"), col("nrm").as("na")), Seq("label_a"))
+      .join(norms.select(col("label").as("label_b"), col("nrm").as("nb")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+  }
+
+  val q126Sql: String =
+    """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |ex AS (SELECT label, generate_subscripts(e, 1) AS i, unnest(e) AS x FROM v),
+      |cent AS (SELECT label, i,
+      |           CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c
+      |         FROM ex GROUP BY 1, 2),
+      |dots AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(sum(CAST(a.c * b.c AS DECIMAL(38,18))) AS DOUBLE) AS dot
+      |  FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      |  GROUP BY 1, 2),
+      |norms AS (SELECT label,
+      |            sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+      |          FROM cent GROUP BY 1)
+      |SELECT label_a, label_b,
+      |  round(dot / (na.nrm * nb.nrm), 6) AS cosine
+      |FROM dots
+      |JOIN norms na ON na.label = label_a
+      |JOIN norms nb ON nb.label = label_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
@@ -547,5 +607,6 @@ object Similarity {
     "q88_scalar_quantize"   -> (q88ScalarQuantize _, q88Sql),
     "q95_kmeans_assign"     -> (q95KmeansAssign _, q95Sql),
     "q112_semantic_dedup"   -> (q112SemanticDedup _, q112Sql),
+    "q126_centroid_sim"     -> (q126CentroidSim _, q126Sql),
   )
 }

@@ -586,6 +586,73 @@ object TextAnalysis {
       |JOIN cw ON cw.w = sw.w CROSS JOIN tot
       |GROUP BY 1, 2""".stripMargin
 
+  /** Zipf slope per language: least-squares slope of ln(freq) against
+    * ln(rank) over the top-100 words — the one-number sanity check that
+    * a text slice looks like natural language (≈ −1 for real corpora;
+    * near 0 for synthetic/templated text, steeper for repetitive spam).
+    *
+    * Scale shape: word counts are partial-agg; the top-100 rank needs
+    * the rank VALUE (x = ln rank), so the GroupTopK whole-operator
+    * rewrite rightly declines and Spark's partial+final WindowGroupLimit
+    * bounds the sort input to ≤k rows per lang on both sides of the
+    * exchange instead — never a vocab-sized sort (plan-asserted). The
+    * regression runs on ≤100 points per lang.
+    * Numeric convention: ln terms round to 8 dp, every sum accumulates
+    * in DECIMAL(38,18) (order-free), the closed-form slope is one
+    * double expression over those exact sums, rounded to 6. */
+  def q128ZipfSlope(s: SparkSession, d: String): DataFrame =
+    zipfSlope(documents(s, d), topK = 100)
+
+  /** See [[q128ZipfSlope]]; any (lang, text) frame. */
+  private[operators] def zipfSlope(docs: DataFrame, topK: Int): DataFrame = {
+    def ds(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val wc = docs
+      .select(col("lang"), explode(Dedup.tokensCodegen(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    val rk = wc
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("w"))))
+      .filter(col("r") <= topK)
+    val pts = rk.select(col("lang"),
+      round(log(col("r").cast("double")), 8).as("x"),
+      round(log(col("n").cast("double")), 8).as("y"))
+    pts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("k"),
+        ds(col("x")).as("sx"), ds(col("y")).as("sy"),
+        ds(col("x") * col("y")).as("sxy"), ds(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("k").as("n_words"),
+        round((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+  }
+
+  val q128Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, w FROM (
+      |    SELECT lang,
+      |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |             x -> x <> '')) AS w FROM documents)),
+      |wc AS (SELECT lang, w, count(*) AS n FROM toks GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT lang, n, row_number() OVER (PARTITION BY lang
+      |           ORDER BY n DESC, w) AS r
+      |  FROM wc QUALIFY r <= 100),
+      |pts AS (
+      |  SELECT lang, round(ln(CAST(r AS DOUBLE)), 8) AS x,
+      |         round(ln(CAST(n AS DOUBLE)), 8) AS y
+      |  FROM rk),
+      |m AS (
+      |  SELECT lang, count(*) AS k,
+      |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+      |  FROM pts GROUP BY 1)
+      |SELECT lang, k AS n_words,
+      |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
+      |FROM m""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q24_token_stats"   -> (q24TokenStats _, q24Sql),
     "q25_bigram_counts" -> (q25BigramCounts _, q25Sql),
@@ -597,5 +664,6 @@ object TextAnalysis {
     "q73_token_entropy" -> (q73TokenEntropy _, q73Sql),
     "q120_pmi_bigrams"  -> (q120PmiBigrams _, q120Sql),
     "q123_source_kl"    -> (q123SourceKl _, q123Sql),
+    "q128_zipf_slope"   -> (q128ZipfSlope _, q128Sql),
   )
 }

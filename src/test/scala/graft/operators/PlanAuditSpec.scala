@@ -361,6 +361,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalPlan.contains("partial_"), finalPlan.take(2000))
   }
 
+  test("q125 basket: pair fan-out keys on the order — no cartesian, support combines map-side") {
+    val plan = planOf(Relational.q125BrandBasket(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2500))
+    // only the 1-row order total may ride a nested-loop broadcast
+    val bnlj = finalPlan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"$bnlj nested-loop joins\n${finalPlan.take(2500)}")
+    assert(finalPlan.contains("partial_"), finalPlan.take(2000))
+  }
+
+  test("q126 centroid sim: corpus scanned once — the pairwise work runs on the centroid frame") {
+    val plan = planOf(Similarity.q126CentroidSim(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(scans === 1, s"embeddings scanned $scans times\n${finalPlan.take(2000)}")
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2500))
+  }
+
+  test("q128 zipf: WindowGroupLimit bounds the rank input — never a full vocab sort") {
+    // the rank VALUE feeds the regression (x = ln rank), so the Window
+    // must materialize it and the GroupTopK rewrite rightly declines;
+    // what must hold is Spark's partial+final WindowGroupLimit keeping
+    // <=k rows per lang on BOTH sides of the exchange, so the sort input
+    // is k-bounded per group, not vocab-sized
+    val plan = planOf(TextAnalysis.q128ZipfSlope(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("WindowGroupLimit"), finalPlan.take(2500))
+    assert(finalPlan.contains("Partial") || finalPlan.contains("Final"),
+      finalPlan.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

@@ -260,4 +260,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(r => r._1 -> r._3).toMap === want)
     assert(got.exists(_._3) && got.exists(!_._3), "fixture exercises both outcomes")
   }
+
+  test("centroid similarity: aligned labels cos 1, orthogonal 0, opposed -1") {
+    import spark.implicits._
+    // label 0: vectors along +x (centroid (2,0)); label 1: along +x too;
+    // label 2: along +y; label 3: along -x
+    val vecs = Seq(
+      (1L, 0, Array(1f, 0f)), (2L, 0, Array(3f, 0f)),
+      (3L, 1, Array(2f, 0f)),
+      (4L, 2, Array(0f, 1f)), (5L, 2, Array(0f, 3f)),
+      (6L, 3, Array(-1f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidSim(vecs)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    assert(got.keySet === Set((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)))
+    assert(got((0, 1)) === 1.0)   // same direction
+    assert(got((0, 2)) === 0.0)   // orthogonal
+    assert(got((0, 3)) === -1.0)  // opposed
+    assert(got((2, 3)) === 0.0)
+  }
 }
