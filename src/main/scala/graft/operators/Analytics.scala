@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -915,6 +915,67 @@ object Analytics {
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY 1""".stripMargin
 
+  /** RFM segmentation — recency/frequency/monetary quintile scores per
+    * user, the classic marketing segmentation (a "555" is your best
+    * user). The naive form is three `ntile(5) OVER (ORDER BY …)` global
+    * windows — three Exchange SinglePartition sorts of the user
+    * universe. Here each score composes [[Relational.globalRank]] (range
+    * partition + local rank + broadcast offsets — q97's machinery), and
+    * the quintile is integer arithmetic on the exact rank:
+    * (rnk·5 − 1) div n + 1, identical on both engines, so no NTILE
+    * anywhere. Higher score = more recent / more frequent / more spend
+    * (ascending rank, tiebreak user_id). The only events-sized stage is
+    * the per-user aggregate; the three ranks run on the users-sized
+    * frame (checkpointed once — three consumers must see ONE
+    * materialization). */
+  def q129Rfm(s: SparkSession, d: String): DataFrame =
+    rfm(events(s, d))
+
+  /** See [[q129Rfm]]; any events-shaped frame. */
+  private[operators] def rfm(ev: DataFrame): DataFrame = {
+    val u = ev.groupBy(col("user_id"))
+      .agg(max(expr("unix_micros(ts)")).as("last_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("monetary"))
+      .localCheckpoint(false)
+    val n = u.agg(count(lit(1)).as("n"))
+    def score(value: Column, out: String): DataFrame =
+      Relational.globalRank(u, value, col("user_id"), parts = 32)
+        .select(col("user_id"), col("rnk").as(out))
+    score(col("last_us"), "r_rnk")
+      .join(score(col("n_events"), "f_rnk"), Seq("user_id"))
+      .join(score(col("monetary"), "m_rnk"), Seq("user_id"))
+      .crossJoin(broadcast(n))
+      .selectExpr("user_id",
+        "CAST((r_rnk*5 - 1) div n + 1 AS INT) AS r_score",
+        "CAST((f_rnk*5 - 1) div n + 1 AS INT) AS f_score",
+        "CAST((m_rnk*5 - 1) div n + 1 AS INT) AS m_score")
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
+  val q129Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+      |    count(*) AS n_events,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS monetary
+      |  FROM events GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM u),
+      |rk AS (
+      |  SELECT user_id,
+      |    row_number() OVER (ORDER BY last_us, user_id) AS r_rnk,
+      |    row_number() OVER (ORDER BY n_events, user_id) AS f_rnk,
+      |    row_number() OVER (ORDER BY monetary, user_id) AS m_rnk
+      |  FROM u)
+      |SELECT user_id,
+      |  CAST((r_rnk*5 - 1) // n + 1 AS INT) AS r_score,
+      |  CAST((f_rnk*5 - 1) // n + 1 AS INT) AS f_score,
+      |  CAST((m_rnk*5 - 1) // n + 1 AS INT) AS m_score,
+      |  CAST((r_rnk*5 - 1) // n + 1 AS VARCHAR) ||
+      |  CAST((f_rnk*5 - 1) // n + 1 AS VARCHAR) ||
+      |  CAST((m_rnk*5 - 1) // n + 1 AS VARCHAR) AS segment
+      |FROM rk CROSS JOIN n""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -934,5 +995,6 @@ object Analytics {
     "q122_cumulative_users" -> (q122CumulativeUsers _, q122Sql),
     "q124_chi2_contingency" -> (q124Chi2 _, q124Sql),
     "q127_event_gaps" -> (q127EventGaps _, q127Sql),
+    "q129_rfm" -> (q129Rfm _, q129Sql),
   )
 }

@@ -937,17 +937,27 @@ object Dedup {
     containmentPairs(documents(s, d).select(col("doc_id"), col("text")),
       maxDf = 1000, threshold = 0.8)
 
-  /** See [[q121Containment]]; any (doc_id, text) frame. */
+  /** See [[q121Containment]]; any (doc_id, text) frame.
+    *
+    * The intersection is symmetric, so it's counted ONCE per unordered
+    * pair (id_a < id_b in the gram self-join — half the pair-shuffle
+    * rows of the naive directed form) and only then mirrored into both
+    * directed candidates; the direction-specific part is just the
+    * denominator join. Measured ~2× less pair-stage work for identical
+    * output. */
   private[operators] def containmentPairs(docs: DataFrame, maxDf: Int,
       threshold: Double): DataFrame = {
     val gh = gramHashRows(docs)
     val bounded = capGramDf(gh, maxDf)
     val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = bounded.select(col("doc_id").as("id_a"), col("gh"))
+    val undirected = bounded.select(col("doc_id").as("id_a"), col("gh"))
       .join(bounded.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
-      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("ninter"))
+    val inter = undirected.unionAll(
+      undirected.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("ninter")))
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .withColumn("containment",

@@ -1545,6 +1545,51 @@ object Relational {
       |FROM pairs JOIN bs ba ON ba.b = brand_a
       |JOIN bs bb ON bb.b = brand_b CROSS JOIN n""".stripMargin
 
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * nation — "is this market one giant or many smalls": HHI =
+    * Σ_suppliers share², share = supplier revenue / nation revenue
+    * (1.0 = monopoly, →1/n = fragmented).
+    *
+    * Scale shape: the fact-sized work is ONE partial-agg revenue sum per
+    * (nation, supplier) — q01's exact DECIMAL(18,4) convention, so the
+    * totals are order-free; nation totals aggregate the supplier frame;
+    * the share² sum follows the round-8-then-decimal convention so the
+    * double accumulation is also order-free. Everything after the first
+    * aggregate is suppliers-sized. */
+  def q130Hhi(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .join(supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("s_nationkey"), col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")).as("r"))
+    val tot = rev.groupBy(col("s_nationkey"))
+      .agg(sum(col("r")).as("t"), count(lit(1)).as("n_suppliers"))
+    rev.join(tot, Seq("s_nationkey"))
+      .join(nation(s, d), col("n_nationkey") === col("s_nationkey"))
+      .withColumn("sh2", round(
+        (col("r").cast("double") / col("t").cast("double")) *
+          (col("r").cast("double") / col("t").cast("double")), 8))
+      .groupBy(col("n_name").as("nation"), col("n_suppliers"))
+      .agg(round(sum(col("sh2").cast("decimal(38,18)")).cast("double"), 6)
+        .as("hhi"))
+  }
+
+  val q130Sql: String =
+    """WITH rev AS (
+      |  SELECT s_nationkey, l_suppkey,
+      |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS r
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT s_nationkey, sum(r) AS t, count(*) AS n_suppliers
+      |        FROM rev GROUP BY 1)
+      |SELECT n_name AS nation, n_suppliers,
+      |  round(CAST(sum(CAST(round((CAST(rev.r AS DOUBLE) / CAST(t AS DOUBLE)) *
+      |    (CAST(rev.r AS DOUBLE) / CAST(t AS DOUBLE)), 8) AS DECIMAL(38,18)))
+      |    AS DOUBLE), 6) AS hhi
+      |FROM rev JOIN tot USING (s_nationkey)
+      |JOIN nation ON n_nationkey = s_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
     "q02_filter_pushdown" -> (q02FilterPushdown _, q02Sql),
@@ -1585,6 +1630,7 @@ object Relational {
     "q111_histogram" -> (q111Histogram _, q111Sql),
     "q116_ref_integrity" -> (q116RefIntegrity _, q116Sql),
     "q125_brand_basket" -> (q125BrandBasket _, q125Sql),
+    "q130_hhi" -> (q130Hhi _, q130Sql),
     "q86_window_topk_rewrite" -> (q86WindowTopkRewrite _, q86Sql),
     "q87_array_funcs"     -> (q87ArrayFuncs _, q87Sql),
     "q90_global_customer" -> (q90GlobalCustomer _, q90Sql),

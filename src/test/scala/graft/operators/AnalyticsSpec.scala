@@ -383,6 +383,23 @@ class AnalyticsSpec extends SparkSpec {
       ("b", "S1") -> cell(1, 4, 3), ("b", "S2") -> cell(3, 4, 4)))
   }
 
+  test("rfm: quintiles from exact global ranks, composite segment, rank directions") {
+    // 10 users; user k (1..10) has last event at minute k, k events, and
+    // spend 10*k — so every metric ranks users identically: rank k for
+    // user k, quintile = (k*5-1) div 10 + 1 → users 1,2→1 … 9,10→5
+    val ev = (1 to 10).flatMap { k =>
+      (1 to k).map(j => ((k * 100 + j).toLong, k.toLong, "a", ts(k), 10.0))
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Analytics.rfm(ev)
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(got.size === 10)
+    (1 to 10).foreach { k =>
+      val q = (k * 5 - 1) / 10 + 1
+      assert(got(k.toLong) === ((q, q, q, s"$q$q$q")), s"user $k")
+    }
+  }
+
   test("cumulativeUsers: first-seen collapse == naive running count-distinct") {
     val day = 86400000L
     def at(d: Int, m: Int) = new java.sql.Timestamp(d * day + m * 60000L)

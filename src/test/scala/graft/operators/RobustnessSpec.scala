@@ -32,6 +32,20 @@ class RobustnessSpec extends SparkSpec {
       StructField("label", IntegerType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emSchema)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val custSchema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], custSchema)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val liSchema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], liSchema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ptSchema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_brand", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ptSchema)
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
     dir
   }
 
@@ -59,6 +73,17 @@ class RobustnessSpec extends SparkSpec {
     assert(Similarity.q42EmbeddingNeardup(spark, emptyDir).count() === 0L)
     assert(Relational.q15EventsHourly(spark, emptyDir).count() === 0L)
     assert(Relational.q16Sessionize(spark, emptyDir).count() === 0L)
+    // round-9 operators
+    assert(TextAnalysis.q120PmiBigrams(spark, emptyDir).count() === 0L)
+    assert(TextAnalysis.q123SourceKl(spark, emptyDir).count() === 0L)
+    assert(TextAnalysis.q128ZipfSlope(spark, emptyDir).count() === 0L)
+    assert(Dedup.q121Containment(spark, emptyDir).count() === 0L)
+    assert(Similarity.q126CentroidSim(spark, emptyDir).count() === 0L)
+    assert(Analytics.q119OhlcBars(spark, emptyDir).count() === 0L)
+    assert(Analytics.q122CumulativeUsers(spark, emptyDir).count() === 0L)
+    assert(Analytics.q124Chi2(spark, emptyDir).count() === 0L)
+    assert(Analytics.q127EventGaps(spark, emptyDir).count() === 0L)
+    assert(Relational.q125BrandBasket(spark, emptyDir).count() === 0L)
   }
 
   test("pathological documents: letterless, whitespace-only, huge-token, unicode") {
