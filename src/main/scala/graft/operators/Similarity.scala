@@ -598,6 +598,84 @@ object Similarity {
       |JOIN norms na ON na.label = label_a
       |JOIN norms nb ON nb.label = label_b""".stripMargin
 
+  /** Product quantization encoding (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI'11) — the vector-compression
+    * step behind IVF-PQ ANN indexes: split each embedding into M=8
+    * contiguous 8-dim subvectors and code each against a 16-entry
+    * per-subspace codebook (argmin squared L2), so a 64-dim float vector
+    * becomes 8 nibbles. Complements q88 (scalar quantization: per-dim
+    * affine, no codebook) with the codebook flavor real ANN engines use.
+    * Codebook = the 16 md5-ranked sample vectors' subvectors (the q95
+    * deterministic-sample convention; production would k-means-refine
+    * with [[kmeansUpdate]] — the E-step machinery is identical).
+    *
+    * Scale shape: the codebook (16×64 doubles) broadcasts; the corpus
+    * expands to (vec, dim)×K candidate terms that collapse map-side to
+    * (vec, m, code) partial sums — encoding arithmetic is corpus×d×K
+    * multiply-adds, exactly PQ's real cost, with no shuffle bigger than
+    * corpus×M×K partial rows. Numeric convention: per-dim squared
+    * residuals quantize to 1e-8-unit FIXED-POINT BIGINT via
+    * floor(sq·1e8 + 0.5) — the q88/q110 rule (plain IEEE ops, never
+    * round(double); integer sums commute) — so err2 is EXACT, the
+    * argmin (tiebreak smaller code) cannot flip across engines or
+    * partitionings, and the hot path is long arithmetic, not per-row
+    * wide-decimal (the BenchOhlcAB lesson: ~3× cheaper here). */
+  def q131PqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodes(embeddings(s, d), subDim = 8, k = 16)
+
+  /** See [[q131PqCodes]]; any (vec_id, embedding) frame. */
+  private[operators] def pqCodes(vecs: DataFrame, subDim: Int, k: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val sampled = v.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+    val cb = sampled.withColumn("code", row_number().over(
+        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
+      .select(col("code"), posexplode(col("e")).as(Seq("pos", "c")))
+    val vx = v.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
+    val err = vx.join(broadcast(cb), Seq("pos"))
+      .withColumn("m", expr(s"pos div $subDim"))
+      .withColumn("t", floor((col("x") - col("c")) * (col("x") - col("c"))
+        * lit(1e8) + lit(0.5)).cast("long"))
+      .groupBy(col("vec_id"), col("m"), col("code"))
+      .agg(sum(col("t")).as("err2_fp"))
+    err.groupBy(col("vec_id"), col("m"))
+      .agg(min_by(struct(col("code"), col("err2_fp")),
+        struct(col("err2_fp"), col("code"))).as("w"))
+      // 6-dp rounding in INTEGER space ((fp+50) div 100 = half-up on the
+      // nonnegative 1e-8 units), then ONE exact division: round(double,6)
+      // here would diverge at representation boundaries — Spark rounds
+      // the shortest decimal repr, DuckDB the raw binary (seen at sf0.1:
+      // one row flipped 0.063785 vs 0.063784)
+      .select(col("vec_id"), col("m"), col("w.code").as("code"),
+        (expr("CAST((w.err2_fp + 50) div 100 AS DOUBLE)") / lit(1e6))
+          .as("err2"))
+  }
+
+  val q131Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |         vec_id) - 1 AS code, e AS ce
+      |       FROM (SELECT * FROM v
+      |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+      |vx AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS pos, unnest(e) AS x
+      |       FROM v),
+      |cx AS (SELECT code, generate_subscripts(ce, 1) - 1 AS pos, unnest(ce) AS c
+      |       FROM cb),
+      |err AS (
+      |  SELECT vec_id, vx.pos // 8 AS m, code,
+      |    sum(CAST(floor((x - c) * (x - c) * 1e8 + 0.5) AS BIGINT)) AS err2_fp
+      |  FROM vx JOIN cx ON cx.pos = vx.pos
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, m, code, err2_fp,
+      |    row_number() OVER (PARTITION BY vec_id, m
+      |                       ORDER BY err2_fp, code) AS rn
+      |  FROM err)
+      |SELECT vec_id, m, code,
+      |  CAST((err2_fp + 50) // 100 AS DOUBLE) / 1000000.0 AS err2
+      |FROM best WHERE rn = 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
@@ -608,5 +686,6 @@ object Similarity {
     "q95_kmeans_assign"     -> (q95KmeansAssign _, q95Sql),
     "q112_semantic_dedup"   -> (q112SemanticDedup _, q112Sql),
     "q126_centroid_sim"     -> (q126CentroidSim _, q126Sql),
+    "q131_pq_codes"         -> (q131PqCodes _, q131Sql),
   )
 }

@@ -279,4 +279,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got((0, 3)) === -1.0)  // opposed
     assert(got((2, 3)) === 0.0)
   }
+
+  test("PQ codes: codebook members self-encode at zero error; others snap to nearest") {
+    import spark.implicits._
+    // 4 vectors, k=4 → ALL are codebook entries: each must encode to its
+    // own code with err2 exactly 0 in every subspace
+    val dim = 16
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(dim)(i => (seed * 100 + i).toFloat / 7f)
+    val base = (1 to 4).map(s => (s.toLong, v(s))).toDF("vec_id", "embedding")
+    val got = Similarity.pqCodes(base, subDim = 8, k = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(got.size === 8) // 4 vecs × 2 subspaces
+    // every (vec, m) has err2 == 0, and a vec's two subspaces agree on
+    // ONE code (its own codebook slot)
+    assert(got.values.forall(_._2 === 0.0), got)
+    (1 to 4).foreach { s =>
+      assert(got((s.toLong, 0L))._1 === got((s.toLong, 1L))._1, s"vec $s")
+    }
+    val selfCodes = (1 to 4).map(s => got((s.toLong, 0L))._1)
+    assert(selfCodes.sorted === Seq(0, 1, 2, 3)) // a bijection onto the codebook
+    // a 5th vector = vec 2 plus a tiny perturbation snaps to vec 2's code.
+    // Its id is 44: md5("44") sorts AFTER md5("1"..."4"), so the k=4
+    // sample deterministically keeps the original codebook and the new
+    // vector must encode to its neighbor's slot, not its own
+    val noisy = base.unionAll(
+      Seq((44L, v(2).map(_ + 0.001f))).toDF("vec_id", "embedding"))
+    val got5 = Similarity.pqCodes(noisy, subDim = 8, k = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(got5((44L, 0L)) === got5((2L, 0L)))
+    assert(got5((44L, 1L)) === got5((2L, 1L)))
+  }
 }
