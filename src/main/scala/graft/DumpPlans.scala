@@ -153,7 +153,16 @@ object DumpPlans {
       ("q128_zipf_slope", TextAnalysis.q128ZipfSlope(spark, d),
         "rank value is consumed (x = ln rank) so the Window stays, but " +
           "partial+final WindowGroupLimit caps both sides of the " +
-          "exchange at k rows per lang — never a vocab-sized sort"))
+          "exchange at k rows per lang — never a vocab-sized sort"),
+      ("q129_rfm", Analytics.q129Rfm(spark, d),
+        "three globalRank compositions over the users-sized frame " +
+          "(range partition + local rank + broadcast offsets) — NO " +
+          "ntile, no Exchange SinglePartition of the user universe; " +
+          "quintiles are integer arithmetic on exact ranks"),
+      ("q131_pq_codes", Similarity.q131PqCodes(spark, d),
+        "16x64 codebook broadcasts; candidate residual terms collapse " +
+          "map-side to (vec, m, code) partial LONG sums — fixed-point " +
+          "exact, no per-row decimals; argmin is one more partial agg"))
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")
