@@ -37,6 +37,66 @@ object Asof {
       .select(col("event_id"), col("k"), col("matched"))
   }
 
+  /** FORWARD as-of — the mirror of [[asofJoin]]: for each left row, the
+    * EARLIEST right row with the same key and time STRICTLY AFTER the
+    * left time (kdb's `aj` runs backward, the forward form is the
+    * "next quote/next conversion" primitive). Same scale-right merge:
+    * one union, ONE shuffle on the key, and a `first(_, ignoreNulls)`
+    * window over the FORWARD frame carries the next right row back.
+    * Strictness falls out of the tag order: right (side 0) sorts BEFORE
+    * left (side 1) at equal t, so an equal-time right row is outside the
+    * left row's [current, following] frame. Returns the left id/key/time
+    * plus the matched payload and its time (null when no later right row
+    * exists). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, payload: String): DataFrame = {
+    val tagged = right
+      .select(col("k"), col("t"), lit(0).as("side"), col(payload),
+        col("t").as("rt"), lit(null).cast("long").as("event_id"))
+      .unionAll(left.select(col("k"), col("t"), lit(1).as("side"),
+        lit(null).cast("long").as(payload),
+        lit(null).cast("timestamp").as("rt"), col("event_id")))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("matched", first(col(payload), ignoreNulls = true).over(w))
+      .withColumn("matched_t", first(col("rt"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k"), col("t"), col("matched"),
+        col("matched_t"))
+  }
+
+  /** Per view event: the same user's NEXT purchase strictly after it,
+    * with the conversion latency in exact micros — per-impression
+    * time-to-convert, the forward-as-of workload (purchase ties per
+    * (user, ts) collapse to min event_id so both engines pick
+    * deterministically; views with no later purchase keep NULLs). */
+  def q132AsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("k"), col("ts").as("t"))
+      .agg(min(col("event_id")).as("p_id"))
+    asofJoinForward(v, p, "p_id")
+      .select(col("event_id"), col("k").as("user_id"),
+        col("matched").as("purchase_id"),
+        (unix_micros(col("matched_t")) - unix_micros(col("t")))
+          .as("latency_us"))
+  }
+
+  val q132Sql: String =
+    """WITH v AS (
+      |  SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t, event_id
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id AS k, CAST(ts AS TIMESTAMP) AS t,
+      |    min(event_id) AS p_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT v.event_id, v.k AS user_id, p.p_id AS purchase_id,
+      |  epoch_us(p.t) - epoch_us(v.t) AS latency_us
+      |FROM v ASOF LEFT JOIN p ON v.k = p.k AND v.t < p.t""".stripMargin
+
   /** Each event matched to the user's most recent order at event time
     * (order ties per (custkey, orderdate) collapsed to max o_orderkey so
     * both engines pick deterministically). */
@@ -235,5 +295,6 @@ object Asof {
     "q35_asof_join"    -> (q35AsofJoin _, q35Sql),
     "q64_range_join"   -> (q64RangeJoin _, q64Sql),
     "q65_overlap_join" -> (q65OverlapJoin _, q65Sql),
+    "q132_asof_forward" -> (q132AsofForward _, q132Sql),
   )
 }

@@ -33,6 +33,33 @@ class AsofSpec extends SparkSpec {
       300L -> None))
   }
 
+  test("forward asof: strict boundary, no-later-match null, earliest wins, key isolation") {
+    val left = Seq(
+      (1L, ts(10), 100L), // before k1's two later rights → EARLIEST (ts 20)
+      (1L, ts(20), 101L), // exactly AT a right → strict < excludes it → ts 30
+      (1L, ts(40), 102L), // after every k1 right → null
+      (2L, ts(5), 200L),  // k2 must not see k1's rights
+      (3L, ts(5), 300L))  // key with no rights → null
+      .toDF("k", "t", "event_id")
+    val right = Seq(
+      (1L, ts(20), 1020L), (1L, ts(30), 1030L),
+      (2L, ts(6), 2006L))
+      .toDF("k", "t", "p_id")
+    val got = Asof.asofJoinForward(left, right, "p_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got === Map(
+      100L -> Some(1020L),
+      101L -> Some(1030L), // t equal ⇒ NOT matched (strict >)
+      102L -> None,
+      200L -> Some(2006L),
+      300L -> None))
+    // matched_t rides along with the payload (same winning row)
+    val mt = Asof.asofJoinForward(left, right, "p_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(4))).toMap
+    assert(mt(100L) === Some(ts(20)) && mt(101L) === Some(ts(30)) && mt(102L) === None)
+  }
+
   test("asof join result is partitioning-insensitive") {
     val left = (0 until 500).map(i => ((i % 7).toLong, ts(i), i.toLong))
       .toDF("k", "t", "event_id")
