@@ -992,6 +992,90 @@ object Dedup {
       |FROM inter JOIN sizes sa ON sa.doc_id = id_a
       |WHERE CAST(ninter AS DOUBLE) / sa.sz >= 0.8""".stripMargin
 
+  /** Sorted-neighborhood dedup (Hernández–Stolfo SNM): sort the corpus
+    * by a blocking key (first 32 normalized chars), slide a w=5 window
+    * down the sorted order, and verify only rank-adjacent candidates
+    * with exact trigram Jaccard — the third candidate-generation family
+    * in the suite beside hashing (MinHash/SimHash buckets) and inverted
+    * lists (q22/q77/q121). Candidates are ≤ n·w with NO dependence on
+    * gram frequency, which is SNM's selling point on boilerplate-heavy
+    * corpora where shared-gram fan-out explodes.
+    *
+    * Scale shape: the global sort order comes from
+    * [[Relational.globalRank]] (range partition + local rank + broadcast
+    * offsets — never an Exchange SinglePartition); the window becomes
+    * w equi-joins on rank_b = rank_a + k (slim integer keys via one
+    * k-explode); the Jaccard verify joins gram hashes only for the
+    * surviving pairs. Pairs with zero shared trigrams drop (inner join),
+    * mirrored exactly in the oracle. */
+  def q133SnmNeardup(s: SparkSession, d: String): DataFrame =
+    snmNeardup(documents(s, d).select(col("doc_id"), col("text")), w = 5)
+
+  /** See [[q133SnmNeardup]]; any (doc_id, text) frame. */
+  private[operators] def snmNeardup(docs: DataFrame, w: Int): DataFrame = {
+    val keyed = docs.withColumn("sortkey",
+      substring(concat_ws(" ", tokensCodegen(col("text"))), 1, 32))
+    val ranked = Relational.globalRank(keyed.select(col("doc_id"), col("sortkey")),
+        col("sortkey"), col("doc_id"), parts = 32)
+      .select(col("doc_id"), col("rnk"))
+      .localCheckpoint(false)
+    val pairs = ranked.select(col("doc_id").as("id_a"), col("rnk"))
+      .withColumn("k", explode(array((1 to w).map(lit): _*)))
+      .withColumn("rnk_b", col("rnk") + col("k"))
+      .join(ranked.select(col("doc_id").as("id_b"), col("rnk").as("rnk_b")),
+        Seq("rnk_b"))
+      .select(col("id_a"), col("id_b"))
+    val gh = gramHashRows(docs)
+    val sizes = gh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(gh.select(col("doc_id").as("id_a"), col("gh")), Seq("id_a"))
+      .join(gh.select(col("doc_id").as("id_b"), col("gh")), Seq("id_b", "gh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("ninter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("ninter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  val q133Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT doc_id, substr(array_to_string(ws, ' '), 1, 32) AS sortkey
+      |  FROM toks),
+      |ranked AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY sortkey, doc_id) AS rnk
+      |  FROM keyed),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM ranked a JOIN ranked b
+      |    ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5),
+      |glists AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM glists),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.id_a, p.id_b, count(*) AS ninter
+      |  FROM pairs p
+      |  JOIN grams ga ON ga.doc_id = p.id_a
+      |  JOIN grams gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
@@ -1004,5 +1088,6 @@ object Dedup {
     "q82_incremental_dedup" -> (q82IncrementalDedup _, q82Sql),
     "q103_edit_distance"  -> (q103EditDistance _, q103Sql),
     "q121_containment"    -> (q121Containment _, q121Sql),
+    "q133_snm_neardup"    -> (q133SnmNeardup _, q133Sql),
   )
 }

@@ -190,6 +190,32 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("content_hash")
 
+  /** Streaming new-user counter — the streaming form of the q122 growth
+    * curve: `dropDuplicates("user_id")` keeps first-seen keyed state, so
+    * exactly the FIRST event of each user survives (across micro-batches
+    * and within them), and the daily tumbling count of survivors is the
+    * new-users-per-day series; windows close at the watermark.
+    *
+    * State honesty: "first seen EVER" requires user-keyed state with no
+    * eviction — O(distinct users), the inherent minimum for exact
+    * distinct detection (the approximate alternative is a bloom/HLL per
+    * the q53 discussion). The per-window count state is days-sized and
+    * watermark-evicted as usual.
+    *
+    * Attribution caveat: dropDuplicates keeps the first PROCESSED event
+    * per user, so day attribution equals the batch min-ts collapse only
+    * when each user's events arrive in ts order (the production norm
+    * with per-user partitioned ingest, and what the spec feeds); fully
+    * out-of-order exactness would need a min-ts-keeping
+    * mapGroupsWithState state instead. */
+  def streamingNewUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("new_users"))
+      .select(col("w.start").as("day"), col("new_users"))
+
   /** Convenience: run [[hourlyAgg]] as a file-source stream over a
     * parquet directory into an in-memory table — the readStream →
     * transform → writeStream wiring. */

@@ -464,4 +464,30 @@ class DedupSpec extends SparkSpec {
     assert(got((1L, 2L)) === 1.0)
     assert(got((3L, 4L)) === 1.0 && got((4L, 3L)) === 1.0)
   }
+
+  test("SNM: sort-adjacent near-dups verified; window bound excludes distant keys") {
+    import spark.implicits._
+    // docs 1,2 share a long prefix → adjacent in sort order, high Jaccard;
+    // doc 9 is a COPY of 1 but prefixed with 'zzz …' → lands at the far
+    // end of the sort, outside the w=1 window of doc 1: SNM's documented
+    // miss. Padding docs separate the key ranges.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "mmm nnn ooo ppp qqq rrr sss ttt"),
+      (4L, "uuu vvv www xxx yyy aab bbc ccd"),
+      (9L, "zzz alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snmNeardup(docs, w = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // (1,2) adjacent and similar → present with high jaccard
+    assert(got.contains((1L, 2L)), got)
+    assert(got((1L, 2L)) > 0.5)
+    // (1,9) near-identical but sort-distant → ABSENT at w=1
+    assert(!got.contains((1L, 9L)) && !got.contains((9L, 1L)), got)
+    // widening the window to cover the whole corpus recovers the pair
+    val wide = Dedup.snmNeardup(docs, w = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(wide.contains((1L, 9L)) || wide.contains((9L, 1L)), wide)
+  }
 }

@@ -81,6 +81,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming new-user counts: cross-batch first-seen state matches batch collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val day = 1440L // minutes
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = EventStreams.streamingNewUsers(df)
+      .writeStream.format("memory").queryName("newusers_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // day 0: users 1, 2 (user 1 twice); day 1: user 1 AGAIN (must not
+      // recount — state crosses batches) + new user 3
+      mem.addData((ts(0), 1L), (ts(10), 2L), (ts(20), 1L))
+      q.processAllAvailable()
+      mem.addData((ts(day + 1), 1L), (ts(day + 2), 3L))
+      q.processAllAvailable()
+      // push the watermark far past both days to close the windows
+      mem.addData((ts(10 * day), 99L))
+      q.processAllAvailable()
+      val streamed = spark.table("newusers_out")
+        .as[(Timestamp, Long)].collect().toMap
+      val batch = Seq((ts(0), 1L), (ts(10), 2L), (ts(20), 1L),
+        (ts(day + 1), 1L), (ts(day + 2), 3L))
+        .toDF("ts", "user_id")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+        .groupBy(window(col("first_ts"), "1 day").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start"), col("n"))
+        .as[(Timestamp, Long)].collect().toMap
+      assert(streamed === batch)
+      assert(streamed.values.toSeq.sorted === Seq(1L, 2L)) // 2 on day 0, 1 on day 1
+    } finally q.stop()
+  }
+
   test("stream-static dim enrichment matches batch, stateless") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", "engagement"), ("view", "reach"))
