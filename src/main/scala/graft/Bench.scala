@@ -18,6 +18,10 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val spark = GraftSession.getOrCreate("graft-bench")
+    // fail fast with named column diffs on testdata schema drift (the
+    // round-8 postmortem: 19 opaque per-query crashes) — same guard as
+    // Verify, so the bench dies with ONE readable cause instead
+    graft.operators.SchemaGuard.require(spark, sfDir)
     // Untimed warmup: initialize codegen, parquet reader and shuffle
     // machinery so the first timed query doesn't absorb JVM startup.
     try {
