@@ -1076,6 +1076,118 @@ object Dedup {
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b""".stripMargin
 
+  private val SubstrK = 8
+
+  /** Cross-document EXACT-SUBSTRING duplication coverage — the
+    * suffix-array dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (ACL 2022), re-expressed
+    * relationally: a document position is duplicated if the K=8-token
+    * shingle starting there occurs verbatim in at least one OTHER
+    * document. Reports, per document containing any such span, the
+    * number of covered token positions and the count of maximal
+    * duplicated runs (the [[Analytics.intervalMerge]] island pattern
+    * inlined so the per-doc token count rides along the same rows —
+    * no second scan of the corpus).
+    *
+    * This completes the dedup families: exact doc (q20), hashed
+    * near-dup (q21/q31/q42), inverted-list (q22/q77/q121), sorted-
+    * neighborhood (q133) — and now sub-document exact substrings,
+    * which none of the others can see (a plagiarized paragraph inside
+    * an otherwise-unique page).
+    *
+    * Scale shape: one scan of documents; positions are O(total tokens)
+    * slim rows (doc, pos, n_toks, shingle); ONE shuffle on the shingle
+    * where `min(doc) < max(doc)` over the partition decides cross-doc
+    * duplication (no distinct-count, no self-join, no candidate pair
+    * blow-up — fan-out is exactly 1 row per position regardless of how
+    * hot a shingle is); one shuffle on doc_id for the island windows.
+    * At 100 TB the shingle shuffle key would be a 128-bit fingerprint
+    * of the shingle rather than the string itself (the q20 md5
+    * discipline); the gate keeps the hash-free semantic so the oracle
+    * needs no hash convention. All outputs integer — engine-exact. */
+  def q134ExactSubstr(s: SparkSession, d: String): DataFrame =
+    exactSubstr(documents(s, d).select(col("doc_id"), col("text")), SubstrK)
+
+  /** See [[q134ExactSubstr]]; any (doc_id, text) frame. */
+  private[operators] def exactSubstr(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.withColumn("toks", tokensCodegen(col("text")))
+      .filter(size(col("toks")) >= k)
+    val pos = toks
+      .select(col("doc_id"), size(col("toks")).as("n_toks"), col("toks"),
+        posexplode(col("toks")))
+      .filter(col("pos") <= col("n_toks") - k)
+      .select(col("doc_id"), col("n_toks"), col("pos"),
+        concat_ws(" ", (0 until k).map(j =>
+          element_at(col("toks"), col("pos") + j + 1)): _*).as("sh"))
+    val wsh = Window.partitionBy(col("sh"))
+    val dup = pos
+      .withColumn("isdup",
+        min(col("doc_id")).over(wsh) < max(col("doc_id")).over(wsh))
+      .filter(col("isdup"))
+      .select(col("doc_id"), col("n_toks"), col("pos").as("s0"),
+        (col("pos") + k - 1).as("e0"))
+    // intervalMerge island pattern, inlined to carry n_toks
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s0"), col("e0"))
+    dup
+      .withColumn("pmax", max(col("e0")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s0") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(max(col("n_toks")).as("nt"),
+        (max(col("e0")) - min(col("s0")) + 1).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("nt")).cast("long").as("n_toks"),
+        sum(col("len")).cast("long").as("dup_tokens"),
+        count(lit(1)).as("n_islands"))
+
+  }
+
+  val q134Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, len(ws) AS n_toks, ws,
+      |    unnest(range(0, len(ws) - 7)) AS p
+      |  FROM toks WHERE len(ws) >= 8),
+      |sh AS (
+      |  SELECT doc_id, n_toks, p,
+      |    array_to_string(ws[p+1 : p+8], ' ') AS s
+      |  FROM pos),
+      |dup AS (
+      |  SELECT doc_id, n_toks, p AS s0, p + 7 AS e0
+      |  FROM (SELECT *,
+      |          min(doc_id) OVER (PARTITION BY s) < max(doc_id) OVER (PARTITION BY s) AS isdup
+      |        FROM sh)
+      |  WHERE isdup),
+      |f AS (
+      |  SELECT doc_id, n_toks, s0, e0,
+      |    max(e0) OVER (PARTITION BY doc_id ORDER BY s0, e0
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM dup),
+      |g AS (
+      |  SELECT doc_id, n_toks, s0, e0,
+      |    CASE WHEN pmax IS NULL OR s0 > pmax THEN 1 ELSE 0 END AS brk
+      |  FROM f),
+      |h AS (
+      |  SELECT doc_id, n_toks, s0, e0,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s0, e0
+      |                   ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM g),
+      |isl AS (
+      |  SELECT doc_id, island, max(n_toks) AS nt,
+      |    max(e0) - min(s0) + 1 AS len
+      |  FROM h GROUP BY doc_id, island)
+      |SELECT doc_id, CAST(max(nt) AS BIGINT) AS n_toks,
+      |  CAST(sum(len) AS BIGINT) AS dup_tokens,
+      |  count(*) AS n_islands
+      |FROM isl GROUP BY doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
@@ -1089,5 +1201,6 @@ object Dedup {
     "q103_edit_distance"  -> (q103EditDistance _, q103Sql),
     "q121_containment"    -> (q121Containment _, q121Sql),
     "q133_snm_neardup"    -> (q133SnmNeardup _, q133Sql),
+    "q134_exact_substr"   -> (q134ExactSubstr _, q134Sql),
   )
 }

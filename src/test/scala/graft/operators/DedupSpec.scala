@@ -490,4 +490,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(wide.contains((1L, 9L)) || wide.contains((9L, 1L)), wide)
   }
+
+  test("exact-substring coverage: cross-doc spans merge to islands; within-doc repeats don't count") {
+    import spark.implicits._
+    // k=3 closed form. doc0 tokens a..h; doc1 shares the 5-token prefix
+    // (dup shingle positions 0,1,2 → island [0,4], 5 tokens); doc3
+    // contains doc0's "f g h" at its position 3 → doc0 also dups at
+    // position 5 ([5,7], a SECOND island, whole doc covered); doc2 is
+    // unique; doc4 repeats "m n o" three times WITHIN itself only —
+    // within-doc repetition is not duplication (min(doc)==max(doc)).
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e x y z"),
+      (2L, "p q r s t u v w"),
+      (3L, "qq rr ss f g h tt uu"),
+      (4L, "m n o m n o m n o"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstr(docs, k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      0L -> ((8L, 8L, 2L)),
+      1L -> ((8L, 5L, 1L)),
+      3L -> ((8L, 3L, 1L))), got)
+    // partitioning-insensitive (the global shingle window, not data order)
+    val reparted = Dedup.exactSubstr(docs.repartition(7), k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(reparted === got)
+    // one pipeline: no cartesian, no self-join of the corpus
+    val plan = Dedup.exactSubstr(docs, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
 }
