@@ -406,10 +406,82 @@ object Graph {
        |  JOIN l$PeelRounds y ON e.dst = y.node)
        |SELECT src AS node, count(*) AS core_deg FROM af GROUP BY 1""".stripMargin
 
+  /** Parts shared by more customers than this don't generate candidate
+    * pairs — a part of degree d emits d²/2 pairs, so one commodity part
+    * everyone buys would dominate the pair list while contributing the
+    * LEAST evidence (weight 1/d → ~0). Dropping high-degree "hub"
+    * features is the standard resource-allocation practice (same
+    * discipline as the q22 stop-gram cap and q105 basket cap) and is
+    * part of the semantic, replicated in the oracle. Measured part
+    * degrees at the test SFs top out at 53, so the cap never bites
+    * there; at 100 TB it is the hard fan-out bound: pairs ≤ cap²/2
+    * per part. */
+  private val RaDegCap = 64
+
+  /** Link prediction between customers by RESOURCE ALLOCATION over the
+    * customer–part co-purchase bipartite graph (Zhou–Lü–Zhang 2009):
+    * score(a,b) = Σ_{p ∈ Γ(a)∩Γ(b)} 1/deg(p), suggesting which
+    * customers behave alike though no direct edge exists. The weight is
+    * INTEGER fixed-point (1e12 div deg — the q81 discipline), so the
+    * sum is an exactly-ordered BIGINT on both engines and the top-100
+    * cut is deterministic with the (score, a, b) tiebreak.
+    *
+    * Scale shape: distinct (customer, part) edges; per-part degrees by
+    * partial-agg count; candidate pairs ONLY from shared parts under
+    * the degree cap (never an all-pairs product); one partially-
+    * aggregated sum on (a, b); the global top-100 is a
+    * TakeOrderedAndProject (per-partition heads merged on the driver —
+    * k-sized, never a single-partition sort of the world). */
+  def q135LinkPredict(s: SparkSession, d: String): DataFrame = {
+    val edges = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    resourceAlloc(edges, RaDegCap)
+  }
+
+  /** See [[q135LinkPredict]]; any distinct (c, p) bipartite edge frame. */
+  private[operators] def resourceAlloc(edges: DataFrame, cap: Int): DataFrame = {
+    val deg = edges.groupBy(col("p")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= cap)
+    // checkpoint: TWO consumers (both sides of the pair join) — without
+    // it the orders⋈lineitem distinct runs twice (q105 edge-list
+    // discipline). Partitioned+sorted on p so the self-join needs no
+    // further exchange or sort on either side.
+    val e = edges.join(deg, Seq("p")).repartition(col("p"))
+      .sortWithinPartitions(col("p"))
+      .localCheckpoint(false)
+    e.select(col("p"), col("c").as("c_a"), col("deg"))
+      .join(e.select(col("p"), col("c").as("c_b")).hint("SHUFFLE_HASH"),
+        Seq("p"))
+      .filter(col("c_a") < col("c_b"))
+      .groupBy(col("c_a"), col("c_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr(s"${Scale}L div deg")).as("score_e12"))
+      .orderBy(col("score_e12").desc, col("c_a"), col("c_b"))
+      .limit(100)
+  }
+
+  val q135Sql: String =
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |d AS (SELECT p, count(*) AS deg FROM e GROUP BY p),
+       |ed AS (SELECT e.c, e.p, d.deg FROM e JOIN d USING (p)
+       |       WHERE d.deg BETWEEN 2 AND $RaDegCap),
+       |pr AS (SELECT a.c AS c_a, b.c AS c_b, a.deg
+       |       FROM ed a JOIN ed b ON a.p = b.p AND a.c < b.c)
+       |SELECT c_a, c_b, count(*) AS n_common,
+       |  CAST(sum($Scale // deg) AS BIGINT) AS score_e12
+       |FROM pr GROUP BY 1, 2
+       |ORDER BY score_e12 DESC, c_a, c_b LIMIT 100""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q81_pagerank" -> (q81Pagerank _, q81Sql),
     "q105_triangle_count" -> (q105TriangleCount _, q105Sql),
     "q109_bfs_distances" -> (q109BfsDistances _, q109Sql),
     "q113_kcore" -> (q113KCore _, q113Sql),
+    "q135_link_predict" -> (q135LinkPredict _, q135Sql),
   )
 }

@@ -180,4 +180,27 @@ class GraphSpec extends SparkSpec {
       assert(got === slowTriangles(edges), s"trial $trial")
     }
   }
+
+  test("resource allocation: closed-form weights, degree cap excludes hubs") {
+    import spark.implicits._
+    // p1 ~ {A,B}, p2 ~ {A,B,C}, p3 ~ {A} (deg<2, never scores)
+    val edges = Seq(
+      (1L, 101L), (2L, 101L),
+      (1L, 102L), (2L, 102L), (3L, 102L),
+      (1L, 103L))
+      .toDF("c", "p")
+    // cap 3: p1 weight 1e12//2, p2 weight 1e12//3 to all three pairs
+    val w2 = 1000000000000L / 2
+    val w3 = 1000000000000L / 3
+    val got = Graph.resourceAlloc(edges, cap = 3)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got === List(
+      (1L, 2L, 2L, w2 + w3),
+      (1L, 3L, 1L, w3),
+      (2L, 3L, 1L, w3)), got)
+    // cap 2: the deg-3 "hub" p2 is excluded — only (A,B) via p1 remains
+    val capped = Graph.resourceAlloc(edges, cap = 2)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(capped === List((1L, 2L, 1L, w2)), capped)
+  }
 }
