@@ -406,6 +406,85 @@ object Graph {
        |  JOIN l$PeelRounds y ON e.dst = y.node)
        |SELECT src AS node, count(*) AS core_deg FROM af GROUP BY 1""".stripMargin
 
+  private val SsspRounds = 4
+
+  /** Single-source (seed-set) shortest paths by BOUNDED BELLMAN–FORD
+    * over the weighted trade graph: edge (customer, supplier) weight =
+    * floor(min l_quantity ever traded between them) — the "cheapest
+    * lot" relation — and dist(v) = the minimum-weight path from any
+    * nation-0 customer using at most [[SsspRounds]] edges. Rounds are
+    * FIXED (the q81/q113 discipline: the semantic is "best ≤k-edge
+    * path", identical on both engines by construction, lineage linear
+    * in k — never convergence-chased). All-integer arithmetic: floor
+    * before the BIGINT cast because Spark truncates double→long while
+    * DuckDB rounds — floor makes the quantization explicit and
+    * engine-free.
+    *
+    * Scale shape: the weighted edge list is checkpointed partitioned+
+    * sorted on src ONCE; every round is one zero-exchange join
+    * dist⋈edges plus one partially-aggregated min on node — the q109
+    * BFS schedule with (dist+w, min) in place of (hop, first-visit).
+    * Unlike BFS there is no frontier shrink: a settled node can
+    * re-relax when a cheaper multi-hop route appears, so every round
+    * relaxes the full dist frame — which stays node-sized, never
+    * edge-sized. */
+  def q136Sssp(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(floor(min(col("l_quantity"))).cast("long").as("w"))
+    val edges = pairs.select(col("src"), col("dst"), col("w"))
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst"),
+        col("w")))
+    val seeds = customer(s, d).filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    sssp(edges, seeds, SsspRounds)
+  }
+
+  /** See [[q136Sssp]]: min-cost ≤k-edge path from `seeds` over a
+    * DIRECTED weighted edge list (undirected graphs pass both
+    * directions). */
+  private[operators] def sssp(edges: DataFrame, seeds: DataFrame,
+      k: Int): DataFrame = {
+    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
+      .localCheckpoint(false)
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    for (_ <- 1 to k) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    dist
+  }
+
+  private def ssspIterSql(i: Int): String =
+    s"""s$i AS (
+       |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+       |    SELECT node, dist FROM s${i - 1}
+       |    UNION ALL
+       |    SELECT e.dst AS node, f.dist + e.w AS dist
+       |    FROM s${i - 1} f JOIN edges e ON e.src = f.node)
+       |  GROUP BY 1)""".stripMargin
+
+  val q136Sql: String =
+    s"""WITH eraw AS (
+       |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |    CAST(floor(min(l_quantity)) AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT src, dst, w FROM eraw
+       |          UNION ALL SELECT dst, src, w FROM eraw),
+       |s0 AS (SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM customer WHERE c_nationkey = 0),
+       |${(1 to SsspRounds).map(ssspIterSql).mkString(",\n")}
+       |SELECT node, dist FROM s$SsspRounds""".stripMargin
+
   /** Parts shared by more customers than this don't generate candidate
     * pairs — a part of degree d emits d²/2 pairs, so one commodity part
     * everyone buys would dominate the pair list while contributing the
@@ -483,5 +562,6 @@ object Graph {
     "q109_bfs_distances" -> (q109BfsDistances _, q109Sql),
     "q113_kcore" -> (q113KCore _, q113Sql),
     "q135_link_predict" -> (q135LinkPredict _, q135Sql),
+    "q136_sssp" -> (q136Sssp _, q136Sql),
   )
 }

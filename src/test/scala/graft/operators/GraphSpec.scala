@@ -181,6 +181,44 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("sssp: weighted relaxation beats hop-count path, round bound binds") {
+    import spark.implicits._
+    // 1→2 direct costs 10; 1→3→2 costs 2+3=5 (more hops, cheaper);
+    // 2→4→6→7 extends it. At k=4, node 7 is only reachable through the
+    // EXPENSIVE 1→2 head (13, 4 edges) — the cheap head needs 5 edges;
+    // node 5 needs ≥5 edges either way, so it stays absent.
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L), (2L, 4L, 1L),
+      (4L, 6L, 1L), (6L, 7L, 1L), (7L, 5L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.sssp(edges, seeds, k = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 3L -> 2L, 2L -> 5L, 4L -> 6L, 6L -> 7L,
+      7L -> 13L))
+
+    // differential vs the textbook DP on random weighted digraphs:
+    // dist_i(v) = min(dist_{i-1}(v), min_{(u,v,w)} dist_{i-1}(u) + w)
+    val rnd = new scala.util.Random(136)
+    for (trial <- 1 to 3) {
+      val n = 40
+      val es = Seq.fill(160)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+        (rnd.nextInt(9) + 1).toLong))
+        .filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+      val k = 3
+      var dp = Map(0L -> 0L)
+      for (_ <- 1 to k) {
+        val relax = es.flatMap { case (u, v, w) => dp.get(u).map(du => v -> (du + w)) }
+        dp = (dp.toSeq ++ relax).groupBy(_._1)
+          .map { case (v, ds) => v -> ds.map(_._2).min }
+      }
+      val got2 = Graph.sssp(es.toDF("src", "dst", "w"), Seq(0L).toDF("node"), k)
+        .as[(Long, Long)].collect().toMap
+      assert(got2 === dp, s"trial $trial")
+    }
+  }
+
   test("resource allocation: closed-form weights, degree cap excludes hubs") {
     import spark.implicits._
     // p1 ~ {A,B}, p2 ~ {A,B,C}, p3 ~ {A} (deg<2, never scores)
