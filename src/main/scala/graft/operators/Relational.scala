@@ -1259,6 +1259,67 @@ object Relational {
       |  FROM lineitem)
       |WHERE rnk % 1000 = 1""".stripMargin
 
+  /** 2-D SKYLINE (Pareto frontier) of parts: every part no other part
+    * beats on BOTH price (lower-or-equal) and size (higher-or-equal)
+    * with at least one strict — "cheapest for its size class". The
+    * naive formulation is a quadratic self-join (the oracle's
+    * NOT EXISTS); the 2-D structure admits a ONE-PASS sorted form:
+    * sort by price, and a part is on the frontier iff (a) it has the
+    * max size within its exact-price group and (b) no strictly-cheaper
+    * price group reaches its size — a PREFIX MAX over the price order.
+    *
+    * The prefix max is distributed with the [[globalRank]] two-pass
+    * scheme — range-partition the per-price groups, per-partition
+    * running max, then each partition folds in the broadcast max of
+    * all preceding partitions — never an Exchange SinglePartition over
+    * the data (the ≤`parts`-row offsets frame is the only global
+    * window). Joins back to parts on price to emit frontier rows.
+    * All comparisons exact (price compares as the stored double, size
+    * as int); output is input columns only — engine-free. */
+  def q137Skyline(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size"))
+    skyline2d(p, parts = 32)
+  }
+
+  /** See [[q137Skyline]]: frontier of (p_partkey, price, p_size) rows —
+    * minimize price, maximize p_size. */
+  private[operators] def skyline2d(rows: DataFrame, parts: Int): DataFrame = {
+    val g = rows.groupBy(col("price")).agg(max(col("p_size")).as("gmax"))
+    val parted = g.repartitionByRange(parts, col("price"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offs = parted.groupBy(col("pid")).agg(max(col("gmax")).as("pm"))
+      .withColumn("prefix_excl", max(col("pm")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid"), col("prefix_excl"))
+    // one row per DISTINCT price inside each pid → rowsBetween(…,-1)
+    // is exactly "strictly cheaper prices in this partition"
+    val m1 = parted
+      .withColumn("lmax", max(col("gmax")).over(
+        Window.partitionBy(col("pid")).orderBy(col("price"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .join(broadcast(offs), Seq("pid"))
+      .select(col("price"), col("gmax"),
+        greatest(col("lmax"), col("prefix_excl")).as("m1"))
+    rows.join(m1, Seq("price"))
+      .filter(col("p_size") === col("gmax") &&
+        (col("m1").isNull || col("m1") < col("p_size")))
+      .select(col("p_partkey"), col("price"), col("p_size"))
+  }
+
+  val q137Sql: String =
+    """SELECT a.p_partkey, a.p_retailprice AS price, a.p_size
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice
+      |    AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice
+      |         OR b.p_size > a.p_size))""".stripMargin
+
   /** Pearson correlation + sample covariance of (quantity, price) per
     * return flag — via EXACT DECIMAL MOMENTS, not the corr/covar_samp
     * built-ins: those accumulate doubles in partition order, so their
@@ -1637,6 +1698,7 @@ object Relational {
     "q94_ntile_deciles"   -> (q94NtileDeciles _, q94Sql),
     "q96_corr_moments"    -> (q96CorrMoments _, q96Sql),
     "q97_global_rank"     -> (q97GlobalRank _, q97Sql),
+    "q137_skyline"        -> (q137Skyline _, q137Sql),
     "q101_session_window" -> (q101SessionWindow _, q101Sql),
     "q102_unpivot"        -> (q102Unpivot _, q102Sql),
   )

@@ -42,4 +42,34 @@ class GlobalRankSpec extends SparkSpec {
       (i - 1) / 5 + 1)).toMap
     assert(r4 === want)
   }
+
+  test("skyline: closed form with ties and duplicates; matches brute-force dominance") {
+    import spark.implicits._
+    // (10,5) frontier; (10,5) duplicate → BOTH stay (neither strictly
+    // beats the other); (10,3) dominated within its price group;
+    // (12,5) dominated by cheaper (10,5); (12,7) frontier (bigger);
+    // (15,7) dominated (same size, pricier); (8,1) frontier (cheapest).
+    val rows = Seq(
+      (1L, 10.0, 5), (2L, 10.0, 5), (3L, 10.0, 3), (4L, 12.0, 5),
+      (5L, 12.0, 7), (6L, 15.0, 7), (7L, 8.0, 1))
+      .toDF("p_partkey", "price", "p_size")
+    val got = Relational.skyline2d(rows, parts = 3)
+      .as[(Long, Double, Int)].collect().map(_._1).toSet
+    assert(got === Set(1L, 2L, 5L, 7L))
+
+    // random differential vs quadratic dominance, across partition counts
+    val rnd = new scala.util.Random(137)
+    for (trial <- 1 to 3) {
+      val data = (1L to 300L).map(i =>
+        (i, (rnd.nextInt(40) + 1).toDouble, rnd.nextInt(30)))
+      val brute = data.filter { case (_, pr, sz) =>
+        !data.exists { case (_, pr2, sz2) =>
+          pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz) }
+      }.map(_._1).toSet
+      val dist = Relational.skyline2d(
+          data.toDF("p_partkey", "price", "p_size"), parts = 5)
+        .as[(Long, Double, Int)].collect().map(_._1).toSet
+      assert(dist === brute, s"trial $trial")
+    }
+  }
 }
