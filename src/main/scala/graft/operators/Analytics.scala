@@ -976,6 +976,95 @@ object Analytics {
       |  CAST((m_rnk*5 - 1) // n + 1 AS VARCHAR) AS segment
       |FROM rk CROSS JOIN n""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the `value`
+    * distributions of click and purchase events — the standard drift
+    * test between two empirical distributions ("did the metric's shape
+    * change"). INTEGER-EXACT: instead of max |F₁(x) − F₂(x)| in
+    * floating point, report the integer numerator
+    * ks_num = max over pooled values of |c₁(x)·n₂ − c₂(x)·n₁|
+    * (D = ks_num / (n₁·n₂)), with the location of the max (min such
+    * value as the tiebreak) — no division, no rounding convention,
+    * identical on both engines. Products go through DECIMAL(38,0) /
+    * HUGEINT (the q106 widening): at 100 TB c·n exceeds BIGINT.
+    *
+    * Scale shape: one partial-agg shuffle to per-value (a, b) counts;
+    * the empirical CDFs are a DISTRIBUTED PREFIX SCAN (the
+    * [[Relational.globalRank]] two-pass scheme: range partition on
+    * value, per-partition running sums, broadcast per-partition
+    * totals) — never a single-partition window over the data; the
+    * final max/argmin is a scalar aggregate. */
+  def q138KsTest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("value"), (col("event_type") === "click").as("isa"))
+    ksTest2(ev, parts = 32)
+  }
+
+  /** See [[q138KsTest]]; any (value, isa) frame — isa marks sample A. */
+  private[operators] def ksTest2(rows: DataFrame, parts: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val g = rows.groupBy(col("value"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("b"))
+    val parted = g.repartitionByRange(parts, col("value"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wo = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parted.groupBy(col("pid"))
+      .agg(sum(col("a")).as("pa"), sum(col("b")).as("pb"))
+      .withColumn("oa", coalesce(sum(col("pa")).over(wo), lit(0L)))
+      .withColumn("ob", coalesce(sum(col("pb")).over(wo), lit(0L)))
+      .select(col("pid"), col("oa"), col("ob"))
+    val n = g.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    val wc = Window.partitionBy(col("pid")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = DecimalType(38, 0)
+    val cum = parted
+      .withColumn("ca", sum(col("a")).over(wc))
+      .withColumn("cb", sum(col("b")).over(wc))
+      .join(broadcast(offs), Seq("pid"))
+      .crossJoin(broadcast(n))
+      .select(col("value"),
+        abs((col("ca") + col("oa")).cast(dec) * col("n2").cast(dec) -
+          (col("cb") + col("ob")).cast(dec) * col("n1").cast(dec))
+          .cast(dec).as("diff"),
+        col("n1"), col("n2"))
+      .localCheckpoint()
+    val m = cum.agg(max(col("diff")).as("ks_num"))
+    cum.join(broadcast(m), col("diff") === col("ks_num"))
+      .groupBy(col("ks_num"), col("n1"), col("n2"))
+      .agg(min(col("value")).as("at_value"))
+      .select(col("ks_num"), col("at_value"), col("n1"), col("n2"))
+  }
+
+  val q138Sql: String =
+    """WITH r AS (
+      |  SELECT value, event_type = 'click' AS isa FROM events
+      |  WHERE event_type IN ('click', 'purchase')),
+      |g AS (
+      |  SELECT value,
+      |    sum(CASE WHEN isa THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS b
+      |  FROM r GROUP BY 1),
+      |n AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+      |             CAST(sum(b) AS BIGINT) AS n2 FROM g),
+      |c AS (
+      |  SELECT value,
+      |    sum(a) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS ca,
+      |    sum(b) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cb
+      |  FROM g),
+      |dd AS (
+      |  SELECT value,
+      |    abs(CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1) AS diff,
+      |    n1, n2
+      |  FROM c CROSS JOIN n),
+      |m AS (SELECT max(diff) AS ks_num FROM dd)
+      |SELECT m.ks_num, min(dd.value) AS at_value,
+      |  min(dd.n1) AS n1, min(dd.n2) AS n2
+      |FROM dd JOIN m ON dd.diff = m.ks_num
+      |GROUP BY m.ks_num""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -996,5 +1085,6 @@ object Analytics {
     "q124_chi2_contingency" -> (q124Chi2 _, q124Sql),
     "q127_event_gaps" -> (q127EventGaps _, q127Sql),
     "q129_rfm" -> (q129Rfm _, q129Sql),
+    "q138_ks_test" -> (q138KsTest _, q138Sql),
   )
 }

@@ -423,4 +423,23 @@ class AnalyticsSpec extends SparkSpec {
       assert(got.find(_._1 == d).get._3 === cum.toLong, s"day $d")
     }
   }
+
+  test("KS statistic: closed forms, min-value tiebreak, partition-count invariant") {
+    import spark.implicits._
+    def ks(a: Seq[Double], b: Seq[Double], parts: Int = 3) = {
+      val rows = (a.map(_ -> true) ++ b.map(_ -> false)).toDF("value", "isa")
+      val r = Analytics.ksTest2(rows, parts).collect()(0)
+      (r.getDecimal(0).longValueExact(), r.getDouble(1), r.getLong(2), r.getLong(3))
+    }
+    // A={1,2,3}, B={2,4}: max |c1*n2 - c2*n1| = 3 at value 3 (D = 0.5)
+    assert(ks(Seq(1, 2, 3), Seq(2, 4)) === ((3L, 3.0, 3L, 2L)))
+    // interleaved A={1,3}, B={2,4}: diff 2 at BOTH v=1 and v=3 → min wins
+    assert(ks(Seq(1, 3), Seq(2, 4)) === ((2L, 1.0, 2L, 2L)))
+    // identical samples: ks_num 0, located at the smallest pooled value
+    assert(ks(Seq(5, 7), Seq(5, 7)) === ((0L, 5.0, 2L, 2L)))
+    // prefix-scan correctness is partition-count independent
+    val big = (1 to 200).map(_.toDouble)
+    val shifted = (1 to 200).map(i => i + 40.0)
+    assert(ks(big, shifted, parts = 1) === ks(big, shifted, parts = 7))
+  }
 }
