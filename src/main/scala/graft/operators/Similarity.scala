@@ -623,15 +623,22 @@ object Similarity {
   def q131PqCodes(s: SparkSession, d: String): DataFrame =
     pqCodes(embeddings(s, d), subDim = 8, k = 16)
 
-  /** See [[q131PqCodes]]; any (vec_id, embedding) frame. */
-  private[operators] def pqCodes(vecs: DataFrame, subDim: Int, k: Int): DataFrame = {
-    val v = vecs.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("e"))
+  /** The k-entry PQ codebook as exploded (code, pos, c) rows — the
+    * md5-ranked deterministic sample (q95 convention), shared by the
+    * encoder ([[pqCodes]]) and the ADC searcher ([[q139AdcSearch]]). */
+  private[operators] def pqCodebook(v: DataFrame, k: Int): DataFrame = {
     val sampled = v.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
-    val cb = sampled.withColumn("code", row_number().over(
+    sampled.withColumn("code", row_number().over(
         Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))) - 1)
       .select(col("code"), posexplode(col("e")).as(Seq("pos", "c")))
+  }
+
+  /** Nearest-code assignment per (vector, subspace): fixed-point exact
+    * squared-L2 per code, min_by with the (err2, code) tiebreak —
+    * returns (vec_id, m, code, err2_fp in 1e-8 units). */
+  private[operators] def pqAssign(v: DataFrame, cb: DataFrame,
+      subDim: Int): DataFrame = {
     val vx = v.select(col("vec_id"), posexplode(col("e")).as(Seq("pos", "x")))
     val err = vx.join(broadcast(cb), Seq("pos"))
       .withColumn("m", expr(s"pos div $subDim"))
@@ -642,15 +649,116 @@ object Similarity {
     err.groupBy(col("vec_id"), col("m"))
       .agg(min_by(struct(col("code"), col("err2_fp")),
         struct(col("err2_fp"), col("code"))).as("w"))
+      .select(col("vec_id"), col("m"), col("w.code").as("code"),
+        col("w.err2_fp").as("err2_fp"))
+  }
+
+  /** See [[q131PqCodes]]; any (vec_id, embedding) frame. */
+  private[operators] def pqCodes(vecs: DataFrame, subDim: Int, k: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    pqAssign(v, pqCodebook(v, k), subDim)
       // 6-dp rounding in INTEGER space ((fp+50) div 100 = half-up on the
       // nonnegative 1e-8 units), then ONE exact division: round(double,6)
       // here would diverge at representation boundaries — Spark rounds
       // the shortest decimal repr, DuckDB the raw binary (seen at sf0.1:
       // one row flipped 0.063785 vs 0.063784)
-      .select(col("vec_id"), col("m"), col("w.code").as("code"),
-        (expr("CAST((w.err2_fp + 50) div 100 AS DOUBLE)") / lit(1e6))
+      .select(col("vec_id"), col("m"), col("code"),
+        (expr("CAST((err2_fp + 50) div 100 AS DOUBLE)") / lit(1e6))
           .as("err2"))
   }
+
+  /** IVF-PQ style ASYMMETRIC DISTANCE COMPUTATION search (Jégou et al.
+    * TPAMI'11 §IV): queries stay full-precision, the corpus is only its
+    * PQ codes, and distance(q, y) ≈ Σ_m dtable_q[m, code_m(y)] — one
+    * table lookup per subspace instead of d multiply-adds. This is THE
+    * scan that makes billion-vector ANN affordable: the 4 GB corpus a
+    * brute-force scan reads becomes 8 bytes/vector, and the per-query
+    * distance tables (M×K longs) broadcast.
+    *
+    * Same queries/shape as q23 exact kNN (vec_id < 10, self excluded,
+    * top-10 by distance with the id tiebreak) so the two are directly
+    * comparable — the gap between q139's neighbors and q23's IS the PQ
+    * quantization error, measured in SimilaritySpec. All distances are
+    * 1e-8 fixed-point BIGINT (the q131 convention): table entries sum
+    * exact integers, so ranking cannot flip across engines.
+    *
+    * Scale shape: codebook broadcasts; encoding is the q131 plan; the
+    * scan joins corpus codes (M rows/vector) to the BROADCAST distance
+    * tables and partial-aggregates the M-term sums — one shuffle of
+    * (query × vector) slim rows; top-k per query is a bounded window. */
+  def q139AdcSearch(s: SparkSession, d: String): DataFrame =
+    adcSearch(embeddings(s, d), subDim = 8, k = 16, topk = 10)
+
+  /** See [[q139AdcSearch]]; any (vec_id, embedding) frame. */
+  private[operators] def adcSearch(vecs: DataFrame, subDim: Int, k: Int,
+      topk: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val cb = pqCodebook(v, k)
+    val codes = pqAssign(v, cb, subDim).select(col("vec_id"), col("m"), col("code"))
+    val qv = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), posexplode(col("e")).as(Seq("pos", "qx")))
+    val dt = qv.join(broadcast(cb), Seq("pos"))
+      .withColumn("m", expr(s"pos div $subDim"))
+      .withColumn("t", floor((col("qx") - col("c")) * (col("qx") - col("c"))
+        * lit(1e8) + lit(0.5)).cast("long"))
+      .groupBy(col("qid"), col("m"), col("code"))
+      .agg(sum(col("t")).as("dt"))
+    val adc = codes.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dt")).as("adc_fp"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_fp"), col("vec_id"))
+    adc
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topk)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), (col("adc_fp").cast("double") / lit(1e8)).as("adc_dist"))
+  }
+
+  val q139Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |         vec_id) - 1 AS code, e AS ce
+      |       FROM (SELECT * FROM v
+      |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+      |cx AS (SELECT code, generate_subscripts(ce, 1) - 1 AS pos, unnest(ce) AS c
+      |       FROM cb),
+      |vx AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS pos, unnest(e) AS x
+      |       FROM v),
+      |err AS (
+      |  SELECT vec_id, vx.pos // 8 AS m, code,
+      |    sum(CAST(floor((x - c) * (x - c) * 1e8 + 0.5) AS BIGINT)) AS err2_fp
+      |  FROM vx JOIN cx ON cx.pos = vx.pos
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT vec_id, m, code,
+      |      row_number() OVER (PARTITION BY vec_id, m
+      |                         ORDER BY err2_fp, code) AS rn
+      |    FROM err)
+      |  WHERE rn = 1),
+      |qx AS (SELECT vec_id AS qid, generate_subscripts(e, 1) - 1 AS pos,
+      |         unnest(e) AS q
+      |       FROM v WHERE vec_id < 10),
+      |dt AS (
+      |  SELECT qid, qx.pos // 8 AS m, code,
+      |    sum(CAST(floor((q - c) * (q - c) * 1e8 + 0.5) AS BIGINT)) AS dt
+      |  FROM qx JOIN cx ON cx.pos = qx.pos
+      |  GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT qid, vec_id, sum(dt) AS adc_fp
+      |  FROM codes JOIN dt ON dt.m = codes.m AND dt.code = codes.code
+      |  WHERE vec_id <> qid
+      |  GROUP BY 1, 2)
+      |SELECT qid AS query_id, vec_id AS neighbor_id, rnk,
+      |  CAST(adc_fp AS DOUBLE) / 100000000.0 AS adc_dist
+      |FROM (SELECT qid, vec_id, adc_fp,
+      |        row_number() OVER (PARTITION BY qid
+      |                           ORDER BY adc_fp, vec_id) AS rnk
+      |      FROM adc)
+      |WHERE rnk <= 10""".stripMargin
 
   val q131Sql: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -687,5 +795,6 @@ object Similarity {
     "q112_semantic_dedup"   -> (q112SemanticDedup _, q112Sql),
     "q126_centroid_sim"     -> (q126CentroidSim _, q126Sql),
     "q131_pq_codes"         -> (q131PqCodes _, q131Sql),
+    "q139_adc_search"       -> (q139AdcSearch _, q139Sql),
   )
 }

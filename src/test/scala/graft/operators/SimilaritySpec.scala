@@ -311,4 +311,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got5((44L, 0L)) === got5((2L, 0L)))
     assert(got5((44L, 1L)) === got5((2L, 1L)))
   }
+
+  test("ADC search equals exact fixed-point L2 ranking when the corpus is its own codebook") {
+    import spark.implicits._
+    // 16 distinct vectors, k=16 → every vector IS a codebook entry, its
+    // own nearest code with err2=0 — so the ADC distance collapses to
+    // the exact (1e-8-quantized) squared L2, and the ADC ranking must
+    // equal brute force: the asymmetric table plumbing is on the line,
+    // with zero quantization slack to hide behind.
+    val rnd = new scala.util.Random(139)
+    val vecs = (0L until 16L).map(i =>
+      (i, Array.fill(4)(rnd.nextDouble().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.adcSearch(df, subDim = 2, k = 16, topk = 5)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    def dfp(a: Array[Float], b: Array[Float]): Long =
+      a.zip(b).map { case (x, c) =>
+        val dx = x.toDouble - c.toDouble
+        math.floor(dx * dx * 1e8 + 0.5).toLong
+      }.sum
+    val want = (for {
+      (qid, qe) <- vecs if qid < 10
+      ranked = vecs.filter(_._1 != qid)
+        .map { case (id, e) => (id, dfp(qe, e)) }
+        .sortBy { case (id, fp) => (fp, id) }
+        .take(5).zipWithIndex
+      ((nid, _), i) <- ranked
+    } yield (qid, nid, i + 1)).toSet
+    assert(got === want)
+  }
 }
