@@ -1065,6 +1065,57 @@ object Analytics {
       |FROM dd JOIN m ON dd.diff = m.ks_num
       |GROUP BY m.ks_num""".stripMargin
 
+  /** Portable HYPERLOGLOG sketch state (Flajolet et al. 2007) for
+    * distinct users: 256 registers, each the max "rank" (position of
+    * the first 1-bit in a 40-bit hash suffix) seen for keys routed to
+    * it. The output IS the mergeable sketch — element-wise max unions
+    * two sketches, which is what a 1000-executor distinct-count
+    * actually ships between nodes instead of the keys themselves; the
+    * estimate is α·m²/Σ2^(−rank), derived in SketchSpec. Unlike
+    * approx_count_distinct (whose HLL++ state is Spark-internal and
+    * engine-specific), every bit here is defined by md5 — so the gate
+    * compares REGISTERS exactly across engines, not an estimate within
+    * tolerance. No DISTINCT anywhere: duplicate keys hash to identical
+    * (register, rank) and drown in the max — the whole point of the
+    * sketch.
+    *
+    * Scale shape: one narrow map (hash → register, rank) then a
+    * partial-agg max onto 256 groups: the shuffle carries at most
+    * 256 rows per map task regardless of corpus size. Rank arithmetic
+    * is integer-exact via length(bin(w)) — no log2, whose rounding
+    * could flip a register across engines. */
+  def q140HllRegisters(s: SparkSession, d: String): DataFrame =
+    hllRegisters(events(s, d).select(col("user_id").cast("string").as("key")))
+
+  /** See [[q140HllRegisters]]; any single-column (key: string) frame. */
+  private[operators] def hllRegisters(keys: DataFrame): DataFrame =
+    keys
+      .select(md5(col("key")).as("hx"))
+      .select(
+        conv(substring(col("hx"), 1, 2), 16, 10).cast("long").as("reg"),
+        conv(substring(col("hx"), 3, 10), 16, 10).cast("long").as("w"))
+      .select(col("reg"),
+        when(col("w") === 0, lit(41L))
+          .otherwise(lit(41L) - length(bin(col("w")))).as("rank"))
+      .groupBy(col("reg"))
+      .agg(max(col("rank")).cast("long").as("max_rank"))
+
+  val q140Sql: String =
+    """WITH h AS (
+      |  SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+      |p AS (SELECT
+      |  16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+      |     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+      |  list_reduce(list_transform(range(10),
+      |    i -> CAST(strpos('0123456789abcdef', substr(hx, 3 + i, 1)) - 1
+      |         AS BIGINT)),
+      |    (a, b) -> a * 16 + b) AS w
+      |  FROM h)
+      |SELECT CAST(reg AS BIGINT) AS reg,
+      |  CAST(max(CASE WHEN w = 0 THEN 41
+      |           ELSE 41 - length(bin(w)) END) AS BIGINT) AS max_rank
+      |FROM p GROUP BY reg""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -1086,5 +1137,6 @@ object Analytics {
     "q127_event_gaps" -> (q127EventGaps _, q127Sql),
     "q129_rfm" -> (q129Rfm _, q129Sql),
     "q138_ks_test" -> (q138KsTest _, q138Sql),
+    "q140_hll_registers" -> (q140HllRegisters _, q140Sql),
   )
 }

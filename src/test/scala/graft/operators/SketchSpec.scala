@@ -127,4 +127,28 @@ class SketchSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].collect().toSet
     assert(got === Set(("A", 3L, 3.0, 2.0), ("B", 4L, 2.0, 1.0)))
   }
+
+  test("portable HLL registers: estimate within 10% of truth; union = element-wise max") {
+    def estimate(regs: Map[Long, Long], m: Int = 256): Double = {
+      val s = (0 until m).map(j => math.pow(2.0, -regs.getOrElse(j.toLong, 0L).toDouble)).sum
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      alpha * m * m / s
+    }
+    def regsOf(keys: Seq[String]): Map[Long, Long] =
+      Analytics.hllRegisters(keys.toDF("key"))
+        .as[(Long, Long)].collect().toMap
+    val n = 5000
+    val a = (1 to n).map(i => s"user-$i")
+    val ra = regsOf(a)
+    val est = estimate(ra)
+    assert(math.abs(est - n) / n < 0.10, s"estimate $est vs $n")
+    // duplicates never move a register (no DISTINCT needed anywhere)
+    assert(regsOf(a ++ a.take(2000)) === ra)
+    // merge = element-wise max of the two sketch states
+    val b = (4000 to 7000).map(i => s"user-$i")
+    val rb = regsOf(b)
+    val merged = (ra.keySet ++ rb.keySet).map(k =>
+      k -> math.max(ra.getOrElse(k, 0L), rb.getOrElse(k, 0L))).toMap
+    assert(regsOf(a ++ b) === merged)
+  }
 }
