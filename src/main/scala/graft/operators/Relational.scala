@@ -1488,6 +1488,46 @@ object Relational {
        |  count(*) AS cnt
        |FROM lineitem CROSS JOIN mm GROUP BY 1""".stripMargin
 
+  /** Portable HDR-STYLE LOG HISTOGRAM sketch of extended price — the
+    * quantile companion to the q140 HLL sketch: where q111's equi-width
+    * bins need a min/max pre-pass and lose all resolution under a
+    * heavy tail, this buckets each value by (binary exponent, top-3
+    * mantissa bits) of its integer cents — fixed ~6% relative error per
+    * bucket at ANY magnitude, no pre-pass, bounded state (≤ 64×8
+    * buckets), and element-wise count addition merges two sketches (the
+    * HdrHistogram / DDSketch idea with an INTEGER bucket function:
+    * length(bin(v)) is exact where log₂ would round, so no boundary
+    * value can land in different buckets across engines).
+    *
+    * Scale shape: one narrow map (cents → (e, m)) and a partial-agg
+    * count onto ≤512 groups — like q140, the shuffle carries at most
+    * the bucket count per map task regardless of corpus size; quantile
+    * readout from the buckets is derived in SketchSpec. */
+  def q142HdrHistogram(s: SparkSession, d: String): DataFrame =
+    hdrHistogram(lineitem(s, d)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("v")))
+
+  /** See [[q142HdrHistogram]]; any single-column (v: long ≥ 0) frame. */
+  private[operators] def hdrHistogram(vals: DataFrame): DataFrame =
+    vals
+      .withColumn("e", length(bin(col("v"))).cast("long"))
+      .withColumn("m",
+        expr("shiftright(v, CASE WHEN e > 4 THEN CAST(e - 4 AS INT) " +
+          "ELSE 0 END) & 7"))
+      .groupBy(col("e"), col("m"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val q142Sql: String =
+    """WITH p AS (
+      |  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT CAST(length(bin(v)) AS BIGINT) AS e, v FROM p)
+      |SELECT e,
+      |  (v >> CASE WHEN e > 4 THEN CAST(e - 4 AS INT) ELSE 0 END) & 7 AS m,
+      |  count(*) AS cnt
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   /** Referential-integrity audit — the data-quality profiling companion
     * to q53/q111: for every FK relation in the schema, the count of
     * child rows whose key has no parent (LEFT ANTI join). A NULL child
@@ -1699,6 +1739,7 @@ object Relational {
     "q96_corr_moments"    -> (q96CorrMoments _, q96Sql),
     "q97_global_rank"     -> (q97GlobalRank _, q97Sql),
     "q137_skyline"        -> (q137Skyline _, q137Sql),
+    "q142_hdr_histogram"  -> (q142HdrHistogram _, q142Sql),
     "q101_session_window" -> (q101SessionWindow _, q101Sql),
     "q102_unpivot"        -> (q102Unpivot _, q102Sql),
   )

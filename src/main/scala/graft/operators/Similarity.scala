@@ -760,6 +760,49 @@ object Similarity {
       |      FROM adc)
       |WHERE rnk <= 10""".stripMargin
 
+  /** Per-dimension QUANTILE TRANSFORM (rank normalization) of the
+    * embedding matrix — the feature-preprocessing step that maps each
+    * dimension to uniform [0,1] by empirical CDF, robust to outliers
+    * where min-max scaling (q88) is not. Emits the exact integer rank
+    * of each value WITHIN its dimension plus qnorm = rank/n (one IEEE
+    * division of exact integers — engine-free); gated on the vec_id<5
+    * sample, ranks computed over the FULL corpus.
+    *
+    * Scale shape: ranks come from ONE [[Relational.globalRank]] pass
+    * over the composite (dim, x) order — the naive per-dim
+    * row_number() is |corpus| rows in a single partition per
+    * dimension, a 64-way parallelism ceiling with corpus-sized window
+    * buffers. Per-dim rank = global rank − first rank of the dim + 1,
+    * where the 64-row base/count frame broadcasts. */
+  def q141QuantileTransform(s: SparkSession, d: String): DataFrame = {
+    val ex = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
+    val ranked = Relational.globalRank(ex, struct(col("i"), col("x")),
+      col("vec_id"), parts = 32)
+    val base = ranked.groupBy(col("i"))
+      .agg(min(col("rnk")).as("base"), count(lit(1)).as("n"))
+    ranked.join(broadcast(base), Seq("i"))
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        (col("rnk") - col("base") + 1).as("dim_rank"),
+        ((col("rnk") - col("base") + 1).cast("double") / col("n"))
+          .as("qnorm"))
+  }
+
+  val q141Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |ex AS (SELECT vec_id, generate_subscripts(e, 1) - 1 AS i, unnest(e) AS x
+      |       FROM v),
+      |r AS (SELECT vec_id, i, x,
+      |        row_number() OVER (PARTITION BY i ORDER BY x, vec_id) AS dim_rank,
+      |        count(*) OVER (PARTITION BY i) AS n
+      |      FROM ex)
+      |SELECT vec_id, CAST(i AS BIGINT) AS i,
+      |  CAST(dim_rank AS BIGINT) AS dim_rank,
+      |  CAST(dim_rank AS DOUBLE) / n AS qnorm
+      |FROM r WHERE vec_id < 5""".stripMargin
+
   val q131Sql: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |cb AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
@@ -796,5 +839,6 @@ object Similarity {
     "q126_centroid_sim"     -> (q126CentroidSim _, q126Sql),
     "q131_pq_codes"         -> (q131PqCodes _, q131Sql),
     "q139_adc_search"       -> (q139AdcSearch _, q139Sql),
+    "q141_quantile_transform" -> (q141QuantileTransform _, q141Sql),
   )
 }

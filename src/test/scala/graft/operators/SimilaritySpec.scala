@@ -341,4 +341,23 @@ class SimilaritySpec extends SparkSpec {
     } yield (qid, nid, i + 1)).toSet
     assert(got === want)
   }
+
+  test("quantile transform: per-dim ranks match the naive window, qnorm spans (0,1]") {
+    val got = Similarity.q141QuantileTransform(spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Double)].collect()
+    val v = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getDouble(2)))
+    val n = v.map(_._1).distinct.length
+    assert(got.length === 5 * 64)
+    assert(got.forall { case (_, _, rk, q) =>
+      rk >= 1 && rk <= n && q > 0.0 && q <= 1.0 && q === rk.toDouble / n })
+    // naive per-dim rank for dimension 0
+    val dim0 = v.filter(_._2 == 0L).sortBy(t => (t._3, t._1)).map(_._1)
+      .zipWithIndex.toMap
+    got.filter(_._2 == 0L).foreach { case (id, _, rk, _) =>
+      assert(rk === dim0(id) + 1L, s"vec $id")
+    }
+  }
 }

@@ -151,4 +151,34 @@ class SketchSpec extends SparkSpec {
       k -> math.max(ra.getOrElse(k, 0L), rb.getOrElse(k, 0L))).toMap
     assert(regsOf(a ++ b) === merged)
   }
+
+  test("HDR histogram: exact bucket closed forms; median readout within bucket error; merge adds") {
+    def buckets(vs: Seq[Long]): Map[(Long, Long), Long] =
+      Relational.hdrHistogram(vs.toDF("v"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    // bucket function at the binary boundaries
+    assert(buckets(Seq(1L, 8L, 9L, 15L, 16L, 31L)) === Map(
+      (1L, 1L) -> 1L, (4L, 0L) -> 1L, (4L, 1L) -> 1L, (4L, 7L) -> 1L,
+      (5L, 0L) -> 1L, (5L, 7L) -> 1L))
+    // median readout from the sketch: uniform 1..100000, ≤ bucket width off
+    val uni = (1L to 100000L)
+    val b = buckets(uni)
+    def lo(e: Long, m: Long): Double =
+      if (e <= 4) m.toDouble
+      else ((8 + m).toDouble) * math.pow(2.0, (e - 4).toDouble)
+    val sorted = b.toSeq.sortBy { case ((e, m), _) => (e, m) }
+    val total = sorted.map(_._2).sum
+    var cum = 0L
+    val medBucket = sorted.find { case (_, c) => cum += c; cum >= total / 2 }.get._1
+    val width = math.pow(2.0, math.max(medBucket._1 - 4, 0L).toDouble)
+    val est = lo(medBucket._1, medBucket._2) + width / 2
+    assert(math.abs(est - 50000.0) / 50000.0 < 0.05, s"est $est")
+    // merge = element-wise count addition
+    val c1 = buckets(uni.take(40000))
+    val c2 = buckets(uni.drop(40000))
+    val add = (c1.keySet ++ c2.keySet).map(k =>
+      k -> (c1.getOrElse(k, 0L) + c2.getOrElse(k, 0L))).toMap
+    assert(b === add)
+  }
 }
