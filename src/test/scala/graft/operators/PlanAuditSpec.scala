@@ -393,6 +393,65 @@ class PlanAuditSpec extends SparkSpec {
       finalPlan.take(2500))
   }
 
+  test("q134 exact-substr: one corpus scan feeds the whole pipeline — no rejoin, no cartesian") {
+    val plan = planOf(Dedup.q134ExactSubstr(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans === 1, s"documents scanned $scans times\n${finalPlan.take(2000)}")
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2500))
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin"), finalPlan.take(2500))
+  }
+
+  test("q135 link predict: shuffle-hash pair join, top-100 is TakeOrdered, no cartesian") {
+    val plan = planOf(Graph.q135LinkPredict(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("ShuffledHashJoin"), finalPlan.take(2500))
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan.take(2500))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2500))
+  }
+
+  test("q137 skyline: only the ≤parts-row offsets frame is ever single-partition") {
+    val plan = planOf(Relational.q137Skyline(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val singles = finalPlan.linesIterator
+      .count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 1, s"$singles SinglePartition exchanges\n${finalPlan.take(2500)}")
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(2500))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2500))
+  }
+
+  test("q139 ADC: distance tables broadcast to the code scan; the M-term sum combines map-side") {
+    val plan = planOf(Similarity.q139AdcSearch(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(2500))
+    assert(finalPlan.contains("partial_sum"), finalPlan.take(2500))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2500))
+  }
+
+  test("q140 HLL / q142 HDR: sketch shuffles are partial-agg'd onto bounded groups, single scan") {
+    for ((df, tbl) <- Seq(
+        (Analytics.q140HllRegisters(spark, d), "events"),
+        (Relational.q142HdrHistogram(spark, d), "lineitem"))) {
+      val plan = planOf(df)
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert(finalPlan.contains("partial_max") || finalPlan.contains("partial_count"),
+        finalPlan.take(2000))
+      val scans = finalPlan.linesIterator
+        .count(l => l.contains("Scan parquet") && l.contains(tbl))
+      assert(scans === 1, s"$tbl scanned $scans times\n${finalPlan.take(2000)}")
+    }
+  }
+
+  test("q141 quantile transform: per-dim conversion is a broadcast join; one SinglePartition (offsets)") {
+    val plan = planOf(Similarity.q141QuantileTransform(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(2500))
+    val singles = finalPlan.linesIterator
+      .count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 1, s"$singles SinglePartition exchanges\n${finalPlan.take(2500)}")
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
