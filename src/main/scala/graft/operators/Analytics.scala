@@ -1087,8 +1087,12 @@ object Analytics {
   def q140HllRegisters(s: SparkSession, d: String): DataFrame =
     hllRegisters(events(s, d).select(col("user_id").cast("string").as("key")))
 
-  /** See [[q140HllRegisters]]; any single-column (key: string) frame. */
-  private[operators] def hllRegisters(keys: DataFrame): DataFrame =
+  /** See [[q140HllRegisters]]; any single-column (key: string) frame —
+    * batch OR streaming: under Update/Complete output the stateful max
+    * holds exactly the 256-row register state and each micro-batch
+    * folds new maxima in, which IS streaming HLL maintenance
+    * (StreamingSpec diffs the two modes). */
+  private[graft] def hllRegisters(keys: DataFrame): DataFrame =
     keys
       .select(md5(col("key")).as("hx"))
       .select(

@@ -114,6 +114,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers: Complete-mode register state equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = graft.operators.Analytics.hllRegisters(mem.toDF().toDF("key"))
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val a = (1 to 800).map(i => s"u-$i")
+      val b = (500 to 1200).map(i => s"u-$i") // overlaps a — maxima must absorb
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_out")
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.operators.Analytics.hllRegisters((a ++ b).toDF("key"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-static dim enrichment matches batch, stateless") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", "engagement"), ("view", "reach"))
