@@ -1120,6 +1120,89 @@ object Analytics {
       |           ELSE 41 - length(bin(w)) END) AS BIGINT) AS max_rank
       |FROM p GROUP BY reg""".stripMargin
 
+  /** TIME-WEIGHTED average of `value` per event type (TWAP): each
+    * observation holds until the next one, so the mean weights every
+    * value by its holding duration in integer MICROSECONDS — the
+    * correct average for irregularly-sampled series where the plain
+    * mean over-counts bursts. Weighted sums accumulate in DECIMAL (the
+    * q96 moment discipline: per-row products are deterministic double
+    * ops, only the ACCUMULATION must be order-free), divided once by
+    * the exact integer total duration.
+    *
+    * Scale shape: consecutive-pair durations need each row's SUCCESSOR
+    * in the (type, ts, id) order — the naive lead() is one data-sized
+    * window partition per type (a 5-way parallelism ceiling here, a
+    * catastrophe at 100 TB). Instead: DISTRIBUTED LEAD — range-
+    * partition the order, per-partition lead for everything but each
+    * partition's last row, and stitch those last rows to the next
+    * non-empty partition's first row on the ≤`parts`-row boundary
+    * frame (the globalRank offsets idea applied to neighbor access;
+    * type changes at a boundary are discarded the same way the
+    * within-partition lead discards them). */
+  def q143Twap(s: SparkSession, d: String): DataFrame =
+    twap(events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value")),
+      parts = 32)
+
+  /** See [[q143Twap]]; any (event_type, ts, event_id, value) frame. */
+  private[operators] def twap(ev: DataFrame, parts: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val parted = ev
+      .repartitionByRange(parts, col("event_type"), col("ts"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("event_type"), col("ts"), col("event_id"))
+    val dw = Window.partitionBy(col("pid"))
+      .orderBy(col("event_type").desc, col("ts").desc, col("event_id").desc)
+    val within = parted
+      .withColumn("ntype", lead(col("event_type"), 1).over(w))
+      .withColumn("nt", lead(col("ts"), 1).over(w))
+      .withColumn("rn_first", row_number().over(w))
+      .withColumn("rn_last", row_number().over(dw))
+    // ≤parts-row boundary frames: each partition's first row, and the
+    // stitch target for each partition's last row = the first row of
+    // the minimal non-empty pid greater than it
+    val firsts = within.filter(col("rn_first") === 1)
+      .select(col("pid").as("fpid"), col("event_type").as("ftype"),
+        col("ts").as("fts"))
+    val stitched = within.filter(col("rn_last") === 1)
+      .join(broadcast(firsts), col("fpid") > col("pid"), "left")
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("pid"), col("event_type"), col("ts"),
+          col("event_id")).orderBy(col("fpid"))))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("ts"), col("value"),
+        when(col("ftype") === col("event_type"), col("fts")).as("nt"))
+    val within2 = within.filter(col("nt").isNotNull)
+      .select(col("event_type"), col("ts"), col("value"),
+        when(col("ntype") === col("event_type"), col("nt")).as("nt"))
+    within2.unionAll(stitched)
+      .filter(col("nt").isNotNull)
+      .withColumn("dur", unix_micros(col("nt")) - unix_micros(col("ts")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dur")).as("total_us"),
+        round(sum((col("value") * col("dur")).cast(DecimalType(38, 4)))
+          .cast("double") / sum(col("dur")).cast("double"), 6).as("twap6"))
+  }
+
+  val q143Sql: String =
+    """WITH w AS (
+      |  SELECT event_type, value, ts,
+      |    lead(ts) OVER (PARTITION BY event_type
+      |                   ORDER BY ts, event_id) AS nt
+      |  FROM events),
+      |seg AS (
+      |  SELECT event_type, value,
+      |    epoch_us(nt) - epoch_us(ts) AS dur
+      |  FROM w WHERE nt IS NOT NULL)
+      |SELECT event_type, count(*) AS n_segments,
+      |  CAST(sum(dur) AS BIGINT) AS total_us,
+      |  round(CAST(sum(CAST(value * dur AS DECIMAL(38,4))) AS DOUBLE)
+      |        / CAST(sum(dur) AS DOUBLE), 6) AS twap6
+      |FROM seg GROUP BY event_type""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -1142,5 +1225,6 @@ object Analytics {
     "q129_rfm" -> (q129Rfm _, q129Sql),
     "q138_ks_test" -> (q138KsTest _, q138Sql),
     "q140_hll_registers" -> (q140HllRegisters _, q140Sql),
+    "q143_twap" -> (q143Twap _, q143Sql),
   )
 }

@@ -424,6 +424,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("TWAP: distributed lead equals the naive window at any partition count") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(min: Long) = Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusMinutes(min))
+    // values held for unequal durations; two types; enough rows that
+    // parts=7 forces type runs to SPAN partition boundaries (the stitch
+    // path) and some partitions hold a single row
+    val rows = (0 until 40).map { i =>
+      (if (i % 2 == 0) "a" else "b", t(i * 3 + i % 5), i.toLong, (i % 7).toDouble)
+    }
+    val df = rows.toDF("event_type", "ts", "event_id", "value")
+    val naive = df
+      .withColumn("nt", lead(col("ts"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("nt").isNotNull)
+      .withColumn("dur", unix_micros(col("nt")) - unix_micros(col("ts")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("dur")).as("total_us"),
+        round(sum((col("value") * col("dur")).cast("decimal(38,4)"))
+          .cast("double") / sum(col("dur")).cast("double"), 6).as("twap6"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    for (p <- Seq(1, 7, 32)) {
+      val got = Analytics.twap(df, parts = p)
+        .as[(String, Long, Long, Double)].collect().toSet
+      assert(got === naive, s"parts=$p")
+    }
+    // closed form: one type, values 10 for 2min then 20 for 1min → 40/3
+    val simple = Seq(("x", t(0), 0L, 10.0), ("x", t(2), 1L, 20.0),
+      ("x", t(3), 2L, 99.0)).toDF("event_type", "ts", "event_id", "value")
+    val r = Analytics.twap(simple, parts = 3)
+      .as[(String, Long, Long, Double)].collect().head
+    assert(r === (("x", 2L, 180000000L, 13.333333)))
+  }
+
   test("KS statistic: closed forms, min-value tiebreak, partition-count invariant") {
     import spark.implicits._
     def ks(a: Seq[Double], b: Seq[Double], parts: Int = 3) = {
