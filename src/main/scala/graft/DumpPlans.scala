@@ -162,7 +162,35 @@ object DumpPlans {
       ("q131_pq_codes", Similarity.q131PqCodes(spark, d),
         "16x64 codebook broadcasts; candidate residual terms collapse " +
           "map-side to (vec, m, code) partial LONG sums — fixed-point " +
-          "exact, no per-row decimals; argmin is one more partial agg"))
+          "exact, no per-row decimals; argmin is one more partial agg"),
+      ("q134_exact_substr", Dedup.q134ExactSubstr(spark, d),
+        "one corpus scan; duplication decided by min/max doc over ONE " +
+          "shingle-keyed window — no distinct-count, no pair fan-out; " +
+          "island merge rides the doc_id windows"),
+      ("q135_link_predict", Graph.q135LinkPredict(spark, d),
+        "checkpointed edge+degree frame partitioned on p feeds both " +
+          "sides of the shuffle-hash pair join; top-100 is " +
+          "TakeOrderedAndProject, never a global sort"),
+      ("q137_skyline", Relational.q137Skyline(spark, d),
+        "per-price group max, then the globalRank two-pass prefix max " +
+          "— the only SinglePartition exchange is the <=32-row offsets " +
+          "frame; oracle does the quadratic NOT EXISTS instead"),
+      ("q138_ks_test", Analytics.q138KsTest(spark, d),
+        "distributed prefix-scan CDFs (range partition + local running " +
+          "sums + broadcast totals); DECIMAL(38,0) cross-products; " +
+          "scalar max/argmin readout"),
+      ("q139_adc_search", Similarity.q139AdcSearch(spark, d),
+        "per-query distance tables (M x K longs) BROADCAST to the " +
+          "corpus-code scan; the M-term ADC sums combine map-side; " +
+          "top-k per query is a bounded window"),
+      ("q140_hll_registers", Analytics.q140HllRegisters(spark, d),
+        "narrow hash map then partial-agg max onto 256 register " +
+          "groups — the shuffle carries <=256 rows per map task at " +
+          "any corpus size"),
+      ("q143_twap", Analytics.q143Twap(spark, d),
+        "distributed lead: range-partitioned order, per-partition " +
+          "lead, <=32-row broadcast boundary stitch — no per-type " +
+          "data-sized window partitions"))
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")
