@@ -1203,6 +1203,281 @@ object Analytics {
       |        / CAST(sum(dur) AS DOUBLE), 6) AS twap6
       |FROM seg GROUP BY event_type""".stripMargin
 
+  /** Portable COUNT-MIN sketch (Cormode–Muthukrishnan 2005) over user
+    * activity: d=4 rows × w=64 counters; each key increments one
+    * counter per row at column md5(row:key) mod w, and a point
+    * frequency estimate is the MIN of the key's d counters (derived in
+    * SketchSpec, with the one-sided-overestimate guarantee checked).
+    * Like the q140 HLL, the gated output is the SKETCH STATE itself,
+    * defined bit-for-bit by md5 — so the gate compares the mergeable
+    * registers exactly across engines, not an estimate within
+    * tolerance. Counters ADD under union, which is what a
+    * 1000-executor frequency service ships between nodes instead of
+    * the keys.
+    *
+    * Scale shape: a 4× fan-out map (constant), then partial-agg count
+    * onto ≤256 groups — each map task ships at most 256 rows into the
+    * shuffle regardless of corpus size. */
+  def q145CmsSketch(s: SparkSession, d: String): DataFrame =
+    cmsSketch(events(s, d).select(col("user_id").cast("string").as("key")))
+
+  /** See [[q145CmsSketch]]; any single-column (key: string) frame —
+    * batch OR streaming: the stateful count under Update/Complete mode
+    * holds exactly the ≤256-counter state and each micro-batch adds new
+    * increments in, which IS streaming CMS maintenance (StreamingSpec
+    * diffs the two modes). */
+  private[graft] def cmsSketch(keys: DataFrame): DataFrame =
+    keys
+      .select(col("key"),
+        explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("row_idx"))
+      .select(col("row_idx"),
+        pmod(conv(substring(md5(concat_ws(":",
+            col("row_idx").cast("string"), col("key"))), 1, 15), 16, 10)
+          .cast("long"), lit(64L)).as("col_idx"))
+      .groupBy(col("row_idx"), col("col_idx"))
+      .agg(count(lit(1)).as("cnt"))
+
+  val q145Sql: String =
+    """WITH g AS (SELECT CAST(range AS BIGINT) AS row_idx FROM range(4)),
+      |h AS (
+      |  SELECT g.row_idx,
+      |    CAST('0x' || substr(md5(CAST(g.row_idx AS VARCHAR) || ':'
+      |         || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 64
+      |      AS col_idx
+      |  FROM events CROSS JOIN g)
+      |SELECT row_idx, col_idx, count(*) AS cnt
+      |FROM h GROUP BY 1, 2""".stripMargin
+
+  /** Per-nation revenue TREND: closed-form ordinary-least-squares
+    * slope/intercept of monthly order revenue against the month index,
+    * computed as one pass of INTEGER-EXACT moments — the distributed
+    * form of regression (no iteration, no solver): slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Months are re-centered per
+    * nation (x − min x) so every moment fits BIGINT; revenue is exact
+    * 1e-4-dollar integer units (the q96/q143 DECIMAL discipline); the
+    * two intercept cross-products Σy·Σx² and Σx·Σxy can graze 2^63 so
+    * they widen to DECIMAL(38,0)/HUGEINT — the q106 gate trick. Only
+    * the final divisions are double, an identical IEEE expression tree
+    * on both engines, then round 6.
+    *
+    * Scale shape: star join (two broadcastable dims), partial-agg down
+    * to nation×month, a window over that TINY frame for the re-center,
+    * then a second partial agg to 25 rows. Nothing data-sized ever
+    * moves after the first aggregation. */
+  def q146OlsTrend(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val monthly = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("x"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(38, 4))) * 10000)
+        .cast("long").as("yc"))
+    val x0 = monthly
+      .withColumn("x0",
+        col("x") - min(col("x")).over(Window.partitionBy(col("n_name"))))
+    val m = x0.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x0")).as("sx"),
+        sum(col("x0") * col("x0")).as("sxx"),
+        sum(col("yc")).as("sy"),
+        sum(col("x0") * col("yc")).as("sxy"))
+    m.select(col("n_name"), col("n_months"),
+      round((col("n_months") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+        (col("n_months") * col("sxx") - col("sx") * col("sx"))
+          .cast("double") / 10000.0, 6).as("slope6"),
+      round((col("sy").cast(DecimalType(38, 0)) * col("sxx") -
+          col("sx").cast(DecimalType(38, 0)) * col("sxy")).cast("double") /
+        (col("n_months") * col("sxx") - col("sx") * col("sx"))
+          .cast("double") / 10000.0, 6).as("intercept6"))
+  }
+
+  val q146Sql: String =
+    """WITH monthly AS (
+      |  SELECT n_name,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS x,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) * 10000 AS BIGINT)
+      |      AS yc
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT n_name, x - min(x) OVER (PARTITION BY n_name) AS x0, yc
+      |  FROM monthly),
+      |m AS (
+      |  SELECT n_name, count(*) AS n_months,
+      |    CAST(sum(x0) AS BIGINT) AS sx,
+      |    CAST(sum(x0 * x0) AS BIGINT) AS sxx,
+      |    CAST(sum(yc) AS BIGINT) AS sy,
+      |    CAST(sum(x0 * yc) AS BIGINT) AS sxy
+      |  FROM c GROUP BY 1)
+      |SELECT n_name, n_months,
+      |  round(CAST(n_months * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n_months * sxx - sx * sx AS DOUBLE) / 10000.0, 6)
+      |    AS slope6,
+      |  round(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
+      |             AS DOUBLE)
+      |        / CAST(n_months * sxx - sx * sx AS DOUBLE) / 10000.0, 6)
+      |    AS intercept6
+      |FROM m""".stripMargin
+
+  /** Top session PATHS: the 25 most common event-type TRIGRAMS taken
+    * within a 30-minute-gap session (q16's sessionization), with the
+    * deterministic total order (count desc, trigram asc) — the
+    * sequence-mining primitive behind "what do users do next"
+    * dashboards. Both leads carry the session id alongside so a
+    * trigram never spans a session boundary.
+    *
+    * Scale shape: ONE shuffle of events on user_id — the gap lag, the
+    * session-id running sum, and both leads all share the single
+    * (user_id | ts, event_id) sort (stacked Window operators over one
+    * Exchange, plan-asserted); then a partial-agg groupBy onto the
+    * ≤|types|³ trigram space and a TakeOrdered(25) — no global sort. */
+  def q149PathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wo)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(wo))
+      .withColumn("t2", lead(col("event_type"), 1).over(wo))
+      .withColumn("s2", lead(col("sid"), 1).over(wo))
+      .withColumn("t3", lead(col("event_type"), 2).over(wo))
+      .withColumn("s3", lead(col("sid"), 2).over(wo))
+      .filter(col("s2") === col("sid") && col("s3") === col("sid"))
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("trigram"))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram"))
+      .limit(25)
+  }
+
+  val q149Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    epoch_us(ts) - epoch_us(lag(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM g),
+      |tri AS (
+      |  SELECT event_type, sid,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(sid, 1) OVER w AS s2,
+      |    lead(event_type, 2) OVER w AS t3,
+      |    lead(sid, 2) OVER w AS s3
+      |  FROM sess
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+      |  count(*) AS n
+      |FROM tri WHERE s2 = sid AND s3 = sid
+      |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 25""".stripMargin
+
+  /** Weekly distinct users via BITMAP ROLLUP: user ids pack into 64-bit
+    * words (word = id div 64, bit = id mod 64), a bit_or aggregate
+    * builds each week's per-word bitmap, and bit_count sums the exact
+    * distinct total — the bitmap-index technique OLAP engines use so a
+    * distinct "count" is an OR of fixed-size words instead of a
+    * shuffle of raw ids. The bitmaps MERGE (OR is associative/
+    * commutative/idempotent), so week→month→all rollups union sketches,
+    * not re-scan events — and unlike HLL the answer is EXACT.
+    *
+    * Scale shape: partial-agg bit_or means each map task emits at most
+    * (weeks × occupied words) rows — with dense ids, ~63× fewer than
+    * the distinct-user count, each a constant 8 bytes. The second agg
+    * is weeks-sized. Sparse/huge id spaces would want roaring
+    * containers; the word-packing and merge algebra are identical.
+    * Words hold 63 bits, not 64: shifting into the sign bit is
+    * signed-BIGINT overflow in DuckDB (a hard error) and
+    * engine-defined in general, so the portable packing stays inside
+    * the non-negative range. */
+  def q150BitmapRollup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        expr("user_id div 63").as("word"),
+        expr("shiftleft(1L, cast(user_id % 63 as int))").as("m"))
+      .groupBy(col("week"), col("word"))
+      .agg(expr("bit_or(m)").as("mask"))
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(mask)")).cast("long").as("n_distinct_users"))
+
+  val q150Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+      |      AS week,
+      |    user_id // 63 AS word,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+      |      AS mask
+      |  FROM events GROUP BY 1, 2)
+      |SELECT week, count(*) AS n_words,
+      |  CAST(sum(bit_count(mask)) AS BIGINT) AS n_distinct_users
+      |FROM b GROUP BY 1""".stripMargin
+
+  /** Max ENGAGEMENT BURST per user (Kadane's max-subarray by prefix
+    * sums): events score +1, errors −1; the burst is the best net run
+    * over any contiguous span of the user's timeline — max over t of
+    * prefix(t) − min(0, min prefix before t). Pure integers: no
+    * rounding convention needed anywhere.
+    *
+    * Scale shape: the O(n) sequential Kadane scan becomes two window
+    * functions (running sum + running min over the SAME per-user sort
+    * — one Exchange, stacked Window operators), then a partial-agg max
+    * per user. Distributed-friendly because the recurrence is a prefix
+    * computation, not a stateful fold. */
+  def q151KadaneBurst(s: SparkSession, d: String): DataFrame = {
+    val wo = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "error", -1L).otherwise(1L).as("delta"))
+      .withColumn("pfx", sum(col("delta")).over(wo))
+      .withColumn("burst",
+        col("pfx") -
+          least(lit(0L), coalesce(min(col("pfx")).over(wprev), lit(0L))))
+      .groupBy(col("user_id"))
+      .agg(max(col("burst")).as("max_burst"),
+        sum(col("delta")).as("net"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val q151Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    CASE WHEN event_type = 'error' THEN -1 ELSE 1 END AS delta
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, ts, event_id, delta,
+      |    sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS pfx
+      |  FROM e),
+      |b AS (
+      |  SELECT user_id, delta, pfx,
+      |    least(0, coalesce(min(pfx) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+      |      AS minb
+      |  FROM p)
+      |SELECT user_id,
+      |  CAST(max(pfx - minb) AS BIGINT) AS max_burst,
+      |  CAST(sum(delta) AS BIGINT) AS net,
+      |  count(*) AS n_events
+      |FROM b GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -1226,5 +1501,10 @@ object Analytics {
     "q138_ks_test" -> (q138KsTest _, q138Sql),
     "q140_hll_registers" -> (q140HllRegisters _, q140Sql),
     "q143_twap" -> (q143Twap _, q143Sql),
+    "q145_cms_sketch" -> (q145CmsSketch _, q145Sql),
+    "q146_ols_trend" -> (q146OlsTrend _, q146Sql),
+    "q149_path_trigrams" -> (q149PathTrigrams _, q149Sql),
+    "q150_bitmap_rollup" -> (q150BitmapRollup _, q150Sql),
+    "q151_kadane_burst" -> (q151KadaneBurst _, q151Sql),
   )
 }

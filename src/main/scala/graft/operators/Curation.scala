@@ -395,6 +395,46 @@ object Curation {
       |    AS kept_chars
       |FROM k GROUP BY 1, 2""".stripMargin
 
+  /** DETERMINISTIC weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES, IPL 2006): each document draws u ∈ (0,1] from the
+    * md5 of its id and scores key = ln(u)/weight (the log of the A-ES
+    * u^(1/w) key — same order, no tiny-exponent underflow); the top-k
+    * keys ARE a weighted sample without replacement, here weighted by
+    * n_chars so long documents are proportionally favored. Hash-derived
+    * u makes the "random" sample reproducible across runs, engines and
+    * cluster sizes — the q43 doctrine applied to sampling. u is exact
+    * on both engines: a 60-bit integer +1 cast to double (IEEE nearest)
+    * scaled by the power of two 2^60; ln may differ in the final ulp
+    * across libm implementations, so the exported key rounds to 8
+    * decimals and the top-k boundary would flip only on a ~2^-45
+    * near-tie between distinct 60-bit draws.
+    *
+    * Scale shape: per-row expressions then TakeOrdered(k) — partial
+    * top-k per partition, k rows to the driver, NO global sort, no
+    * shuffle of the corpus. This is how you draw a 10M-doc training
+    * mixture from a 10B-doc corpus without materializing an ordering. */
+  def q148WeightedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") + 1).cast("double") / lit(1.152921504606846976e18))
+          .as("u"))
+      .select(col("doc_id"), col("n_chars"),
+        (log(col("u")) / col("n_chars").cast("double")).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("n_chars"), round(col("key"), 8).as("key8"))
+
+  val q148Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, n_chars,
+      |    ln(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |            AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0)
+      |      / CAST(n_chars AS DOUBLE) AS key
+      |  FROM documents)
+      |SELECT doc_id, n_chars, round(key, 8) AS key8
+      |FROM k ORDER BY key DESC, doc_id LIMIT 50""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -405,5 +445,6 @@ object Curation {
     "q76_doc_chunks"    -> (q76DocChunks _, q76Sql),
     "q92_winsorize"     -> (q92Winsorize _, q92Sql),
     "q100_corpus_report" -> (q100CorpusReport _, q100Sql),
+    "q148_weighted_sample" -> (q148WeightedSample _, q148Sql),
   )
 }

@@ -1691,6 +1691,70 @@ object Relational {
       |JOIN nation ON n_nationkey = s_nationkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** TPC-H Q21's shape on this schema: suppliers who were the SOLE late
+    * shipper on a multi-supplier order (shipdate > orderdate + 60 days)
+    * — the classic "suppliers who kept orders waiting" blame query. The
+    * textbook formulation is EXISTS(other supplier) AND NOT EXISTS
+    * (other LATE supplier): two correlated self-joins that each re-scan
+    * lineitem. Here both quantifiers collapse into ONE aggregation
+    * over (order, supplier) — n_supp ≥ 2 replaces the EXISTS, n_late
+    * = 1 replaces the NOT-EXISTS, and because exactly one supplier is
+    * late, max(CASE late) IS that supplier — so lineitem is scanned
+    * once and shuffled once. The oracle runs the EXISTS/NOT-EXISTS
+    * form, gating the equivalence of the two formulations.
+    *
+    * Scale shape: join on orderkey (both sides huge → shuffle join,
+    * the right call), partial-agg to (order, supplier), re-agg to
+    * order grain, then a supplier-sized count joined to the broadcast
+    * supplier dim and TakeOrdered(20) — no global sort. */
+  def q147WaitingSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L).otherwise(0L))
+        .as("late"))
+    val blamed = li
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
+        max(when(col("late") === 1L, col("l_suppkey"))).as("waiter"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("waiter"))
+      .agg(count(lit(1)).as("numwait"))
+    blamed
+      .join(supplier(s, d).select(col("s_suppkey"), col("s_name")),
+        col("waiter") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q147Sql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |         THEN 1 ELSE 0 END AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ls AS (
+      |  SELECT l_orderkey, l_suppkey, max(late) AS late
+      |  FROM l GROUP BY 1, 2),
+      |w AS (
+      |  SELECT a.l_orderkey, a.l_suppkey
+      |  FROM ls a
+      |  WHERE a.late = 1
+      |    AND EXISTS (SELECT 1 FROM ls b
+      |                WHERE b.l_orderkey = a.l_orderkey
+      |                  AND b.l_suppkey <> a.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM ls c
+      |                    WHERE c.l_orderkey = a.l_orderkey
+      |                      AND c.l_suppkey <> a.l_suppkey
+      |                      AND c.late = 1))
+      |SELECT s_name, count(*) AS numwait
+      |FROM w JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _, q01Sql),
     "q02_filter_pushdown" -> (q02FilterPushdown _, q02Sql),
@@ -1742,5 +1806,6 @@ object Relational {
     "q142_hdr_histogram"  -> (q142HdrHistogram _, q142Sql),
     "q101_session_window" -> (q101SessionWindow _, q101Sql),
     "q102_unpivot"        -> (q102Unpivot _, q102Sql),
+    "q147_waiting_supplier" -> (q147WaitingSupplier _, q147Sql),
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Source/sink breadth under the driver gate (not just under specs):
@@ -235,10 +236,103 @@ object Storage {
       |    AS BIGINT) AS z
       |FROM binned""".stripMargin
 
+  /** Small-file COMPACTION PLANNER (the Delta/Iceberg `OPTIMIZE`
+    * planning step, distributed): per source, the current "files"
+    * (md5-bucketed doc groups standing in for data files, with their
+    * byte totals) are assigned to target-sized output bins by
+    * running-sum partitioning — bin = floor(bytes-before-me / target)
+    * in a stable file order. This is the scalable relaxation of
+    * first-fit bin packing: a driver loop over the file list is O(files)
+    * sequential (the classic metadata bottleneck at 100 TB, where
+    * "files" is millions); the prefix-sum form is one window over the
+    * FILE-GRAIN frame, so planning cost scales with metadata size, not
+    * data size, and every bin lands within one file of the target.
+    *
+    * Scale shape: one data-sized partial agg down to the file grain,
+    * then a window partitioned by source (metadata-sized). The plan —
+    * (file → bin) — is exactly what a rewrite job would execute with
+    * bin as its shuffle key. */
+  def q144CompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val files = documents(s, d)
+      .groupBy(col("source"),
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(8L)).as("file_id"))
+      .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source")).orderBy(col("file_id"))
+    files
+      .withColumn("cum_before", sum(col("bytes")).over(w) - col("bytes"))
+      .select(col("source"), col("file_id"), col("bytes"), col("n_docs"),
+        expr("cum_before div 40000").as("bin"))
+  }
+
+  val q144Sql: String =
+    """WITH files AS (
+      |  SELECT source,
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |         AS BIGINT) % 8 AS file_id,
+      |    CAST(sum(n_chars) AS BIGINT) AS bytes,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, file_id, bytes, n_docs,
+      |  CAST((sum(bytes) OVER (PARTITION BY source ORDER BY file_id)
+      |        - bytes) // 40000 AS BIGINT) AS bin
+      |FROM files""".stripMargin
+
+  /** FUNCTIONAL-DEPENDENCY audit (the validation step of FD discovery,
+    * Papenbrock et al.'s profiling family): for each candidate lhs→rhs,
+    * count the lhs keys that map to MORE than one distinct rhs — zero
+    * violations means the dependency holds and the column is safe to
+    * normalize out / trust as derivable. Four candidates spanning all
+    * fact tables; the two-sided counts (keys + violators) make the
+    * result a data-quality scorecard, not a boolean.
+    *
+    * Scale shape: each candidate is groupBy(lhs).agg(countDistinct
+    * (rhs)) — Spark expands count-distinct to a two-phase partial agg
+    * on (lhs, rhs) — then a global fold to ONE row; the union is
+    * 4 rows. No pairwise row comparison anywhere (the naive FD check
+    * is a self-join). */
+  def q152FdAudit(s: SparkSession, d: String): DataFrame = {
+    def fd(df: DataFrame, name: String, lhs: String, rhs: String) =
+      df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("k"))
+        .agg(lit(name).as("fd"), count(lit(1)).as("n_keys"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"))
+    fd(events(s, d), "events.user_id->event_type", "user_id", "event_type")
+      .unionAll(fd(documents(s, d), "documents.source->lang", "source", "lang"))
+      .unionAll(fd(lineitem(s, d), "lineitem.l_orderkey->l_suppkey",
+        "l_orderkey", "l_suppkey"))
+      .unionAll(fd(orders(s, d), "orders.o_custkey->o_orderpriority",
+        "o_custkey", "o_orderpriority"))
+  }
+
+  val q152Sql: String =
+    """SELECT 'events.user_id->event_type' AS fd,
+      |  count(*) AS n_keys,
+      |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating
+      |FROM (SELECT user_id, count(DISTINCT event_type) AS k
+      |      FROM events GROUP BY 1)
+      |UNION ALL
+      |SELECT 'documents.source->lang', count(*),
+      |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM (SELECT source, count(DISTINCT lang) AS k
+      |      FROM documents GROUP BY 1)
+      |UNION ALL
+      |SELECT 'lineitem.l_orderkey->l_suppkey', count(*),
+      |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS k
+      |      FROM lineitem GROUP BY 1)
+      |UNION ALL
+      |SELECT 'orders.o_custkey->o_orderpriority', count(*),
+      |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k
+      |      FROM orders GROUP BY 1)""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
     "q70_bucketed_join"    -> (q70BucketedJoin _, q70Sql),
     "q79_zorder"           -> (q79Zorder _, q79Sql),
+    "q144_compaction_plan" -> (q144CompactionPlan _, q144Sql),
+    "q152_fd_audit"        -> (q152FdAudit _, q152Sql),
   )
 }
