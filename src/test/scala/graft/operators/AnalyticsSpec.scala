@@ -478,4 +478,96 @@ class AnalyticsSpec extends SparkSpec {
     val shifted = (1 to 200).map(i => i + 40.0)
     assert(ks(big, shifted, parts = 1) === ks(big, shifted, parts = 7))
   }
+
+  test("ols trend: exact line recovered; per-month sums feed the moments") {
+    val dir = java.nio.file.Files.createTempDirectory("olsspec").toString
+    Seq((1, "N1")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 1)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // monthly totals 10, 12, 14, 16 → slope 2, intercept 10 (x0 = 0 at
+    // the first month); March is split across two orders to prove the
+    // month-grain pre-aggregation
+    val d = Seq(
+      (1L, 1L, 10.0, Timestamp.valueOf("2020-01-15 00:00:00")),
+      (2L, 1L, 12.0, Timestamp.valueOf("2020-02-10 00:00:00")),
+      (3L, 1L, 9.0,  Timestamp.valueOf("2020-03-05 00:00:00")),
+      (4L, 1L, 5.0,  Timestamp.valueOf("2020-03-25 00:00:00")),
+      (5L, 1L, 16.0, Timestamp.valueOf("2020-04-28 00:00:00")))
+    d.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Analytics.q146OlsTrend(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+    assert(got === Array(("N1", 4L, 2.0, 10.0)))
+  }
+
+  test("path trigrams: session boundary kills cross-session trigrams") {
+    val hour = 3600L * 1000000000L
+    val min = 60L * 1000000000L
+    // u7: a,b,c,d with a 31-min gap before d → only a>b>c counts;
+    // u8: a,b only → no trigram; u9: x,y,z twice back-to-back
+    val rows = Seq(
+      (1L, 0L * min, 7L, "a"), (2L, 5L * min, 7L, "b"),
+      (3L, 10L * min, 7L, "c"), (4L, 41L * min, 7L, "d"),
+      (5L, hour, 8L, "a"), (6L, hour + min, 8L, "b"),
+      (7L, 2 * hour, 9L, "x"), (8L, 2 * hour + min, 9L, "y"),
+      (9L, 2 * hour + 2 * min, 9L, "z"), (10L, 2 * hour + 3 * min, 9L, "x"),
+      (11L, 2 * hour + 4 * min, 9L, "y"), (12L, 2 * hour + 5 * min, 9L, "z"))
+      .map { case (id, t, u, e) => (id, t, u, e, 0.0, "") }
+    val dir = java.nio.file.Files.createTempDirectory("trispec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q149PathTrigrams(spark, dir)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a>b>c", 1L), ("x>y>z", 2L), ("y>z>x", 1L),
+      ("z>x>y", 1L)))
+  }
+
+  test("bitmap rollup: exact distinct across word boundaries == countDistinct") {
+    val week = 7L * 86400L * 1000000000L
+    // ids straddle 63-bit word boundaries (62|63, 125|126) and repeat
+    val ids = Seq(0L, 62L, 62L, 63L, 64L, 125L, 126L, 1000L)
+    val rows = ids.zipWithIndex.map { case (u, i) =>
+      (i.toLong, week + i * 1000L, u, "e", 0.0, "")
+    } ++ Seq((100L, 2 * week + 1000L, 62L, "e", 0.0, ""),
+      (101L, 2 * week + 2000L, 9999L, "e", 0.0, ""))
+    val dir = java.nio.file.Files.createTempDirectory("bitmapspec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q150BitmapRollup(spark, dir)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3))).toMap
+    val want = graft.operators.Tables.events(spark, dir)
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .as[(java.sql.Date, Long)].collect()
+      .map(r => r._1.toString -> r._2).toMap
+    assert(got.view.mapValues(_._2).toMap === want)
+    assert(got.values.map(_._1).forall(_ >= 1L)) // occupied words only
+  }
+
+  test("kadane burst: windowed prefix form == brute-force max subarray, x3 seeds") {
+    val hour = 3600L * 1000000000L
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = for (u <- 1L to 8L; i <- 1 to 50) yield
+        (u * 1000 + i, i * hour + u * 1000L, u,
+          if (rnd.nextInt(3) == 0) "error" else "click", 0.0, "")
+      val dir = java.nio.file.Files.createTempDirectory("kadanespec").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Analytics.q151KadaneBurst(spark, dir)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      rows.groupBy(_._3).foreach { case (u, rs) =>
+        val ds = rs.sortBy(_._1)
+          .map(r => if (r._4 == "error") -1L else 1L).toIndexedSeq
+        val brute = (for {
+          i <- ds.indices; j <- i until ds.length
+        } yield ds.slice(i, j + 1).sum).max
+        assert(got(u) === ((brute, ds.sum, ds.length.toLong)),
+          s"user $u seed $seed")
+      }
+    }
+  }
 }

@@ -265,4 +265,38 @@ class CurationSpec extends SparkSpec {
     val zeros = TextAnalysis.sourceKl(even).collect().map(_.getDouble(2))
     assert(zeros.forall(_ === 0.0))
   }
+
+  test("weighted sample: A-ES key formula exact; heavier docs overrepresented") {
+    val dir = java.nio.file.Files.createTempDirectory("wsamplespec").toString
+    // 400 docs: even ids weight 4000, odd ids weight 400
+    val docs = (1L to 400L).map(i =>
+      (i, "t", "en", "s", if (i % 2 == 0) 4000L else 400L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q148WeightedSample(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === 50)
+    // key replicated in the JVM from the same md5 draw
+    def keyOf(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.substring(0, 15), 16) + 1)
+        .toDouble / 1.152921504606846976e18
+      math.log(u) / w
+    }
+    val wantTop = docs.map { case (id, _, _, _, w) => (keyOf(id, w), id, w) }
+      .sortBy { case (k, id, _) => (-k, id) }.take(50)
+    assert(got.map(_._1).toSeq === wantTop.map(_._2).toSeq)
+    got.zip(wantTop).foreach { case ((_, _, k8), (k, _, _)) =>
+      assert(math.abs(k8 - BigDecimal(k).setScale(8,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    }
+    // 10x weight should pull in clearly more than half the sample
+    val heavy = got.count(_._2 === 4000L)
+    assert(heavy > 30, s"heavy docs in sample: $heavy/50")
+    // determinism: a second run is identical (hash-derived, no rand())
+    val again = Curation.q148WeightedSample(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq === again.toSeq)
+  }
 }

@@ -452,6 +452,68 @@ class PlanAuditSpec extends SparkSpec {
     assert(singles <= 1, s"$singles SinglePartition exchanges\n${finalPlan.take(2500)}")
   }
 
+  test("q145 CMS / q150 bitmap: sketch shuffles partial-agg'd onto bounded groups, single scan") {
+    for ((df, partial) <- Seq(
+        (Analytics.q145CmsSketch(spark, d), "partial_count"),
+        (Analytics.q150BitmapRollup(spark, d), "partial_bit_or"))) {
+      val plan = planOf(df)
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert(finalPlan.contains(partial), finalPlan.take(2000))
+      val scans = finalPlan.linesIterator
+        .count(l => l.contains("Scan parquet") && l.contains("events"))
+      assert(scans === 1, s"events scanned $scans times\n${finalPlan.take(2000)}")
+    }
+  }
+
+  test("q149 trigrams / q151 kadane: all per-user windows share ONE exchange; top-k is TakeOrdered") {
+    val p149 = planOf(Analytics.q149PathTrigrams(spark, d))
+      .split("== Initial Plan ==").head
+    // lag + running sum + two leads must not multiply shuffles: exactly
+    // one hashpartitioning exchange on user_id
+    val ex149 = p149.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(ex149 === 1, s"$ex149 user_id exchanges\n${p149.take(2500)}")
+    assert(p149.contains("TakeOrderedAndProject"), p149.take(2500))
+    val p151 = planOf(Analytics.q151KadaneBurst(spark, d))
+      .split("== Initial Plan ==").head
+    val ex151 = p151.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("user_id"))
+    assert(ex151 === 1, s"$ex151 user_id exchanges\n${p151.take(2500)}")
+  }
+
+  test("q146 OLS: partial agg to nation-month before any window; dims broadcast") {
+    val plan = planOf(Analytics.q146OlsTrend(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_sum"), finalPlan.take(2500))
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(2500))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2500))
+  }
+
+  test("q147 waiting supplier: lineitem scanned once (agg form, not EXISTS self-joins)") {
+    val plan = planOf(Relational.q147WaitingSupplier(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val scans = finalPlan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans === 1, s"lineitem scanned $scans times\n${finalPlan.take(2500)}")
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan.take(2500))
+  }
+
+  test("q148 weighted sample: TakeOrdered top-k — no global sort, no shuffle of the corpus") {
+    val plan = planOf(Curation.q148WeightedSample(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("TakeOrderedAndProject"), finalPlan.take(2000))
+    assert(!finalPlan.contains("Exchange hashpartitioning"), finalPlan.take(2000))
+  }
+
+  test("q144 compaction plan: planning window runs on the file-grain frame, one scan") {
+    val plan = planOf(Storage.q144CompactionPlan(spark, d))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("partial_sum"), finalPlan.take(2000))
+    val scans = finalPlan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans === 1, s"documents scanned $scans times\n${finalPlan.take(2000)}")
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

@@ -181,4 +181,37 @@ class SketchSpec extends SparkSpec {
       k -> (c1.getOrElse(k, 0L) + c2.getOrElse(k, 0L))).toMap
     assert(b === add)
   }
+
+  test("portable CMS: min-of-rows estimate one-sided, mass conserved, merge adds") {
+    def sketchOf(keys: Seq[String]): Map[(Long, Long), Long] =
+      Analytics.cmsSketch(keys.toDF("key"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    // JVM replica of the md5 routing (row:key → column), independent of
+    // the Catalyst expression path
+    def colOf(row: Long, key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$row:$key".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 64
+    }
+    def estimate(sk: Map[(Long, Long), Long], key: String): Long =
+      (0L until 4L).map(r => sk.getOrElse((r, colOf(r, key)), 0L)).min
+    val keys = (1 to 300).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i"))
+    val sk = sketchOf(keys)
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // CMS guarantee: never underestimates; collisions only inflate
+    truth.foreach { case (k, n) =>
+      assert(estimate(sk, k) >= n, s"underestimated $k") }
+    // each row partitions the full stream: per-row mass == N
+    (0L until 4L).foreach { r =>
+      val mass = sk.collect { case ((rr, _), c) if rr == r => c }.sum
+      assert(mass === keys.size.toLong, s"row $r mass") }
+    // merge = cell-wise addition of the two sketch states
+    val (a, b2) = keys.splitAt(500)
+    val (sa, sb) = (sketchOf(a), sketchOf(b2))
+    val merged = (sa.keySet ++ sb.keySet).map(c =>
+      c -> (sa.getOrElse(c, 0L) + sb.getOrElse(c, 0L))).toMap
+    assert(sk === merged)
+  }
 }

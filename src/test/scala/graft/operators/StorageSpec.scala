@@ -231,4 +231,54 @@ class StorageSpec extends SparkSpec {
     assert(zPk <= 8, s"partkey under zorder should stay local, got $zPk/16 files")
     assert(zSk <= 8, s"suppkey under zorder should stay local, got $zSk/16 files")
   }
+
+  test("compaction plan: bins contiguous per source, sized within one file of target") {
+    import spark.implicits._
+    val d = sf("sf0.01")
+    val plan = Storage.q144CompactionPlan(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    plan.foreach { case (srcName, files) =>
+      val ordered = files.sortBy(_._2)
+      // bins are non-decreasing in file order (running-sum assignment)
+      assert(ordered.map(_._5).toSeq === ordered.map(_._5).sorted.toSeq,
+        s"$srcName bins not monotone")
+      // every bin except the last holds >= target bytes only if it
+      // spilled past the boundary by at most one file: cum bytes at the
+      // START of each file within its bin stay < (bin+1)*target
+      var cum = 0L
+      ordered.foreach { case (_, _, bytes, _, bin) =>
+        assert(cum / 40000L === bin, s"$srcName bin assignment drifted")
+        cum += bytes
+      }
+    }
+  }
+
+  test("fd audit: planted violation counted, clean dependency scores zero") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fdspec").toString
+    // events: user 1 has two types (violates), user 2 one type
+    Seq((1L, 0L, 1L, "a", 0.0, ""), (2L, 1L, 1L, "b", 0.0, ""),
+      (3L, 2L, 2L, "a", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    // documents: each source one lang → holds
+    Seq((1L, "t", "en", "s1", 1L), (2L, "t", "en", "s1", 1L),
+      (3L, "t", "de", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((1L, 1L, 1L), (1L, 2L, 1L), (2L, 1L, 1L))
+      .toDF("l_orderkey", "l_suppkey", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 1L, "P1"), (2L, 1L, "P1"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = Storage.q152FdAudit(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("events.user_id->event_type") === ((2L, 1L)))
+    assert(got("documents.source->lang") === ((2L, 0L)))
+    assert(got("lineitem.l_orderkey->l_suppkey") === ((2L, 1L)))
+    assert(got("orders.o_custkey->o_orderpriority") === ((1L, 0L)))
+  }
 }

@@ -135,6 +135,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS: Complete-mode counter state equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = graft.operators.Analytics.cmsSketch(mem.toDF().toDF("key"))
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      val a = (1 to 400).flatMap(i => Seq.fill(i % 3 + 1)(s"u-$i"))
+      val b = (300 to 700).map(i => s"u-$i") // overlaps a — counters must add
+      mem.addData(a: _*)
+      q.processAllAvailable()
+      mem.addData(b: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      val batch = graft.operators.Analytics.cmsSketch((a ++ b).toDF("key"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("stream-static dim enrichment matches batch, stateless") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq(("click", "engagement"), ("view", "reach"))
