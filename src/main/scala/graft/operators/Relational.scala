@@ -1691,6 +1691,112 @@ object Relational {
       |JOIN nation ON n_nationkey = s_nationkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** EXACT GINI COEFFICIENT of customer spend — the inequality measure
+    * behind "whale" analyses (complementing q130's Herfindahl on
+    * market shares): G = (2·Σrank·y − (n+1)·Σy) / (n·Σy) over spend
+    * sorted ascending. Spend is exact 1e-4-dollar integers; the rank
+    * comes from [[globalRank]] (two-pass range partitioning — never a
+    * single-task sort of the customer table); Σrank·y and the final
+    * numerator widen to DECIMAL(38,0)/HUGEINT (rank×cents grazes 2^63
+    * at scale). Rank ties share equal y values, so Σrank·y — and
+    * therefore G — is invariant to how the custkey tiebreak orders
+    * them; the tiebreak exists only to pin both engines to one
+    * ordering. Only the final division is double, then round 6.
+    *
+    * Scale shape: orders partial-agg to customer grain, the
+    * globalRank's range exchange + per-partition windows, then a
+    * 3-moment fold to ONE row. */
+  def q153Gini(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(38, 4))) * 10000)
+        .cast("long").as("y"))
+    globalRank(spend, col("y"), col("o_custkey"), parts = 32)
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("y")).as("sy"),
+        sum(col("rnk").cast(DecimalType(38, 0)) * col("y")).as("sry"))
+      .select(col("n_customers"), col("sy"),
+        round((lit(2L).cast(DecimalType(38, 0)) * col("sry") -
+            (col("n_customers") + 1).cast(DecimalType(38, 0)) * col("sy"))
+            .cast("double") /
+          (col("n_customers").cast(DecimalType(38, 0)) * col("sy"))
+            .cast("double"), 6).as("gini6"))
+  }
+
+  val q153Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) * 10000 AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT y, row_number() OVER (ORDER BY y, o_custkey) AS rnk
+      |  FROM spend),
+      |m AS (
+      |  SELECT count(*) AS n_customers,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    sum(CAST(rnk AS HUGEINT) * y) AS sry
+      |  FROM r)
+      |SELECT n_customers, sy,
+      |  round(CAST(2 * sry - (n_customers + 1) * CAST(sy AS HUGEINT)
+      |             AS DOUBLE)
+      |        / CAST(CAST(n_customers AS HUGEINT) * sy AS DOUBLE), 6)
+      |    AS gini6
+      |FROM m""".stripMargin
+
+  /** WEIGHTED MEDIAN retail price per brand, weighted by quantity sold
+    * — the robust "typical price paid" (a plain median over parts
+    * ignores that one SKU sells 100× another; a mean is outlier-bent).
+    * Definition: smallest price whose cumulative weight reaches half
+    * the total, on exact 1e-4 quantity integers — the comparison is
+    * 2·cum ≥ tot, all BIGINT, no rounding convention anywhere.
+    *
+    * Scale shape: the fact table partial-aggs onto the (brand, price)
+    * grain — parts-sized, not lineitem-sized — and BOTH windows
+    * (running + total) share one exchange on brand; the argmin
+    * collapses with a partial-agg min. The percentile never sees a
+    * data-sized sort. */
+  def q154WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val grp = lineitem(s, d)
+      .select(col("l_partkey"),
+        (col("l_quantity").cast(DecimalType(38, 4)) * 10000)
+          .cast("long").as("q4"))
+      .join(part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_retailprice"))
+      .agg(sum(col("q4")).as("w"))
+    val run = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grp
+      .withColumn("cum", sum(col("w")).over(run))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy(col("p_brand"))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("p_brand"))
+      .agg(min(col("p_retailprice")).as("wmedian_price"),
+        min(col("tot")).as("tot_q4"))
+  }
+
+  val q154Sql: String =
+    """WITH grp AS (
+      |  SELECT p_brand, p_retailprice,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(38,4)) * 10000
+      |                  AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT p_brand, p_retailprice, w,
+      |    sum(w) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum,
+      |    sum(w) OVER (PARTITION BY p_brand) AS tot
+      |  FROM grp)
+      |SELECT p_brand,
+      |  min(p_retailprice) AS wmedian_price,
+      |  CAST(min(tot) AS BIGINT) AS tot_q4
+      |FROM c WHERE cum * 2 >= tot
+      |GROUP BY 1""".stripMargin
+
   /** TPC-H Q21's shape on this schema: suppliers who were the SOLE late
     * shipper on a multi-supplier order (shipdate > orderdate + 60 days)
     * — the classic "suppliers who kept orders waiting" blame query. The
@@ -1807,5 +1913,7 @@ object Relational {
     "q101_session_window" -> (q101SessionWindow _, q101Sql),
     "q102_unpivot"        -> (q102Unpivot _, q102Sql),
     "q147_waiting_supplier" -> (q147WaitingSupplier _, q147Sql),
+    "q153_gini"             -> (q153Gini _, q153Sql),
+    "q154_weighted_median"  -> (q154WeightedMedian _, q154Sql),
   )
 }

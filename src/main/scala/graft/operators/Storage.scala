@@ -327,6 +327,64 @@ object Storage {
       |FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k
       |      FROM orders GROUP BY 1)""".stripMargin
 
+  /** ORDER-INDEPENDENT TABLE DIGEST for cross-engine reconciliation:
+    * each row renders to a canonical '|'-joined string (integers and
+    * strings as-is, timestamps as epoch-micros — never raw doubles,
+    * whose text forms differ across engines), hashes to a 60-bit md5
+    * value, and the table's digest is the XOR of all row hashes plus
+    * the row count. XOR is associative, commutative and carries no
+    * overflow, so the digest is partition-order-free and MERGEABLE —
+    * two table halves XOR to the whole, which is how a 100 TB
+    * migration validates copy = source without sorting or shuffling
+    * either side: one scan each, 8 bytes across the wire. (Count
+    * matters: XOR alone is blind to rows duplicated an even number of
+    * times.) Gated on three tables, so the engines must agree on every
+    * byte of the canonical rendering.
+    *
+    * Scale shape: per-row expressions then a partial-agg fold to one
+    * row per table — the shuffle carries one row per map task. */
+  def q155TableDigest(s: SparkSession, d: String): DataFrame = {
+    def dig(df: DataFrame, name: String, cols: Seq[org.apache.spark.sql.Column]) =
+      df.select(conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .agg(lit(name).as("tbl"), count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("digest"))
+    dig(orders(s, d), "orders", Seq(
+      col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+      col("o_orderstatus"), col("o_orderpriority"),
+      unix_micros(col("o_orderdate").cast("timestamp")).cast("string")))
+      .unionAll(dig(customer(s, d), "customer", Seq(
+        col("c_custkey").cast("string"), col("c_name"),
+        col("c_nationkey").cast("string"), col("c_mktsegment"))))
+      .unionAll(dig(events(s, d), "events", Seq(
+        col("event_id").cast("string"), col("user_id").cast("string"),
+        col("event_type"), unix_micros(col("ts")).cast("string"))))
+  }
+
+  val q155Sql: String =
+    """SELECT 'orders' AS tbl, count(*) AS n_rows,
+      |  CAST(bit_xor(CAST('0x' || substr(md5(
+      |    CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+      |    || '|' || o_orderstatus || '|' || o_orderpriority || '|'
+      |    || CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR)),
+      |    1, 15) AS BIGINT)) AS BIGINT) AS digest
+      |FROM orders
+      |UNION ALL
+      |SELECT 'customer', count(*),
+      |  CAST(bit_xor(CAST('0x' || substr(md5(
+      |    CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+      |    || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),
+      |    1, 15) AS BIGINT)) AS BIGINT)
+      |FROM customer
+      |UNION ALL
+      |SELECT 'events', count(*),
+      |  CAST(bit_xor(CAST('0x' || substr(md5(
+      |    CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+      |    || '|' || event_type || '|'
+      |    || CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR)),
+      |    1, 15) AS BIGINT)) AS BIGINT)
+      |FROM events""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
@@ -334,5 +392,6 @@ object Storage {
     "q79_zorder"           -> (q79Zorder _, q79Sql),
     "q144_compaction_plan" -> (q144CompactionPlan _, q144Sql),
     "q152_fd_audit"        -> (q152FdAudit _, q152Sql),
+    "q155_table_digest"    -> (q155TableDigest _, q155Sql),
   )
 }

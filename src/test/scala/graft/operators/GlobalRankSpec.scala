@@ -72,4 +72,49 @@ class GlobalRankSpec extends SparkSpec {
       assert(dist === brute, s"trial $trial")
     }
   }
+
+  test("gini: uniform spend scores 0; total concentration scores (n-1)/n") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ginispec").toString
+    def giniOf(rows: Seq[(Long, Long, Double)]): (Long, Long, Double) = {
+      rows.map { case (ok, ck, tp) =>
+        (ok, ck, tp, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")) }
+        .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Relational.q153Gini(spark, dir).as[(Long, Long, Double)].head()
+    }
+    // 10 customers, equal spend → perfect equality
+    val equal = (1L to 10L).map(i => (i, i, 50.0))
+    assert(giniOf(equal) === ((10L, 5000000L, 0.0)))
+    // one customer holds everything (others epsilon-free? zero spend
+    // means no order — use near-zero): planted closed form on 4 custs
+    // y = (0.0001, 0.0001, 0.0001, 100): moments by hand
+    val skewed = Seq((1L, 1L, 0.0001), (2L, 2L, 0.0001), (3L, 3L, 0.0001),
+      (4L, 4L, 100.0))
+    val (n, sy, g) = giniOf(skewed)
+    assert((n, sy) === ((4L, 1000003L)))
+    // hand-computed: ranks 1..4, y = (1,1,1,1000000) in 1e-4 units
+    // sry = 1+2+3+4000000 = 4000006; G = (2*4000006 - 5*1000003)/(4*1000003)
+    val want = BigDecimal((2.0 * 4000006 - 5.0 * 1000003) / (4.0 * 1000003))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g === want)
+  }
+
+  test("weighted median: cumulative-weight argmin, exact half boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wmedspec").toString
+    // brand B1: prices 1,2,3 with weights 1,1,2 → cum (1,2,4), tot 4;
+    //   2*cum>=4 first at price 2 (exact boundary: 2*2 == 4)
+    // brand B2: prices 10,20 with weights 9,1 → median 10
+    Seq((1L, "B1", 1.0), (2L, "B1", 2.0), (3L, "B1", 3.0),
+      (4L, "B2", 10.0), (5L, "B2", 20.0))
+      .toDF("p_partkey", "p_brand", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 9.0), (5L, 1.0))
+      .toDF("l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.q154WeightedMedian(spark, dir)
+      .as[(String, Double, Long)].collect().toSet
+    assert(got === Set(("B1", 2.0, 40000L), ("B2", 10.0, 100000L)))
+  }
 }

@@ -514,6 +514,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 1, s"documents scanned $scans times\n${finalPlan.take(2000)}")
   }
 
+  test("q153 gini / q154 wmedian / q155 digest: bounded single-partition work, partial aggs") {
+    val p153 = planOf(Relational.q153Gini(spark, d))
+      .split("== Initial Plan ==").head
+    // only the globalRank offsets frame (≤parts rows) may single-partition
+    val singles = p153.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 2, s"$singles SinglePartition exchanges\n${p153.take(2500)}")
+    val p154 = planOf(Relational.q154WeightedMedian(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p154.contains("partial_sum"), p154.take(2000))
+    assert(!p154.contains("Exchange SinglePartition"), p154.take(2500))
+    val p155 = planOf(Storage.q155TableDigest(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p155.contains("partial_bit_xor") || p155.contains("partial_count"),
+      p155.take(2000))
+    assert(!p155.contains("CartesianProduct"), p155.take(2000))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

@@ -281,4 +281,42 @@ class StorageSpec extends SparkSpec {
     assert(got("lineitem.l_orderkey->l_suppkey") === ((2L, 1L)))
     assert(got("orders.o_custkey->o_orderpriority") === ((1L, 0L)))
   }
+
+  test("table digest: mergeable by XOR, order-free, single-row sensitive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("digestspec").toString
+    def writeCustomers(rows: Seq[(Long, String, Int, String)], sub: String) = {
+      val d2 = s"$dir/$sub"
+      rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$d2/customer.parquet")
+      Seq((1L, 1L, "O", "P", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate")
+        .write.mode("overwrite").parquet(s"$d2/orders.parquet")
+      Seq((1L, 0L, 1L, "a", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$d2/events.parquet")
+      d2
+    }
+    def digestOf(sub: String): (Long, Long) = {
+      val m = Storage.q155TableDigest(spark, sub)
+        .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      m("customer")
+    }
+    val all = (1L to 40L).map(i => (i, s"c$i", (i % 5).toInt, "SEG"))
+    val whole = digestOf(writeCustomers(all, "whole"))
+    // order independence: reversed input, same digest
+    assert(digestOf(writeCustomers(all.reverse, "rev")) === whole)
+    // mergeability: halves XOR to the whole, counts add
+    val (h1, h2) = (digestOf(writeCustomers(all.take(20), "h1")),
+      digestOf(writeCustomers(all.drop(20), "h2")))
+    assert((h1._1 + h2._1, h1._2 ^ h2._2) === whole)
+    // sensitivity: one changed cell flips the digest
+    val mut = all.updated(7, (8L, "c8", 4, "SEG"))
+    assert(digestOf(writeCustomers(mut, "mut")) !== whole)
+    // even-duplication cancels in XOR (digest 0) — only the carried
+    // count exposes it, which is why the digest ships (n_rows, xor)
+    val dup = digestOf(writeCustomers(all ++ all, "dup"))
+    assert(dup._2 === 0L && dup._1 === 2 * whole._1)
+  }
 }
