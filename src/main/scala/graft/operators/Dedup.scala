@@ -1188,6 +1188,57 @@ object Dedup {
       |  count(*) AS n_islands
       |FROM isl GROUP BY doc_id""".stripMargin
 
+  /** SIMHASH HAMMING JOIN — the pair-finding step q31's signatures
+    * exist for, via the PIGEONHOLE multi-index (Manku–Jain–Sarma,
+    * WWW'07): the 60-bit signature splits into 4 bands of 15 bits;
+    * any pair within Hamming distance 3 differs in at most 3 bands,
+    * so it SHARES at least one band verbatim — candidates come only
+    * from band-bucket equality (full recall at radius 3 by
+    * construction, never an all-pairs product), then the exact
+    * distance bit_count(xor) ≤ 3 verifies. Complements MinHash (set
+    * overlap) and SNM (sort neighborhoods): SimHash distance tracks
+    * weighted token-multiset similarity.
+    *
+    * Scale shape: signatures computed once and checkpointed (two
+    * self-join consumers); 4× band fan-out, bucket equi-join on
+    * (band, value), DISTINCT collapses multi-band hits, exact verify
+    * is a per-row bit op. Bucket skew is bounded by the corpus's true
+    * near-dup cluster sizes — the same frontier every LSH shares
+    * (q21's bucket-cap listener applies verbatim if clusters blow up). */
+  def q158SimhashJoin(s: SparkSession, d: String): DataFrame = {
+    val sig = simhash(documents(s, d))
+      .repartition(col("doc_id")).localCheckpoint(false)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))
+            .as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b").hint("SHUFFLE_HASH"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  val q158Sql: String =
+    s"""WITH sig AS (${q31Sql}),
+       |bands AS (
+       |  SELECT doc_id, simhash, g.band,
+       |    (simhash >> (g.band * 15)) & 32767 AS bv
+       |  FROM sig CROSS JOIN
+       |    (SELECT CAST(range AS INTEGER) AS band FROM range(4)) g),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
@@ -1202,5 +1253,6 @@ object Dedup {
     "q121_containment"    -> (q121Containment _, q121Sql),
     "q133_snm_neardup"    -> (q133SnmNeardup _, q133Sql),
     "q134_exact_substr"   -> (q134ExactSubstr _, q134Sql),
+    "q158_simhash_join"   -> (q158SimhashJoin _, q158Sql),
   )
 }

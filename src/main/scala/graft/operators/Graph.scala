@@ -556,6 +556,54 @@ object Graph {
        |FROM pr GROUP BY 1, 2
        |ORDER BY score_e12 DESC, c_a, c_b LIMIT 100""".stripMargin
 
+  /** HITS (Kleinberg 1999) hubs-and-authorities over the customer–part
+    * co-purchase bipartite graph, two full iterations UNNORMALIZED so
+    * every score is an exactly-summed BIGINT (the q81 integer
+    * discipline without even needing fixed-point: h₀ ≡ 1 makes
+    * a₁(p) = deg(p), h₁(c) = Σ_{p∈Γ(c)} deg(p), a₂(p) = Σ_{c∈Γ(p)}
+    * h₁(c) — normalization only rescales, the RANKING is the classic
+    * HITS ordering). Authorities = parts that the broadest-basket
+    * customers buy; distinct from raw popularity (deg) because a₂
+    * weights each buyer by their reach. Top-50 with (score, partkey)
+    * tiebreak. At 100 TB the scores widen to DECIMAL(38,0) after ~3
+    * iterations — two keep the demo in BIGINT by a large margin.
+    *
+    * Scale shape: the distinct edge frame is checkpointed ONCE,
+    * partitioned on p (the q135 discipline) — consumer joins reuse the
+    * layout; each half-iteration is one join + partial-agg sum on a
+    * node-sized frame; top-50 is TakeOrderedAndProject. */
+  def q156Hits(s: SparkSession, d: String): DataFrame = {
+    val e = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .repartition(col("p")).sortWithinPartitions(col("p"))
+      .localCheckpoint(false)
+    val a1 = e.groupBy(col("p")).agg(count(lit(1)).as("a1"))
+    val h1 = e.join(a1, Seq("p"))
+      .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
+    e.join(h1, Seq("c"))
+      .groupBy(col("p"))
+      .agg(sum(col("h1")).as("authority2"), count(lit(1)).as("deg"))
+      .orderBy(col("authority2").desc, col("p"))
+      .limit(50)
+      .select(col("p").as("p_partkey"), col("deg"), col("authority2"))
+  }
+
+  val q156Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |a1 AS (SELECT p, count(*) AS a1 FROM e GROUP BY p),
+      |h1 AS (SELECT e.c, CAST(sum(a1.a1) AS BIGINT) AS h1
+      |       FROM e JOIN a1 USING (p) GROUP BY e.c),
+      |a2 AS (SELECT e.p, CAST(sum(h1.h1) AS BIGINT) AS authority2,
+      |              count(*) AS deg
+      |       FROM e JOIN h1 USING (c) GROUP BY e.p)
+      |SELECT p AS p_partkey, deg, authority2
+      |FROM a2 ORDER BY authority2 DESC, p LIMIT 50""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q81_pagerank" -> (q81Pagerank _, q81Sql),
     "q105_triangle_count" -> (q105TriangleCount _, q105Sql),
@@ -563,5 +611,6 @@ object Graph {
     "q113_kcore" -> (q113KCore _, q113Sql),
     "q135_link_predict" -> (q135LinkPredict _, q135Sql),
     "q136_sssp" -> (q136Sssp _, q136Sql),
+    "q156_hits" -> (q156Hits _, q156Sql),
   )
 }

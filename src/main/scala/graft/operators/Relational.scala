@@ -1691,6 +1691,176 @@ object Relational {
       |JOIN nation ON n_nationkey = s_nationkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** EXACT GLOBAL QUANTILES at 100 TB — the scale path q32's scaladoc
+    * promises beyond approx_percentile: `percentile()` buffers every
+    * value of a group in one task, and a global percentile over a fact
+    * table would buffer the WORLD. Here order statistics come from
+    * [[globalRank]]: rank the column distributively, compute each
+    * target's bracketing ranks lo/hi = f(n, q) in a 3-row broadcast
+    * frame, pick the two bracketing VALUES by rank equality (a
+    * broadcast join = scan-side filter — the table never shuffles for
+    * the pick), and interpolate with the standard percentile_cont
+    * formula. Exact to the definition, one range exchange total,
+    * bounded memory everywhere. frac and the interpolation are the
+    * same IEEE expression tree on both engines; round 6 exports it.
+    *
+    * Scale shape: globalRank's range exchange + per-partition windows;
+    * the quantile frame is 3 rows; the final agg is 3 groups. */
+  def q157ExactQuantiles(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_extendedprice").as("x"),
+      col("l_orderkey"), col("l_linenumber"))
+    val ranked = globalRank(li, col("x"),
+      struct(col("l_orderkey"), col("l_linenumber")), parts = 32)
+    val qf = ranked.agg(count(lit(1)).as("n"))
+      .select(explode(array(Seq(0.5, 0.9, 0.99).map(lit(_)): _*)).as("q"),
+        col("n"))
+      .select(col("q"),
+        (floor((col("n") - 1) * col("q")) + 1).cast("long").as("lo"),
+        least(floor((col("n") - 1) * col("q")) + 2, col("n"))
+          .cast("long").as("hi"),
+        ((col("n") - 1) * col("q") - floor((col("n") - 1) * col("q")))
+          .as("frac"))
+    ranked.join(broadcast(qf),
+        col("rnk") === col("lo") || col("rnk") === col("hi"))
+      .groupBy(col("q"))
+      .agg(min(when(col("rnk") === col("lo"), col("x"))).as("xlo"),
+        min(when(col("rnk") === col("hi"), col("x"))).as("xhi"),
+        min(col("frac")).as("frac"))
+      .select(col("q"),
+        round(col("xlo") + col("frac") * (col("xhi") - col("xlo")), 6)
+          .as("quantile"))
+  }
+
+  val q157Sql: String =
+    """WITH r AS (
+      |  SELECT l_extendedprice AS x,
+      |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+      |                       l_linenumber) AS rnk
+      |  FROM lineitem),
+      |n AS (SELECT count(*) AS n FROM r),
+      |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+      |                      CAST(0.99 AS DOUBLE)]) AS q),
+      |b AS (
+      |  SELECT qs.q,
+      |    CAST(floor((n.n - 1) * qs.q) + 1 AS BIGINT) AS lo,
+      |    CAST(least(floor((n.n - 1) * qs.q) + 2, n.n) AS BIGINT) AS hi,
+      |    (n.n - 1) * qs.q - floor((n.n - 1) * qs.q) AS frac
+      |  FROM qs CROSS JOIN n)
+      |SELECT b.q,
+      |  round(min(CASE WHEN rnk = lo THEN x END)
+      |        + min(frac) * (min(CASE WHEN rnk = hi THEN x END)
+      |                       - min(CASE WHEN rnk = lo THEN x END)), 6)
+      |    AS quantile
+      |FROM r JOIN b ON rnk = lo OR rnk = hi
+      |GROUP BY b.q""".stripMargin
+
+  /** TPC-H Q22's shape on this schema: "sales opportunity" — customers
+    * with ABOVE-AVERAGE account balance who have LAPSED (no order in
+    * the trailing 180 days of the dataset; in this synthetic data
+    * every customer has ordered at least once, so never-ordered is the
+    * degenerate empty set — lapsed keeps Q22's anti-join semantics on
+    * a non-trivial population), sized per market segment. Three
+    * classic pieces in one plan: a scalar aggregate subquery (the
+    * positive-balance average), an anti-join against recent orders,
+    * and the final rollup. The average comparison is INTEGER-EXACT:
+    * bal > avg ⇔ bal4·npos > tot4 on 1e-4-dollar units — no decimal
+    * division, no float threshold (a 1-ulp quotient wobble at the
+    * boundary would flip membership).
+    *
+    * Scale shape: both scalar aggregates broadcast (1 row each); the
+    * anti-join shuffles on custkey (both sides big — correct); the
+    * rollup partial-aggs to |segments| rows. */
+  def q159SalesOpportunity(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).select(col("c_custkey"), col("c_mktsegment"),
+      (col("c_acctbal").cast(DecimalType(38, 4)) * 10000)
+        .cast("long").as("bal4"))
+    val tot = cust.filter(col("bal4") > 0)
+      .agg(sum(col("bal4")).as("tot4"), count(lit(1)).as("npos"))
+    val cutoff = orders(s, d)
+      .agg((max(col("o_orderdate")) - expr("INTERVAL 180 DAYS")).as("cut"))
+    val recent = orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"))
+      .crossJoin(broadcast(cutoff))
+      .filter(col("o_orderdate") > col("cut"))
+      .select(col("o_custkey"))
+    cust
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(tot))
+      .filter(col("bal4") * col("npos") > col("tot4"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal4")).as("tot_bal4"))
+  }
+
+  val q159Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(38,4)) * 10000 AS BIGINT) AS bal4
+      |  FROM customer),
+      |t AS (SELECT CAST(sum(bal4) AS BIGINT) AS tot4, count(*) AS npos
+      |      FROM c WHERE bal4 > 0),
+      |mx AS (SELECT max(o_orderdate) - INTERVAL 180 DAY AS cut FROM orders)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |  CAST(sum(bal4) AS BIGINT) AS tot_bal4
+      |FROM c CROSS JOIN t CROSS JOIN mx
+      |WHERE bal4 * npos > tot4
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderdate > cut)
+      |GROUP BY 1""".stripMargin
+
+  /** LORENZ CURVE at decile resolution — the gains chart behind q153's
+    * Gini scalar: customers sorted by spend split into 10 equal-count
+    * buckets; each row reports the bucket's population, exact spend,
+    * and the CUMULATIVE share of total spend. decile = (rank−1)·10
+    * div n — pure integer bucketing off the same distributed
+    * [[globalRank]]; spend stays 1e-4-dollar integers until the one
+    * exported share division (round 6).
+    *
+    * Scale shape: after the rank, a partial-agg collapse to ≤10 rows;
+    * the running sum and total run on that 10-row frame (its
+    * SinglePartition exchange is bounded by construction). */
+  def q160LorenzDeciles(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(38, 4))) * 10000)
+        .cast("long").as("y"))
+    val ranked = globalRank(spend, col("y"), col("o_custkey"), parts = 32)
+    val nf = ranked.agg(count(lit(1)).as("n"))
+    val dec = ranked.crossJoin(broadcast(nf))
+      .select(least(lit(9L), expr("((rnk - 1) * 10) div n")).as("decile"),
+        col("y"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("y")).as("spend4"))
+    val run = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dec
+      .withColumn("cum4", sum(col("spend4")).over(run))
+      .crossJoin(broadcast(dec.agg(sum(col("spend4")).as("tot4"))))
+      .select(col("decile"), col("n_cust"), col("spend4"),
+        round(col("cum4").cast("double") / col("tot4").cast("double"), 6)
+          .as("cum_share6"))
+  }
+
+  val q160Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) * 10000 AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT y, row_number() OVER (ORDER BY y, o_custkey) AS rnk,
+      |    count(*) OVER () AS n
+      |  FROM spend),
+      |d AS (
+      |  SELECT least(9, ((rnk - 1) * 10) // n) AS decile,
+      |    count(*) AS n_cust, CAST(sum(y) AS BIGINT) AS spend4
+      |  FROM r GROUP BY 1),
+      |t AS (SELECT CAST(sum(spend4) AS BIGINT) AS tot4 FROM d)
+      |SELECT decile, n_cust, spend4,
+      |  round(CAST(sum(spend4) OVER (ORDER BY decile
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS DOUBLE) / CAST(tot4 AS DOUBLE), 6) AS cum_share6
+      |FROM d CROSS JOIN t""".stripMargin
+
   /** EXACT GINI COEFFICIENT of customer spend — the inequality measure
     * behind "whale" analyses (complementing q130's Herfindahl on
     * market shares): G = (2·Σrank·y − (n+1)·Σy) / (n·Σy) over spend
@@ -1915,5 +2085,8 @@ object Relational {
     "q147_waiting_supplier" -> (q147WaitingSupplier _, q147Sql),
     "q153_gini"             -> (q153Gini _, q153Sql),
     "q154_weighted_median"  -> (q154WeightedMedian _, q154Sql),
+    "q157_exact_quantiles"  -> (q157ExactQuantiles _, q157Sql),
+    "q159_sales_opportunity" -> (q159SalesOpportunity _, q159Sql),
+    "q160_lorenz_deciles"   -> (q160LorenzDeciles _, q160Sql),
   )
 }

@@ -526,4 +526,31 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("simhash join: pigeonhole bands find all radius-3 pairs (brute-force differential)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 400).map(i => s"w$i")
+    def doc(n: Int) = Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = doc(0)
+    val docs = ((1 to 18).map(i => (i.toLong, doc(i))) ++ Seq(
+      (100L, base), (101L, base + " extra"), // near-identical pair
+      (102L, base)))                          // and an exact triple member
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("simjoinspec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q158SimhashJoin(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force over the q31 signatures
+    val sigs = Dedup.q31Simhash(spark, dir).as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got === brute)
+    // the planted near-identicals are actually in there
+    assert(brute.exists(p => p._1 == 100L && p._2 == 102L && p._3 == 0L))
+    assert(brute.exists(p => Set(p._1, p._2).contains(101L)))
+  }
 }

@@ -117,4 +117,67 @@ class GlobalRankSpec extends SparkSpec {
       .as[(String, Double, Long)].collect().toSet
     assert(got === Set(("B1", 2.0, 40000L), ("B2", 10.0, 100000L)))
   }
+
+  test("exact quantiles: percentile_cont closed form + differential vs percentile()") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("quantspec").toString
+    def quantsOf(xs: Seq[Double]): Map[Double, Double] = {
+      xs.zipWithIndex.map { case (x, i) => (i.toLong, i, x) }
+        .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      Relational.q157ExactQuantiles(spark, dir)
+        .as[(Double, Double)].collect().toMap
+    }
+    // 1..10: pos(0.5)=4.5 -> 5.5; pos(0.9)=8.1 -> 9.1; pos(0.99)=8.91 -> 9.91
+    assert(quantsOf((1 to 10).map(_.toDouble)) ===
+      Map(0.5 -> 5.5, 0.9 -> 9.1, 0.99 -> 9.91))
+    // random differential against Spark's exact percentile()
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(501)(rnd.nextInt(10000) / 100.0)
+    val got = quantsOf(xs)
+    val want = xs.toDF("x")
+      .selectExpr("percentile(x, 0.5)", "percentile(x, 0.9)",
+        "percentile(x, 0.99)")
+      .as[(Double, Double, Double)].head()
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((got(0.5), got(0.9), got(0.99)) ===
+      ((r6(want._1), r6(want._2), r6(want._3))))
+  }
+
+  test("sales opportunity: integer-exact above-average cut, anti-join, segment rollup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("salesoppspec").toString
+    Seq((1L, "A", 100.0), (2L, "A", 10.0), (3L, "B", 50.0), (4L, "B", -5.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // c3 ordered recently; c1 has only an OLD order (lapsed with
+    // history); c2/c4 never ordered
+    Seq((30L, 3L, java.sql.Timestamp.valueOf("2021-06-01 00:00:00")),
+      (10L, 1L, java.sql.Timestamp.valueOf("2019-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // positive avg = 160/3 = 53.33; lapsed = {1,2,4}; above avg = {1}
+    val got = Relational.q159SalesOpportunity(spark, dir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("A", 1L, 1000000L)))
+  }
+
+  test("lorenz deciles: exact cumulative shares on planted spend 1..10") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lorenzspec").toString
+    (1L to 10L).map(i => (i, i, i.toDouble))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.q160LorenzDeciles(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet === (0L to 9L).toSet)
+    (0L to 9L).foreach { dcl =>
+      val i = dcl + 1
+      val share = BigDecimal(i * (i + 1) / 2.0 / 55.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(dcl) === ((1L, i * 10000L, share)), s"decile $dcl")
+    }
+  }
 }

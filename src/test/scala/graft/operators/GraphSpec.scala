@@ -241,4 +241,20 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toList
     assert(capped === List((1L, 2L, 1L, w2)), capped)
   }
+
+  test("hits: two-iteration closed form on a planted bipartite graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hitsspec").toString
+    Seq((10L, 1L), (20L, 2L), (30L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 101L), (10L, 102L), (20L, 102L), (30L, 102L), (30L, 103L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // a1: P101=1 P102=3 P103=1; h1: C1=4 C2=3 C3=4;
+    // a2: P101=4, P102=4+3+4=11, P103=4; ties break by partkey
+    val got = Graph.q156Hits(spark, dir)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got === List((102L, 3L, 11L), (101L, 1L, 4L), (103L, 1L, 4L)))
+  }
 }

@@ -531,6 +531,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p155.contains("CartesianProduct"), p155.take(2000))
   }
 
+  test("q156 HITS / q158 simhash join: hash joins only, partial aggs, no cartesian") {
+    val p156 = planOf(Graph.q156Hits(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p156.contains("partial_sum"), p156.take(2000))
+    assert(p156.contains("TakeOrderedAndProject"), p156.take(2000))
+    assert(!p156.contains("CartesianProduct"), p156.take(2000))
+    val p158 = planOf(Dedup.q158SimhashJoin(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p158.contains("ShuffledHashJoin"), p158.take(2500))
+    assert(!p158.contains("CartesianProduct"), p158.take(2500))
+    assert(!p158.toLowerCase.contains("lambdafunction"), p158.take(2500))
+  }
+
+  test("q157/q159/q160: rank-based order stats keep single-partition work bounded") {
+    // every SinglePartition here is a bounded frame by construction:
+    // globalRank offsets (≤parts rows), the 1-row n/total aggregates,
+    // and q160's 10-row decile window — never table-sized data
+    for ((name, df, maxSingles) <- Seq(
+        ("q157", Relational.q157ExactQuantiles(spark, d), 3),
+        ("q160", Relational.q160LorenzDeciles(spark, d), 4))) {
+      val plan = planOf(df).split("== Initial Plan ==").head
+      val singles = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+      assert(singles <= maxSingles,
+        s"$name: $singles SinglePartition exchanges\n${plan.take(2500)}")
+    }
+    val p159 = planOf(Relational.q159SalesOpportunity(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p159.contains("LeftAnti"), p159.take(2500))
+    assert(!p159.contains("CartesianProduct"), p159.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
