@@ -190,7 +190,32 @@ object DumpPlans {
       ("q143_twap", Analytics.q143Twap(spark, d),
         "distributed lead: range-partitioned order, per-partition " +
           "lead, <=32-row broadcast boundary stitch — no per-type " +
-          "data-sized window partitions"))
+          "data-sized window partitions"),
+      ("q145_cms_sketch", Analytics.q145CmsSketch(spark, d),
+        "4x constant fan-out, partial-agg count onto <=256 cells — " +
+          "shuffle carries <=256 rows per map task"),
+      ("q147_waiting_supplier", Relational.q147WaitingSupplier(spark, d),
+        "EXISTS/NOT-EXISTS collapsed into one (order, supplier) agg: " +
+          "lineitem scanned and shuffled ONCE; top-20 TakeOrdered"),
+      ("q148_weighted_sample", Curation.q148WeightedSample(spark, d),
+        "A-ES keys per-row, TakeOrdered(50) — zero exchanges, no " +
+          "global sort of the corpus"),
+      ("q149_path_trigrams", Analytics.q149PathTrigrams(spark, d),
+        "gap lag + session sum + two leads stack on ONE user_id " +
+          "exchange; trigram space partial-aggs; top-25 TakeOrdered"),
+      ("q150_bitmap_rollup", Analytics.q150BitmapRollup(spark, d),
+        "partial-agg bit_or onto (week, word) — 63x fewer shuffle rows " +
+          "than distinct user ids, 8 bytes each; exact counts"),
+      ("q153_gini", Relational.q153Gini(spark, d),
+        "globalRank two-pass rank, DECIMAL-widened moments, one-row " +
+          "output — no single-task sort of the customer table"),
+      ("q157_exact_quantiles", Relational.q157ExactQuantiles(spark, d),
+        "exact percentile_cont via globalRank + 3-row broadcast " +
+          "bracket pick — bounded memory where percentile() buffers " +
+          "the column"),
+      ("q158_simhash_join", Dedup.q158SimhashJoin(spark, d),
+        "pigeonhole 4-band bucket join over checkpointed signatures; " +
+          "DISTINCT collapses multi-band hits; exact bit_count verify"))
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")

@@ -1478,6 +1478,73 @@ object Analytics {
       |  count(*) AS n_events
       |FROM b GROUP BY 1""".stripMargin
 
+  /** WALD–WOLFOWITZ RUNS TEST per event type — is daily volume random
+    * noise around its mean, or does it trend/cycle? The observed runs
+    * count (maximal blocks of consecutive above/below-mean days) is
+    * compared to the expectation μ = 1 + 2n₁n₂/n for a random
+    * arrangement; far fewer runs ⇒ clumping/trend, far more ⇒
+    * oscillation. The above-mean sign is INTEGER-EXACT —
+    * cnt·ndays > total, never a float mean comparison at the boundary;
+    * the runs count is a lag-inequality sum; only the exported μ is a
+    * double (identical expression both engines, round 6). Exact-mean
+    * days count as below (documented tie rule, matched in the oracle).
+    *
+    * Scale shape: daily partial-agg (the q15 grain), per-type totals
+    * as a second tiny agg joined back, one window on the days-sized
+    * frame, fold to |types| rows. The event log is scanned once and
+    * only its daily rollup is ever windowed. */
+  def q162RunsTest(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("ndays"))
+    val signed = daily.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("day"),
+        when(col("cnt") * col("ndays") > col("total"), 1L).otherwise(0L)
+          .as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    signed
+      .withColumn("brk",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("brk")).as("runs"),
+        sum(col("s")).as("n_above"),
+        (count(lit(1)) - sum(col("s"))).as("n_below"))
+      .select(col("event_type"), col("runs"), col("n_above"), col("n_below"),
+        round(lit(1.0) +
+          lit(2.0) * col("n_above") * col("n_below") /
+            (col("n_above") + col("n_below")).cast("double"), 6)
+          .as("expected_runs6"))
+  }
+
+  val q162Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+      |    count(*) AS ndays
+      |  FROM daily GROUP BY 1),
+      |sg AS (
+      |  SELECT daily.event_type, day,
+      |    CASE WHEN cnt * ndays > total THEN 1 ELSE 0 END AS s
+      |  FROM daily JOIN t USING (event_type)),
+      |b AS (
+      |  SELECT event_type, s,
+      |    CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY day)
+      |           IS DISTINCT FROM s THEN 1 ELSE 0 END AS brk
+      |  FROM sg)
+      |SELECT event_type,
+      |  CAST(sum(brk) AS BIGINT) AS runs,
+      |  CAST(sum(s) AS BIGINT) AS n_above,
+      |  CAST(count(*) - sum(s) AS BIGINT) AS n_below,
+      |  round(1.0 + 2.0 * sum(s) * (count(*) - sum(s))
+      |        / CAST(count(*) AS DOUBLE), 6) AS expected_runs6
+      |FROM b GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -1506,5 +1573,6 @@ object Analytics {
     "q149_path_trigrams" -> (q149PathTrigrams _, q149Sql),
     "q150_bitmap_rollup" -> (q150BitmapRollup _, q150Sql),
     "q151_kadane_burst" -> (q151KadaneBurst _, q151Sql),
+    "q162_runs_test" -> (q162RunsTest _, q162Sql),
   )
 }

@@ -1691,6 +1691,46 @@ object Relational {
       |JOIN nation ON n_nationkey = s_nationkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** BENFORD FIRST-DIGIT AUDIT of order totals — the fraud/synthesis
+    * forensic: naturally-grown monetary amounts follow
+    * P(d) = log₁₀(1 + 1/d); fabricated or truncated data visibly
+    * doesn't. The first digit is extracted with INTEGER arithmetic on
+    * exact 1e-4 units — x4 div 10^(digits−1), never log10/floor on a
+    * double whose 1-ulp boundary wobble at exact powers of ten could
+    * shift a digit between engines. Each digit row carries its count
+    * and the Benford expectation (an identical IEEE expression both
+    * sides, round 6) so the caller's deviation test needs no re-scan.
+    *
+    * Scale shape: per-row digit extraction, partial-agg count onto 9
+    * groups — the shuffle carries ≤9 rows per map task. */
+  def q161Benford(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select((col("o_totalprice").cast(DecimalType(38, 4)) * 10000)
+        .cast("long").as("x4"))
+      .filter(col("x4") > 0)
+      .select(expr(
+        "x4 div cast(pow(10, length(cast(x4 as string)) - 1) as bigint)")
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("digit"), col("n"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)), 6).as("benford_p6"))
+
+  val q161Sql: String =
+    """WITH x AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(38,4)) * 10000 AS BIGINT)
+      |      AS x4
+      |  FROM orders),
+      |dg AS (
+      |  SELECT x4 // CAST(power(10, length(CAST(x4 AS VARCHAR)) - 1)
+      |               AS BIGINT) AS digit
+      |  FROM x WHERE x4 > 0)
+      |SELECT digit, count(*) AS n,
+      |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+      |    AS benford_p6
+      |FROM dg GROUP BY 1""".stripMargin
+
   /** EXACT GLOBAL QUANTILES at 100 TB — the scale path q32's scaladoc
     * promises beyond approx_percentile: `percentile()` buffers every
     * value of a group in one task, and a global percentile over a fact
@@ -2088,5 +2128,6 @@ object Relational {
     "q157_exact_quantiles"  -> (q157ExactQuantiles _, q157Sql),
     "q159_sales_opportunity" -> (q159SalesOpportunity _, q159Sql),
     "q160_lorenz_deciles"   -> (q160LorenzDeciles _, q160Sql),
+    "q161_benford"          -> (q161Benford _, q161Sql),
   )
 }

@@ -827,6 +827,52 @@ object Similarity {
       |  CAST((err2_fp + 50) // 100 AS DOUBLE) / 1000000.0 AS err2
       |FROM best WHERE rn = 1""".stripMargin
 
+  /** kNN MAJORITY-VOTE CLASSIFICATION on top of [[q23KnnExact]]'s
+    * neighbor lists — the supervised read of the similarity index
+    * (label propagation / weak labeling in a training-data pipeline):
+    * each query takes the modal label of its 10 nearest neighbors,
+    * ties breaking to the smallest label (the q115 min_by-on-struct
+    * argmax — PARTIAL aggregation end to end, no per-query sort). The
+    * true label rides along so the output doubles as an accuracy
+    * readout.
+    *
+    * Scale shape: adds to q23's plan only a broadcast-sized label join
+    * and two partial aggs on (query, label) then query — both frames
+    * k-bounded per query. */
+  def q163KnnClassify(s: SparkSession, d: String): DataFrame = {
+    val lab = embeddings(s, d).select(col("vec_id"), col("label"))
+    q23KnnExact(s, d)
+      .join(lab, col("neighbor_id") === col("vec_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(min_by(struct(col("label"), col("votes")),
+        struct(negate(col("votes")), col("label"))).as("w"))
+      .select(col("query_id"), col("w.label").as("pred_label"),
+        col("w.votes").as("votes"))
+      .join(lab.select(col("vec_id"), col("label").as("true_label")),
+        col("query_id") === col("vec_id"))
+      .select(col("query_id"), col("pred_label"), col("votes"),
+        col("true_label"))
+  }
+
+  val q163Sql: String =
+    s"""WITH nb AS ($q23Sql),
+       |v AS (
+       |  SELECT nb.query_id, e.label
+       |  FROM nb JOIN embeddings e ON nb.neighbor_id = e.vec_id),
+       |votes AS (
+       |  SELECT query_id, label, count(*) AS votes
+       |  FROM v GROUP BY 1, 2),
+       |best AS (
+       |  SELECT query_id, label AS pred_label, votes,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY votes DESC, label) AS rn
+       |  FROM votes)
+       |SELECT b.query_id, b.pred_label, b.votes, e.label AS true_label
+       |FROM best b JOIN embeddings e ON b.query_id = e.vec_id
+       |WHERE b.rn = 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
@@ -840,5 +886,6 @@ object Similarity {
     "q131_pq_codes"         -> (q131PqCodes _, q131Sql),
     "q139_adc_search"       -> (q139AdcSearch _, q139Sql),
     "q141_quantile_transform" -> (q141QuantileTransform _, q141Sql),
+    "q163_knn_classify"     -> (q163KnnClassify _, q163Sql),
   )
 }

@@ -570,4 +570,27 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("runs test: clumped vs alternating daily series closed forms") {
+    val day = 86400L * 1000000000L
+    // type a: counts 5,5,1,1,5 vs mean 3.4 -> signs 1,1,0,0,1 -> 3 runs
+    // type b: 5,1,5,1 vs mean 3 -> signs 1,0,1,0 -> 4 runs
+    // exact-mean tie: type c 2,2 -> signs 0,0 -> 1 run, n_above 0
+    def burst(t: String, d: Long, n: Int) =
+      (1 to n).map(i => (d * 1000 + i.toLong + t.hashCode.abs.toLong * 97,
+        d * day + i * 1000L, 7L, t, 0.0, ""))
+    val rows =
+      (Seq(5, 5, 1, 1, 5).zipWithIndex.flatMap { case (n, i) => burst("a", i + 1, n) } ++
+       Seq(5, 1, 5, 1).zipWithIndex.flatMap { case (n, i) => burst("b", i + 1, n) } ++
+       Seq(2, 2).zipWithIndex.flatMap { case (n, i) => burst("c", i + 1, n) })
+    val dir = java.nio.file.Files.createTempDirectory("runsspec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q162RunsTest(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("a") === ((3L, 3L, 2L, 1.0 + 2.0 * 3 * 2 / 5.0)))
+    assert(got("b") === ((4L, 2L, 2L, 1.0 + 2.0 * 2 * 2 / 4.0)))
+    assert(got("c") === ((1L, 0L, 2L, 1.0)))
+  }
 }

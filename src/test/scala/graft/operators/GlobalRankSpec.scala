@@ -180,4 +180,23 @@ class GlobalRankSpec extends SparkSpec {
       assert(got(dcl) === ((1L, i * 10000L, share)), s"decile $dcl")
     }
   }
+
+  test("benford: integer first-digit extraction incl. power-of-ten boundaries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("benfordspec").toString
+    // 10.0000 -> 100000 -> digit 1; 0.9999 -> 9999 -> 9; 0.0001 -> 1 -> 1;
+    // 999.9999 -> 9999999 -> 9; 200.5 -> 2005000 -> 2; <=0 dropped
+    val xs = Seq(10.0, 0.9999, 0.0001, 999.9999, 200.5, 0.0, -3.0)
+    xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, 1L, x, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.q161Benford(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def p6(dg: Int) = BigDecimal(math.log(1.0 + 1.0 / dg) / math.log(10.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Map(1L -> ((2L, p6(1))), 2L -> ((1L, p6(2))),
+      9L -> ((2L, p6(9)))))
+  }
 }

@@ -562,6 +562,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p159.contains("CartesianProduct"), p159.take(2500))
   }
 
+  test("q161 benford / q162 runs: single scan, partial agg onto bounded groups") {
+    for ((name, df, tbl) <- Seq(
+        ("q161", Relational.q161Benford(spark, d), "orders"),
+        ("q162", Analytics.q162RunsTest(spark, d), "events"))) {
+      val plan = planOf(df).split("== Initial Plan ==").head
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$name\n${plan.take(2000)}")
+      val scans = plan.linesIterator
+        .count(l => l.contains("Scan parquet") && l.contains(tbl))
+      assert(scans === 1, s"$name: $tbl scanned $scans times\n${plan.take(2000)}")
+    }
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

@@ -360,4 +360,27 @@ class SimilaritySpec extends SparkSpec {
       assert(rk === dim0(id) + 1L, s"vec $id")
     }
   }
+
+  test("knn classify: modal neighbor label wins, count ties break to smallest label") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("knnclsspec").toString
+    // queries are vec_id < 10. Query 1 sits in a tight label-7 cluster
+    // (10 nearest all label 7); query 2 sits exactly between a label-3
+    // and a label-5 cluster of five each -> 5-5 vote tie -> label 3.
+    val cluster7 = (100L to 109L).map(i =>
+      (i, 7, Array(10f, (i - 100).toFloat * 0.01f)))
+    val cluster3 = (200L to 204L).map(i =>
+      (i, 3, Array(-10f, 10f + (i - 200).toFloat * 0.01f)))
+    val cluster5 = (300L to 304L).map(i =>
+      (i, 5, Array(-10f, -10f - (i - 300).toFloat * 0.01f)))
+    val queries = Seq((1L, 7, Array(10f, 0.05f)), (2L, 9, Array(-10f, 0f)))
+    (cluster7 ++ cluster3 ++ cluster5 ++ queries)
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.q163KnnClassify(spark, dir)
+      .as[(Long, Int, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((7, 10L, 7)))
+    assert(got(2L) === ((3, 5L, 9)))
+  }
 }
