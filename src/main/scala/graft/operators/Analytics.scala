@@ -1545,6 +1545,196 @@ object Analytics {
       |        / CAST(count(*) AS DOUBLE), 6) AS expected_runs6
       |FROM b GROUP BY 1""".stripMargin
 
+  /** AUTOCORRELATION of daily volume per event type at lags 1–3 — does
+    * today's traffic predict tomorrow's? Computed on the DAILY rollup
+    * with integer day indices (datediff from the epoch), pairing day t
+    * with day t+lag by equi-join — no dynamic-offset window, and
+    * missing days are simply absent pairs (the observed-days ACF,
+    * matched exactly by the oracle). All five moments are exact
+    * BIGINTs; Pearson r over the pairs is one identical IEEE
+    * expression (products widened DECIMAL/HUGEINT first), round 6.
+    *
+    * Scale shape: event log partial-aggs to the daily grain once; the
+    * 3-lag fan-out and self-join run on that days-sized frame; the
+    * final fold is |types|×3 rows. */
+  def q165Acf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("di"))
+      .agg(count(lit(1)).as("y"))
+    val lags = Seq(1, 2, 3)
+    val lagged = daily
+      .select(col("event_type"), col("di"), col("y"),
+        explode(array(lags.map(lit(_)): _*)).as("lag"))
+    val pairs = lagged.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.di") === col("a.di") + col("a.lag"))
+      .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+        col("a.y").as("x"), col("b.y").as("yy"))
+    val m = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("yy")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yy") * col("yy")).as("syy"),
+        sum(col("x") * col("yy")).as("sxy"))
+    // zero-variance series (constant daily counts, or a single pair)
+    // have no defined correlation: NULL, not a division error/NaN
+    m.select(col("event_type"), col("lag"), col("n"),
+      when(
+        (col("n").cast(DecimalType(38, 0)) * col("sxx") -
+          col("sx").cast(DecimalType(38, 0)) * col("sx")) > 0 &&
+        (col("n").cast(DecimalType(38, 0)) * col("syy") -
+          col("sy").cast(DecimalType(38, 0)) * col("sy")) > 0,
+        round((col("n").cast(DecimalType(38, 0)) * col("sxy") -
+            col("sx").cast(DecimalType(38, 0)) * col("sy")).cast("double") /
+          sqrt((col("n").cast(DecimalType(38, 0)) * col("sxx") -
+              col("sx").cast(DecimalType(38, 0)) * col("sx")).cast("double") *
+            (col("n").cast(DecimalType(38, 0)) * col("syy") -
+              col("sy").cast(DecimalType(38, 0)) * col("sy")).cast("double")),
+          6)).as("acf6"))
+  }
+
+  val q165Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '1970-01-01' AS di,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |lg AS (SELECT unnest([1, 2, 3]) AS lag),
+      |pairs AS (
+      |  SELECT a.event_type, lg.lag, a.y AS x, b.y AS yy
+      |  FROM daily a CROSS JOIN lg
+      |  JOIN daily b ON b.event_type = a.event_type
+      |             AND b.di = a.di + lg.lag),
+      |m AS (
+      |  SELECT event_type, lag, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yy) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(yy * yy) AS BIGINT) AS syy,
+      |    CAST(sum(x * yy) AS BIGINT) AS sxy
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT event_type, CAST(lag AS INTEGER) AS lag, n,
+      |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx > 0
+      |        AND CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy > 0
+      |  THEN
+      |    round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+      |               AS DOUBLE)
+      |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+      |                  AS DOUBLE)
+      |           * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy
+      |                  AS DOUBLE)), 6)
+      |  END AS acf6
+      |FROM m""".stripMargin
+
+  /** TWO-PROPORTION Z-TEST between user cohorts (the A/B-test
+    * readout): cohort A = even user ids, B = odd (the deterministic
+    * split a hash-bucketed experiment assignment produces); the tested
+    * proportion is the PURCHASE SHARE of each cohort's traffic (in
+    * this synthetic corpus every user converts at least once, so a
+    * converted-user proportion is degenerately 1.0 — and its pooled
+    * z divides by zero; the event-mix rate is the non-trivial test).
+    * Counts are exact integers and the pooled z statistic is one
+    * identical IEEE expression over them, round 6 — the gate pins the
+    * counting pipeline and the formula together.
+    *
+    * Scale shape: partial-agg count onto 2 cohort rows, then a 1-row
+    * fold — the z arithmetic never touches the event log. */
+  def q166AbtestZ(s: SparkSession, d: String): DataFrame = {
+    val m = events(s, d)
+      .groupBy((col("user_id") % 2).as("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("k"))
+    val wide = m.agg(
+      min(when(col("cohort") === 0, col("n"))).as("n_a"),
+      min(when(col("cohort") === 0, col("k"))).as("k_a"),
+      min(when(col("cohort") === 1, col("n"))).as("n_b"),
+      min(when(col("cohort") === 1, col("k"))).as("k_b"))
+    wide.select(col("n_a"), col("k_a"), col("n_b"), col("k_b"),
+      round((col("k_a").cast("double") / col("n_a").cast("double") -
+          col("k_b").cast("double") / col("n_b").cast("double")) /
+        sqrt(((col("k_a") + col("k_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double")) *
+          (lit(1.0) - (col("k_a") + col("k_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double")) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double"))), 6).as("z6"))
+  }
+
+  val q166Sql: String =
+    """WITH m AS (
+      |  SELECT user_id % 2 AS cohort, count(*) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |         AS BIGINT) AS k
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT
+      |    min(CASE WHEN cohort = 0 THEN n END) AS n_a,
+      |    min(CASE WHEN cohort = 0 THEN k END) AS k_a,
+      |    min(CASE WHEN cohort = 1 THEN n END) AS n_b,
+      |    min(CASE WHEN cohort = 1 THEN k END) AS k_b
+      |  FROM m)
+      |SELECT n_a, k_a, n_b, k_b,
+      |  round((CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |         - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |    / sqrt((CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |         * (1.0 - CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+      |         * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
+      |    6) AS z6
+      |FROM w""".stripMargin
+
+  /** RAPID-FIRE PURCHASE SCREEN — the velocity fraud check: two
+    * purchases by the same user within one hour are flagged for the
+    * case queue, each row naming both event ids, both exact 1e-4
+    * amounts (money compares as integers — double equality is how
+    * real dupes get missed) and the exact microsecond gap. (A
+    * same-amount duplicate-charge variant is the same plan with v4 in
+    * the window key; on this synthetic data exact repeat amounts
+    * don't occur, so the gate pins the velocity form.)
+    *
+    * Scale shape: purchase-only rows (predicate reaches the scan),
+    * one shuffle on user_id for the lag window, output is
+    * suspects-sized. */
+  def q167RapidFire(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("value").cast(DecimalType(38, 4)) * 10000).cast("long").as("v4"),
+        col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("prev_v4", lag(col("v4"), 1).over(w))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .filter(col("gap_us").isNotNull && col("gap_us") <= 3600L * 1000000L)
+      .select(col("user_id"), col("prev_id"), col("event_id"),
+        col("prev_v4"), col("v4"), col("gap_us"))
+  }
+
+  val q167Sql: String =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    CAST(CAST(value AS DECIMAL(38,4)) * 10000 AS BIGINT) AS v4,
+      |    CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |lg AS (
+      |  SELECT user_id, v4, event_id, ts,
+      |    lag(ts) OVER w AS prev_ts,
+      |    lag(event_id) OVER w AS prev_id,
+      |    lag(v4) OVER w AS prev_v4
+      |  FROM p
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, prev_id, event_id, prev_v4, v4,
+      |  epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+      |FROM lg
+      |WHERE prev_ts IS NOT NULL
+      |  AND epoch_us(ts) - epoch_us(prev_ts) <= 3600000000""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -1574,5 +1764,8 @@ object Analytics {
     "q150_bitmap_rollup" -> (q150BitmapRollup _, q150Sql),
     "q151_kadane_burst" -> (q151KadaneBurst _, q151Sql),
     "q162_runs_test" -> (q162RunsTest _, q162Sql),
+    "q165_acf" -> (q165Acf _, q165Sql),
+    "q166_abtest_z" -> (q166AbtestZ _, q166Sql),
+    "q167_rapid_fire" -> (q167RapidFire _, q167Sql),
   )
 }

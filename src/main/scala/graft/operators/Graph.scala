@@ -604,6 +604,87 @@ object Graph {
       |SELECT p AS p_partkey, deg, authority2
       |FROM a2 ORDER BY authority2 DESC, p LIMIT 50""".stripMargin
 
+  /** PERSONALIZED PageRank (random walk with restart to a SEED SET —
+    * the recommendation/trust-propagation variant of q81): teleport
+    * mass goes only to seed nodes (every-100th customer, the "VIP"
+    * cohort stand-in), so rank measures proximity to the seeds, not
+    * global importance. Same integer fixed-point discipline as q81 —
+    * BIGINT 1e-12 units, floor divisions, bit-identical across engines
+    * by construction — with the seed-indicator folded into the nodes
+    * frame so the update is one expression. |S| is a one-scalar driver
+    * aggregate exactly like q81's N.
+    *
+    * Scale shape: identical to q81 — checkpointed partitioned+sorted
+    * edges, zero hash exchanges per iteration, node-sized rank frame,
+    * fixed 5 iterations, per-iteration lineage truncation. */
+  def q164Ppr(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs.select(col("src"), col("dst"))
+      .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, Seq("src")).repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node")).distinct()
+      .withColumn("is_seed",
+        when(col("node") % 100 === 0, 1L).otherwise(0L))
+      .localCheckpoint(false)
+    val ns = nodes.filter(col("is_seed") === 1L).count()
+    require(ns > 0, "PPR needs a non-empty seed set")
+    val base = (15L * Scale) / (100L * ns)
+    var r = nodes.select(col("node"),
+      (col("is_seed") * lit(Scale / ns)).as("rank_e12"))
+    for (_ <- 1 to Iters) {
+      val contrib = e.join(r, e("src") === r("node"))
+        .select(col("dst"), expr("rank_e12 div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          (nodes("is_seed") * lit(base) +
+            expr("coalesce(s, 0L) * 85 div 100")).as("rank_e12"))
+        .localCheckpoint(false)
+    }
+    r.select(col("node"), col("rank_e12"))
+  }
+
+  private def pprIterSql(i: Int): String =
+    s"""pk$i AS (
+       |  SELECT e.dst AS node, sum(r.rank_e12 // e.deg) AS s
+       |  FROM ed e JOIN p${i - 1} r ON e.src = r.node
+       |  GROUP BY 1),
+       |p$i AS (
+       |  SELECT n0.node,
+       |    CAST(n0.is_seed * ((15 * $Scale) // (100 * nn.ns)) +
+       |         (COALESCE(pk$i.s, 0) * 85) // 100 AS BIGINT) AS rank_e12
+       |  FROM nodes n0 CROSS JOIN nn
+       |  LEFT JOIN pk$i ON pk$i.node = n0.node)""".stripMargin
+
+  val q164Sql: String =
+    s"""WITH eraw AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |eall AS (
+       |  SELECT src, dst FROM eraw
+       |  UNION ALL SELECT dst, src FROM eraw),
+       |dg AS (SELECT src, count(*) AS deg FROM eall GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, dg.deg FROM eall e JOIN dg USING (src)),
+       |nodes AS (
+       |  SELECT DISTINCT src AS node,
+       |    CASE WHEN src % 100 = 0 THEN 1 ELSE 0 END AS is_seed
+       |  FROM eall),
+       |nn AS (SELECT CAST(sum(is_seed) AS BIGINT) AS ns FROM nodes),
+       |p0 AS (
+       |  SELECT node, CAST(is_seed * ($Scale // nn.ns) AS BIGINT)
+       |      AS rank_e12
+       |  FROM nodes CROSS JOIN nn),
+       |${(1 to Iters).map(pprIterSql).mkString(",\n")}
+       |SELECT node, rank_e12 FROM p$Iters""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q81_pagerank" -> (q81Pagerank _, q81Sql),
     "q105_triangle_count" -> (q105TriangleCount _, q105Sql),
@@ -612,5 +693,6 @@ object Graph {
     "q135_link_predict" -> (q135LinkPredict _, q135Sql),
     "q136_sssp" -> (q136Sssp _, q136Sql),
     "q156_hits" -> (q156Hits _, q156Sql),
+    "q164_ppr" -> (q164Ppr _, q164Sql),
   )
 }

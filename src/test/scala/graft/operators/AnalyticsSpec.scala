@@ -593,4 +593,70 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("b") === ((4L, 2L, 2L, 1.0 + 2.0 * 2 * 2 / 4.0)))
     assert(got("c") === ((1L, 0L, 2L, 1.0)))
   }
+
+  test("acf: closed-form moments on a planted series, missing days absent") {
+    val day = 86400L * 1000000000L
+    // type a days 1,2,3,5 (day 4 missing) counts 1,2,3,1
+    def burst(d: Long, n: Int) =
+      (1 to n).map(i => (d * 100 + i.toLong, d * day + i * 1000L, 7L, "a", 0.0, ""))
+    val rows = burst(1, 1) ++ burst(2, 2) ++ burst(3, 3) ++ burst(5, 1)
+    val dir = java.nio.file.Files.createTempDirectory("acfspec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q165Acf(spark, dir)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    def r6(pairs: Seq[(Long, Long)]): Double = {
+      val n = pairs.size.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      BigDecimal((n * sxy - sx * sy).toDouble /
+        math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // lag1 pairs: (1,2),(2,3) — (3,_) absent (day 4 missing), (5) end
+    assert(got(1) === ((2L, Some(r6(Seq((1L, 2L), (2L, 3L)))))))
+    // lag2 pairs: (1,3),(3,1); lag3 has the single pair (2,1):
+    // zero variance -> undefined -> NULL
+    assert(got(2) === ((2L, Some(r6(Seq((1L, 3L), (3L, 1L)))))))
+    assert(got(3) === ((1L, None)))
+  }
+
+  test("abtest z: pooled two-proportion closed form on planted cohorts") {
+    val hour = 3600L * 1000000000L
+    // even users (u2): 10 events, 4 purchases; odd (u1): 10 events, 1
+    def evs(u: Long, total: Int, buys: Int) =
+      (1 to total).map(i => (u * 1000 + i.toLong, hour * i + u, u,
+        if (i <= buys) "purchase" else "view", 0.0, ""))
+    val rows = evs(2L, 10, 4) ++ evs(1L, 10, 1)
+    val dir = java.nio.file.Files.createTempDirectory("abtestspec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Analytics.q166AbtestZ(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert((r._1, r._2, r._3, r._4) === ((10L, 4L, 10L, 1L)))
+    val p = 5.0 / 20.0
+    val want = BigDecimal((0.4 - 0.1) /
+      math.sqrt(p * (1 - p) * (1.0 / 10 + 1.0 / 10)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._5 === want)
+  }
+
+  test("rapid fire: only within-hour consecutive purchases flagged, amounts exact") {
+    val min = 60L * 1000000000L
+    val rows = Seq(
+      (1L, 0L, 7L, "purchase", 10.5, ""),
+      (2L, 30 * min, 7L, "purchase", 20.25, ""),   // 30 min gap -> flagged
+      (3L, 200 * min, 7L, "purchase", 5.0, ""),    // 170 min -> not
+      (4L, 210 * min, 7L, "view", 1.0, ""),        // non-purchase ignored
+      (5L, 215 * min, 8L, "purchase", 9.0, ""))    // other user, single
+    val dir = java.nio.file.Files.createTempDirectory("rapidspec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q167RapidFire(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List((7L, 1L, 2L, 105000L, 202500L, 30L * 60 * 1000000)))
+  }
 }

@@ -257,4 +257,41 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toList
     assert(got === List((102L, 3L, 11L), (101L, 1L, 4L), (103L, 1L, 4L)))
   }
+
+  test("ppr: JVM fixed-point replica matches; teleport mass stays near seeds") {
+    import spark.implicits._
+    def slowPpr(edges: Seq[(Long, Long)], seeds: Set[Long]): Map[Long, Long] = {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = edges.map(_._1).distinct.sorted
+      val ns = nodes.count(seeds).toLong
+      val base = (15L * Scale) / (100L * ns)
+      var r = nodes.map(v => v -> (if (seeds(v)) Scale / ns else 0L)).toMap
+      for (_ <- 1 to 5) {
+        val in = edges.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+        r = nodes.map(v => v ->
+          ((if (seeds(v)) base else 0L) + in.getOrElse(v, 0L) * 85L / 100L)).toMap
+      }
+      r
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pprspec").toString
+    // custkey 50 -> node 100 is the seed; custkeys 1, 2 -> nodes 2, 4
+    Seq((1L, 50L), (2L, 1L), (3L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.q164Ppr(spark, dir).as[(Long, Long)].collect().toMap
+    val pairs = Seq((100L, 21L), (100L, 23L), (2L, 21L), (4L, 23L))
+    val edges = pairs ++ pairs.map(_.swap)
+    val want = slowPpr(edges, Set(100L))
+    assert(got === want)
+    // proximity: restart mass concentrates on the seed and its direct
+    // neighbors; the distance-2 non-seed customers hold the tail. (The
+    // seed itself need not top the list — hub neighbors that collect
+    // from several nodes can out-rank it.)
+    assert(got(100L) > got(2L) && got(100L) > got(4L))
+    assert(got(100L) + got(21L) + got(23L) > got(2L) + got(4L))
+  }
 }
