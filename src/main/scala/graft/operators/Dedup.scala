@@ -1188,6 +1188,29 @@ object Dedup {
       |  count(*) AS n_islands
       |FROM isl GROUP BY doc_id""".stripMargin
 
+  /** CLUSTER-SIZE HISTOGRAM over the q50 near-dup components — the
+    * dedup HEALTH METRIC a curation run reports before deleting
+    * anything: how many clusters of each size exist (a long tail of
+    * pairs is normal; one giant component usually means a boilerplate
+    * shingle slipped the df-cap and glued the corpus together, and at
+    * 100 TB you want that as a 10-row report, not a post-mortem).
+    *
+    * Scale shape: rides the q50 component output; distinct
+    * (cluster, size) collapses to clusters-sized, then a partial-agg
+    * count onto ≤|distinct sizes| rows. */
+  def q171ClusterHistogram(s: SparkSession, d: String): DataFrame =
+    q50DedupClusters(s, d)
+      .select(col("cluster_rep"), col("cluster_size"))
+      .distinct()
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
+  val q171Sql: String =
+    s"""SELECT cluster_size, count(*) AS n_clusters
+       |FROM (SELECT DISTINCT cluster_rep, cluster_size
+       |      FROM ($q50Sql) t0) t
+       |GROUP BY 1""".stripMargin
+
   /** SIMHASH HAMMING JOIN — the pair-finding step q31's signatures
     * exist for, via the PIGEONHOLE multi-index (Manku–Jain–Sarma,
     * WWW'07): the 60-bit signature splits into 4 bands of 15 bits;
@@ -1254,5 +1277,6 @@ object Dedup {
     "q133_snm_neardup"    -> (q133SnmNeardup _, q133Sql),
     "q134_exact_substr"   -> (q134ExactSubstr _, q134Sql),
     "q158_simhash_join"   -> (q158SimhashJoin _, q158Sql),
+    "q171_cluster_histogram" -> (q171ClusterHistogram _, q171Sql),
   )
 }

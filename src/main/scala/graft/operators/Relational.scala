@@ -1691,6 +1691,151 @@ object Relational {
       |JOIN nation ON n_nationkey = s_nationkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** The SQL ENTRY POINT under the gate: the same Catalyst engine is
+    * reachable through `spark.sql` over registered views, and that
+    * path must produce oracle-identical results to the DataFrame DSL
+    * (they compile to the same plans — this query proves it on a
+    * join + aggregate + window-over-aggregate combination, the shapes
+    * a BI tool generates). Revenue accumulates in DECIMAL (exact),
+    * exported once as double.
+    *
+    * Scale shape: identical to the DSL equivalent — broadcastable
+    * dims, partial agg to nation×priority, a window over that tiny
+    * frame. */
+  def q168SqlEntry(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("v_orders")
+    customer(s, d).createOrReplaceTempView("v_customer")
+    nation(s, d).createOrReplaceTempView("v_nation")
+    s.sql("""
+      SELECT n_name, o_orderpriority, count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+        rank() OVER (PARTITION BY n_name
+                     ORDER BY count(*) DESC, o_orderpriority) AS rnk
+      FROM v_orders
+      JOIN v_customer ON o_custkey = c_custkey
+      JOIN v_nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, o_orderpriority""")
+  }
+
+  val q168Sql: String =
+    """SELECT n_name, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+      |    AS revenue,
+      |  rank() OVER (PARTITION BY n_name
+      |               ORDER BY count(*) DESC, o_orderpriority) AS rnk
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name, o_orderpriority""".stripMargin
+
+  /** THE 80/20 POINT — the inverse of q160's Lorenz curve: the
+    * SMALLEST top-spender prefix covering ≥80% of revenue, reported as
+    * a count, a customer share and the exact covered share. Customers
+    * rank by spend DESCENDING via [[globalRank]] on the negated exact
+    * spend; the cumulative spend over that order is the distributed
+    * prefix scan (range partition on rank, per-partition running sum,
+    * ≤parts-row broadcast offsets — the q138 CDF shape), and the 80%
+    * test is INTEGER: 5·cum ≥ 4·total.
+    *
+    * Scale shape: customer-grain agg, one range exchange, bounded
+    * offsets frame, 1-row output. No single-task sort, no
+    * customer-sized window. */
+  def q169ParetoPoint(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(38, 4))) * 10000)
+        .cast("long").as("y"))
+    val ranked = globalRank(spend, negate(col("y")), col("o_custkey"),
+      parts = 32)
+    val parted = ranked.repartitionByRange(32, col("rnk"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parted.groupBy(col("pid")).agg(sum(col("y")).as("ps"))
+      .withColumn("off",
+        coalesce(sum(col("ps")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val cum = parted
+      .withColumn("local",
+        sum(col("y")).over(Window.partitionBy(col("pid")).orderBy(col("rnk"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(offsets), Seq("pid"))
+      .select(col("rnk"), col("y"), (col("off") + col("local")).as("cum"))
+    val tot = spend.agg(sum(col("y")).as("total"),
+      count(lit(1)).as("n_customers"))
+    cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 5 >= col("total") * 4)
+      .agg(min(col("rnk")).as("n_top"), max(col("n_customers")).as("nc"),
+        min(col("cum")).as("mincum"), max(col("total")).as("tt"))
+      .select(col("n_top"), col("nc").as("n_customers"),
+        round(col("n_top").cast("double") / col("nc").cast("double"), 6)
+          .as("pct_customers6"),
+        round(col("mincum").cast("double") / col("tt").cast("double"), 6)
+          .as("covered_share6"))
+  }
+
+  val q169Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) * 10000 AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT y,
+      |    row_number() OVER (ORDER BY -y, o_custkey) AS rnk,
+      |    sum(y) OVER (ORDER BY -y, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    CAST(sum(y) OVER () AS BIGINT) AS total,
+      |    count(*) OVER () AS n_customers
+      |  FROM spend),
+      |hit AS (
+      |  SELECT rnk, cum, total, n_customers FROM r
+      |  WHERE cum * 5 >= total * 4)
+      |SELECT min(rnk) AS n_top,
+      |  max(n_customers) AS n_customers,
+      |  round(CAST(min(rnk) AS DOUBLE) / CAST(max(n_customers) AS DOUBLE),
+      |        6) AS pct_customers6,
+      |  round(CAST(min(cum) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6)
+      |    AS covered_share6
+      |FROM hit""".stripMargin
+
+  /** ORDER-FILL LATENCY percentiles per priority — the logistics SLA
+    * readout: days from order placement to FIRST shipment, summarized
+    * as exact interpolated p50/p90 per priority class. Latencies are
+    * exact integer days; `percentile` buffers per group, the q32
+    * discipline (priority groups are bounded; the 100 TB swap is
+    * approx_percentile with the q63 rank-error invariant, same plan
+    * shape).
+    *
+    * Scale shape: join on orderkey, partial-agg min to the order
+    * grain, then a bounded-group percentile fold to 5 rows. */
+  def q170FillLatency(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+      .select(col("o_orderpriority"),
+        datediff(col("first_ship"), col("o_orderdate")).as("latency_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("percentile(latency_days, 0.5)").as("p50_days"),
+        expr("percentile(latency_days, 0.9)").as("p90_days"))
+
+  val q170Sql: String =
+    """WITH f AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    datediff('day', CAST(o_orderdate AS TIMESTAMP),
+      |             CAST(min(l_shipdate) AS TIMESTAMP)) AS latency_days
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey, o_orderpriority, o_orderdate)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  quantile_cont(latency_days, 0.5) AS p50_days,
+      |  quantile_cont(latency_days, 0.9) AS p90_days
+      |FROM f GROUP BY 1""".stripMargin
+
   /** BENFORD FIRST-DIGIT AUDIT of order totals — the fraud/synthesis
     * forensic: naturally-grown monetary amounts follow
     * P(d) = log₁₀(1 + 1/d); fabricated or truncated data visibly
@@ -2129,5 +2274,8 @@ object Relational {
     "q159_sales_opportunity" -> (q159SalesOpportunity _, q159Sql),
     "q160_lorenz_deciles"   -> (q160LorenzDeciles _, q160Sql),
     "q161_benford"          -> (q161Benford _, q161Sql),
+    "q168_sql_entry"        -> (q168SqlEntry _, q168Sql),
+    "q169_pareto_point"     -> (q169ParetoPoint _, q169Sql),
+    "q170_fill_latency"     -> (q170FillLatency _, q170Sql),
   )
 }

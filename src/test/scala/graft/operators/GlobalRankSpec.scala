@@ -199,4 +199,36 @@ class GlobalRankSpec extends SparkSpec {
     assert(got === Map(1L -> ((2L, p6(1))), 2L -> ((1L, p6(2))),
       9L -> ((2L, p6(9)))))
   }
+
+  test("pareto point: minimal prefix covering 80%, exact integer boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("paretospec").toString
+    // spends 80, 10, 5, 5 -> top-1 covers exactly 80% (5*cum == 4*total)
+    Seq((1L, 1L, 80.0), (2L, 2L, 10.0), (3L, 3L, 5.0), (4L, 4L, 5.0))
+      .map { case (ok, ck, v) =>
+        (ok, ck, v, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Relational.q169ParetoPoint(spark, dir)
+      .as[(Long, Long, Double, Double)].head()
+    assert(r === ((1L, 4L, 0.25, 0.8)))
+  }
+
+  test("fill latency: exact interpolated percentiles on planted latencies") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fillspec").toString
+    val d0 = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"2020-01-${1 + n}%02d 00:00:00")
+    // priority P: order latencies 2, 4, 10 (first ship = min shipdate)
+    Seq((1L, d0, "P"), (2L, d0, "P"), (3L, d0, "P"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, day(2)), (1L, day(9)), (2L, day(4)), (3L, day(10)))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Relational.q170FillLatency(spark, dir)
+      .as[(String, Long, Double, Double)].head()
+    // p50 of (2,4,10) = 4; p90: pos = 0.9*2 = 1.8 -> 4 + 0.8*(10-4) = 8.8
+    assert(r === (("P", 3L, 4.0, 8.8)))
+  }
 }

@@ -575,6 +575,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q168 SQL entry / q169 pareto / q170 latency: same engine guarantees via SQL, bounded singles") {
+    val p168 = planOf(Relational.q168SqlEntry(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p168.contains("BroadcastHashJoin"), p168.take(2000))
+    assert(p168.contains("partial_count") || p168.contains("partial_sum"),
+      p168.take(2000))
+    val p169 = planOf(Relational.q169ParetoPoint(spark, d))
+      .split("== Initial Plan ==").head
+    // globalRank offsets + prefix-scan offsets + the 1-row folds — all
+    // bounded frames by construction
+    val singles = p169.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 4, s"$singles SinglePartition exchanges\n${p169.take(2500)}")
+    val p170 = planOf(Relational.q170FillLatency(spark, d))
+      .split("== Initial Plan ==").head
+    val scans = p170.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(scans === 1, s"lineitem scanned $scans times\n${p170.take(2000)}")
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
