@@ -123,7 +123,40 @@ object Multimodal {
       |  md5(text) AS digest
       |FROM documents""".stripMargin
 
+  /** The FRAME-SAMPLING pipeline under the gate: every video document
+    * runs through the REAL typed path (asMedia → sampleFrames flatMap)
+    * and the resulting frame stream aggregates to a manifest —
+    * (doc, n_frames, total payload bytes sliced). The oracle recomputes
+    * the fan-out arithmetic in closed form (n = max(1, dur/250ms),
+    * chunk = max(1, len/n), total = min(len, n·chunk)), so any drift in
+    * the slicing/fan-out contract — the part a real decoder swap must
+    * preserve — hash-fails even though the kernel itself is a stub.
+    *
+    * Scale shape: bounded flatMap fan-out (dur/everyMs frames per
+    * record), partial-agg manifest; payloads never leave executors. */
+  def q172FrameManifest(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    sampleFrames(asMedia(Tables.documents(s, d)), everyMs = 250L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("bytes"))).cast("long").as("total_bytes"))
+  }
+
+  val q172Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len,
+      |    1000 + (doc_id % 7) * 500 AS dur
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |c AS (
+      |  SELECT doc_id, len, greatest(1, dur // 250) AS n FROM v),
+      |f AS (
+      |  SELECT doc_id, n, len, greatest(1, len // n) AS chunk FROM c)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+      |  CAST(least(len, n * chunk) AS BIGINT) AS total_bytes
+      |FROM f""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q29_multimodal_meta" -> (q29MultimodalMeta _, q29Sql),
+    "q172_frame_manifest" -> (q172FrameManifest _, q172Sql),
   )
 }
