@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.MisraGries
@@ -312,11 +313,100 @@ object Vocab {
        |WHERE CAST(dot AS HUGEINT) * dot * 25 >=
        |      CAST(na.nsq AS HUGEINT) * nb.nsq * 16""".stripMargin
 
+  /** KEYNESS extraction (Dunning 1993 log-likelihood): the top-10 most
+    * CHARACTERISTIC words of each source vs the rest of the corpus —
+    * the corpus-linguistics "what makes this slice different" operator
+    * (domain tagging, contamination triage, drift reading). RANKING is
+    * integer-exact: lift_ppm = floor(o_in·n_rest·10⁶ / max(1,
+    * o_rest·n_in)) — the relative-risk cross product, HUGEINT-widened,
+    * never a float ratio whose last ulp could reorder the cut; words
+    * unique to a source rank maximal by construction. The G² statistic
+    * itself is float and rides along per selected row (one identical
+    * IEEE expression, round 6, with the O·ln(O/E) term zeroed exactly
+    * when O = 0 rather than evaluated as 0·ln 0).
+    *
+    * Scale shape: the corpus tokenizes ONCE into the (source, word)
+    * count grain, which is checkpointed (vocab×sources-sized — the q77
+    * set-table discipline) because THREE aggregates derive from it:
+    * per-source totals, per-word totals, and the 1-row corpus total —
+    * without the checkpoint each consumer would re-scan and
+    * re-tokenize the corpus (PlanAuditSpec counts the scans). The
+    * top-10 window runs on that grain under WindowGroupLimit — never
+    * on token rows. */
+  def q173Keyness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cnt = documents(s, d)
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("o_in"))
+      .localCheckpoint(false)
+    val nIn = cnt.groupBy(col("source")).agg(sum(col("o_in")).as("n_in"))
+    val oTot = cnt.groupBy(col("w")).agg(sum(col("o_in")).as("o_tot"))
+    val nAll = nIn.agg(sum(col("n_in")).as("n_all"))
+    val j = cnt.join(nIn, Seq("source")).join(oTot, Seq("w"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("o_rest", col("o_tot") - col("o_in"))
+      .withColumn("n_rest", col("n_all") - col("n_in"))
+      .withColumn("lift_ppm", expr(
+        "cast((cast(o_in as decimal(38,0)) * n_rest * 1000000) div " +
+          "greatest(1L, o_rest * n_in) as long)"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift_ppm").desc, col("w"))
+    j.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("source"), col("w").as("word"), col("o_in"),
+        col("o_rest"), col("lift_ppm"),
+        round(lit(2.0) * (
+          col("o_in") * log(col("o_in").cast("double") /
+            (col("n_in").cast("double") * col("o_tot") / col("n_all"))) +
+          when(col("o_rest") === 0, lit(0.0)).otherwise(
+            col("o_rest") * log(col("o_rest").cast("double") /
+              (col("n_rest").cast("double") * col("o_tot") / col("n_all"))))),
+          6).as("g2_6"))
+  }
+
+  val q173Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT source, w, count(*) AS o_in FROM toks GROUP BY 1, 2),
+      |ni AS (SELECT source, count(*) AS n_in FROM toks GROUP BY 1),
+      |ot AS (SELECT w, CAST(sum(o_in) AS BIGINT) AS o_tot
+      |       FROM cnt GROUP BY 1),
+      |na AS (SELECT count(*) AS n_all FROM toks),
+      |j AS (
+      |  SELECT cnt.source, cnt.w, o_in, n_in, o_tot, n_all,
+      |    o_tot - o_in AS o_rest, n_all - n_in AS n_rest
+      |  FROM cnt JOIN ni USING (source) JOIN ot USING (w) CROSS JOIN na),
+      |l AS (
+      |  SELECT *, CAST((CAST(o_in AS HUGEINT) * n_rest * 1000000)
+      |    // greatest(1, CAST(o_rest AS HUGEINT) * n_in) AS BIGINT)
+      |      AS lift_ppm
+      |  FROM j),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY lift_ppm DESC, w) AS rnk
+      |  FROM l)
+      |SELECT source, w AS word, o_in, CAST(o_rest AS BIGINT) AS o_rest,
+      |  lift_ppm,
+      |  round(2.0 * (
+      |    o_in * ln(CAST(o_in AS DOUBLE)
+      |              / (CAST(n_in AS DOUBLE) * o_tot / n_all))
+      |    + CASE WHEN o_rest = 0 THEN 0.0
+      |           ELSE o_rest * ln(CAST(o_rest AS DOUBLE)
+      |                / (CAST(n_rest AS DOUBLE) * o_tot / n_all)) END),
+      |    6) AS g2_6
+      |FROM r WHERE rnk <= 10""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q68_heavy_hitters" -> (q68HeavyHitters _, q68Sql),
     "q69_lm_score"      -> (q69LmScore _, q69Sql),
     "q78_bpe_pairs"     -> (q78BpePairs _, q78Sql),
     "q89_bm25"          -> (q89Bm25 _, q89Sql),
     "q106_tf_cosine_pairs" -> (q106TfCosinePairs _, q106Sql),
+    "q173_keyness"      -> (q173Keyness _, q173Sql),
   )
 }

@@ -594,6 +594,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 1, s"lineitem scanned $scans times\n${p170.take(2000)}")
   }
 
+  test("q173 keyness: token scan once, WindowGroupLimit bounds the per-source rank") {
+    val plan = planOf(Vocab.q173Keyness(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // 0 visible scans = the tokenize ran ONCE into the checkpointed
+    // (source, word) grain all three aggregates read; >1 means a
+    // consumer re-tokenized the corpus
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 1, s"documents scanned $scans times\n${plan.take(2000)}")
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

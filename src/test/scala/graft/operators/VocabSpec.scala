@@ -137,4 +137,28 @@ class VocabSpec extends SparkSpec {
     assert(out === Seq((1L, d1, 2L), (2L, d2, 1L)))
     assert(d1 > d2)
   }
+
+  test("keyness: unique word maximal, shared word low; closed-form lift and G2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("keynessspec").toString
+    // source A: "x x x shared"; source B: "y shared shared shared"
+    Seq((1L, "x x x shared", "en", "A", 1L),
+        (2L, "y shared shared shared", "en", "B", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Vocab.q173Keyness(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // A: x o_in=3 o_rest=0 -> lift = 3*4*1e6 / 1 = 12e6 (unique-max)
+    val (xo, xr, xl, xg) = got(("A", "x"))
+    assert((xo, xr, xl) === ((3L, 0L, 12000000L)))
+    // closed-form G2 for x: e_in = 4*3/8 = 1.5; term = 3*ln(3/1.5); rest 0
+    val wantXg = BigDecimal(2.0 * 3 * math.log(3 / 1.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(xg === wantXg)
+    // A: shared o_in=1 o_rest=3 -> lift = 1*4*1e6 / (3*4) = 333333
+    assert(got(("A", "shared"))._3 === 333333L)
+    // per-source rank cut: at most 10 words each (2 words per source here)
+    assert(got.keySet.map(_._1) === Set("A", "B"))
+  }
 }
