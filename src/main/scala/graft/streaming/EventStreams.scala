@@ -36,6 +36,31 @@ object EventStreams {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"), col("approx_users"))
 
+  /** Streaming WINDOWED HLL — per-hour distinct-user sketch STATE
+    * (q140's md5-defined registers, windowed): each closed hour emits
+    * its 256-register sketch, so downstream rollups (day = element-wise
+    * max over 24 sketches) union state instead of re-reading users —
+    * the streaming answer to "distinct users per hour AND per day"
+    * with ≤256 rows of state per open window. Unlike approx_count_
+    * distinct's opaque HLL++ buffer, the emitted state is engine-
+    * portable and mergeable by construction. Identical code runs in
+    * batch; StreamingSpec diffs the two.
+    *
+    * Input contract: (ts timestamp, user_id). */
+  def hourlyHll(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), md5(col("user_id").cast("string")).as("hx"))
+      .select(col("ts"),
+        conv(substring(col("hx"), 1, 2), 16, 10).cast("long").as("reg"),
+        conv(substring(col("hx"), 3, 10), 16, 10).cast("long").as("w0"))
+      .select(col("ts"), col("reg"),
+        when(col("w0") === 0, lit(41L))
+          .otherwise(lit(41L) - length(bin(col("w0")))).as("rank"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("reg"))
+      .agg(max(col("rank")).cast("long").as("max_rank"))
+      .select(col("w.start").as("hour"), col("reg"), col("max_rank"))
+
   /** Streaming form of the q119 OHLC bars: tumbling 1-hour windows, the
     * same min_by/max_by-on-(ts, event_id) formulation — per-bar state is
     * O(1) (six running values), never a buffer of events, and bars emit

@@ -135,6 +135,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed streaming HLL: closed hours emit batch-identical register state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = EventStreams.hourlyHll(df)
+      .writeStream.format("memory").queryName("whll_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 0: users 1..50 (dups included); hour 1: 40..80
+      val rows = (1L to 50L).map(u => (ts(u % 40), u)) ++
+        (40L to 80L).map(u => (ts(61 + u % 30), u))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((ts(600), 999L)) // advance watermark; its window stays open
+      q.processAllAvailable()
+      val streamed = spark.table("whll_out")
+        .as[(Timestamp, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val batch = EventStreams.hourlyHll(rows.toDF("ts", "user_id"))
+        .as[(Timestamp, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed === batch)
+      // every closed wall-clock hour present (the 16:40 anchor straddles
+      // a boundary, so the fixture spans 3 windows), registers bounded
+      assert(streamed.keySet.map(_._1).size === 3)
+      assert(streamed.groupBy(_._1._1).forall(_._2.size <= 256))
+    } finally q.stop()
+  }
+
   test("streaming CMS: Complete-mode counter state equals the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
