@@ -215,7 +215,17 @@ object DumpPlans {
           "the column"),
       ("q158_simhash_join", Dedup.q158SimhashJoin(spark, d),
         "pigeonhole 4-band bucket join over checkpointed signatures; " +
-          "DISTINCT collapses multi-band hits; exact bit_count verify"))
+          "DISTINCT collapses multi-band hits; exact bit_count verify"),
+      ("q164_ppr", Graph.q164Ppr(spark, d),
+        "seed-teleport power iteration on the q81 schedule: " +
+          "checkpointed partitioned+sorted edges, zero hash exchanges " +
+          "per iteration"),
+      ("q169_pareto_point", Relational.q169ParetoPoint(spark, d),
+        "globalRank desc + distributed prefix scan; integer 5*cum >= " +
+          "4*total boundary; 1-row output"),
+      ("q173_keyness", Vocab.q173Keyness(spark, d),
+        "one tokenize into a checkpointed (source, word) grain feeding " +
+          "three totals; WindowGroupLimit bounds the per-source rank"))
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")
