@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a production training-data pipeline runs
@@ -435,6 +436,61 @@ object Curation {
       |SELECT doc_id, n_chars, round(key, 8) AS key8
       |FROM k ORDER BY key DESC, doc_id LIMIT 50""".stripMargin
 
+  /** Deterministic NEGATIVE SAMPLING for contrastive training: every
+    * document draws 2 negatives from OTHER sources — the standard
+    * in-batch-negatives alternative when batches can't guarantee
+    * source diversity. Two-stage to stay off the anchors×corpus
+    * product: (1) a bounded candidate POOL — the 4 md5-smallest docs
+    * per source (≤ 4·|sources| rows, broadcast); (2) each anchor ranks
+    * the pool's other-source members by md5(anchor:candidate) — a
+    * per-anchor pseudo-random but REPRODUCIBLE order (the q43/q148
+    * hash-not-rand doctrine: retries, engines and cluster sizes all
+    * draw the same negatives) — and keeps the 2 smallest. Real
+    * pipelines scale the pool, not the mechanism.
+    *
+    * Scale shape: pool = per-source WindowGroupLimit over a
+    * sources-bounded grain, broadcast everywhere; the anchor fan-out
+    * is ≤|pool| per doc (constant), cut back to 2 by another
+    * WindowGroupLimit. No corpus×corpus anything. */
+  def q174NegativeSample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val wp = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val pool = docs
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= 4)
+      .select(col("doc_id").as("neg_doc_id"), col("source").as("neg_source"))
+    val wa = Window.partitionBy(col("doc_id"))
+      .orderBy(col("nh"), col("neg_doc_id"))
+    docs.join(broadcast(pool), col("source") =!= col("neg_source"))
+      .withColumn("nh", md5(concat_ws(":", col("doc_id").cast("string"),
+        col("neg_doc_id").cast("string"))))
+      .withColumn("neg_rank", row_number().over(wa))
+      .filter(col("neg_rank") <= 2)
+      .select(col("doc_id"), col("neg_rank"), col("neg_doc_id"),
+        col("neg_source"))
+  }
+
+  val q174Sql: String =
+    """WITH pool AS (
+      |  SELECT doc_id AS neg_doc_id, source AS neg_source
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pr
+      |    FROM documents)
+      |  WHERE pr <= 4),
+      |fan AS (
+      |  SELECT d.doc_id, p.neg_doc_id, p.neg_source,
+      |    row_number() OVER (PARTITION BY d.doc_id
+      |      ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':'
+      |                   || CAST(p.neg_doc_id AS VARCHAR)),
+      |               p.neg_doc_id) AS neg_rank
+      |  FROM documents d JOIN pool p ON d.source <> p.neg_source)
+      |SELECT doc_id, neg_rank, neg_doc_id, neg_source
+      |FROM fan WHERE neg_rank <= 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -446,5 +502,6 @@ object Curation {
     "q92_winsorize"     -> (q92Winsorize _, q92Sql),
     "q100_corpus_report" -> (q100CorpusReport _, q100Sql),
     "q148_weighted_sample" -> (q148WeightedSample _, q148Sql),
+    "q174_negative_sample" -> (q174NegativeSample _, q174Sql),
   )
 }

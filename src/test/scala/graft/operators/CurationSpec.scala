@@ -299,4 +299,27 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(got.toSeq === again.toSeq)
   }
+
+  test("negative sample: two negatives per anchor, never same-source, deterministic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("negspec").toString
+    val docs = (1L to 30L).map(i => (i, "t", "en", s"src${i % 3}", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q174NegativeSample(spark, dir)
+      .as[(Long, Int, Long, String)].collect()
+    // exactly 2 negatives per anchor
+    assert(got.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq === Seq(1, 2)))
+    assert(got.length === 60)
+    // a negative never shares the anchor's source
+    val srcOf = docs.map(d => d._1 -> d._4).toMap
+    got.foreach { case (a, _, n, ns) =>
+      assert(srcOf(n) === ns && srcOf(a) != ns, s"anchor $a neg $n") }
+    // reproducible: second run identical (hash-derived, no rand())
+    val again = Curation.q174NegativeSample(spark, dir)
+      .as[(Long, Int, Long, String)].collect()
+    assert(got.toSet === again.toSet)
+    // negatives come only from the bounded pool (4 per source)
+    assert(got.map(_._3).distinct.length <= 12)
+  }
 }
