@@ -238,6 +238,29 @@ object DumpPlans {
       sb.append(buf.toString.take(6000))
       sb.append("\n```\n")
     }
+    // FULL COVERAGE (round-10 verdict task): every registered query not
+    // curated above gets its physical tree dumped in compact form, so
+    // no registered plan is unauditable — a plan regression in ANY
+    // query is visible in this file's diff, not just a bench spike.
+    // Compact mode (tree only) keeps the file reviewable; the per-node
+    // detail (PushedFilters/ReadSchema) for load-bearing operators
+    // lives in the curated entries and in PlanAuditSpec assertions.
+    val curated = picks.map(_._1).toSet
+    sb.append("\n# Appendix — compact physical trees of every other registered query\n")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => curated(n) }
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, d)
+          val buf = new ByteArrayOutputStream()
+          Console.withOut(new PrintStream(buf)) { df.explain("simple") }
+          sb.append(s"\n## $name\n\n```\n")
+          sb.append(buf.toString.take(4000))
+          sb.append("\n```\n")
+        } catch { case e: Throwable =>
+          sb.append(s"\n## $name\n\n_plan build failed: ${e.getMessage}_\n")
+        }
+      }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("PLANS WRITTEN")
     spark.stop()

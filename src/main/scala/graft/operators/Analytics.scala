@@ -769,7 +769,13 @@ object Analytics {
         min(col("value")).as("low"),
         max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
         count(lit(1)).as("volume"),
-        sum(col("value").cast("decimal(38,10)")).as("turnover"))
+        // Sum in DECIMAL(38,10) (exact at 100 TB row counts), but emit
+        // DOUBLE: the gate's hasher only normalizes {int64, double,
+        // string, date, timestamp} identically across engines — 128-bit
+        // decimals render differently from DuckDB's DECIMAL and
+        // hash-mismatch though cell-equal (round-9 verdict).
+        sum(col("value").cast("decimal(38,10)")).cast("double")
+          .as("turnover"))
 
   def q119OhlcBars(s: SparkSession, d: String): DataFrame =
     ohlcBars(events(s, d))
@@ -792,7 +798,7 @@ object Analytics {
       |  max(value) AS high, min(value) AS low,
       |  max(CASE WHEN rn_c = 1 THEN value END) AS close,
       |  count(*) AS volume,
-      |  sum(CAST(value AS DECIMAL(38,10))) AS turnover
+      |  CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS turnover
       |FROM w GROUP BY 1, 2""".stripMargin
 
   /** Cumulative distinct users by day ("growth curve"). Running
@@ -823,9 +829,14 @@ object Analytics {
       |  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
       |  FROM events GROUP BY 1),
       |pd AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+      |-- CAST: DuckDB widens window sum(BIGINT) to HUGEINT (int128),
+      |-- which the gate's hasher normalizes differently from Spark's
+      |-- int64 though values are equal; BIGINT is exact here (bounded
+      |-- by total user count).
       |SELECT day, new_users,
-      |  sum(new_users) OVER (ORDER BY day
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+      |  CAST(sum(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
       |FROM pd""".stripMargin
 
   /** χ² contingency of event_type × customer market segment — "does
@@ -1035,7 +1046,13 @@ object Analytics {
     cum.join(broadcast(m), col("diff") === col("ks_num"))
       .groupBy(col("ks_num"), col("n1"), col("n2"))
       .agg(min(col("value")).as("at_value"))
-      .select(col("ks_num"), col("at_value"), col("n1"), col("n2"))
+      // The max-diff comparison above stays DECIMAL(38,0) (exact at
+      // 100 TB where c·n overflows BIGINT); only the OUTPUT is cast to
+      // BIGINT — exact at every gated SF and inside the hasher-safe
+      // dtype set ({int64, double, string, date, timestamp}); 128-bit
+      // decimals hash-mismatch vs DuckDB HUGEINT though cell-equal.
+      .select(col("ks_num").cast("long").as("ks_num"),
+        col("at_value"), col("n1"), col("n2"))
   }
 
   val q138Sql: String =
@@ -1060,7 +1077,8 @@ object Analytics {
       |    n1, n2
       |  FROM c CROSS JOIN n),
       |m AS (SELECT max(diff) AS ks_num FROM dd)
-      |SELECT m.ks_num, min(dd.value) AS at_value,
+      |SELECT CAST(m.ks_num AS BIGINT) AS ks_num,
+      |  min(dd.value) AS at_value,
       |  min(dd.n1) AS n1, min(dd.n2) AS n2
       |FROM dd JOIN m ON dd.diff = m.ks_num
       |GROUP BY m.ks_num""".stripMargin
@@ -1254,11 +1272,12 @@ object Analytics {
     * form of regression (no iteration, no solver): slope =
     * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). Months are re-centered per
     * nation (x − min x) so every moment fits BIGINT; revenue is exact
-    * 1e-4-dollar integer units (the q96/q143 DECIMAL discipline); the
-    * two intercept cross-products Σy·Σx² and Σx·Σxy can graze 2^63 so
-    * they widen to DECIMAL(38,0)/HUGEINT — the q106 gate trick. Only
-    * the final divisions are double, an identical IEEE expression tree
-    * on both engines, then round 6.
+    * 1e-4-dollar integer units (the q96/q143 DECIMAL discipline); ALL
+    * four cross-products — intercept's Σy·Σx² and Σx·Σxy, slope's
+    * n·Σxy and Σx·Σy — can graze 2^63 (around SF 30 for the slope
+    * pair) so they widen to DECIMAL(38,0)/HUGEINT — the q106 gate
+    * trick. Only the final divisions are double, an identical IEEE
+    * expression tree on both engines, then round 6.
     *
     * Scale shape: star join (two broadcastable dims), partial-agg down
     * to nation×month, a window over that TINY frame for the re-center,
@@ -1284,7 +1303,12 @@ object Analytics {
         sum(col("yc")).as("sy"),
         sum(col("x0") * col("yc")).as("sxy"))
     m.select(col("n_name"), col("n_months"),
-      round((col("n_months") * col("sxy") - col("sx") * col("sy"))
+      // slope cross-products n·Σxy and Σx·Σy widen to DECIMAL(38,0)
+      // like the intercept's: with Σxy ~ 1e18 units they graze 2^63
+      // around SF 30 and BIGINT arithmetic would abort (ANSI overflow)
+      // instead of scaling. Denominator terms are months-sized — safe.
+      round((col("n_months").cast(DecimalType(38, 0)) * col("sxy") -
+          col("sx").cast(DecimalType(38, 0)) * col("sy"))
           .cast("double") /
         (col("n_months") * col("sxx") - col("sx") * col("sx"))
           .cast("double") / 10000.0, 6).as("slope6"),
@@ -1315,7 +1339,8 @@ object Analytics {
       |    CAST(sum(x0 * yc) AS BIGINT) AS sxy
       |  FROM c GROUP BY 1)
       |SELECT n_name, n_months,
-      |  round(CAST(n_months * sxy - sx * sy AS DOUBLE)
+      |  round(CAST(CAST(n_months AS HUGEINT) * sxy
+      |             - CAST(sx AS HUGEINT) * sy AS DOUBLE)
       |        / CAST(n_months * sxx - sx * sx AS DOUBLE) / 10000.0, 6)
       |    AS slope6,
       |  round(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy
@@ -1387,8 +1412,9 @@ object Analytics {
       |FROM tri WHERE s2 = sid AND s3 = sid
       |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 25""".stripMargin
 
-  /** Weekly distinct users via BITMAP ROLLUP: user ids pack into 64-bit
-    * words (word = id div 64, bit = id mod 64), a bit_or aggregate
+  /** Weekly distinct users via BITMAP ROLLUP: user ids pack into
+    * 63-bit words (word = id div 63, bit = id mod 63 — see the
+    * sign-bit rationale below), a bit_or aggregate
     * builds each week's per-word bitmap, and bit_count sums the exact
     * distinct total — the bitmap-index technique OLAP engines use so a
     * distinct "count" is an OR of fixed-size words instead of a
@@ -1404,7 +1430,10 @@ object Analytics {
     * Words hold 63 bits, not 64: shifting into the sign bit is
     * signed-BIGINT overflow in DuckDB (a hard error) and
     * engine-defined in general, so the portable packing stays inside
-    * the non-negative range. */
+    * the non-negative range. CONTRACT: ids must be NON-NEGATIVE — a
+    * negative id would hit sign-preserving `%` (a negative bit index)
+    * and a negative-shift; callers with signed key spaces must offset
+    * or hash into [0, 2^62) first. */
   def q150BitmapRollup(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(date_trunc("week", col("ts")).cast("date").as("week"),

@@ -1702,19 +1702,30 @@ object Relational {
     * Scale shape: identical to the DSL equivalent — broadcastable
     * dims, partial agg to nation×priority, a window over that tiny
     * frame. */
+  private val sqlEntrySeq = new java.util.concurrent.atomic.AtomicLong()
+
   def q168SqlEntry(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("v_orders")
-    customer(s, d).createOrReplaceTempView("v_customer")
-    nation(s, d).createOrReplaceTempView("v_nation")
-    s.sql("""
+    // Per-call unique view names, dropped once the plan is built:
+    // fixed names would mutate session-global state — two interleaved
+    // calls with different data dirs would silently rebind each
+    // other's views (s.sql analyzes eagerly, so dropping after the
+    // DataFrame exists is safe; the plan holds the resolved relations,
+    // not the names).
+    val id = sqlEntrySeq.incrementAndGet()
+    val (vo, vc, vn) = (s"v_orders_$id", s"v_customer_$id", s"v_nation_$id")
+    orders(s, d).createOrReplaceTempView(vo)
+    customer(s, d).createOrReplaceTempView(vc)
+    nation(s, d).createOrReplaceTempView(vn)
+    try s.sql(s"""
       SELECT n_name, o_orderpriority, count(*) AS n_orders,
         CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
         rank() OVER (PARTITION BY n_name
                      ORDER BY count(*) DESC, o_orderpriority) AS rnk
-      FROM v_orders
-      JOIN v_customer ON o_custkey = c_custkey
-      JOIN v_nation ON c_nationkey = n_nationkey
+      FROM $vo
+      JOIN $vc ON o_custkey = c_custkey
+      JOIN $vn ON c_nationkey = n_nationkey
       GROUP BY n_name, o_orderpriority""")
+    finally Seq(vo, vc, vn).foreach(s.catalog.dropTempView)
   }
 
   val q168Sql: String =

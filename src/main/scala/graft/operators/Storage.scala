@@ -341,11 +341,22 @@ object Storage {
     * times.) Gated on three tables, so the engines must agree on every
     * byte of the canonical rendering.
     *
+    * The rendering is NULL- and delimiter-safe: every field becomes
+    * 'N' when NULL, else 'V' + charlength + ':' + value — so a NULL
+    * never collapses the row (Spark's concat_ws silently drops NULLs
+    * while SQL's || nullifies the whole row, silently DIVERGING the
+    * digests), and a literal '|' inside a string can't alias a field
+    * boundary because lengths disambiguate. This is a reconciliation
+    * primitive; ambiguity = silent false-positive match.
+    *
     * Scale shape: per-row expressions then a partial-agg fold to one
     * row per table — the shuffle carries one row per map task. */
   def q155TableDigest(s: SparkSession, d: String): DataFrame = {
+    def f(c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("N"))
+        .otherwise(concat(lit("V"), length(c).cast("string"), lit(":"), c))
     def dig(df: DataFrame, name: String, cols: Seq[org.apache.spark.sql.Column]) =
-      df.select(conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10)
+      df.select(conv(substring(md5(concat_ws("|", cols.map(f): _*)), 1, 15), 16, 10)
           .cast("long").as("h"))
         .agg(lit(name).as("tbl"), count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("digest"))
@@ -361,29 +372,40 @@ object Storage {
         col("event_type"), unix_micros(col("ts")).cast("string"))))
   }
 
-  val q155Sql: String =
-    """SELECT 'orders' AS tbl, count(*) AS n_rows,
-      |  CAST(bit_xor(CAST('0x' || substr(md5(
-      |    CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
-      |    || '|' || o_orderstatus || '|' || o_orderpriority || '|'
-      |    || CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR)),
-      |    1, 15) AS BIGINT)) AS BIGINT) AS digest
-      |FROM orders
-      |UNION ALL
-      |SELECT 'customer', count(*),
-      |  CAST(bit_xor(CAST('0x' || substr(md5(
-      |    CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
-      |    || CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment),
-      |    1, 15) AS BIGINT)) AS BIGINT)
-      |FROM customer
-      |UNION ALL
-      |SELECT 'events', count(*),
-      |  CAST(bit_xor(CAST('0x' || substr(md5(
-      |    CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
-      |    || '|' || event_type || '|'
-      |    || CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR)),
-      |    1, 15) AS BIGINT)) AS BIGINT)
-      |FROM events""".stripMargin
+  /** DuckDB mirror of the q155 canonical field rendering: NULL -> 'N',
+    * else 'V' + charlength + ':' + value (see [[q155TableDigest]]). */
+  private def fld155(e: String): String =
+    s"CASE WHEN $e IS NULL THEN 'N' ELSE 'V' || length($e) || ':' || $e END"
+
+  private def row155(es: Seq[String]): String =
+    es.map(fld155).mkString(" || '|' || ")
+
+  private def dig155(tbl: String, es: Seq[String], tail: Boolean): String = {
+    val head =
+      if (tail) s"SELECT '$tbl', count(*),"
+      else s"SELECT '$tbl' AS tbl, count(*) AS n_rows,"
+    val as = if (tail) "" else " AS digest"
+    s"""$head
+       |  CAST(bit_xor(CAST('0x' || substr(md5(
+       |    ${row155(es)}),
+       |    1, 15) AS BIGINT)) AS BIGINT)$as
+       |FROM $tbl""".stripMargin
+  }
+
+  val q155Sql: String = Seq(
+    dig155("orders", Seq(
+      "CAST(o_orderkey AS VARCHAR)", "CAST(o_custkey AS VARCHAR)",
+      "o_orderstatus", "o_orderpriority",
+      "CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR)"),
+      tail = false),
+    dig155("customer", Seq(
+      "CAST(c_custkey AS VARCHAR)", "c_name",
+      "CAST(c_nationkey AS VARCHAR)", "c_mktsegment"), tail = true),
+    dig155("events", Seq(
+      "CAST(event_id AS VARCHAR)", "CAST(user_id AS VARCHAR)",
+      "event_type", "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR)"),
+      tail = true),
+  ).mkString("\nUNION ALL\n")
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),

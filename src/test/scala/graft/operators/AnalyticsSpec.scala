@@ -332,7 +332,7 @@ class AnalyticsSpec extends SparkSpec {
       "none"  -> ((2L, 2L)))) // user 2 pre-state + user 3 stateless
   }
 
-  test("ohlcBars: OHLC picks, hour buckets, (ts, event_id) tie-break, decimal turnover") {
+  test("ohlcBars: OHLC picks, hour buckets, (ts, event_id) tie-break, turnover exact") {
     val hr = 3600000L // one hour of millis
     val ev = Seq(
       // type a, hour 0: ts order 1,2,3 → open=5.0, close=7.0
@@ -347,7 +347,7 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.ohlcBars(df).collect().map { r =>
         ((r.getString(0), r.getLong(1)),
           (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
-            r.getLong(6), r.getDecimal(7).doubleValue))
+            r.getLong(6), r.getDouble(7)))
       }.toMap
     val got = run(ev)
     assert(got === Map(
@@ -465,7 +465,7 @@ class AnalyticsSpec extends SparkSpec {
     def ks(a: Seq[Double], b: Seq[Double], parts: Int = 3) = {
       val rows = (a.map(_ -> true) ++ b.map(_ -> false)).toDF("value", "isa")
       val r = Analytics.ksTest2(rows, parts).collect()(0)
-      (r.getDecimal(0).longValueExact(), r.getDouble(1), r.getLong(2), r.getLong(3))
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))
     }
     // A={1,2,3}, B={2,4}: max |c1*n2 - c2*n1| = 3 at value 3 (D = 0.5)
     assert(ks(Seq(1, 2, 3), Seq(2, 4)) === ((3L, 3.0, 3L, 2L)))

@@ -607,6 +607,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans <= 1, s"documents scanned $scans times\n${plan.take(2000)}")
   }
 
+  test("q167 rapid-fire: purchase filter reaches the scan; one user_id window exchange") {
+    val plan = planOf(Analytics.q167RapidFire(spark, d))
+      .split("== Initial Plan ==").head
+    // velocity screens scan the WHOLE event stream at 100 TB — the
+    // event_type predicate must prune at the parquet reader, not after
+    assert(plan.contains("PushedFilters") && plan.contains("purchase"),
+      plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // all three lags + the gap stack over ONE hashpartitioning(user_id)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"$exchanges hash exchanges\n${plan.take(2500)}")
+  }
+
+  test("q172 frame manifest: bounded typed fan-out, partial-agg manifest, payloads stay columnar") {
+    val plan = planOf(Multimodal.q172FrameManifest(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans === 1, s"documents scanned $scans times\n${plan.take(2000)}")
+  }
+
+  test("q174 negative sampling: bounded pool broadcasts; WindowGroupLimit caps both ranks") {
+    val plan = planOf(Curation.q174NegativeSample(spark, d))
+      .split("== Initial Plan ==").head
+    // the source<>source condition is non-equi, so the JOIN ALGORITHM
+    // must be nested-loop against the BROADCAST bounded pool (≤
+    // 4·|sources| rows) — a shuffled NLJ or cartesian here would be
+    // anchors × corpus
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // rank<=k filters over row_number must plan as bounded-heap
+    // WindowGroupLimit (partial+final), never a full per-key sort+filter
+    assert(plan.contains("WindowGroupLimit"), plan.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
