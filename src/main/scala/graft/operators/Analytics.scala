@@ -1764,6 +1764,137 @@ object Analytics {
       |WHERE prev_ts IS NOT NULL
       |  AND epoch_us(ts) - epoch_us(prev_ts) <= 3600000000""".stripMargin
 
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) between the click and view
+    * value distributions — the nonparametric location test an A/B
+    * readout runs when values are skewed (q166's z-test assumes
+    * normal-ish means; this one ranks). Emits U for both groups ×2
+    * (doubled so tie-averaged ranks stay INTEGRAL: a tie group of t
+    * rows at min-rank m has 2·avgrank = 2m + t − 1) plus the Cliff's
+    * delta numerator `u1_x2 − n1·n2` (scaled effect size, also exact).
+    *
+    * U1 = Σ_v a(v)·[ b_less(v) + b(v)/2 ] over distinct values v, where
+    * a/b are the per-value group counts and b_less the count of group-B
+    * values strictly below v — so the whole statistic needs ONE
+    * prefix sum over the distinct-value order. That prefix is the
+    * q138/q97 two-pass distributed scan (range partition → local
+    * running sum → broadcast per-partition offsets), never an Exchange
+    * SinglePartition over the data. Arithmetic runs in DECIMAL(38,0)
+    * (n1·n2 overflows BIGINT near n≈3e9 — reachable at 100 TB) and only
+    * the OUTPUT casts to BIGINT — exact at every gated SF, inside the
+    * driver hasher's safe dtype set (the q138 convention). */
+  def q178MannWhitney(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("value"), (col("event_type") === "click").as("isa"))
+    mannWhitneyU(ev, parts = 32)
+  }
+
+  /** See [[q178MannWhitney]]; any (value, isa) frame — isa marks group A. */
+  private[operators] def mannWhitneyU(rows: DataFrame, parts: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val g = rows.groupBy(col("value"))
+      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("isa"), 1L).otherwise(0L)).as("b"))
+    val parted = g.repartitionByRange(parts, col("value"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offs = parted.groupBy(col("pid")).agg(sum(col("b")).as("pb"))
+      .withColumn("ob", coalesce(sum(col("pb")).over(
+        Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("ob"))
+    val wc = Window.partitionBy(col("pid")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = parted
+      .withColumn("b_less_local", coalesce(sum(col("b")).over(wc), lit(0L)))
+      .join(broadcast(offs), Seq("pid"))
+      .select(col("a"), col("b"),
+        (col("b_less_local") + col("ob")).as("b_less"))
+    terms.agg(
+        sum(col("a")).cast(dec).as("dn1"),
+        sum(col("b")).cast(dec).as("dn2"),
+        sum(col("a").cast(dec) *
+          (col("b_less").cast(dec) * 2 + col("b").cast(dec))).as("du1x2"))
+      .select(col("dn1").cast("long").as("n1"),
+        col("dn2").cast("long").as("n2"),
+        col("du1x2").cast("long").as("u1_x2"),
+        (col("dn1") * col("dn2") * 2 - col("du1x2")).cast("long").as("u2_x2"),
+        (col("du1x2") - col("dn1") * col("dn2")).cast("long").as("cliff_num"))
+  }
+
+  val q178Sql: String =
+    """WITH r AS (
+      |  SELECT value, event_type = 'click' AS isa FROM events
+      |  WHERE event_type IN ('click', 'view')),
+      |g AS (
+      |  SELECT value,
+      |    sum(CASE WHEN isa THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS b
+      |  FROM r GROUP BY 1),
+      |c AS (
+      |  SELECT a, b,
+      |    coalesce(sum(b) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b_less
+      |  FROM g),
+      |t AS (
+      |  SELECT CAST(sum(a) AS HUGEINT) AS n1,
+      |    CAST(sum(b) AS HUGEINT) AS n2,
+      |    CAST(sum(CAST(a AS HUGEINT) * (CAST(b_less AS HUGEINT) * 2 + b))
+      |      AS HUGEINT) AS u1x2
+      |  FROM c)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(u1x2 AS BIGINT) AS u1_x2,
+      |  CAST(n1 * n2 * 2 - u1x2 AS BIGINT) AS u2_x2,
+      |  CAST(u1x2 - n1 * n2 AS BIGINT) AS cliff_num
+      |FROM t""".stripMargin
+
+  /** DETERMINISTIC MULTIPLIER BOOTSTRAP of the mean purchase value —
+    * confidence via resampling WITHOUT rand(): replicate b's weight for
+    * event e is `md5(e:b) mod 3` ∈ {0,1,2} (mean 1 — a two-point
+    * multiplier bootstrap), a pure function of (event_id, replicate), so
+    * every engine/run/partitioning draws the SAME 32 pseudo-resamples.
+    * Each replicate's mean is integer fixed-point (value in millis,
+    * `div` by the weight sum) — no double summation order anywhere.
+    *
+    * Shape: events × 32 replicates via an exploded literal sequence
+    * (fan-out is a constant factor, partial-agg'd map-side so the
+    * shuffle carries 32 rows per partition, not 32× the data). The
+    * per-replicate sums run in DECIMAL(38,0) (Σ w·v at 100 TB exceeds
+    * BIGINT) and cast to BIGINT on output — the q138 convention. The
+    * caller reads the 32 sorted means as the empirical CI. */
+  def q179BootstrapCi(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val ev = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        round(col("value") * 1000, 0).cast("long").as("v"))
+    ev.select(col("event_id"), col("v"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .withColumn("w", pmod(conv(substring(md5(concat_ws(":",
+        col("event_id"), col("b"))), 1, 15), 16, 10).cast("long"), lit(3L)))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).cast(dec).as("dn"),
+        sum(col("w").cast(dec) * col("v").cast(dec)).as("dsum"))
+      .select(col("b"), col("dn").cast("long").as("n_eff"),
+        expr("cast(dsum div dn as long)").as("mean_milli"))
+  }
+
+  val q179Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(round(value * 1000, 0) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |fan AS (
+      |  SELECT event_id, v, t.b,
+      |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+      |      || CAST(t.b AS VARCHAR)), 1, 15) AS BIGINT) % 3 AS w
+      |  FROM ev CROSS JOIN (SELECT unnest(range(32)) AS b) t)
+      |SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+      |  CAST(CAST(sum(CAST(w AS HUGEINT) * v) AS HUGEINT)
+      |    // CAST(sum(w) AS HUGEINT) AS BIGINT) AS mean_milli
+      |FROM fan GROUP BY b""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -1796,5 +1927,7 @@ object Analytics {
     "q165_acf" -> (q165Acf _, q165Sql),
     "q166_abtest_z" -> (q166AbtestZ _, q166Sql),
     "q167_rapid_fire" -> (q167RapidFire _, q167Sql),
+    "q178_mannwhitney" -> (q178MannWhitney _, q178Sql),
+    "q179_bootstrap_ci" -> (q179BootstrapCi _, q179Sql),
   )
 }

@@ -491,6 +491,225 @@ object Curation {
       |SELECT doc_id, neg_rank, neg_doc_id, neg_source
       |FROM fan WHERE neg_rank <= 2""".stripMargin
 
+  /** C4/Gopher-STYLE QUALITY RULE BATTERY — the document-level keep/drop
+    * filters every web-scale pretraining pipeline runs before dedup
+    * (C4's "heuristic cleaning", Gopher's quality rules): minimum word
+    * count, mean-word-length band, minimum stopword fraction, maximum
+    * single-token fraction (repetition). Reported per source as keep
+    * counts plus a per-rule failure census, so a corpus owner sees WHICH
+    * rule is dropping their data.
+    *
+    * Every rule compares INTEGERS (cross-multiplied fractions — e.g.
+    * stopword-fraction < 0.05 as `100·stop_c < 5·n`), never a double
+    * division, so the keep decision is bit-identical on any engine and
+    * immune to summation order. Thresholds sit inside the corpus's
+    * observed stat ranges (n∈[10,99], mean-len∈[3.7,5.3], stop∈[0,.22],
+    * rep∈[.05,.3] at sf0.01) so every rule both passes and fails real
+    * rows — an all-pass battery would gate nothing.
+    *
+    * Shape: tokenize → (doc,word) counts → per-doc stats → per-source
+    * rollup. Two shuffles (doc_id×word, then source), both with map-side
+    * partial aggregation; nothing is corpus×corpus. At 100 TB each doc's
+    * stats reduce locally — the only global state is the ~|sources| final
+    * rollup. */
+  def q175C4Rules(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.tokensCodegen(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val perDoc = words
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c")).as("n"),
+        sum(length(col("w")).cast("long") * col("c")).as("sum_len"),
+        sum(when(col("w").isin("the", "a"), col("c")).otherwise(0L))
+          .as("stop_c"),
+        max(col("c")).as("max_c"))
+    val flagged = perDoc.select(col("source"),
+      (col("n") < 30).as("f_short"),
+      (col("sum_len") * 10 < col("n") * 42 ||
+        col("sum_len") * 10 > col("n") * 50).as("f_wordlen"),
+      (col("stop_c") * 100 < col("n") * 5).as("f_stop"),
+      (col("max_c") * 10 > col("n")).as("f_rep"))
+    flagged
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("f_short") && !col("f_wordlen") && !col("f_stop") &&
+          !col("f_rep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("f_short"), 1L).otherwise(0L)).as("n_fail_short"),
+        sum(when(col("f_wordlen"), 1L).otherwise(0L)).as("n_fail_wordlen"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+        sum(when(col("f_rep"), 1L).otherwise(0L)).as("n_fail_rep"))
+  }
+
+  val q175Sql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      t -> t <> '') AS w
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, source, len(w) AS n,
+      |    list_sum(list_transform(w, x -> length(x))) AS sum_len,
+      |    len(list_filter(w, t -> t IN ('the','a'))) AS stop_c,
+      |    list_max(list_transform(list_distinct(w),
+      |      t -> len(list_filter(w, x -> x = t)))) AS max_c
+      |  FROM ws),
+      |fl AS (
+      |  SELECT source,
+      |    n < 30 AS f_short,
+      |    (sum_len*10 < n*42 OR sum_len*10 > n*50) AS f_wordlen,
+      |    stop_c*100 < n*5 AS f_stop,
+      |    max_c*10 > n AS f_rep
+      |  FROM st)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN NOT f_short AND NOT f_wordlen AND NOT f_stop
+      |                 AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_short,
+      |  CAST(sum(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordlen,
+      |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stop,
+      |  CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rep
+      |FROM fl GROUP BY source""".stripMargin
+
+  /** PER-DOMAIN CAP — the Common-Crawl curation step that stops one
+    * domain from dominating the corpus: keep at most `cap` documents per
+    * source, chosen by a DETERMINISTIC content-independent hash order
+    * (md5 of doc_id, ties by doc_id — the q174 pool idiom), so the kept
+    * set is a pure function of document identity: reproducible across
+    * runs/engines/cluster sizes, and stable under corpus growth (a new
+    * doc can displace at most one existing pick, never reshuffle the
+    * order). Never `rand()`.
+    *
+    * The rank is a window partitioned by source — at 100 TB each source's
+    * rows hash to one shuffle partition and sort locally; no global sort,
+    * no single partition. Skew note: a mega-domain makes one heavy
+    * partition, but the sort is still per-source-local and the output is
+    * bounded by cap; a production run would pre-aggregate per-source
+    * counts and sample-prune first (the q148 weighted-sample machinery). */
+  def q176DomainCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("r", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("r") <= 15, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("r") <= 15, col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+  }
+
+  val q176Sql: String =
+    """SELECT source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN r <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN r <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS kept_chars
+      |FROM (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      |  FROM documents)
+      |GROUP BY source""".stripMargin
+
+  /** DSIR-STYLE IMPORTANCE SCORING (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its unigram distribution resembles a TARGET
+    * domain (here lang='en' stands in for the curated target), then
+    * decile the corpus by that score — the buckets a resampling pass
+    * would draw from.
+    *
+    * The per-token affinity is Laplace-smoothed target share in FIXED
+    * POINT: `(1e6·(c_target+1)) div (c_all+2)` — integer division, so
+    * token scores and their per-doc sums are exact on any engine (a
+    * log-likelihood-ratio formulation would need cross-engine-identical
+    * `ln`, which IEEE does not promise). Monotone in the target share,
+    * which is all resampling needs.
+    *
+    * Shape: the token→affinity table is vocabulary-sized → broadcast
+    * to the corpus word stream; per-doc sum is one partial-agg'd
+    * shuffle on doc_id; the decile uses the repo's rank arithmetic
+    * (`(rnk·10−1) div n + 1` — q94's NTILE-free convention) over
+    * [[Relational.globalRank]]'s two-pass distributed rank — the scored
+    * frame is corpus-sized, so a bare `row_number() OVER (ORDER BY …)`
+    * would be an Exchange SinglePartition at 100 TB. Descending score
+    * ranks as ascending `-score` (exact: scores are longs). */
+  def q177DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(Dedup.tokensCodegen(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+      .select(col("w"),
+        expr("(1000000 * (c_t + 1)) div (c_all + 2)").as("aff"))
+    val scored = words
+      .join(broadcast(vocab), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("aff")).as("score"))
+    val n = scored.agg(count(lit(1)).as("nd"))
+    Relational.globalRank(scored, -col("score"), col("doc_id"), parts = 32)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("score"),
+        expr("cast((rnk * 10 - 1) div nd + 1 as int)").as("decile"))
+  }
+
+  val q177Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, lang, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS w
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT w,
+      |    (1000000 * (CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+      |       AS BIGINT) + 1)) // (count(*) + 2) AS aff
+      |  FROM words GROUP BY w),
+      |scored AS (
+      |  SELECT doc_id, CAST(sum(aff) AS BIGINT) AS score
+      |  FROM words JOIN vocab USING (w) GROUP BY doc_id),
+      |n AS (SELECT count(*) AS nd FROM scored)
+      |SELECT doc_id, score,
+      |  CAST((rnk * 10 - 1) // nd + 1 AS INTEGER) AS decile
+      |FROM (SELECT doc_id, score,
+      |        row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      |      FROM scored) CROSS JOIN n""".stripMargin
+
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS — the standard multi-source
+    * pretraining schedule (GPT-3/PaLM style): sample source s with
+    * probability ∝ n_s^α, α=0.5, flattening the natural distribution so
+    * big sources don't drown small ones. Emits each source's weight and
+    * its integer document budget out of 10 000.
+    *
+    * α=0.5 because sqrt is the one fractional power IEEE 754 requires
+    * correctly rounded — `sqrt(n_s)` is bit-identical on every engine,
+    * where a general `pow(n, 0.3)` is not. The weight is then fixed to
+    * 1e6 integer units and the budget uses integer division, so the
+    * whole schedule is engine-exact. One |sources|-row aggregate plus a
+    * broadcast scalar join — nothing scales with corpus rows but the
+    * first partial-agg'd count. */
+  def q181TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val per = documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        round(sqrt(col("n_docs").cast("double")) * 1e6, 0).cast("long"))
+    val tot = per.agg(sum(col("weight")).as("tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        col("weight"), expr("(10000 * weight) div tw").as("target_docs"))
+  }
+
+  val q181Sql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1e6, 0) AS BIGINT)
+      |      AS weight
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM per)
+      |SELECT source, n_docs, weight,
+      |  (10000 * weight) // tw AS target_docs
+      |FROM per CROSS JOIN tot""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -503,5 +722,9 @@ object Curation {
     "q100_corpus_report" -> (q100CorpusReport _, q100Sql),
     "q148_weighted_sample" -> (q148WeightedSample _, q148Sql),
     "q174_negative_sample" -> (q174NegativeSample _, q174Sql),
+    "q175_c4_rules"     -> (q175C4Rules _, q175Sql),
+    "q176_domain_cap"   -> (q176DomainCap _, q176Sql),
+    "q177_dsir_weights" -> (q177DsirWeights _, q177Sql),
+    "q181_temperature_mix" -> (q181TemperatureMix _, q181Sql),
   )
 }

@@ -873,6 +873,63 @@ object Similarity {
        |FROM best b JOIN embeddings e ON b.query_id = e.vec_id
        |WHERE b.rn = 1""".stripMargin
 
+  /** EXACT TOP-10 MAXIMUM INNER PRODUCT SEARCH with Cauchy–Schwarz
+    * norm-bound pruning — the retrieval primitive for un-normalized
+    * embeddings (recommendation scores, learned rerankers), where
+    * cosine's normalization is wrong and `ip ≤ ‖q‖·‖x‖` is the only
+    * free bound. Two passes, both exact:
+    *
+    *   1. seed: score the corpus's top-64 vectors BY NORM (a bounded
+    *      TakeOrdered — never a full sort) against every query; the
+    *      10th-best unrounded ip per query is a certified lower bound
+    *      `dk` on that query's true 10th-best score.
+    *   2. prune + rerank: only vectors with ‖x‖·‖q‖ ≥ dk − 2e-6 can
+    *      enter the final rounded-to-1e-6 top-10 (any x with
+    *      ip ≤ dk − 1e-6 rounds strictly below ten known-better
+    *      candidates; the extra 1e-6 absorbs double rounding edges),
+    *      so scoring only the survivors is EXACT, not approximate —
+    *      SimilaritySpec pins equality against the unpruned scan.
+    *
+    * At 100 TB the seed set stays 64 rows and the prune is a scan-side
+    * predicate on the precomputed norm column — the expensive dot
+    * products run only on the high-norm slice (on embedding-like norm
+    * distributions a small fraction). Rounded sims + vec_id tiebreak:
+    * the q23 cross-engine ranking convention. */
+  def q180Mips(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d)
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qn"))
+    val seeds = v.orderBy(col("norm").desc, col("vec_id")).limit(64)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("ip_raw").desc, col("vec_id"))
+    val thr = seeds.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("ip_raw", vdot(col("e"), col("qe")))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") === 10)
+      .select(col("qid"), col("qe"), col("qn"), col("ip_raw").as("dk"))
+    val survivors = v.join(broadcast(thr),
+      col("vec_id") =!= col("qid") &&
+        col("norm") * col("qn") >= col("dk") - lit(2e-6))
+    survivors
+      .withColumn("sim", round(vdot(col("e"), col("qe")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rnk") <= 10)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("rnk"), col("sim"))
+  }
+
+  val q180Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+      |s AS (SELECT qid, vec_id AS nid, round(list_dot_product(qe, e), 6) AS sim
+      |      FROM q, v WHERE vec_id <> qid)
+      |SELECT qid AS query_id, nid AS neighbor_id, rnk, sim
+      |FROM (SELECT qid, nid, sim,
+      |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+      |      FROM s)
+      |WHERE rnk <= 10""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
@@ -887,5 +944,6 @@ object Similarity {
     "q139_adc_search"       -> (q139AdcSearch _, q139Sql),
     "q141_quantile_transform" -> (q141QuantileTransform _, q141Sql),
     "q163_knn_classify"     -> (q163KnnClassify _, q163Sql),
+    "q180_mips"             -> (q180Mips _, q180Sql),
   )
 }

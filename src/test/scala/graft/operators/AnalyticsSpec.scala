@@ -659,4 +659,59 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toList
     assert(got === List((7L, 1L, 2L, 105000L, 202500L, 30L * 60 * 1000000)))
   }
+  test("Mann-Whitney U: pair-count differential, identity, partition invariance") {
+    import spark.implicits._
+    def mw(a: Seq[Double], b: Seq[Double], parts: Int = 3) = {
+      val rows = (a.map(_ -> true) ++ b.map(_ -> false)).toDF("value", "isa")
+      val r = Analytics.mannWhitneyU(rows, parts).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    }
+    // brute force over pairs: u1_x2 = 2*#{a>b} + #{a==b}
+    def brute(a: Seq[Double], b: Seq[Double]) = {
+      val u1x2 = (for (x <- a; y <- b) yield
+        if (x > y) 2L else if (x == y) 1L else 0L).sum
+      (a.size.toLong, b.size.toLong, u1x2,
+        2L * a.size * b.size - u1x2, u1x2 - a.size.toLong * b.size)
+    }
+    val cases = Seq(
+      (Seq(1.0, 2, 3), Seq(2.0, 4)),          // ties across groups
+      (Seq(5.0, 5, 5), Seq(5.0, 5)),          // all tied
+      (Seq(1.0, 2), Seq(3.0, 4)),             // full separation: u1 = 0
+      (Seq(10.0, 20, 30, 40), Seq(5.0, 15, 25, 35, 45)))
+    cases.foreach { case (a, b) => assert(mw(a, b) === brute(a, b)) }
+    // identity + partition-count invariance on a bigger interleave
+    val big = (1 to 300).map(i => (i * 7 % 100).toDouble)
+    val other = (1 to 200).map(i => (i * 13 % 100).toDouble)
+    val r1 = mw(big, other, parts = 1)
+    assert(r1 === mw(big, other, parts = 8))
+    assert(r1._3 + r1._4 === 2L * r1._1 * r1._2)
+    assert(r1 === brute(big, other))
+  }
+
+  test("bootstrap CI: 32 deterministic replicates, weights mean ~1, means bracket the point estimate") {
+    import spark.implicits._
+    val d = sf("sf0.001")
+    val a = Analytics.q179BootstrapCi(spark, d).collect().map(_.toSeq).toSet
+    val b = Analytics.q179BootstrapCi(spark, d).collect().map(_.toSeq).toSet
+    assert(a === b) // pure function of (event_id, replicate)
+    val rows = Analytics.q179BootstrapCi(spark, d)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0 until 32))
+    val ev = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 1000, 0).cast("long").as("v"))
+      .as[Long].collect()
+    val n = ev.length.toLong
+    val pointMean = ev.sum / n // same fixed-point div as the operator
+    rows.foreach { case (rep, nEff, _) =>
+      assert(nEff > n * 7 / 10 && nEff < n * 13 / 10, s"rep $rep nEff $nEff vs n $n")
+    }
+    // mod-3 multiplier weights are mean-1 → replicate means scatter AROUND
+    // the point estimate; all 32 on one side would mean a broken resample
+    val means = rows.map(_._3)
+    assert(means.min <= pointMean && pointMean <= means.max,
+      s"point $pointMean outside [${means.min}, ${means.max}]")
+    // and they genuinely vary (non-degenerate weights)
+    assert(means.distinct.length > 5)
+  }
 }

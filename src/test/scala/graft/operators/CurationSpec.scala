@@ -322,4 +322,115 @@ class CurationSpec extends SparkSpec {
     // negatives come only from the bounded pool (4 per source)
     assert(got.map(_._3).distinct.length <= 12)
   }
+  test("c4 rules: census sums to corpus, every rule both bites and passes") {
+    val d = sf("sf0.001")
+    val rows = Curation.q175C4Rules(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val ndocs = Tables.documents(spark, d).count()
+    assert(rows.map(_._2).sum === ndocs) // every doc censused exactly once
+    rows.foreach { case (src, n, keep, _, _, _, _) =>
+      assert(keep <= n, src)
+    }
+    // thresholds sit inside the corpus stat ranges: corpus-wide, each
+    // rule fails somebody and the battery still keeps somebody
+    assert(rows.map(_._3).sum > 0, "battery keeps nothing")
+    assert(rows.map(_._4).sum + rows.map(_._5).sum +
+      rows.map(_._6).sum + rows.map(_._7).sum > 0, "no rule ever fails")
+    assert(rows.map(_._5).sum > 0, "wordlen rule never bites")
+    assert(rows.map(_._6).sum > 0, "stopword rule never bites")
+    // deterministic: integer-only comparisons, no doubles anywhere
+    val again = Curation.q175C4Rules(spark, d).collect().map(_.toSeq).toSet
+    assert(again === rows.map(r => Seq[Any](r._1, r._2, r._3, r._4, r._5, r._6, r._7)).toSet)
+  }
+
+  test("domain cap: kept = min(total, cap) per source, pick set is a stable hash prefix") {
+    val d = sf("sf0.001")
+    val rows = Curation.q176DomainCap(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    rows.foreach { case (src, total, kept, chars) =>
+      assert(kept === math.min(total, 15L), src)
+      assert(chars >= 0 && kept <= total, src)
+    }
+    // growth stability: the picks at a SMALLER corpus (docs with even
+    // doc_id only) are exactly the cap-prefix of the same md5 order —
+    // dropping rows never reorders survivors among themselves
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    def picks(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      df.withColumn("r", row_number().over(w)).filter(col("r") <= 15)
+        .select(col("source"), col("doc_id"), col("r"))
+        .as[(String, Long, Int)].collect()
+        .groupBy(_._1).map { case (s, v) => s -> v.sortBy(_._3).map(_._2).toSeq }
+    }
+    val full = picks(docs)
+    val shrunk = picks(docs.filter(col("doc_id") % 2 === 0))
+    shrunk.foreach { case (src, kept) =>
+      // survivors of the shrunk corpus appear in the full corpus's hash
+      // order restricted to even ids — i.e. same relative order
+      val fullEvenOrder = full(src).filter(_ % 2 == 0)
+      assert(kept.startsWith(fullEvenOrder.take(kept.length))
+        || fullEvenOrder.startsWith(kept.take(fullEvenOrder.length)),
+        s"$src: $kept vs $fullEvenOrder")
+    }
+  }
+
+  test("dsir weights: balanced deciles, scorer separates target from non-target") {
+    val d = sf("sf0.001")
+    val out = Curation.q177DsirWeights(spark, d)
+      .as[(Long, Long, Int)].collect()
+    val n = out.length
+    assert(out.map(_._3).forall(dec => dec >= 1 && dec <= 10))
+    // q94 rank-arithmetic deciles: sizes differ by at most 1
+    val sizes = out.groupBy(_._3).view.mapValues(_.length).values
+    assert(sizes.max - sizes.min <= 1, sizes.mkString(","))
+    // determinism: integer-only affinities + distributed rank rerun equal
+    val again = Curation.q177DsirWeights(spark, d)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again === out.toSet)
+    // Discrimination needs a corpus whose target vocab actually differs —
+    // the driver's synthetic docs draw one shared vocabulary for every
+    // lang (measured: per-token mean affinity 0.370±0.001 across all 5
+    // langs = the global P(en)), so separation is tested on PLANTED data:
+    // en docs speak {alpha,beta}, others {gamma,delta}, one mixed doc.
+    val dir = java.nio.file.Files.createTempDirectory("dsirspec").toString
+    Seq(
+      (0L, "alpha beta alpha beta", "en", "s", 21L),
+      (1L, "beta alpha beta alpha", "en", "s", 21L),
+      (2L, "gamma delta gamma delta", "fr", "s", 23L),
+      (3L, "delta gamma delta gamma", "de", "s", 23L),
+      (4L, "alpha gamma alpha gamma", "zh", "s", 23L)) // mixed: between
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Curation.q177DsirWeights(spark, dir)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(planted(0L) === planted(1L))
+    assert(planted(2L) === planted(3L))
+    assert(planted(0L) > planted(4L), "pure target must outscore mixed")
+    assert(planted(4L) > planted(2L), "mixed must outscore pure non-target")
+  }
+
+  test("temperature mix: budget conserved up to floors, sqrt flattens the mixture") {
+    val d = sf("sf0.001")
+    val rows = Curation.q181TemperatureMix(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    val tot = rows.map(_._4).sum
+    assert(tot <= 10000 && tot > 10000 - rows.length) // floor loses < 1 per source
+    // monotone: more docs, never a smaller budget
+    val sorted = rows.sortBy(_._2)
+    sorted.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._4 <= hi._4, s"${lo._1} vs ${hi._1}")
+    }
+    // flattening: the budget ratio of max to min source is ~sqrt of the
+    // doc ratio, strictly below the raw proportional ratio
+    val (lo, hi) = (sorted.head, sorted.last)
+    if (hi._2 > 2 * lo._2) {
+      val docRatio = hi._2.toDouble / lo._2
+      val budgetRatio = hi._4.toDouble / lo._4
+      assert(budgetRatio < docRatio * 0.9,
+        s"budget $budgetRatio not flatter than docs $docRatio")
+      assert(math.abs(budgetRatio - math.sqrt(docRatio)) < 0.2 * math.sqrt(docRatio))
+    }
+  }
 }

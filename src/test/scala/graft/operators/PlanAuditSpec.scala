@@ -645,6 +645,82 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2500))
   }
 
+  test("q175 c4 rules: token census partial-aggregates; no lambdas, no cartesian") {
+    val plan = planOf(Curation.q175C4Rules(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan.take(2500))
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // rule flags are row-level integer comparisons inside whole-stage
+    // codegen spans (the executedPlan treeString's "*(n)" markers)
+    assert(plan.contains("*("), plan.take(2500))
+  }
+
+  test("q176 domain cap: the rank window is per-source, never single-partition") {
+    val plan = planOf(Curation.q176DomainCap(spark, d))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2500))
+    // one documents scan feeds window + rollup
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans === 1, s"documents scanned $scans times\n${plan.take(2500)}")
+  }
+
+  test("q177 dsir: vocab broadcasts; rank runs the two-pass scan (offsets frame is the only single partition)") {
+    val plan = planOf(Curation.q177DsirWeights(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    // globalRank's per-partition offsets (≤32 rows) and the nd scalar are
+    // the only global frames
+    val singles = plan.linesIterator
+      .count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 2, s"$singles SinglePartition exchanges\n${plan.take(2500)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("q178 mann-whitney: distinct-value prefix scan — offsets frame is the only single partition") {
+    val plan = planOf(Analytics.q178MannWhitney(spark, d))
+      .split("== Initial Plan ==").head
+    // per-value counts combine map-side before the range repartition
+    assert(plan.contains("partial_"), plan.take(2500))
+    // the ≤parts-row offsets window and the final scalar agg are global
+    // by construction; the data-sized window is partitioned by pid
+    val singles = plan.linesIterator
+      .count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 2, s"$singles SinglePartition exchanges\n${plan.take(2500)}")
+  }
+
+  test("q179 bootstrap: the 32x fan-out collapses map-side — shuffle carries replicate partials only") {
+    val plan = planOf(Analytics.q179BootstrapCi(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan.take(2500))
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan.take(2500))
+    // value filter reaches the events scan
+    assert(plan.contains("PushedFilters: ["), plan.take(2500))
+  }
+
+  test("q180 mips: seed set is TakeOrdered; thresholds broadcast; dot products codegen'd") {
+    val plan = planOf(Similarity.q180Mips(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2500))
+    // threshold table (10 rows) must broadcast into the survivor join —
+    // non-equi condition, so BroadcastNestedLoopJoin against 10 rows is
+    // the right algorithm; a shuffled NLJ or cartesian would be fatal
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(plan.contains("vec_dot"), plan.take(2500))
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan.take(2500))
+  }
+
+  test("q181 temperature mix: one source-sized aggregate plus a broadcast scalar join") {
+    val plan = planOf(Curation.q181TemperatureMix(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
