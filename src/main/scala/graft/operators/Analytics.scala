@@ -1767,10 +1767,12 @@ object Analytics {
   /** MANN–WHITNEY U (Wilcoxon rank-sum) between the click and view
     * value distributions — the nonparametric location test an A/B
     * readout runs when values are skewed (q166's z-test assumes
-    * normal-ish means; this one ranks). Emits U for both groups ×2
-    * (doubled so tie-averaged ranks stay INTEGRAL: a tie group of t
-    * rows at min-rank m has 2·avgrank = 2m + t − 1) plus the Cliff's
-    * delta numerator `u1_x2 − n1·n2` (scaled effect size, also exact).
+    * normal-ish means; this one ranks). Emits the group sizes plus the
+    * two scale-free effect sizes in 1e-9 fixed point: `auc_e9` — the
+    * common-language effect size AUC = U1/(n1·n2) ∈ [0,1] (tie-averaged:
+    * internally U1×2 keeps tied ranks integral — a tie group of t rows
+    * at min-rank m has 2·avgrank = 2m + t − 1) — and `cliff_e9`,
+    * Cliff's delta = 2·AUC − 1 computed in the same integer pipeline.
     *
     * U1 = Σ_v a(v)·[ b_less(v) + b(v)/2 ] over distinct values v, where
     * a/b are the per-value group counts and b_less the count of group-B
@@ -1779,9 +1781,15 @@ object Analytics {
     * q138/q97 two-pass distributed scan (range partition → local
     * running sum → broadcast per-partition offsets), never an Exchange
     * SinglePartition over the data. Arithmetic runs in DECIMAL(38,0)
-    * (n1·n2 overflows BIGINT near n≈3e9 — reachable at 100 TB) and only
-    * the OUTPUT casts to BIGINT — exact at every gated SF, inside the
-    * driver hasher's safe dtype set (the q138 convention). */
+    * (n1·n2 overflows BIGINT near n≈3e9 — reachable at 100 TB); the
+    * OUTPUT is the ratio form precisely because raw U (bounded by
+    * 2·n1·n2) does NOT fit BIGINT in that regime — the round-10 red-trio
+    * lesson plus ADVICE.md item 2: never emit a column whose range can
+    * leave the hasher-safe dtype set at target scale. `div` numerators
+    * stay nonnegative (cliff is shifted after the division) so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree; exact while
+    * 1e9·2·n1·n2 < 10^38, i.e. to ~5e28 pairs ≈ 4·10^14 rows/arm —
+    * far past 100 TB of events. */
   def q178MannWhitney(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
       .filter(col("event_type").isin("click", "view"))
@@ -1818,9 +1826,9 @@ object Analytics {
           (col("b_less").cast(dec) * 2 + col("b").cast(dec))).as("du1x2"))
       .select(col("dn1").cast("long").as("n1"),
         col("dn2").cast("long").as("n2"),
-        col("du1x2").cast("long").as("u1_x2"),
-        (col("dn1") * col("dn2") * 2 - col("du1x2")).cast("long").as("u2_x2"),
-        (col("du1x2") - col("dn1") * col("dn2")).cast("long").as("cliff_num"))
+        expr("(du1x2 * 1000000000) div (dn1 * dn2 * 2)").as("auc_e9"),
+        expr("(du1x2 * 1000000000) div (dn1 * dn2) - 1000000000")
+          .as("cliff_e9"))
   }
 
   val q178Sql: String =
@@ -1844,9 +1852,9 @@ object Analytics {
       |      AS HUGEINT) AS u1x2
       |  FROM c)
       |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-      |  CAST(u1x2 AS BIGINT) AS u1_x2,
-      |  CAST(n1 * n2 * 2 - u1x2 AS BIGINT) AS u2_x2,
-      |  CAST(u1x2 - n1 * n2 AS BIGINT) AS cliff_num
+      |  CAST((u1x2 * 1000000000) // (n1 * n2 * 2) AS BIGINT) AS auc_e9,
+      |  CAST((u1x2 * 1000000000) // (n1 * n2) - 1000000000 AS BIGINT)
+      |    AS cliff_e9
       |FROM t""".stripMargin
 
   /** DETERMINISTIC MULTIPLIER BOOTSTRAP of the mean purchase value —

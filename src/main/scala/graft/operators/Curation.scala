@@ -511,13 +511,21 @@ object Curation {
     * rollup. Two shuffles (doc_id×word, then source), both with map-side
     * partial aggregation; nothing is corpus×corpus. At 100 TB each doc's
     * stats reduce locally — the only global state is the ~|sources| final
-    * rollup. */
+    * rollup.
+    *
+    * Zero-token docs (nothing matches `[a-z]+` — all digits/punctuation/
+    * non-Latin) vanish from the exploded word stream, so the per-doc
+    * stats are LEFT-JOINED back onto the documents table with n
+    * coalesced to 0: such a doc is censused exactly once and fails only
+    * f_short (every other rule compares 0 against 0), on any corpus —
+    * not just ones that happen to contain no such docs (round-10
+    * ADVICE.md item 1). */
   def q175C4Rules(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(Dedup.tokensCodegen(col("text"))).as("w"))
       .filter(col("w") =!= "")
-    val perDoc = words
+    val perDocTok = words
       .groupBy(col("doc_id"), col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"), col("source"))
@@ -526,6 +534,13 @@ object Curation {
         sum(when(col("w").isin("the", "a"), col("c")).otherwise(0L))
           .as("stop_c"),
         max(col("c")).as("max_c"))
+    val perDoc = documents(s, d).select(col("doc_id"), col("source"))
+      .join(perDocTok.drop("source"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_len"), lit(0L)).as("sum_len"),
+        coalesce(col("stop_c"), lit(0L)).as("stop_c"),
+        coalesce(col("max_c"), lit(0L)).as("max_c"))
     val flagged = perDoc.select(col("source"),
       (col("n") < 30).as("f_short"),
       (col("sum_len") * 10 < col("n") * 42 ||
@@ -551,10 +566,10 @@ object Curation {
       |  FROM documents),
       |st AS (
       |  SELECT doc_id, source, len(w) AS n,
-      |    list_sum(list_transform(w, x -> length(x))) AS sum_len,
+      |    coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sum_len,
       |    len(list_filter(w, t -> t IN ('the','a'))) AS stop_c,
-      |    list_max(list_transform(list_distinct(w),
-      |      t -> len(list_filter(w, x -> x = t)))) AS max_c
+      |    coalesce(list_max(list_transform(list_distinct(w),
+      |      t -> len(list_filter(w, x -> x = t)))), 0) AS max_c
       |  FROM ws),
       |fl AS (
       |  SELECT source,
@@ -581,23 +596,54 @@ object Curation {
     * doc can displace at most one existing pick, never reshuffle the
     * order). Never `rand()`.
     *
-    * The rank is a window partitioned by source — at 100 TB each source's
-    * rows hash to one shuffle partition and sort locally; no global sort,
-    * no single partition. Skew note: a mega-domain makes one heavy
-    * partition, but the sort is still per-source-local and the output is
-    * bounded by cap; a production run would pre-aggregate per-source
-    * counts and sample-prune first (the q148 weighted-sample machinery). */
+    * TWO-PHASE, SKEW-PROOF (round-10 verdict task 4 — the single
+    * heavy-partition sort the round-10 docstring flagged is gone):
+    *
+    *   0. Pre-aggregate per-source (n_total, total_chars) — one
+    *      partial-agg'd shuffle, |sources| rows. Sources with
+    *      n_total ≤ cap pass through UNRANKED (n_kept = n_total,
+    *      kept_chars = total_chars): on a real corpus that is the vast
+    *      majority of domains, and none of their rows ever enter a sort.
+    *   1. Only rows of over-cap sources (a broadcast semi-join against
+    *      the tiny over-cap source list) are ranked, and because the
+    *      rank is now FILTERED (`r ≤ cap` — the round-10 version kept
+    *      every r for the rollup), Catalyst's RankLimit rule plans the
+    *      window as WindowGroupLimit Partial → exchange → Final: each
+    *      map partition locally prunes to its own cap smallest hashes
+    *      BEFORE the shuffle (every global top-cap row is necessarily
+    *      in its partition's top cap), so the per-source sort after the
+    *      exchange sees ≤ cap·P rows — bounded regardless of domain
+    *      skew, with no hand-rolled salt window and no extra shuffle.
+    *
+    * Output is identical to the one-window formulation (the DuckDB
+    * oracle below IS that formulation). */
   def q176DomainCap(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    documents(s, d)
+    val cap = 15
+    val docs = documents(s, d)
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("r", row_number().over(w))
-      .groupBy(col("source"))
+    val per = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_total"),
-        sum(when(col("r") <= 15, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("r") <= 15, col("n_chars")).otherwise(0L))
-          .as("kept_chars"))
+        sum(col("n_chars").cast("long")).as("total_chars"))
+      .localCheckpoint()
+    val small = per.filter(col("n_total") <= cap)
+      .select(col("source"), col("n_total"),
+        col("n_total").as("n_kept"), col("total_chars").as("kept_chars"))
+    val bigSrc = per.filter(col("n_total") > cap)
+      .select(col("source"), col("n_total"))
+    val wExact = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val kept = docs
+      .join(broadcast(bigSrc.select(col("source"))), Seq("source"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("r", row_number().over(wExact))
+      .filter(col("r") <= cap)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars").cast("long")).as("kept_chars"))
+    bigSrc.join(kept, Seq("source"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        col("kept_chars"))
+      .unionByName(small)
   }
 
   val q176Sql: String =
@@ -619,33 +665,43 @@ object Curation {
     * decile the corpus by that score — the buckets a resampling pass
     * would draw from.
     *
-    * The per-token affinity is Laplace-smoothed target share in FIXED
+    * Features are HASHED into a FIXED 2^12 bucket space (the DSIR
+    * paper's own hashed-n-gram construction, §3 of Xie et al.) — the
+    * md5-prefix bucket already used by q43/q148, engine-identical. A
+    * raw-unigram affinity table is vocabulary-sized, and web-scale
+    * vocabularies (typos, URLs, code) grow without bound with the
+    * corpus, so its broadcast eventually exceeds executor memory;
+    * the bucket table is 4096 rows at ANY corpus size (round-10
+    * verdict task 3 / ADVICE.md item 3).
+    *
+    * The per-bucket affinity is Laplace-smoothed target share in FIXED
     * POINT: `(1e6·(c_target+1)) div (c_all+2)` — integer division, so
-    * token scores and their per-doc sums are exact on any engine (a
+    * bucket scores and their per-doc sums are exact on any engine (a
     * log-likelihood-ratio formulation would need cross-engine-identical
     * `ln`, which IEEE does not promise). Monotone in the target share,
     * which is all resampling needs.
     *
-    * Shape: the token→affinity table is vocabulary-sized → broadcast
-    * to the corpus word stream; per-doc sum is one partial-agg'd
-    * shuffle on doc_id; the decile uses the repo's rank arithmetic
-    * (`(rnk·10−1) div n + 1` — q94's NTILE-free convention) over
-    * [[Relational.globalRank]]'s two-pass distributed rank — the scored
-    * frame is corpus-sized, so a bare `row_number() OVER (ORDER BY …)`
-    * would be an Exchange SinglePartition at 100 TB. Descending score
-    * ranks as ascending `-score` (exact: scores are longs). */
+    * Shape: one bounded broadcast to the corpus word stream; per-doc
+    * sum is one partial-agg'd shuffle on doc_id; the decile uses the
+    * repo's rank arithmetic (`(rnk·10−1) div n + 1` — q94's NTILE-free
+    * convention) over [[Relational.globalRank]]'s two-pass distributed
+    * rank — the scored frame is corpus-sized, so a bare `row_number()
+    * OVER (ORDER BY …)` would be an Exchange SinglePartition at 100 TB.
+    * Descending score ranks as ascending `-score` (exact: scores are
+    * longs). */
   def q177DsirWeights(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(Dedup.tokensCodegen(col("text"))).as("w"))
       .filter(col("w") =!= "")
-    val vocab = words.groupBy(col("w"))
+      .select(col("doc_id"), col("lang"), md5Bucket(col("w"), 4096).as("bk"))
+    val vocab = words.groupBy(col("bk"))
       .agg(count(lit(1)).as("c_all"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
-      .select(col("w"),
+      .select(col("bk"),
         expr("(1000000 * (c_t + 1)) div (c_all + 2)").as("aff"))
     val scored = words
-      .join(broadcast(vocab), Seq("w"))
+      .join(broadcast(vocab), Seq("bk"))
       .groupBy(col("doc_id"))
       .agg(sum(col("aff")).as("score"))
     val n = scored.agg(count(lit(1)).as("nd"))
@@ -656,18 +712,22 @@ object Curation {
   }
 
   val q177Sql: String =
-    """WITH words AS (
+    """WITH toks AS (
       |  SELECT doc_id, lang, unnest(list_filter(
       |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS w
       |  FROM documents),
+      |words AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 4096 AS bk
+      |  FROM toks),
       |vocab AS (
-      |  SELECT w,
+      |  SELECT bk,
       |    (1000000 * (CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
       |       AS BIGINT) + 1)) // (count(*) + 2) AS aff
-      |  FROM words GROUP BY w),
+      |  FROM words GROUP BY bk),
       |scored AS (
       |  SELECT doc_id, CAST(sum(aff) AS BIGINT) AS score
-      |  FROM words JOIN vocab USING (w) GROUP BY doc_id),
+      |  FROM words JOIN vocab USING (bk) GROUP BY doc_id),
       |n AS (SELECT count(*) AS nd FROM scored)
       |SELECT doc_id, score,
       |  CAST((rnk * 10 - 1) // nd + 1 AS INTEGER) AS decile

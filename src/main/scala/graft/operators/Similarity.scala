@@ -894,7 +894,13 @@ object Similarity {
     * predicate on the precomputed norm column — the expensive dot
     * products run only on the high-norm slice (on embedding-like norm
     * distributions a small fraction). Rounded sims + vec_id tiebreak:
-    * the q23 cross-engine ranking convention. */
+    * the q23 cross-engine ranking convention.
+    *
+    * Degenerate corpora (fewer than 11 vectors, so no query has a
+    * 10th-best seed score) fall back to the unpruned scan: the per-query
+    * threshold is LEFT-joined and coalesced to −∞, which admits every
+    * vector — a query never silently drops below the brute-force result
+    * (round-10 ADVICE.md item 4). */
   def q180Mips(s: SparkSession, d: String): DataFrame = {
     val v = vectors(s, d)
     val q = v.filter(col("vec_id") < 10)
@@ -902,11 +908,16 @@ object Similarity {
     val seeds = v.orderBy(col("norm").desc, col("vec_id")).limit(64)
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("ip_raw").desc, col("vec_id"))
-    val thr = seeds.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val dk10 = seeds
+      .join(broadcast(q.select(col("qid"), col("qe"))),
+        col("vec_id") =!= col("qid"))
       .withColumn("ip_raw", vdot(col("e"), col("qe")))
       .withColumn("rnk", row_number().over(wq))
       .filter(col("rnk") === 10)
-      .select(col("qid"), col("qe"), col("qn"), col("ip_raw").as("dk"))
+      .select(col("qid"), col("ip_raw").as("dk"))
+    val thr = q.join(broadcast(dk10), Seq("qid"), "left")
+      .select(col("qid"), col("qe"), col("qn"),
+        coalesce(col("dk"), lit(Double.NegativeInfinity)).as("dk"))
     val survivors = v.join(broadcast(thr),
       col("vec_id") =!= col("qid") &&
         col("norm") * col("qn") >= col("dk") - lit(2e-6))

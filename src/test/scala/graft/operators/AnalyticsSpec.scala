@@ -664,14 +664,17 @@ class AnalyticsSpec extends SparkSpec {
     def mw(a: Seq[Double], b: Seq[Double], parts: Int = 3) = {
       val rows = (a.map(_ -> true) ++ b.map(_ -> false)).toDF("value", "isa")
       val r = Analytics.mannWhitneyU(rows, parts).collect()(0)
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
-    // brute force over pairs: u1_x2 = 2*#{a>b} + #{a==b}
+    // brute force over pairs: u1x2 = 2*#{a>b} + #{a==b}, then the same
+    // nonnegative-numerator integer divisions the operator emits
     def brute(a: Seq[Double], b: Seq[Double]) = {
       val u1x2 = (for (x <- a; y <- b) yield
         if (x > y) 2L else if (x == y) 1L else 0L).sum
-      (a.size.toLong, b.size.toLong, u1x2,
-        2L * a.size * b.size - u1x2, u1x2 - a.size.toLong * b.size)
+      val pairs = BigInt(a.size.toLong) * b.size
+      val auc = (BigInt(u1x2) * 1000000000L / (pairs * 2)).toLong
+      val cliff = (BigInt(u1x2) * 1000000000L / pairs).toLong - 1000000000L
+      (a.size.toLong, b.size.toLong, auc, cliff)
     }
     val cases = Seq(
       (Seq(1.0, 2, 3), Seq(2.0, 4)),          // ties across groups
@@ -684,7 +687,10 @@ class AnalyticsSpec extends SparkSpec {
     val other = (1 to 200).map(i => (i * 13 % 100).toDouble)
     val r1 = mw(big, other, parts = 1)
     assert(r1 === mw(big, other, parts = 8))
-    assert(r1._3 + r1._4 === 2L * r1._1 * r1._2)
+    // AUC ∈ [0,1e9]; cliff = 2·AUC − 1e9 up to one unit of div truncation
+    assert(r1._3 >= 0 && r1._3 <= 1000000000L)
+    val resid = r1._4 - (2 * r1._3 - 1000000000L)
+    assert(resid === 0L || resid === 1L)
     assert(r1 === brute(big, other))
   }
 

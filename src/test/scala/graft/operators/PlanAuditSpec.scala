@@ -656,20 +656,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*("), plan.take(2500))
   }
 
-  test("q176 domain cap: the rank window is per-source, never single-partition") {
+  test("q176 domain cap: only over-cap sources are ranked, via the partial top-cap prune") {
     val plan = planOf(Curation.q176DomainCap(spark, d))
       .split("== Initial Plan ==").head
     assert(!plan.contains("Exchange SinglePartition"), plan.take(2500))
-    // one documents scan feeds window + rollup
+    // the rank input is the FILTERED subset: docs broadcast-semi-join the
+    // over-cap source list before any window touches them
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    // the filtered rank plans as partial+final WindowGroupLimit — each
+    // map partition prunes to cap rows per source BEFORE the exchange,
+    // so a mega-domain never funnels unbounded rows into one sort
+    assert(plan.contains("WindowGroupLimit") &&
+      plan.contains("Partial"), plan.take(2500))
+    // small sources bypass the window entirely through the Union's
+    // pre-aggregated branch
+    assert(plan.contains("Union"), plan.take(2500))
+    // one documents parquet scan feeds the ranked branch (the per-source
+    // rollup was localCheckpointed at build time)
     val scans = plan.linesIterator
       .count(l => l.contains("Scan parquet") && l.contains("documents"))
     assert(scans === 1, s"documents scanned $scans times\n${plan.take(2500)}")
   }
 
-  test("q177 dsir: vocab broadcasts; rank runs the two-pass scan (offsets frame is the only single partition)") {
+  test("q177 dsir: affinity broadcast is the BOUNDED bucket table; rank runs the two-pass scan (offsets frame is the only single partition)") {
     val plan = planOf(Curation.q177DsirWeights(spark, d))
       .split("== Initial Plan ==").head
-    assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
+    // the broadcast build side keys on the hashed bucket (≤4096 rows at
+    // ANY corpus size), not the unbounded raw token vocabulary
+    assert("BroadcastHashJoin \\[bk".r.findFirstIn(plan).isDefined,
+      plan.take(2500))
     // globalRank's per-partition offsets (≤32 rows) and the nd scalar are
     // the only global frames
     val singles = plan.linesIterator
