@@ -226,6 +226,17 @@ object DumpPlans {
       ("q173_keyness", Vocab.q173Keyness(spark, d),
         "one tokenize into a checkpointed (source, word) grain feeding " +
           "three totals; WindowGroupLimit bounds the per-source rank"))
+    // Expression ids (#38583) and plan ids accumulate across the session,
+    // so two dumps of the SAME plan differ textually and — worse — shift
+    // the truncation cutoffs below, which would make tools/plan_drift.py
+    // flag unrelated queries whenever an earlier query's plan grows.
+    // Normalize BEFORE truncating: regenerated PLANS.md then diffs only
+    // where a plan actually changed shape.
+    def norm(s: String): String = s
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("cachedrdd-\\d+", "cachedrdd-x")
+      .replaceAll("graft-gate/local-\\d+", "graft-gate/local-x")
     val sb = new StringBuilder
     sb.append("# PLANS — final physical plans of the headline queries\n\n")
     sb.append("Generated by `graft.DumpPlans` at sf0.001 (plan shapes are SF-invariant;\n")
@@ -235,7 +246,7 @@ object DumpPlans {
       val buf = new ByteArrayOutputStream()
       Console.withOut(new PrintStream(buf)) { df.explain("formatted") }
       sb.append(s"\n## $name\n\n_${note}_\n\n```\n")
-      sb.append(buf.toString.take(6000))
+      sb.append(norm(buf.toString).take(6000))
       sb.append("\n```\n")
     }
     // FULL COVERAGE (round-10 verdict task): every registered query not
@@ -255,14 +266,17 @@ object DumpPlans {
           val buf = new ByteArrayOutputStream()
           Console.withOut(new PrintStream(buf)) { df.explain("simple") }
           sb.append(s"\n## $name\n\n```\n")
-          sb.append(buf.toString.take(4000))
+          sb.append(norm(buf.toString).take(4000))
           sb.append("\n```\n")
         } catch { case e: Throwable =>
           sb.append(s"\n## $name\n\n_plan build failed: ${e.getMessage}_\n")
         }
       }
-    Files.writeString(Paths.get("/root/repo/PLANS.md"), sb.toString)
-    println("PLANS WRITTEN")
+    // optional arg: output path — tools/plan_drift.py dumps to a scratch
+    // file and diffs token signatures against the committed PLANS.md
+    val out = args.headOption.getOrElse("/root/repo/PLANS.md")
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"PLANS WRITTEN $out")
     spark.stop()
   }
 }
