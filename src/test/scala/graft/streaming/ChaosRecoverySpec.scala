@@ -1,0 +1,223 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.SparkSpec
+
+/** Serializable first-attempt "delivery loss": every input task's first
+  * attempt dies after reading its rows; Spark's task retry (local[8,4])
+  * redelivers. Top-level object so closures don't capture the suite. */
+object ChaosLoss {
+  def tap[T](r: T): T = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null && tc.attemptNumber() == 0)
+      throw new RuntimeException("injected delivery loss")
+    r
+  }
+}
+
+/** ONE chaos protocol, EVERY stateful stream (round-10 verdict task 5 —
+  * RecoverySpec proved the pattern on KVStore only):
+  *
+  *   1. batch 0 processed with every input task's FIRST delivery lost
+  *      (injected attempt-0 failure → task-retry redelivery), then the
+  *      query stopped;
+  *   2. more batches arrive; the query is restarted and killed
+  *      UNDRAINED (restart from checkpoint may replay a partially
+  *      processed batch);
+  *   3. a final restart drains everything.
+  *
+  * The assertion is always the same exactly-once contract the
+  * reference's lossy-network tests probe: the recovered output equals
+  * the no-fault batch semantics — nothing lost, nothing double-applied.
+  * File source (replayable) + parquet / idempotent foreachBatch sinks;
+  * `maxFilesPerTrigger=1` keeps one file per micro-batch so watermark
+  * progression across the kill matches the no-chaos run. */
+class ChaosRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Runs the 3-query chaos protocol; returns the sink directory. */
+  private def chaosProtocol(prefix: String, batches: Seq[Seq[String]],
+      start: (String, String, String) => StreamingQuery): String = {
+    val in = Files.createTempDirectory(s"$prefix-in")
+    val out = Files.createTempDirectory(s"$prefix-out").toString
+    val ckpt = Files.createTempDirectory(s"$prefix-ckpt").toString
+    def write(i: Int): Unit =
+      Files.writeString(in.resolve(s"b$i.json"), batches(i).mkString("\n"))
+    write(0)
+    val q1 = start(in.toString, out, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    (1 until batches.size).foreach(write)
+    val q2 = start(in.toString, out, ckpt)
+    q2.stop() // undrained kill: no processAllAvailable
+    val q3 = start(in.toString, out, ckpt)
+    try q3.processAllAvailable() finally q3.stop()
+    out
+  }
+
+  test("neardup claims: exactly-once first-wins state across loss + undrained kill") {
+    val docs = Seq(
+      (1L, 1000L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, 2000L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, 3000L, "completely different content with its own vocabulary here"),
+      (4L, 4000L, "the quick brown fox jumps over the lazy dog again and again"),
+      (5L, 5000L, "completely different content with its own vocabulary here"),
+      (6L, 6000L, "a third unrelated document that shares nothing with the others"))
+    def json(r: (Long, Long, String)) =
+      s"""{"doc_id":${r._1},"ts":${r._2},"text":"${r._3}"}"""
+    val batches = Seq(docs.take(3).map(json), docs.drop(3).map(json))
+
+    def pipeline(raw: DataFrame): DataFrame = {
+      val injected = raw.as[(Long, Long, String)].map(ChaosLoss.tap(_))
+        .toDF("doc_id", "ts_ms", "text")
+        .select(col("doc_id"), timestamp_millis(col("ts_ms")).as("ts"),
+          col("text"))
+      NeardupStream.bandClaims(injected, "2 hours").toDF
+    }
+    val out = chaosProtocol("nd-chaos", batches, (in, out, ckpt) =>
+      pipeline(spark.readStream
+        .schema("doc_id LONG, ts LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").json(in))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start())
+
+    val got = spark.read.parquet(out)
+      .as[NeardupStream.Claim].collect()
+    // exactly-once: one claim per (doc, band) despite loss + replay
+    assert(got.groupBy(c => (c.doc_id, c.band)).forall(_._2.length == 1),
+      got.mkString("\n"))
+    // batch differential: same claims as the no-fault batch formulation
+    val batchDf = docs.toDF("doc_id", "ts_ms", "text")
+      .select(col("doc_id"), timestamp_millis(col("ts_ms")).as("ts"),
+        col("text"))
+    val want = NeardupStream.bandClaims(batchDf, "2 hours").collect()
+    assert(got.map(c => (c.doc_id, c.band, c.claimed)).toSet ===
+      want.map(c => (c.doc_id, c.band, c.claimed)).toSet)
+    // semantics spot check: doc 1 claims everything, its dups claim nothing
+    val byDoc = got.groupBy(_.doc_id).view
+      .mapValues(cs => cs.forall(_.claimed)).toMap
+    assert(byDoc(1L) && !byDoc(2L) && !byDoc(4L))
+  }
+
+  test("transitions: per-user last-event state survives loss + undrained kill") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val types = Array("a", "b", "c")
+      val events = (1 to 60).map(i =>
+        TransitionStream.Ev((i % 5).toLong, i.toLong, i.toLong,
+          types(i % types.length)))
+      def json(e: TransitionStream.Ev) =
+        s"""{"user_id":${e.user_id},"ts":${e.ts},"event_id":${e.event_id},"event_type":"${e.event_type}"}"""
+      // per-key ordered delivery across batches: chunk the global order
+      val batches = events.grouped(20).map(_.map(json)).toSeq
+
+      val out = chaosProtocol("tr-chaos", batches, (in, out, ckpt) =>
+        TransitionStream.transitions(
+          spark.readStream
+            .schema("user_id LONG, ts LONG, event_id LONG, event_type STRING")
+            .option("maxFilesPerTrigger", "1").json(in)
+            .as[TransitionStream.Ev].map(ChaosLoss.tap(_)))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append).start())
+
+      val got = spark.read.parquet(out).as[TransitionStream.Trans].collect()
+        .map(t => (t.user_id, t.from_type, t.to_type)).sorted.toSeq
+      // no-fault expectation: consecutive pairs of each user's (ts,
+      // event_id)-ordered history, INCLUDING cross-batch boundary pairs
+      // (those exist only if the last-event state survived the kill)
+      val want = events.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        es.sortBy(e => (e.ts, e.event_id)).sliding(2).collect {
+          case Seq(p, n) => (u, p.event_type, n.event_type)
+        }
+      }.sorted
+      assert(got === want)
+    } finally {
+      oldProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  test("gap fill: pending-hour chain finalizes correctly across loss + undrained kill") {
+    def json(tpe: String, h: Int, m: Int) =
+      s"""{"event_type":"$tpe","ts":${h * 3600000L + m * 60000L}}"""
+    // hour 10: A x2, B x1; hour 12: A x1; then two watermark closers
+    // (the second makes the first's 14:30 watermark drive finalization)
+    val batches = Seq(
+      Seq(json("A", 10, 5), json("A", 10, 40), json("B", 10, 20),
+        json("A", 12, 15)),
+      Seq(json("A", 15, 0)),
+      Seq(json("A", 15, 1)))
+
+    val out = chaosProtocol("gf-chaos", batches, (in, out, ckpt) =>
+      GapFillStream.hourlyGapFill(
+        spark.readStream.schema("event_type STRING, ts LONG")
+          .option("maxFilesPerTrigger", "1").json(in)
+          .select(col("event_type"), timestamp_millis(col("ts")).as("ts"))
+          .as[GapFillStream.In].map(ChaosLoss.tap(_)), "30 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start())
+
+    val got = spark.read.parquet(out).as[GapFillStream.HourCount].collect()
+      .map(r => (r.event_type, r.hour.getTime / 3600000L, r.n)).toSet
+    // dense chains with explicit zeros, exactly once, zero hours intact —
+    // the same series StreamingGapFillSpec pins for the no-chaos run
+    assert(got === Set(
+      ("A", 10L, 2L), ("A", 11L, 0L), ("A", 12L, 1L), ("A", 13L, 0L),
+      ("B", 10L, 1L), ("B", 11L, 0L), ("B", 12L, 0L), ("B", 13L, 0L)))
+  }
+
+  test("heavy hitters: Misra-Gries shard state exact-once across loss + undrained kill") {
+    val k = 5
+    val shards = 2
+    val words = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+      (1 to 8).map(i => s"tail$i") ++ Seq.fill(20)("hot")
+    def json(w: String) = s"""{"value":"$w"}"""
+    val batches = Seq(words.take(24).map(json), words.slice(24, 48).map(json),
+      words.drop(48).map(json))
+
+    val out = chaosProtocol("hh-chaos", batches, (in, out, ckpt) =>
+      HeavyHittersStream.shardedCandidates(
+        spark.readStream.schema("value STRING")
+          .option("maxFilesPerTrigger", "1").json(in)
+          .as[String].map(ChaosLoss.tap(_)), k, shards)
+        .writeStream
+        // Update-mode snapshots land via an idempotent-enough foreachBatch
+        // append: a replayed batch re-appends an identical snapshot row,
+        // and validation reads the max-n row per shard (n is monotone)
+        .foreachBatch((df: org.apache.spark.sql.Dataset[HeavyHittersStream.ShardCandidates], id: Long) =>
+          df.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).start())
+
+    val snaps = spark.read.parquet(out)
+      .as[HeavyHittersStream.ShardCandidates].collect()
+    val finalSnap = snaps.groupBy(_.shard).view
+      .mapValues(_.maxBy(_.n)).toMap
+    // exactly-once: each shard absorbed exactly its true word count —
+    // a lost-then-redelivered or replayed batch would inflate n
+    val trueShard = words.groupBy(w => math.floorMod(w.hashCode, shards))
+      .view.mapValues(_.size.toLong).toMap
+    trueShard.foreach { case (s, n) =>
+      assert(finalSnap(s).n === n, s"shard $s n=${finalSnap(s).n} want $n")
+    }
+    // MG guarantee: every word over its shard's n/(k+1) survives
+    words.groupBy(identity).foreach { case (w, occ) =>
+      val s = math.floorMod(w.hashCode, shards)
+      if (occ.size > trueShard(s) / (k + 1))
+        assert(finalSnap(s).words.contains(w), s"$w missing from shard $s")
+    }
+  }
+}
