@@ -19,7 +19,8 @@ object SparkEntry {
   private def modules: Seq[Map[String, ((SparkSession, String) => DataFrame, String)]] =
     Seq(Relational.all, TextOps.all, Dedup.all, Similarity.all,
       TextAnalysis.all, Multimodal.all, Asof.all, Curation.all, Skew.all,
-      Storage.all, Analytics.all, Vocab.all, Graph.all, BloomPrune.all)
+      Storage.all, Analytics.all, Vocab.all, Graph.all, BloomPrune.all,
+      SqlSurface.all)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

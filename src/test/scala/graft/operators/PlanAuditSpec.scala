@@ -727,6 +727,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("lambdafunction"), plan.take(2500))
   }
 
+  test("q182-q185 SQL surface: SQL text reaches the DSL siblings' scale shapes") {
+    // q182: dedup census partial-aggregates map-side like q20
+    val p182 = planOf(SqlSurface.q182SqlDedupCensus(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p182.contains("partial_"), p182.take(2000))
+    assert(!p182.contains("CartesianProduct"), p182.take(2000))
+    // q183: word census partial-aggregates; the doc join is an equi join
+    val p183 = planOf(SqlSurface.q183SqlTokenStats(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p183.contains("partial_"), p183.take(2000))
+    assert(!p183.contains("CartesianProduct"), p183.take(2000))
+    // q184: one (user, type) window exchange, no single partition
+    val p184 = planOf(SqlSurface.q184SqlEventGaps(spark, d))
+      .split("== Initial Plan ==").head
+    assert(!p184.contains("Exchange SinglePartition"), p184.take(2000))
+    // q185: the custom vec_dot expression from SQL text, 10-row query
+    // side broadcast into the non-equi join, rank-limited window —
+    // byte-for-byte the q23 plan contract
+    val p185 = planOf(SqlSurface.q185SqlKnn(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p185.contains("vec_dot"), p185.take(2000))
+    assert(p185.contains("BroadcastNestedLoopJoin"), p185.take(2000))
+    assert(p185.contains("WindowGroupLimit"), p185.take(2000))
+    assert(!p185.contains("CartesianProduct"), p185.take(2000))
+    assert(!p185.toLowerCase.contains("lambdafunction"), p185.take(2000))
+  }
+
   test("q181 temperature mix: one source-sized aggregate plus a broadcast scalar join") {
     val plan = planOf(Curation.q181TemperatureMix(spark, d))
       .split("== Initial Plan ==").head
