@@ -926,16 +926,62 @@ object Dedup {
     * the standard curation policy is to drop the CONTAINED side. Output
     * is the ordered pair (id_a contained-in id_b).
     *
-    * Scale shape: identical to q22 — one inverted-index self-join over
-    * df-capped gram hashes (slim 8-byte keys, map-side-combined
-    * intersection counts), with only the pair direction and the
-    * denominator changed. The df cap bounds per-gram fan-out; nothing
-    * is ever corpus×corpus. Both directions of a mutual pair can
-    * appear (near-identical docs contain each other) — correct, and
-    * what the cluster layer (q50) consumes. */
+    * Round-11 formulation: PREFIX-FILTERED over the same df-capped gram
+    * universe (cap semantics unchanged — the oracle has the cap too).
+    * Containment ≥ t needs overlap ≥ ⌈t·|A|⌉, so if none of A's
+    * n_A − ⌈t·n_A⌉ + 1 RAREST grams (global (df, gh) order) appears in
+    * B, the overlap is < ⌈t·n_A⌉ — candidates from A-prefix × B-full
+    * rows are therefore EXACT, and a near-df-cap gram generates pairs
+    * only against the few docs whose prefix still contains it, instead
+    * of |df|² pairs in the round-10 inverted-index form
+    * ([[containmentPairs]], kept as the A/B baseline). The sf1 sweep
+    * exposed that |df|² blow-up as the suite's worst scaler (73 s,
+    * BASELINE.md); the prefix form is the same family fix q77 applies
+    * to Jaccard, plus the containment-specific length filter
+    * n_B ≥ t·n_A (B smaller than t·|A| cannot contain t of A).
+    * Verification is exact array_intersect against the ONE
+    * checkpointed rank-sorted set table (the q77 machinery). */
   def q121Containment(s: SparkSession, d: String): DataFrame =
-    containmentPairs(documents(s, d).select(col("doc_id"), col("text")),
-      maxDf = 1000, threshold = 0.8)
+    containmentPrefixJoin(
+      capGramDf(gramHashRows(
+        documents(s, d).select(col("doc_id"), col("text"))), 1000), 0.8)
+
+  /** A/B arms for graft.BenchContainAB: (the registered prefix-filtered
+    * form, the round-10 inverted-index baseline) — identical output. */
+  def containmentArms(docs: DataFrame, maxDf: Int,
+      t: Double): (DataFrame, DataFrame) =
+    (containmentPrefixJoin(capGramDf(gramHashRows(docs), maxDf), t),
+      containmentPairs(docs, maxDf, t))
+
+  /** Prefix-filtered directed containment join over DISTINCT (doc_id,
+    * gh) item rows. See [[q121Containment]] for the exactness argument. */
+  private[operators] def containmentPrefixJoin(items: DataFrame,
+      t: Double): DataFrame = {
+    require(t > 0 && t <= 1, s"threshold must be in (0,1], got $t")
+    val dfreq = items.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val sets = rankedSets(items, dfreq)
+    val prefix = prefixRows(sets, t)
+    val full = sets.select(col("doc_id"), col("n"),
+      explode(col("tk")).as("gh"))
+    val cand = prefix
+      .select(col("gh"), col("doc_id").as("id_a"), col("n").as("n_a"))
+      .join(full.select(col("gh"), col("doc_id").as("id_b"),
+        col("n").as("n_b")), Seq("gh"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("n_b").cast("double") >= col("n_a").cast("double") * lit(t))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("tk").as("tk_a"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("tk").as("tk_b")),
+        Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n_a").cast("double"))
+      .where(col("containment") >= t)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"))
+  }
 
   /** See [[q121Containment]]; any (doc_id, text) frame.
     *

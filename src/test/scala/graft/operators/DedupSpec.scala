@@ -463,6 +463,43 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet === Set((1L, 2L), (3L, 4L), (4L, 3L)))
     assert(got((1L, 2L)) === 1.0)
     assert(got((3L, 4L)) === 1.0 && got((4L, 3L)) === 1.0)
+    // the registered prefix-filtered form is EXACTLY the inverted-index
+    // baseline on the same capped gram universe
+    val prefix = Dedup.containmentPrefixJoin(
+      Dedup.capGramDf(Dedup.gramHashRows(docs), 1000), 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(prefix === got)
+  }
+
+  test("containment prefix form == inverted baseline on real data and a hot-gram corpus") {
+    import spark.implicits._
+    // sf0.001 differential: full equality of directed pairs + scores
+    val real = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getDouble(2))).toMap
+    val inv = pairs(Dedup.containmentPairs(real, maxDf = 1000,
+      threshold = 0.8))
+    val pre = pairs(Dedup.containmentPrefixJoin(
+      Dedup.capGramDf(Dedup.gramHashRows(real), 1000), 0.8))
+    assert(pre === inv, s"${pre.size} vs ${inv.size} pairs")
+    // hot-gram corpus: every doc shares one boilerplate sentence (its
+    // grams are corpus-wide hot) plus a small unique tail, except two
+    // real near-dups. The prefix form must still find exactly the
+    // inverted baseline's pairs — rare-gram prefixes carry the signal
+    val boiler = "this page is part of the example dot com crawl archive"
+    val hot = (1L to 40L).map(i =>
+      (i, s"$boiler unique$i filler$i content$i words$i here$i")) ++ Seq(
+      (100L, s"$boiler identical tail of shared words in both docs"),
+      (101L, s"$boiler identical tail of shared words in both docs"))
+    val hotDf = hot.toDF("doc_id", "text")
+    val invHot = pairs(Dedup.containmentPairs(hotDf, maxDf = 1000,
+      threshold = 0.8))
+    val preHot = pairs(Dedup.containmentPrefixJoin(
+      Dedup.capGramDf(Dedup.gramHashRows(hotDf), 1000), 0.8))
+    assert(preHot === invHot)
+    assert(preHot.contains((100L, 101L)) && preHot.contains((101L, 100L)))
   }
 
   test("SNM: sort-adjacent near-dups verified; window bound excludes distant keys") {
