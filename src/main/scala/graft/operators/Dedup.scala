@@ -958,6 +958,30 @@ object Dedup {
     (containmentPrefixJoin(capGramDf(gramHashRows(docs), maxDf), t),
       containmentPairs(docs, maxDf, t))
 
+  /** df-capped distinct gram items — the q22/q121 set universe, exposed
+    * for the A/B harnesses. */
+  def cappedGramItems(docs: DataFrame, maxDf: Int): DataFrame =
+    capGramDf(gramHashRows(docs), maxDf)
+
+  /** q22's inverted-index Jaccard shape at any (maxDf, threshold) — the
+    * BenchJaccardAB baseline arm. */
+  def q22Shape(docs: DataFrame, maxDf: Int, threshold: Double): DataFrame = {
+    val bounded = cappedGramItems(docs, maxDf)
+    val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = bounded.select(col("doc_id").as("id_a"), col("gh"))
+      .join(bounded.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("ninter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ninter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Prefix-filtered directed containment join over DISTINCT (doc_id,
     * gh) item rows. See [[q121Containment]] for the exactness argument. */
   private[operators] def containmentPrefixJoin(items: DataFrame,
