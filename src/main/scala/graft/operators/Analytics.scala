@@ -1903,6 +1903,45 @@ object Analytics {
       |    // CAST(sum(w) AS HUGEINT) AS BIGINT) AS mean_milli
       |FROM fan GROUP BY b""".stripMargin
 
+  /** Per-user SESSIONIZATION with a 30-minute inactivity gap — the
+    * canonical web-analytics unit of work, via the ENGINE's merging
+    * `session_window` aggregation (graft.streaming.SessionStream: the
+    * identical code path runs under a watermark as a continuous query —
+    * this gated entry certifies the batch semantics both modes share).
+    * The engine MERGES at the exact boundary: an event at prev + gap
+    * still joins the session (split only when ts − prev > gap — pinned
+    * by StreamingSessionSpec); window end = last event + gap; value
+    * sums in fixed-point millis (the q179 convention). The oracle is
+    * the classic gaps-and-islands formulation (lag → break flag →
+    * running island id), so the native operator is pinned against the
+    * from-first-principles SQL. One user-keyed exchange; session state
+    * is one tuple per in-flight session. */
+  def q186Sessionize(s: SparkSession, d: String): DataFrame =
+    graft.streaming.SessionStream.sessions(
+      events(s, d).select(col("user_id"), col("ts"), col("value")),
+      "30 minutes")
+
+  val q186Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(round(value * 1000, 0) AS BIGINT) AS v
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, ts, v,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |i AS (
+      |  SELECT user_id, ts, v,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id, min(ts) AS s_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_milli
+      |FROM i GROUP BY user_id, sid""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -1937,5 +1976,6 @@ object Analytics {
     "q167_rapid_fire" -> (q167RapidFire _, q167Sql),
     "q178_mannwhitney" -> (q178MannWhitney _, q178Sql),
     "q179_bootstrap_ci" -> (q179BootstrapCi _, q179Sql),
+    "q186_sessionize" -> (q186Sessionize _, q186Sql),
   )
 }

@@ -727,6 +727,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("lambdafunction"), plan.take(2500))
   }
 
+  test("q186 sessionize: one user-keyed exchange, partial session merge, no window function") {
+    val plan = planOf(Analytics.q186Sessionize(spark, d))
+      .split("== Initial Plan ==").head
+    // the native session aggregation: partial merge map-side, no
+    // row_number/lag window machinery, no single partition
+    assert(plan.contains("partial_"), plan.take(2000))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+    assert(plan.contains("session_window") ||
+      plan.contains("SessionWindow"), plan.take(2000))
+  }
+
   test("q182-q185 SQL surface: SQL text reaches the DSL siblings' scale shapes") {
     // q182: dedup census partial-aggregates map-side like q20
     val p182 = planOf(SqlSurface.q182SqlDedupCensus(spark, d))

@@ -179,6 +179,42 @@ class ChaosRecoverySpec extends SparkSpec {
       ("B", 10L, 1L), ("B", 11L, 0L), ("B", 12L, 0L), ("B", 13L, 0L)))
   }
 
+  test("sessions: merging session_window state survives loss + undrained kill") {
+    def json(u: Long, min: Int, v: Double) =
+      s"""{"user_id":$u,"ts":${min * 60000L},"value":$v}"""
+    // user 1's session spans the kill boundary: 0/20 before, 40 after —
+    // recovery must MERGE across the restart into one [0, 70) session
+    val batches = Seq(
+      Seq(json(1L, 0, 1.5), json(1L, 20, 2.0), json(2L, 5, 4.0)),
+      Seq(json(1L, 40, 0.25), json(1L, 90, 8.0)),
+      Seq(json(9L, 190, 0.0)),
+      Seq(json(9L, 191, 0.0)))
+
+    val out = chaosProtocol("ss-chaos", batches, (in, out, ckpt) =>
+      SessionStream.sessionsStream(
+        spark.readStream.schema("user_id LONG, ts LONG, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(in)
+          .select(col("user_id"), timestamp_millis(col("ts")).as("ts"),
+            col("value"))
+          .as[SessionStream.Ev].map(ChaosLoss.tap(_)),
+        "30 minutes", "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start())
+
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val got = spark.read.parquet(out)
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+      .collect()
+    // exactly once, and the cross-kill session merged — not split at
+    // the restart boundary, not double-emitted
+    assert(got.length === got.toSet.size, got.mkString("\n"))
+    val set = got.toSet
+    assert(set.contains((1L, ts(0), ts(70), 3L, 3750L)), set)
+    assert(set.contains((1L, ts(90), ts(120), 1L, 8000L)), set)
+    assert(set.contains((2L, ts(5), ts(35), 1L, 4000L)), set)
+  }
+
   test("heavy hitters: Misra-Gries shard state exact-once across loss + undrained kill") {
     val k = 5
     val shards = 2
