@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property-based differentials for the set-similarity join family: the
+  * prefix-filtered forms must equal their inverted-index baselines on
+  * ARBITRARY corpora, not just the fixtures that happened to be tested.
+  * Deterministic scalacheck sampling (the PropertiesSpec idiom — direct
+  * `pureApply` with fixed seeds; the scalatest/scalacheck bridge isn't
+  * in the offline cache). Corpora are built from a small vocabulary so
+  * gram collisions, total containments, mutual dups, hot shared
+  * boilerplate and sub-3-token degenerate docs all occur organically. */
+class DedupPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(977L + i)))
+
+  /** Random corpus: 4–24 docs over a 12-word vocabulary, 0–30 words
+    * each; some docs duplicated verbatim to force mutual pairs. */
+  private val corpusGen: Gen[Seq[(Long, String)]] = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for {
+      nDocs <- Gen.choose(4, 24)
+      texts <- Gen.listOfN(nDocs,
+        Gen.choose(0, 30).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      dupFrom <- Gen.listOfN(nDocs, Gen.choose(0, nDocs * 3))
+    } yield texts.zipWithIndex.map { case (t, i) =>
+      // ~1/3 of docs become verbatim copies of an earlier doc
+      val txt = if (dupFrom(i) < i) texts(dupFrom(i)) else t
+      (i.toLong, txt)
+    }
+  }
+
+  private def pairMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => ((r.getLong(0), r.getLong(1)),
+      BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+
+  test("containment: prefix-filtered == inverted baseline on random corpora, all (t, maxDf)") {
+    val cases = samples(Gen.zip(corpusGen,
+      Gen.oneOf(0.5, 0.8, 1.0), Gen.oneOf(3, 1000)), 12)
+    cases.zipWithIndex.foreach { case ((docs, t, maxDf), k) =>
+      val df = docs.toDF("doc_id", "text")
+      val inv = pairMap(Dedup.containmentPairs(df, maxDf, t))
+      val pre = pairMap(Dedup.containmentPrefixJoin(
+        Dedup.cappedGramItems(df, maxDf), t))
+      assert(pre === inv,
+        s"case $k (t=$t maxDf=$maxDf, ${docs.size} docs): " +
+          s"prefix ${pre.size} vs inverted ${inv.size} pairs")
+    }
+  }
+
+  test("jaccard: prefix-filtered == inverted baseline on random corpora, all (t, maxDf)") {
+    val cases = samples(Gen.zip(corpusGen,
+      Gen.oneOf(0.2, 0.5, 0.9), Gen.oneOf(3, 1000)), 12)
+    cases.zipWithIndex.foreach { case ((docs, t, maxDf), k) =>
+      val df = docs.toDF("doc_id", "text")
+      val inv = pairMap(Dedup.q22Shape(df, maxDf, t))
+      val pre = pairMap(Dedup.prefixJoinItems(
+        Dedup.cappedGramItems(df, maxDf), t))
+      assert(pre === inv,
+        s"case $k (t=$t maxDf=$maxDf, ${docs.size} docs): " +
+          s"prefix ${pre.size} vs inverted ${inv.size} pairs")
+    }
+  }
+
+  test("sessionize: session_window == gaps-and-islands fold on random event sets") {
+    val evGen = for {
+      n <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 5L),
+        Gen.choose(0, 600), Gen.choose(0, 500)))
+    } yield evs.map { case (u, min, cents) =>
+      (u, new java.sql.Timestamp(min * 60000L), cents / 100.0)
+    }
+    val gapMs = 30 * 60000L
+    samples(evGen, 12).zipWithIndex.foreach { case (evs, k) =>
+      val df = evs.toDF("user_id", "ts", "value")
+      val got = graft.streaming.SessionStream.sessions(df, "30 minutes")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+        .collect().toSet
+      // reference fold: per user, sort, break when diff > gap (the
+      // engine merges AT the boundary), end = last + gap
+      val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.map(e => (e._2.getTime,
+          math.round(e._3 * 1000))).sortBy(_._1)
+        val sessions = sorted.tail.foldLeft(
+          List(List(sorted.head))) { (acc, e) =>
+          if (e._1 - acc.head.head._1 > gapMs) List(e) :: acc
+          else (e :: acc.head) :: acc.tail
+        }
+        sessions.map { s =>
+          val ts = s.map(_._1)
+          (u, new java.sql.Timestamp(ts.min),
+            new java.sql.Timestamp(ts.max + gapMs),
+            s.size.toLong, s.map(_._2).sum)
+        }
+      }.toSet
+      assert(got === want, s"case $k: ${evs.size} events")
+    }
+  }
+}
