@@ -1942,6 +1942,36 @@ object Analytics {
       |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_milli
       |FROM i GROUP BY user_id, sid""".stripMargin
 
+  /** Click→purchase attribution within a 1-hour window — one pair row
+    * per (click, same-user purchase in [click, click+1h)). The
+    * implementation is graft.streaming.AttributionStream: the SAME join
+    * runs as a watermarked STREAM–STREAM join in continuous mode (state
+    * bounded by the range condition on both sides); this gated entry
+    * certifies the batch semantics both modes share. Scale shape: a
+    * user-keyed equi join carrying the range predicates — per-user
+    * event lists co-locate on one exchange, pair fan-out is bounded by
+    * per-user click×purchase density inside one hour, never
+    * corpus×corpus. */
+  def q187Attribution(s: SparkSession, d: String): DataFrame =
+    graft.streaming.AttributionStream.attribution(
+      events(s, d).select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")),
+      "1 HOUR", "10 minutes")
+
+  val q187Sql: String =
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    CAST(ts AS TIMESTAMP) AS pts,
+      |    CAST(round(value * 1000, 0) AS BIGINT) AS value_milli
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, c.user_id,
+      |  epoch_us(pts) - epoch_us(cts) AS lag_us, value_milli
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND pts >= cts AND pts < cts + INTERVAL 1 HOUR""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -1977,5 +2007,6 @@ object Analytics {
     "q178_mannwhitney" -> (q178MannWhitney _, q178Sql),
     "q179_bootstrap_ci" -> (q179BootstrapCi _, q179Sql),
     "q186_sessionize" -> (q186Sessionize _, q186Sql),
+    "q187_attribution" -> (q187Attribution _, q187Sql),
   )
 }

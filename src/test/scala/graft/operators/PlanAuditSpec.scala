@@ -738,6 +738,19 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("SessionWindow"), plan.take(2000))
   }
 
+  test("q187 attribution: user-keyed equi join carries the range predicates — no theta join") {
+    val plan = planOf(Analytics.q187Attribution(spark, d))
+      .split("== Initial Plan ==").head
+    // the equi key must drive the join; a pure theta join here would be
+    // a BroadcastNestedLoopJoin/cartesian over the event stream
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the type filters reach both scans
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+  }
+
   test("q182-q185 SQL surface: SQL text reaches the DSL siblings' scale shapes") {
     // q182: dedup census partial-aggregates map-side like q20
     val p182 = planOf(SqlSurface.q182SqlDedupCensus(spark, d))

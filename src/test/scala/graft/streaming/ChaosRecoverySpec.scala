@@ -215,6 +215,40 @@ class ChaosRecoverySpec extends SparkSpec {
     assert(set.contains((2L, ts(5), ts(35), 1L, 4000L)), set)
   }
 
+  test("attribution: stream-stream join state survives loss + undrained kill") {
+    val day = 86400000L
+    def json(id: Long, min: Int, u: Long, tpe: String, v: Double) =
+      s"""{"event_id":$id,"ts":${day + min * 60000L},"user_id":$u,"event_type":"$tpe","value":$v}"""
+    // the (1 → 3) pair spans the kill: click 1 sits in LEFT join state
+    // when the query dies undrained; recovery must still emit it once
+    val batches = Seq(
+      Seq(json(1L, 0, 7L, "click", 0.0), json(2L, 5, 7L, "purchase", 10.5)),
+      Seq(json(3L, 30, 7L, "purchase", 2.25), json(4L, 61, 7L, "purchase", 1.0),
+        json(6L, 62, 7L, "click", 0.0)),
+      Seq(json(7L, 100, 7L, "purchase", 4.0)))
+
+    val out = chaosProtocol("at-chaos", batches, (in, out, ckpt) =>
+      AttributionStream.attribution(
+        spark.readStream
+          .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(in)
+          .select(col("event_id"), timestamp_millis(col("ts")).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .as[AttrEv].map(ChaosLoss.tap(_)).toDF,
+        "1 HOUR", "10 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start())
+
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length === got.toSet.size, got.mkString("\n"))
+    assert(got.toSet === Set(
+      (1L, 2L, 7L, 5L * 60000000L, 10500L),
+      (1L, 3L, 7L, 30L * 60000000L, 2250L),
+      (6L, 7L, 7L, 38L * 60000000L, 4000L)))
+  }
+
   test("heavy hitters: Misra-Gries shard state exact-once across loss + undrained kill") {
     val k = 5
     val shards = 2

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Top-level so Spark can instantiate the encoder without the suite's
+  * outer scope. */
+case class AttrEv(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingAttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset from epoch 0: the initial global watermark is 0 ms and the
+  // join's late-input handling is borderline at exactly epoch 0
+  private val Day = 86400000L
+  private def at(min: Int) = new Timestamp(Day + min * 60000L)
+
+  test("stream-stream attribution join equals the batch operator; cross-batch pairs found") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttrEv]
+    val q = AttributionStream.attribution(mem.toDF(), "1 HOUR", "10 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click in batch 1, matching purchase in batch 2 (the pair exists
+      // only if the click survived in join state across batches); a
+      // purchase 61 min after the click must NOT attribute; user 2's
+      // purchase has no click — unmatched
+      mem.addData(
+        AttrEv(1L, at(0), 7L, "click", 0.0),
+        AttrEv(2L, at(5), 7L, "purchase", 10.5))
+      q.processAllAvailable()
+      mem.addData(
+        AttrEv(3L, at(30), 7L, "purchase", 2.25),
+        AttrEv(4L, at(61), 7L, "purchase", 1.0),
+        AttrEv(5L, at(62), 2L, "purchase", 9.0),
+        AttrEv(6L, at(62), 7L, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(AttrEv(7L, at(100), 7L, "purchase", 4.0))
+      q.processAllAvailable()
+
+      val got = spark.table("attr_out")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = Set(
+        (1L, 2L, 7L, 5L * 60000000L, 10500L),   // same-batch pair
+        (1L, 3L, 7L, 30L * 60000000L, 2250L),   // cross-batch pair
+        (6L, 7L, 7L, 38L * 60000000L, 4000L))   // click after earlier purchases
+      assert(got === want)
+      // batch differential: identical rows from the same code path
+      val batch = AttributionStream.attribution(Seq(
+        AttrEv(1L, at(0), 7L, "click", 0.0),
+        AttrEv(2L, at(5), 7L, "purchase", 10.5),
+        AttrEv(3L, at(30), 7L, "purchase", 2.25),
+        AttrEv(4L, at(61), 7L, "purchase", 1.0),
+        AttrEv(5L, at(62), 2L, "purchase", 9.0),
+        AttrEv(6L, at(62), 7L, "click", 0.0),
+        AttrEv(7L, at(100), 7L, "purchase", 4.0)).toDF,
+        "1 HOUR", "10 minutes")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
+  test("join state is watermark-bounded: an out-of-horizon click cannot match a late purchase") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttrEv]
+    val q = AttributionStream.attribution(mem.toDF(), "1 HOUR", "10 minutes")
+      .writeStream.format("memory").queryName("attr_wm_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(AttrEv(1L, at(0), 5L, "click", 0.0))
+      q.processAllAvailable()
+      // advance BOTH derived watermarks far past click1+window — the
+      // global watermark is the MIN across watermark nodes, so a side
+      // that sees no data pins it (the multipleWatermarkPolicy rule);
+      // user 6's pair also proves the join still works at the frontier
+      mem.addData(AttrEv(2L, at(500), 6L, "click", 0.0),
+        AttrEv(3L, at(505), 6L, "purchase", 2.0))
+      q.processAllAvailable()
+      mem.addData(AttrEv(4L, at(520), 6L, "click", 0.0),
+        AttrEv(5L, at(525), 6L, "purchase", 3.0))
+      q.processAllAvailable()
+      // a purchase that WOULD have matched click 1 arrives 8 hours past
+      // the watermark: evicted click state / late-input filtering must
+      // keep it unmatched
+      mem.addData(AttrEv(9L, at(30), 5L, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_wm_out")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === Set(
+        (2L, 3L, 6L, 5L * 60000000L, 2000L),
+        (2L, 5L, 6L, 25L * 60000000L, 3000L),
+        (4L, 5L, 6L, 5L * 60000000L, 3000L)))
+    } finally q.stop()
+  }
+}
