@@ -1972,6 +1972,31 @@ object Analytics {
       |FROM c JOIN p ON c.user_id = p.user_id
       |  AND pts >= cts AND pts < cts + INTERVAL 1 HOUR""".stripMargin
 
+  /** q187's LEFT-OUTER form: every click appears, unconverted ones with
+    * a null purchase side — the funnel-drop-off readout. Same shared
+    * batch/streaming code path; in streaming the null rows are emitted
+    * only once the watermark proves no purchase can still match
+    * (StreamingAttributionSpec). */
+  def q188AttributionOuter(s: SparkSession, d: String): DataFrame =
+    graft.streaming.AttributionStream.attribution(
+      events(s, d).select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value")),
+      "1 HOUR", "10 minutes", "left_outer")
+
+  val q188Sql: String =
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    CAST(ts AS TIMESTAMP) AS pts,
+      |    CAST(round(value * 1000, 0) AS BIGINT) AS value_milli
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, c.user_id,
+      |  epoch_us(pts) - epoch_us(cts) AS lag_us, value_milli
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |  AND pts >= cts AND pts < cts + INTERVAL 1 HOUR""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -2008,5 +2033,6 @@ object Analytics {
     "q179_bootstrap_ci" -> (q179BootstrapCi _, q179Sql),
     "q186_sessionize" -> (q186Sessionize _, q186Sql),
     "q187_attribution" -> (q187Attribution _, q187Sql),
+    "q188_attribution_outer" -> (q188AttributionOuter _, q188Sql),
   )
 }

@@ -36,8 +36,17 @@ object AttributionStream {
 
   /** (click_id, purchase_id, user_id, lag_us, value_milli) pairs for
     * purchases within `window` after a click by the same user.
-    * `delay` is the event-time watermark (ignored in batch). */
-  def attribution(ev: DataFrame, window: String, delay: String): DataFrame = {
+    * `delay` is the event-time watermark (ignored in batch).
+    *
+    * `joinType` "inner" (default) emits matched pairs only; "left_outer"
+    * ALSO emits every unconverted click once with a null purchase side —
+    * in streaming the null row is held back until the watermark passes
+    * click_ts + window (only then is "no purchase will ever match"
+    * certain), the semantics that make outer stream joins the hardest
+    * mode — q188 gates the batch form, StreamingAttributionSpec pins
+    * the held-back-then-emitted behavior. */
+  def attribution(ev: DataFrame, window: String, delay: String,
+      joinType: String = "inner"): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -50,7 +59,8 @@ object AttributionStream {
     clicks.join(purchases,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $window"))
+          col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $window"),
+        joinType)
       .select(col("click_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("lag_us"),

@@ -749,6 +749,13 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     // the type filters reach both scans
     assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    // the outer form keeps the same equi-join shape (LeftOuter, never
+    // a nested-loop over the event stream)
+    val outer = planOf(Analytics.q188AttributionOuter(spark, d))
+      .split("== Initial Plan ==").head
+    assert(outer.contains("LeftOuter"), outer.take(2000))
+    assert(!outer.contains("CartesianProduct") &&
+      !outer.contains("BroadcastNestedLoopJoin"), outer.take(2000))
   }
 
   test("q182-q185 SQL surface: SQL text reaches the DSL siblings' scale shapes") {

@@ -66,6 +66,47 @@ class StreamingAttributionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer: unconverted clicks emit a null row only after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttrEv]
+    val q = AttributionStream.attribution(mem.toDF(), "1 HOUR",
+        "10 minutes", "left_outer")
+      .writeStream.format("memory").queryName("attr_lo_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click 1 (user 7) converts; click 2 (user 8) never can —
+      // user 8 has no purchases at all
+      mem.addData(AttrEv(1L, at(0), 7L, "click", 0.0),
+        AttrEv(2L, at(10), 8L, "click", 0.0),
+        AttrEv(3L, at(20), 7L, "purchase", 5.0))
+      q.processAllAvailable()
+      // watermark still inside click 2's window: no null row yet —
+      // "unconverted" is not yet provable
+      val early = spark.table("attr_lo_out")
+        .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSet
+      assert(early === Set((1L, false)))
+      // push BOTH watermarks past click2+window (70 min + 10 delay)
+      mem.addData(AttrEv(4L, at(200), 9L, "click", 0.0),
+        AttrEv(5L, at(200), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData(AttrEv(6L, at(210), 9L, "click", 0.0),
+        AttrEv(7L, at(210), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData(AttrEv(8L, at(220), 9L, "click", 0.0),
+        AttrEv(9L, at(220), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      mem.addData(AttrEv(10L, at(230), 9L, "click", 0.0),
+        AttrEv(11L, at(230), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_lo_out")
+        .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSet
+      // click 2's null row has now been released
+      assert(got.contains((2L, true)), got)
+      // and the converted clicks never got a spurious null sibling
+      assert(!got.contains((1L, true)), got)
+    } finally q.stop()
+  }
+
   test("join state is watermark-bounded: an out-of-horizon click cannot match a late purchase") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[AttrEv]
