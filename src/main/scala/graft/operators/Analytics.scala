@@ -1997,6 +1997,93 @@ object Analytics {
       |FROM c LEFT JOIN p ON c.user_id = p.user_id
       |  AND pts >= cts AND pts < cts + INTERVAL 1 HOUR""".stripMargin
 
+  /** CUSUM CHANGEPOINT DETECTION on per-type daily volume — the
+    * sequential quality-control statistic (Page 1954) that flags a
+    * sustained mean shift long before a single-day z-score would:
+    * S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − κ)) and the mirrored S⁻ for
+    * downward shifts, alarm when S crosses h.
+    *
+    * The textbook recurrence is a stateful fold; distributed, it
+    * becomes CLOSED FORM: S_t = P_t − min(0, min_{i<t} P_i) where P is
+    * the running sum of deviations — the q151 Kadane identity — so the
+    * whole scan is two stacked windows over one per-type sort.
+    *
+    * Integer-exact everywhere: deviations are scaled by 10·ndays
+    * (x_t·10·ndays − 11·total encodes x_t − 1.1μ with slack κ = 0.1μ),
+    * the alarm threshold h = 3·total div 2 ≈ 1.5·μ·ndays in the same
+    * units — no float mean ever compared. Both tails emitted per type
+    * with alarm counts and first-alarm dates (null when quiet — fixture
+    * verified to alarm some types each direction and not others).
+    *
+    * Scale shape: the event log folds to the daily grain map-side
+    * (partial agg); everything windowed is days-sized per type. At
+    * 100 TB the scan cost is the daily rollup; the CUSUM itself is
+    * noise. */
+  def q190CusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("ndays"))
+    val dev = daily.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("total"),
+        (lit(10L) * col("ndays") * col("cnt") - lit(11L) * col("total")).as("su"),
+        (lit(9L) * col("total") - lit(10L) * col("ndays") * col("cnt")).as("sd"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    val cusum = dev
+      .withColumn("pu", sum(col("su")).over(wo))
+      .withColumn("pd", sum(col("sd")).over(wo))
+      .withColumn("cu", col("pu") -
+        least(lit(0L), coalesce(min(col("pu")).over(wprev), lit(0L))))
+      .withColumn("cd", col("pd") -
+        least(lit(0L), coalesce(min(col("pd")).over(wprev), lit(0L))))
+      .withColumn("h", expr("(3L * total) div 2"))
+    cusum.groupBy(col("event_type"))
+      .agg(max(col("cu")).as("max_cusum_up"),
+        max(col("cd")).as("max_cusum_dn"),
+        sum(when(col("cu") > col("h"), 1L).otherwise(0L)).as("n_alarm_up"),
+        sum(when(col("cd") > col("h"), 1L).otherwise(0L)).as("n_alarm_dn"),
+        min(when(col("cu") > col("h"), col("day"))).as("first_alarm_up"),
+        min(when(col("cd") > col("h"), col("day"))).as("first_alarm_dn"))
+  }
+
+  val q190Sql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, sum(cnt) AS total, count(*) AS ndays
+      |  FROM d GROUP BY 1),
+      |dev AS (
+      |  SELECT d.event_type, day, total,
+      |    10 * ndays * cnt - 11 * total AS su,
+      |    9 * total - 10 * ndays * cnt AS sd
+      |  FROM d JOIN t USING (event_type)),
+      |p AS (
+      |  SELECT *,
+      |    sum(su) OVER (PARTITION BY event_type ORDER BY day) AS pu,
+      |    sum(sd) OVER (PARTITION BY event_type ORDER BY day) AS pd
+      |  FROM dev),
+      |c AS (
+      |  SELECT event_type, day, total,
+      |    pu - least(0, coalesce(min(pu) OVER (PARTITION BY event_type
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)) AS cu,
+      |    pd - least(0, coalesce(min(pd) OVER (PARTITION BY event_type
+      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)) AS cd,
+      |    (3 * total) // 2 AS h
+      |  FROM p)
+      |SELECT event_type,
+      |  CAST(max(cu) AS BIGINT) AS max_cusum_up,
+      |  CAST(max(cd) AS BIGINT) AS max_cusum_dn,
+      |  CAST(sum(CASE WHEN cu > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_up,
+      |  CAST(sum(CASE WHEN cd > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_dn,
+      |  min(CASE WHEN cu > h THEN day END) AS first_alarm_up,
+      |  min(CASE WHEN cd > h THEN day END) AS first_alarm_dn
+      |FROM c GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -2034,5 +2121,6 @@ object Analytics {
     "q186_sessionize" -> (q186Sessionize _, q186Sql),
     "q187_attribution" -> (q187Attribution _, q187Sql),
     "q188_attribution_outer" -> (q188AttributionOuter _, q188Sql),
+    "q190_cusum_changepoint" -> (q190CusumChangepoint _, q190Sql),
   )
 }

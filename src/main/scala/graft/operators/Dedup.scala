@@ -1337,6 +1337,49 @@ object Dedup {
        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
 
+  /** BUCKETED EVENT DEDUP — the batch half of the streaming dedup pair
+    * (EventStreams.streamingBucketDedup): collapse each
+    * (user, event_type, hour) bucket to its earliest event and report
+    * the per-(type, day) raw vs kept census. The ingest-throttling
+    * shape every training-data pipeline runs in front of expensive
+    * enrichment: at-least-once delivery and client retries produce
+    * key-level duplicates that must die BEFORE the heavy operators.
+    *
+    * The hour bucket is what makes the batch and streaming forms agree
+    * EXACTLY: every duplicate chain is bounded by its bucket, so
+    * "earliest per bucket" (batch, order-free) equals "first seen per
+    * bucket" (streaming, dropDuplicatesWithinWatermark) whenever each
+    * key's events arrive in ts order — StreamingDedupSpec pins the
+    * differential, and the census here is the gate-checkable surface.
+    *
+    * Scale shape: one partial-aggregated groupBy on the bucket key
+    * (map-side collapse eats the duplicates before the shuffle), then
+    * a second days×types-sized rollup. No windows, no sort. */
+  def q192BucketDedup(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), col("user_id"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .groupBy(col("event_type"), col("hour").cast("date").as("day"))
+      .agg(sum(col("n_in_bucket")).as("n_raw"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_in_bucket") - 1L).as("n_dropped"),
+        max(col("n_in_bucket")).as("max_bucket"))
+
+  val q192Sql: String =
+    """WITH b AS (
+      |  SELECT event_type, user_id,
+      |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    count(*) AS n_in_bucket
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(hour AS DATE) AS day,
+      |  CAST(sum(n_in_bucket) AS BIGINT) AS n_raw,
+      |  count(*) AS n_kept,
+      |  CAST(sum(n_in_bucket - 1) AS BIGINT) AS n_dropped,
+      |  CAST(max(n_in_bucket) AS BIGINT) AS max_bucket
+      |FROM b GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
@@ -1353,5 +1396,6 @@ object Dedup {
     "q134_exact_substr"   -> (q134ExactSubstr _, q134Sql),
     "q158_simhash_join"   -> (q158SimhashJoin _, q158Sql),
     "q171_cluster_histogram" -> (q171ClusterHistogram _, q171Sql),
+    "q192_bucket_dedup"   -> (q192BucketDedup _, q192Sql),
   )
 }

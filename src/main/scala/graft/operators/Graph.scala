@@ -685,6 +685,77 @@ object Graph {
        |${(1 to Iters).map(pprIterSql).mkString(",\n")}
        |SELECT node, rank_e12 FROM p$Iters""".stripMargin
 
+  /** LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan et al. 2007),
+    * SYNCHRONOUS and fully deterministic: every node starts as its own
+    * label; each round every node adopts the most frequent label among
+    * its NEIGHBORS, ties to the smallest label (the randomized
+    * tie-break of the paper is replaced by min — the same determinism
+    * stance as everywhere else in this repo: never rand()). Three fixed
+    * rounds (not convergence-chased — the q81 lineage-honesty rule),
+    * then the community census.
+    *
+    * The per-node argmax is the q163 min_by-on-struct idiom:
+    * min_by(label, (-count, label)) — PARTIAL-AGGREGATION-friendly
+    * (min_by merges map-side), where the textbook row_number window
+    * would sort every (node, label) group. The oracle unrolls the three
+    * rounds as nested CTEs with the equivalent rank filter.
+    *
+    * Scale shape: per round one edges⋈labels equi join (labels frame is
+    * node-sized, co-partitioned with the src-partitioned checkpointed
+    * edge list) plus two partial aggs on (node, label) then node.
+    * Lineage truncated per round (localCheckpoint — the dedupClusters
+    * lesson). Nothing is ever broadcast at graph scale and no window
+    * touches an edges-sized frame. */
+  def q193LabelProp(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("c").as("dst")))
+      .repartition(col("src")).localCheckpoint(false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(false)
+    for (_ <- 1 to 3) {
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")),
+          Seq("dst"))
+        .groupBy(col("src"), col("nl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(min_by(col("nl"), struct(negate(col("cnt")), col("nl")))
+          .as("label"))
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(false)
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+  }
+
+  private def lpaIterSql(k: Int): String =
+    s"""r$k AS (
+       |  SELECT node, label FROM (
+       |    SELECT e.src AS node, lp.label,
+       |      row_number() OVER (PARTITION BY e.src
+       |        ORDER BY count(*) DESC, lp.label) AS rn
+       |    FROM e JOIN r${k - 1} lp ON e.dst = lp.node
+       |    GROUP BY e.src, lp.label)
+       |  WHERE rn = 1)"""
+
+  val q193Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS v
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT c AS src, v AS dst FROM pairs
+       |      UNION ALL SELECT v, c FROM pairs),
+       |r0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${(1 to 3).map(lpaIterSql).mkString(",\n")}
+       |SELECT label AS community, count(*) AS n_nodes,
+       |  min(node) AS min_node
+       |FROM r3 GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q81_pagerank" -> (q81Pagerank _, q81Sql),
     "q105_triangle_count" -> (q105TriangleCount _, q105Sql),
@@ -694,5 +765,6 @@ object Graph {
     "q136_sssp" -> (q136Sssp _, q136Sql),
     "q156_hits" -> (q156Hits _, q156Sql),
     "q164_ppr" -> (q164Ppr _, q164Sql),
+    "q193_label_prop" -> (q193LabelProp _, q193Sql),
   )
 }

@@ -941,6 +941,196 @@ object Similarity {
       |      FROM s)
       |WHERE rnk <= 10""".stripMargin
 
+  /** RETRIEVAL-QUALITY EVALUATION (NDCG@10 / MRR / recall@10) over
+    * [[q23KnnExact]]'s neighbor lists, with same-label membership as the
+    * relevance judgment — the eval half of a retrieval pipeline (an
+    * embedding index is only as good as the metrics you can compute over
+    * it at corpus scale).
+    *
+    * Cross-engine determinism: the discount weights 1/log2(r+1) are
+    * IRRATIONAL, so instead of trusting two engines' log() ulps the
+    * 10-entry weight table (and its prefix-sum table for the ideal DCG)
+    * is precomputed once to 1e-9 fixed point and embedded as the SAME
+    * integer literals in both engines; MRR is floor(1e9/first_rel_rank)
+    * (exact integer division); NDCG and recall are floor-ratio fixed
+    * point. Every output cell is a BIGINT.
+    *
+    * Scale shape: adds to q23's plan one broadcast label join on the
+    * k-bounded neighbor lists, a per-query partial agg, and a join to
+    * the label-sized count table. The corpus is scanned once (inside
+    * q23); everything downstream is (queries x k)-sized. */
+  def q189RetrievalEval(s: SparkSession, d: String): DataFrame = {
+    val lab = embeddings(s, d).select(col("vec_id"), col("label").cast("long").as("label"))
+    val labCnt = lab.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val wfp = element_at(
+      array(NdcgW.map(lit): _*), col("rnk").cast("int"))
+    val judged = q23KnnExact(s, d)
+      .join(lab.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "n_label_of_nb"), Seq("neighbor_id"))
+      .join(lab.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+        Seq("query_id"))
+      .withColumn("rel", when(col("n_label_of_nb") === col("q_label"), 1L).otherwise(0L))
+    val perQ = judged.groupBy(col("query_id"), col("q_label"))
+      .agg(sum(col("rel")).as("hits"),
+        min(when(col("rel") === 1L, col("rnk"))).as("first_rel"),
+        sum(when(col("rel") === 1L, wfp).otherwise(lit(0L))).as("dcg_fp"))
+    perQ
+      .join(labCnt.withColumnRenamed("label", "q_label"), Seq("q_label"))
+      .withColumn("n_rel", col("n_label") - 1L)
+      .withColumn("idcg_fp",
+        // greatest(...,1) keeps the element_at index legal even on the
+        // n_rel=0 branch the `when` discards (both arms are evaluated)
+        when(col("n_rel") >= 1L,
+          element_at(array(NdcgCum.map(lit): _*),
+            greatest(least(col("n_rel"), lit(10L)), lit(1L)).cast("int")))
+          .otherwise(lit(0L)))
+      .select(col("query_id"), col("q_label"), col("n_rel"), col("hits"),
+        coalesce(expr("1000000000L div first_rel"), lit(0L)).as("mrr_fp"),
+        col("dcg_fp"), col("idcg_fp"),
+        when(col("idcg_fp") > 0L, expr("(dcg_fp * 1000000000L) div idcg_fp"))
+          .otherwise(0L).as("ndcg_fp"),
+        when(col("n_rel") >= 1L, expr("(hits * 1000000000L) div n_rel"))
+          .otherwise(0L).as("recall_fp"))
+  }
+
+  /** floor(1e9 / log2(r+1)) for r = 1..10, precomputed to 60 decimal
+    * digits so both engines share literals instead of log() ulps. */
+  private val NdcgW: Seq[Long] = Seq(1000000000L, 630929753L, 500000000L,
+    430676558L, 386852807L, 356207187L, 333333333L, 315464876L,
+    301029995L, 289064826L)
+  /** Prefix sums of [[NdcgW]] — ideal DCG for 1..10 relevant docs. */
+  private val NdcgCum: Seq[Long] = Seq(1000000000L, 1630929753L,
+    2130929753L, 2561606311L, 2948459118L, 3304666305L, 3637999638L,
+    3953464514L, 4254494509L, 4543559335L)
+
+  val q189Sql: String =
+    s"""WITH nb AS ($q23Sql),
+       |wts(rnk, wfp) AS (VALUES (1, 1000000000), (2, 630929753),
+       |  (3, 500000000), (4, 430676558), (5, 386852807), (6, 356207187),
+       |  (7, 333333333), (8, 315464876), (9, 301029995), (10, 289064826)),
+       |cumw(k, cfp) AS (VALUES (1, 1000000000), (2, 1630929753),
+       |  (3, 2130929753), (4, 2561606311), (5, 2948459118),
+       |  (6, 3304666305), (7, 3637999638), (8, 3953464514),
+       |  (9, 4254494509), (10, 4543559335)),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |lc AS (SELECT label, count(*) AS n_label FROM lab GROUP BY 1),
+       |j AS (
+       |  SELECT nb.query_id, ql.label AS q_label, nb.rnk,
+       |    CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel,
+       |    wts.wfp
+       |  FROM nb
+       |  JOIN lab nl ON nb.neighbor_id = nl.vec_id
+       |  JOIN lab ql ON nb.query_id = ql.vec_id
+       |  JOIN wts ON wts.rnk = nb.rnk),
+       |perq AS (
+       |  SELECT query_id, q_label,
+       |    CAST(sum(rel) AS BIGINT) AS hits,
+       |    min(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+       |    CAST(sum(CASE WHEN rel = 1 THEN wfp ELSE 0 END) AS BIGINT)
+       |      AS dcg_fp
+       |  FROM j GROUP BY 1, 2)
+       |SELECT p.query_id, p.q_label,
+       |  CAST(lc.n_label - 1 AS BIGINT) AS n_rel, p.hits,
+       |  CAST(coalesce(1000000000 // first_rel, 0) AS BIGINT) AS mrr_fp,
+       |  p.dcg_fp,
+       |  CAST(CASE WHEN lc.n_label - 1 >= 1 THEN
+       |    (SELECT cfp FROM cumw WHERE k = least(lc.n_label - 1, 10))
+       |    ELSE 0 END AS BIGINT) AS idcg_fp,
+       |  CAST(CASE WHEN lc.n_label - 1 >= 1 THEN
+       |    (p.dcg_fp * 1000000000) //
+       |      (SELECT cfp FROM cumw WHERE k = least(lc.n_label - 1, 10))
+       |    ELSE 0 END AS BIGINT) AS ndcg_fp,
+       |  CAST(CASE WHEN lc.n_label - 1 >= 1 THEN
+       |    (p.hits * 1000000000) // (lc.n_label - 1)
+       |    ELSE 0 END AS BIGINT) AS recall_fp
+       |FROM perq p JOIN lc ON p.q_label = lc.label""".stripMargin
+
+  /** RECIPROCAL-RANK-FUSION hybrid retrieval: two rankers over ONE
+    * corpus scan — cosine (angle) and L2 distance (magnitude-aware) —
+    * fused per (query, candidate) as sum of 1e9/(60+rank) over the
+    * lists the candidate appears in (Cormack et al.'s RRF with the
+    * standard k=60), then top-5 fused per query. The production shape
+    * for hybrid dense+X search where no single ranker dominates.
+    *
+    * Determinism: RRF contributions are floor(1e9/(60+r)) — exact
+    * integer division; both distance measures round to 1e-6 before
+    * ranking with vec_id tiebreaks (the q23 convention); L2^2 is
+    * computed from self-dots (qq + nn - 2*dot), NOT from the sqrt'd
+    * norm column, so both engines evaluate the identical double
+    * expression.
+    *
+    * Scale shape — the SINGLE-PASS union trick: a naive two-branch
+    * formulation (one rank window per measure over a shared `scored`
+    * frame) recomputed the corpus scan AND every dot product per
+    * branch — 8 parquet scans, zero ReusedExchange, because Spark 4
+    * pushes each branch's partial WindowGroupLimit BELOW its shuffle,
+    * making the exchange subtrees structurally different and
+    * un-reusable. Instead each scored row EXPLODES into two
+    * (measure, ascending-value) pairs so ONE rank-limited window over
+    * (qid, measure) serves both rankers from ONE corpus scan — the
+    * partial WindowGroupLimit collapses every partition to ≤k rows per
+    * (query, measure) before the shuffle, and the fusion is a partial
+    * agg on (qid, vec_id), not a full-outer join. Nothing
+    * corpus-sized is ever materialized or scanned twice. */
+  def q191RrfFusion(s: SparkSession, d: String): DataFrame = {
+    val v = vectors(s, d).withColumn("sd", vdot(col("e"), col("e")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("e").as("qe"),
+        col("norm").as("qn"), col("sd").as("qsd"))
+    val measures = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("dot", vdot(col("e"), col("qe")))
+      .select(col("qid"), col("vec_id"), explode(array(
+        struct(lit("a").as("m"),
+          negate(round(col("dot") / (col("norm") * col("qn")), 6)).as("v")),
+        struct(lit("b").as("m"),
+          round(col("qsd") + col("sd") - lit(2d) * col("dot"), 6).as("v"))))
+        .as("x"))
+      .select(col("qid"), col("vec_id"), col("x.m").as("m"), col("x.v").as("v"))
+    val fused = measures
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid"), col("m")).orderBy(col("v"), col("vec_id"))))
+      .filter(col("r") <= 10)
+      .withColumn("contrib", expr("1000000000L div (60 + r)"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("contrib")).as("rrf_fp"),
+        max(col("m") === "a").as("in_a"), max(col("m") === "b").as("in_b"))
+    fused
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rrf_fp").desc, col("vec_id"))))
+      .filter(col("fused_rank") <= 5)
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        col("fused_rank"), col("rrf_fp"), col("in_a"), col("in_b"))
+  }
+
+  val q191Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sd FROM v),
+      |q AS (SELECT vec_id AS qid, e AS qe, sd AS qsd FROM vv WHERE vec_id < 10),
+      |s AS (SELECT qid, vec_id,
+      |        round(list_cosine_similarity(qe, e), 6) AS sim,
+      |        round(qsd + sd - 2 * list_inner_product(qe, e), 6) AS d2
+      |      FROM q, vv WHERE vec_id <> qid),
+      |ra AS (SELECT qid, vec_id, 1000000000 // (60 + r) AS c_a
+      |       FROM (SELECT qid, vec_id, row_number() OVER
+      |               (PARTITION BY qid ORDER BY sim DESC, vec_id) AS r
+      |             FROM s) WHERE r <= 10),
+      |rb AS (SELECT qid, vec_id, 1000000000 // (60 + r) AS c_b
+      |       FROM (SELECT qid, vec_id, row_number() OVER
+      |               (PARTITION BY qid ORDER BY d2 ASC, vec_id) AS r
+      |             FROM s) WHERE r <= 10),
+      |f AS (SELECT coalesce(ra.qid, rb.qid) AS qid,
+      |        coalesce(ra.vec_id, rb.vec_id) AS vec_id,
+      |        CAST(coalesce(c_a, 0) + coalesce(c_b, 0) AS BIGINT) AS rrf_fp,
+      |        c_a IS NOT NULL AS in_a, c_b IS NOT NULL AS in_b
+      |      FROM ra FULL OUTER JOIN rb
+      |        ON ra.qid = rb.qid AND ra.vec_id = rb.vec_id)
+      |SELECT qid AS query_id, vec_id AS neighbor_id, fused_rank, rrf_fp,
+      |  in_a, in_b
+      |FROM (SELECT qid, vec_id, rrf_fp, in_a, in_b, row_number() OVER
+      |        (PARTITION BY qid ORDER BY rrf_fp DESC, vec_id) AS fused_rank
+      |      FROM f)
+      |WHERE fused_rank <= 5""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
@@ -956,5 +1146,7 @@ object Similarity {
     "q141_quantile_transform" -> (q141QuantileTransform _, q141Sql),
     "q163_knn_classify"     -> (q163KnnClassify _, q163Sql),
     "q180_mips"             -> (q180Mips _, q180Sql),
+    "q189_retrieval_eval"   -> (q189RetrievalEval _, q189Sql),
+    "q191_rrf_fusion"       -> (q191RrfFusion _, q191Sql),
   )
 }

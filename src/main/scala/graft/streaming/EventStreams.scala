@@ -204,16 +204,41 @@ object EventStreams {
   }
 
   /** Streaming exact dedup for a document stream: drop any doc whose
-    * normalized-text hash was already seen (state bounded by the
-    * watermark — duplicates arriving later than the delay are passed
-    * through; that is the inherent streaming-dedup contract). The
-    * streaming form of the batch keep-first dedup (q20). */
+    * normalized-text hash was seen within the watermark delay; a
+    * duplicate arriving after the hash's state expired is re-admitted —
+    * the inherent streaming-dedup contract. The streaming form of the
+    * batch keep-first dedup (q20).
+    *
+    * State honesty (round-11 fix): this MUST be
+    * `dropDuplicatesWithinWatermark`, not plain `dropDuplicates` —
+    * Spark only evicts plain-dropDuplicates state when the event-time
+    * column is part of the dedup key, so keying on content_hash alone
+    * accumulated one state row per distinct document FOREVER (the
+    * 100 TB kill this docstring used to wrongly deny). The
+    * WithinWatermark variant was added (SPARK-42931) exactly for
+    * dedup keys without the event-time column: state is evicted once
+    * the watermark passes the key's expiry, and StreamingDedupSpec
+    * pins the re-emission that proves eviction really happens. */
   def streamingExactDedup(docs: DataFrame, watermarkDelay: String): DataFrame =
     docs
       .withColumn("content_hash",
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming BUCKETED dedup — the streaming half of the gated q192:
+    * at most one event per (user, type, hour) survives. The hour bucket
+    * BOUNDS every duplicate chain (all events of a bucket sit within
+    * one hour of its first event), so with delay ≥ 1 hour the
+    * streaming kept-set equals the batch earliest-per-bucket collapse
+    * whenever each key's events arrive in ts order — the differential
+    * StreamingDedupSpec drives. State is one row per in-flight bucket,
+    * watermark-evicted. */
+  def streamingBucketDedup(events: DataFrame, watermarkDelay: String): DataFrame =
+    events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour")
 
   /** Streaming new-user counter — the streaming form of the q122 growth
     * curve: `dropDuplicates("user_id")` keeps first-seen keyed state, so

@@ -794,6 +794,55 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan.take(2500))
   }
 
+  test("q189/q191 retrieval eval + RRF: rank-limited windows, lambda-free, no cartesian") {
+    // q189 rides q23's plan: broadcast query side, one corpus scan,
+    // rank<=10 as a bounded-heap WindowGroupLimit; everything after is
+    // (queries x k)-sized aggs + label-count joins
+    val p189 = planOf(Similarity.q189RetrievalEval(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p189.contains("WindowGroupLimit"), p189.take(2500))
+    assert(!p189.toLowerCase.contains("lambdafunction"), p189.take(2500))
+    assert(!p189.contains("CartesianProduct"), p189.take(2500))
+    assert(p189.contains("partial_"), p189.take(2500))
+    // q191: the union trick must hold — ONE corpus scan (plus the
+    // broadcast query-side scan) feeds BOTH rankers through a single
+    // rank-limited (qid, measure) window; a regression to per-branch
+    // recomputation shows up as 4+ embeddings scans
+    val p191 = planOf(Similarity.q191RrfFusion(spark, d))
+      .split("== Initial Plan ==").head
+    val embScans = p191.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("embeddings"))
+    assert(embScans <= 2, s"embeddings scanned $embScans times\n${p191.take(2500)}")
+    assert(p191.contains("WindowGroupLimit"), p191.take(2500))
+    assert(!p191.toLowerCase.contains("lambdafunction"), p191.take(2500))
+    assert(!p191.contains("CartesianProduct"), p191.take(2500))
+  }
+
+  test("q190 cusum: daily rollup partial-aggregates; windows keyed per type, never single-partition") {
+    val plan = planOf(Analytics.q190CusumChangepoint(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan.take(2500))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
+  test("q192 bucket dedup: pure two-level partial aggregation — no window, no sort, no join") {
+    val plan = planOf(Dedup.q192BucketDedup(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan.take(2500))
+    assert(!plan.contains("Window"), plan.take(2500))
+    assert(!plan.contains("Join"), plan.take(2500))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2500))
+  }
+
+  test("q193 label prop: census over the checkpointed final labels — partial agg, no cartesian") {
+    val plan = planOf(Graph.q193LabelProp(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
