@@ -2084,6 +2084,227 @@ object Analytics {
       |  min(CASE WHEN cd > h THEN day END) AS first_alarm_dn
       |FROM c GROUP BY 1""".stripMargin
 
+  /** RATE-LIMIT ADMISSION CENSUS — the gated surface of the
+    * batch/streaming rate-limiter pair (graft.streaming.RateLimitStream,
+    * whose streaming half is this repo's first transformWithState
+    * operator): admit ≤3 events per (user, event_type) per 10-minute
+    * tumbling window, earliest first, and report per type how much an
+    * ingest throttle would pass vs drop. Window buckets are integer
+    * `unix_micros div 6e8` — identical arithmetic to DuckDB's
+    * `epoch_us // 6e8` (the q119 idiom), never a float timestamp op.
+    *
+    * Scale shape: one keyed window whose rank filter plans as the
+    * partial+final WindowGroupLimit bounded heap? No — admission needs
+    * EVERY row tagged, not top-k extracted, so this is one
+    * (user,type,bucket)-keyed exchange + sort, then a types-sized
+    * partial agg. The streaming form replaces the sort with O(1) keyed
+    * state per event — that asymmetry (batch sorts, streams fold) is
+    * inherent to admission control. */
+  def q194RateLimit(s: SparkSession, d: String): DataFrame = {
+    val limited = graft.streaming.RateLimitStream.rateLimitBatch(
+      events(s, d).select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type")), 3, 600000000L)
+    limited.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+        sum(when(col("allowed"), 0L).otherwise(1L)).as("n_throttled"),
+        max(col("rn")).as("max_burst"))
+  }
+
+  val q194Sql: String =
+    """WITH w AS (
+      |  SELECT event_type,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, event_type,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) // 600000000
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_raw,
+      |  CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_allowed,
+      |  CAST(sum(CASE WHEN rn <= 3 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_throttled,
+      |  CAST(max(rn) AS BIGINT) AS max_burst
+      |FROM w GROUP BY 1""".stripMargin
+
+  /** HLL SET ALGEBRA — the payoff of q140's portable register format:
+    * sketch the heavy-clicker and heavy-purchaser audiences (>13
+    * events of the type — a genuinely partial overlap: 71/69 users,
+    * 31 shared at sf0.01, so the union max and inclusion–exclusion do
+    * real work) separately, UNION them by element-wise register max
+    * (the only set op HLL supports natively), and estimate the
+    * INTERSECTION by est(A)+est(B)−est(A∪B) — the audience-overlap
+    * query every analytics stack answers from sketches because the
+    * exact answer needs a user-level join of both sides. The exact
+    * counts ride along (the q55 recall-gate convention) so the row
+    * self-reports its own estimation error.
+    *
+    * Cross-engine determinism: the raw Flajolet estimator α·m²/Z runs
+    * in EXACT integer rationals — Z = Σ2^(−rank) is scaled by 2^41 so
+    * every term is an integer power of two, α_256 = 0.7213/(1+1.079/256)
+    * is carried as the exact rational 1846528000/2570790000, and the
+    * whole quotient is one DECIMAL(38,0)/HUGEINT integral divide with a
+    * 27-digit precomputed numerator constant. The small-range
+    * LINEAR-COUNTING correction (est ≤ 2.5m with empty registers ⇒
+    * m·ln(m/V), V = zero-register count) needs ln — whose ulps differ
+    * per engine — so the 256 possible values are precomputed ONCE into
+    * an integer table ([[HllLc]]) and the SAME literals are emitted
+    * into the Spark plan and the oracle SQL (the q189 discount-table
+    * move): no engine ever evaluates ln. Corrected est_a: 73 vs
+    * exact 71 at sf0.01, where the raw estimator read 219.
+    *
+    * Scale shape: two filtered scans fold to 256-row register tables
+    * map-side (the q140 shape — ≤256 rows per map task); the union,
+    * estimates and the final assembly are constant-sized. The exact
+    * side is one user-keyed partial agg — the thing the sketch path
+    * exists to avoid, kept here as the self-evaluation. */
+  def q195HllSetops(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    // user-sized activity frame, checkpointed once for its three
+    // consumers (sketch A, sketch B, exact side) — the q77 idiom
+    val perUser = ev.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("nc"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .localCheckpoint(false)
+    def regs(cond: Column, nm: String) =
+      hllRegisters(perUser.filter(cond)
+        .select(col("user_id").cast("string").as("key")))
+        .withColumnRenamed("max_rank", nm)
+    val spine = s.range(256).select(col("id").as("reg"))
+    val j = spine
+      .join(regs(col("nc") > 13L, "ra"), Seq("reg"), "left")
+      .join(regs(col("np") > 13L, "rb"), Seq("reg"), "left")
+      .select(col("reg"), coalesce(col("ra"), lit(0L)).as("ra"),
+        coalesce(col("rb"), lit(0L)).as("rb"))
+      .withColumn("ru", greatest(col("ra"), col("rb")))
+    val z = j.agg(
+      sum(expr("shiftleft(1L, cast(41 - ra as int))")).as("zn_a"),
+      sum(expr("shiftleft(1L, cast(41 - rb as int))")).as("zn_b"),
+      sum(expr("shiftleft(1L, cast(41 - ru as int))")).as("zn_u"),
+      sum(when(col("ra") > 0L, 1L).otherwise(0L)).as("n_nz_a"),
+      sum(when(col("rb") > 0L, 1L).otherwise(0L)).as("n_nz_b"),
+      sum(when(col("ru") > 0L, 1L).otherwise(0L)).as("n_nz_u"),
+      sum(col("ru")).as("sum_rank_union"))
+    def raw(zn: String): Column =
+      expr(s"CAST('$HllNum' AS DECIMAL(38,0)) div " +
+        s"(CAST($zn AS DECIMAL(38,0)) * 2570790000)")
+    val lcArr = array(HllLc.map(lit): _*)
+    // linear counting when empty registers exist and the raw estimate
+    // is under 2.5m; greatest(...,1) keeps element_at legal on the
+    // V=0 branch the `when` discards
+    def est(zn: String, nz: String): Column = {
+      val v = lit(256L) - col(nz)
+      when(v > 0L && raw(zn) <= 640L,
+        element_at(lcArr, greatest(v, lit(1L)).cast("int")))
+        .otherwise(raw(zn))
+    }
+    val ests = z.select(
+      est("zn_a", "n_nz_a").as("est_a"), est("zn_b", "n_nz_b").as("est_b"),
+      est("zn_u", "n_nz_u").as("est_union"),
+      (est("zn_a", "n_nz_a") + est("zn_b", "n_nz_b") -
+        est("zn_u", "n_nz_u")).as("est_intersect"),
+      col("n_nz_a"), col("n_nz_b"), col("sum_rank_union"))
+    val exact = perUser
+      .agg(sum(when(col("nc") > 13L, 1L).otherwise(0L)).as("exact_a"),
+        sum(when(col("np") > 13L, 1L).otherwise(0L)).as("exact_b"),
+        sum(when(col("nc") > 13L || col("np") > 13L, 1L).otherwise(0L))
+          .as("exact_union"),
+        sum(when(col("nc") > 13L && col("np") > 13L, 1L).otherwise(0L))
+          .as("exact_intersect"))
+    ests.crossJoin(broadcast(exact))
+  }
+
+  /** α_256·m²·2^41 as one exact integer: 1846528000·65536·2^41. */
+  private val HllNum = "266112730007333991612416000"
+
+  /** Linear-counting table: floor(256·ln(256/V)) for V = 1..256 empty
+    * registers, computed ONCE here and interpolated verbatim into the
+    * oracle SQL — both engines consume identical integer literals, so
+    * ln's per-engine rounding never matters. */
+  private val HllLc: IndexedSeq[Long] =
+    (1 to 256).map(v => math.floor(256.0 * math.log(256.0 / v)).toLong)
+
+  private def hllRegSqlFor(cond: String): String =
+    s"""(SELECT
+       |  16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+       |     + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+       |  max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS r
+       |FROM (SELECT hx, list_reduce(list_transform(range(10),
+       |    i -> CAST(strpos('0123456789abcdef', substr(hx, 3 + i, 1)) - 1
+       |         AS BIGINT)),
+       |    (a, b) -> a * 16 + b) AS w
+       |  FROM (SELECT md5(CAST(user_id AS VARCHAR)) AS hx FROM pu
+       |        WHERE $cond) hh) pp
+       |GROUP BY 1)"""
+
+  val q195Sql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+       |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1),
+       |ra AS ${hllRegSqlFor("nc > 13")},
+       |rb AS ${hllRegSqlFor("np > 13")},
+       |spine AS (SELECT CAST(range AS BIGINT) AS reg FROM range(256)),
+       |j AS (
+       |  SELECT spine.reg, coalesce(ra.r, 0) AS ra, coalesce(rb.r, 0) AS rb,
+       |    greatest(coalesce(ra.r, 0), coalesce(rb.r, 0)) AS ru
+       |  FROM spine LEFT JOIN ra ON spine.reg = ra.reg
+       |             LEFT JOIN rb ON spine.reg = rb.reg),
+       |z AS (
+       |  SELECT
+       |    sum(CAST(1 AS BIGINT) << CAST(41 - ra AS INTEGER)) AS zn_a,
+       |    sum(CAST(1 AS BIGINT) << CAST(41 - rb AS INTEGER)) AS zn_b,
+       |    sum(CAST(1 AS BIGINT) << CAST(41 - ru AS INTEGER)) AS zn_u,
+       |    CAST(sum(CASE WHEN ra > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nz_a,
+       |    CAST(sum(CASE WHEN rb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nz_b,
+       |    CAST(sum(CASE WHEN ru > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nz_u,
+       |    CAST(sum(ru) AS BIGINT) AS sum_rank_union
+       |  FROM j),
+       |lc(v, cnt) AS (VALUES
+       |${(1 to 256).map(v => s"  ($v, ${HllLc(v - 1)})").mkString(",\n")}),
+       |e0 AS (
+       |  SELECT
+       |    CAST(CAST('$HllNum' AS HUGEINT)
+       |      // (CAST(zn_a AS HUGEINT) * 2570790000) AS BIGINT) AS raw_a,
+       |    CAST(CAST('$HllNum' AS HUGEINT)
+       |      // (CAST(zn_b AS HUGEINT) * 2570790000) AS BIGINT) AS raw_b,
+       |    CAST(CAST('$HllNum' AS HUGEINT)
+       |      // (CAST(zn_u AS HUGEINT) * 2570790000) AS BIGINT) AS raw_u,
+       |    n_nz_a, n_nz_b, n_nz_u, sum_rank_union
+       |  FROM z),
+       |e AS (
+       |  SELECT
+       |    CAST(CASE WHEN 256 - n_nz_a > 0 AND raw_a <= 640
+       |      THEN (SELECT cnt FROM lc WHERE v = 256 - n_nz_a)
+       |      ELSE raw_a END AS BIGINT) AS est_a,
+       |    CAST(CASE WHEN 256 - n_nz_b > 0 AND raw_b <= 640
+       |      THEN (SELECT cnt FROM lc WHERE v = 256 - n_nz_b)
+       |      ELSE raw_b END AS BIGINT) AS est_b,
+       |    CAST(CASE WHEN 256 - n_nz_u > 0 AND raw_u <= 640
+       |      THEN (SELECT cnt FROM lc WHERE v = 256 - n_nz_u)
+       |      ELSE raw_u END AS BIGINT) AS est_union,
+       |    n_nz_a, n_nz_b, sum_rank_union
+       |  FROM e0),
+       |x AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN nc > 13 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS exact_a,
+       |    CAST(sum(CASE WHEN np > 13 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS exact_b,
+       |    CAST(sum(CASE WHEN nc > 13 OR np > 13 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS exact_union,
+       |    CAST(sum(CASE WHEN nc > 13 AND np > 13 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS exact_intersect
+       |  FROM pu)
+       |SELECT est_a, est_b, est_union,
+       |  est_a + est_b - est_union AS est_intersect,
+       |  n_nz_a, n_nz_b, sum_rank_union,
+       |  exact_a, exact_b, exact_union, exact_intersect
+       |FROM e CROSS JOIN x""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -2122,5 +2343,7 @@ object Analytics {
     "q187_attribution" -> (q187Attribution _, q187Sql),
     "q188_attribution_outer" -> (q188AttributionOuter _, q188Sql),
     "q190_cusum_changepoint" -> (q190CusumChangepoint _, q190Sql),
+    "q194_rate_limit" -> (q194RateLimit _, q194Sql),
+    "q195_hll_setops" -> (q195HllSetops _, q195Sql),
   )
 }

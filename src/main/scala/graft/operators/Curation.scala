@@ -770,6 +770,55 @@ object Curation {
       |  (10000 * weight) // tw AS target_docs
       |FROM per CROSS JOIN tot""".stripMargin
 
+  /** K-ANONYMITY / L-DIVERSITY AUDIT (Sweeney 2002; Machanavajjhala
+    * 2007) — the privacy-risk readout that decides whether a table can
+    * ship: group by the quasi-identifiers an adversary could link on
+    * (nation, market segment), measure each group's size k (smaller ⇒
+    * re-identifiable) and its diversity l = distinct sensitive values
+    * (account-balance band; l = 1 ⇒ the sensitive value leaks even
+    * without re-identification). Output is the k-histogram with the
+    * worst-case and low-diversity census per size — the compliance
+    * artifact, sized by distinct k, not by rows.
+    *
+    * Determinism: balance bands come from exact integer cents
+    * (round(bal·100) — the q187 value_milli convention), SHIFTED
+    * nonnegative before the band division because Spark's `div`
+    * truncates while DuckDB's `//` floors and they disagree exactly on
+    * negative numerators (the q150 rule).
+    *
+    * Scale shape: one partial-agg groupBy on the QI key (the count and
+    * distinct-band both map-side combine), then a k-sized rollup. The
+    * QI group count is bounded by the QI domain, not the row count. */
+  def q197KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val groups = customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) div 100000")
+          .as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col("bal_band")).as("l_div"))
+    groups.groupBy(col("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("group_size")).as("n_rows"),
+        min(col("l_div")).as("min_l"),
+        sum(when(col("l_div") < 3L, 1L).otherwise(0L)).as("n_low_diversity"))
+  }
+
+  val q197Sql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    count(*) AS group_size,
+      |    count(DISTINCT (CAST(round(c_acctbal * 100, 0) AS BIGINT)
+      |      + 100000) // 100000) AS l_div
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT group_size,
+      |  count(*) AS n_groups,
+      |  CAST(sum(group_size) AS BIGINT) AS n_rows,
+      |  CAST(min(l_div) AS BIGINT) AS min_l,
+      |  CAST(sum(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_diversity
+      |FROM g GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -786,5 +835,6 @@ object Curation {
     "q176_domain_cap"   -> (q176DomainCap _, q176Sql),
     "q177_dsir_weights" -> (q177DsirWeights _, q177Sql),
     "q181_temperature_mix" -> (q181TemperatureMix _, q181Sql),
+    "q197_k_anonymity"  -> (q197KAnonymity _, q197Sql),
   )
 }

@@ -32,9 +32,9 @@ import org.apache.spark.sql.functions._
 object Graph {
   import Tables._
 
-  private val Iters = 5
+  private[operators] val Iters = 5
   /** Fixed-point scale: ranks are BIGINT multiples of 1e-12. */
-  private val Scale = 1000000000000L
+  private[operators] val Scale = 1000000000000L
 
   def q81Pagerank(s: SparkSession, d: String): DataFrame = {
     val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
@@ -90,7 +90,7 @@ object Graph {
     r.select(col("node"), col("rank_e12"))
   }
 
-  private def iterSql(i: Int): String =
+  private[operators] def iterSql(i: Int): String =
     s"""rk$i AS (
        |  SELECT e.dst AS node, sum(r.rank_e12 // e.deg) AS s
        |  FROM ed e JOIN r${i - 1} r ON e.src = r.node

@@ -653,6 +653,89 @@ object TextAnalysis {
       |  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
       |FROM m""".stripMargin
 
+  /** TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau 2004): the corpus's
+    * top-20 keywords by PageRank over the word co-occurrence graph —
+    * words are adjacent iff they appear next to each other in some
+    * document (window 2, the paper's default), stopwords and
+    * self-pairs excluded, the graph undirected. A composition proof:
+    * the tokenizer (q25's adjacency idiom) feeds [[Graph.pagerank]]'s
+    * integer fixed-point power iteration UNCHANGED — words become
+    * 60-bit nodes via the md5-prefix idiom, so the walk is the same
+    * bit-identical BIGINT computation q81 gates.
+    *
+    * Scale shape: one tokenize pass → DISTINCT normalized pairs
+    * (vocabulary²-bounded, in practice co-occurrence-sparse) → the q81
+    * pagerank schedule (src-partitioned checkpointed edges, node-sized
+    * rank frame, zero per-iteration hash exchanges) → a TakeOrdered
+    * top-20 with the word labels joined on the node id. The rank
+    * frame, not the corpus, flows through the iterations. */
+  def q196Textrank(s: SparkSession, d: String): DataFrame = {
+    def nid(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val stop = stopwords
+    val pairs = documents(s, d)
+      .withColumn("ws", Dedup.tokensCodegen(col("text")))
+      .filter(size(col("ws")) >= 2)
+      .select(col("ws"), posexplode(col("ws")))
+      .filter(col("pos") <= size(col("ws")) - 2)
+      .select(col("col").as("wa"),
+        element_at(col("ws"), col("pos") + 2).as("wb"))
+      .filter(col("wa") =!= col("wb") &&
+        !col("wa").isin(stop: _*) && !col("wb").isin(stop: _*))
+      .select(least(col("wa"), col("wb")).as("a"),
+        greatest(col("wa"), col("wb")).as("b"))
+      .distinct()
+      .localCheckpoint(false) // two consumers: edges + label table
+    val edges = pairs.select(nid(col("a")).as("src"), nid(col("b")).as("dst"))
+      .unionAll(pairs.select(nid(col("b")).as("src"), nid(col("a")).as("dst")))
+    val labels = pairs.select(col("a").as("word"))
+      .union(pairs.select(col("b").as("word"))).distinct()
+      .select(col("word"), nid(col("word")).as("node"))
+    Graph.pagerank(edges)
+      .join(labels, Seq("node"))
+      .orderBy(col("rank_e12").desc, col("word"))
+      .limit(20)
+      .select(col("word"), col("rank_e12"))
+  }
+
+  val q196Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |         t -> t <> '') AS ws
+       |  FROM documents),
+       |big AS (
+       |  SELECT unnest(list_transform(range(1, len(ws)),
+       |           i -> ws[i] || ' ' || ws[i+1])) AS bg
+       |  FROM tok WHERE len(ws) >= 2),
+       |pairs AS (
+       |  SELECT DISTINCT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b
+       |  FROM (SELECT string_split(bg, ' ') AS p FROM big)
+       |  WHERE p[1] <> p[2]
+       |    AND p[1] NOT IN ($stopList) AND p[2] NOT IN ($stopList)),
+       |eraw AS (
+       |  SELECT CAST('0x' || substr(md5(a), 1, 15) AS BIGINT) AS src,
+       |         CAST('0x' || substr(md5(b), 1, 15) AS BIGINT) AS dst
+       |  FROM pairs),
+       |edges AS (SELECT src, dst FROM eraw
+       |          UNION ALL SELECT dst, src FROM eraw),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM edges e
+       |       JOIN deg d ON d.src = e.src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(${Graph.Scale} // nn.n AS BIGINT) AS rank_e12
+       |       FROM nodes CROSS JOIN nn),
+       |${(1 to Graph.Iters).map(Graph.iterSql).mkString(",\n")},
+       |lab AS (
+       |  SELECT w AS word, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+       |      AS node
+       |  FROM (SELECT a AS w FROM pairs UNION SELECT b FROM pairs))
+       |SELECT word, rank_e12
+       |FROM r${Graph.Iters} r JOIN lab ON r.node = lab.node
+       |ORDER BY rank_e12 DESC, word LIMIT 20""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q24_token_stats"   -> (q24TokenStats _, q24Sql),
     "q25_bigram_counts" -> (q25BigramCounts _, q25Sql),
@@ -665,5 +748,6 @@ object TextAnalysis {
     "q120_pmi_bigrams"  -> (q120PmiBigrams _, q120Sql),
     "q123_source_kl"    -> (q123SourceKl _, q123Sql),
     "q128_zipf_slope"   -> (q128ZipfSlope _, q128Sql),
+    "q196_textrank"     -> (q196Textrank _, q196Sql),
   )
 }

@@ -843,6 +843,54 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
   }
 
+  test("q194 rate limit: one keyed admission window, never single-partition; census partial-aggregates") {
+    val plan = planOf(Analytics.q194RateLimit(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan.take(2500))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // admission tags every row (rn over user/type/bucket) — exactly one
+    // events scan feeds it
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("events"))
+    assert(scans === 1, s"events scanned $scans times\n${plan.take(2500)}")
+  }
+
+  test("q195 hll setops: registers partial-aggregate map-side; only scalar frames broadcast") {
+    val plan = planOf(Analytics.q195HllSetops(spark, d))
+      .split("== Initial Plan ==").head
+    // the register fold is the q140 shape: partial max onto <=256
+    // groups before any shuffle
+    assert(plan.contains("partial_max") || plan.contains("partial_"),
+      plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // the only nested-loop join allowed is the 1-row scalar assembly
+    // (broadcast crossJoin idiom)
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"$bnlj nested-loop joins\n${plan.take(2500)}")
+  }
+
+  test("q196 textrank: top-20 is a bounded TakeOrdered, never a global sort; no cartesian") {
+    val plan = planOf(TextAnalysis.q196Textrank(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2500))
+    // the iteration stages sit behind localCheckpoint boundaries; the
+    // visible tail must be the bounded top-k over an equi join only
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
+  test("q197 k-anonymity: QI groups partial-aggregate; rollup sized by distinct k") {
+    val plan = planOf(Curation.q197KAnonymity(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan.take(2500))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // the scan must prune to the three QI/sensitive columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("c_name"), readSchema)
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
