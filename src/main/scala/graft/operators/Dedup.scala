@@ -1380,6 +1380,121 @@ object Dedup {
       |  CAST(max(n_in_bucket) AS BIGINT) AS max_bucket
       |FROM b GROUP BY 1, 2""".stripMargin
 
+  /** SOURCE-LEVEL MINHASH SIMILARITY MATRIX — the MinHash counterpart
+    * of q195's HLL set algebra: a 32-hash signature per SOURCE (min
+    * over every shingle the source contains), pairwise similarity
+    * estimated as the fraction of agreeing components, with the exact
+    * shingle Jaccard riding along as the self-evaluation (the q55
+    * recall-gate convention). This is how corpus-overlap matrices are
+    * actually computed at scale: signatures are 32 longs per source
+    * and MERGE by element-wise min (associative), so per-shard
+    * signatures roll up without ever co-locating two sources' shingle
+    * sets — only the exact side (kept here as the referee, dropped in
+    * production) needs the shingle-level join.
+    *
+    * Portability: q21's production signatures use xxhash64, which
+    * DuckDB cannot replicate, so this family hashes each shingle with
+    * 32 seeded md5 prefixes (the fixed-point idiom) — slower per gram,
+    * bit-identical across engines, and the gate compares SIGNATURE
+    * AGREEMENT, not just set sizes.
+    *
+    * Scale shape: distinct (source, gram) rows fan 32× into seeded
+    * hashes that partial-agg min map-side onto |sources|·32 rows; the
+    * pairwise compare is a join on the 32-row axis of a sources²-sized
+    * frame (sources are few by construction — this is a per-corpus
+    * matrix, not a per-doc one). */
+  def q198SourceMinhash(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d)
+      .withColumn("toks", tokensCodegen(col("text")))
+      .filter(size(col("toks")) >= 3)
+    val grams = t
+      .select(col("source"), col("toks"), posexplode(col("toks")))
+      .filter(col("pos") <= size(col("toks")) - 3)
+      .select(col("source"),
+        concat_ws(" ", col("col"),
+          element_at(col("toks"), col("pos") + 2),
+          element_at(col("toks"), col("pos") + 3)).as("g"))
+      .distinct()
+      .localCheckpoint(false) // consumers: signatures + exact referee
+    val sigs = grams
+      .select(col("source"), explode(array((0 until 32).map(lit): _*)).as("j"),
+        col("g"))
+      .select(col("source"), col("j"),
+        conv(substring(md5(concat(col("g"), lit("|"),
+          col("j").cast("string"))), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy(col("source"), col("j"))
+      .agg(min(col("h")).as("m"))
+    val est = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.j") === col("b.j") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(when(col("a.m") === col("b.m"), 1L).otherwise(0L)).as("matches"))
+      .select(col("source_a"), col("source_b"),
+        expr("(matches * 1000000000L) div 32").as("est_sim_fp"))
+    val sizes = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("est_sim_fp"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"),
+        expr("(coalesce(n_inter, 0L) * 1000000000L) div " +
+          "(na + nb - coalesce(n_inter, 0L))").as("exact_sim_fp"))
+  }
+
+  val q198Sql: String =
+    """WITH t AS (
+      |  SELECT source, list_filter(string_split_regex(lower(text),
+      |    '[^a-z]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      |  FROM t WHERE len(toks) >= 3),
+      |sigs AS (
+      |  SELECT source, j,
+      |    min(CAST('0x' || substr(md5(g || '|' || CAST(j AS VARCHAR)),
+      |        1, 15) AS BIGINT)) AS m
+      |  FROM grams CROSS JOIN
+      |    (SELECT CAST(range AS INTEGER) AS j FROM range(32))
+      |  GROUP BY 1, 2),
+      |est AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    (sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) * 1000000000)
+      |      // 32 AS est_sim_fp
+      |  FROM sigs a JOIN sigs b
+      |    ON a.j = b.j AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*) AS n_inter
+      |  FROM grams a JOIN grams b
+      |    ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT e.source_a, e.source_b,
+      |  CAST(e.est_sim_fp AS BIGINT) AS est_sim_fp,
+      |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |  CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+      |  CAST((coalesce(i.n_inter, 0) * 1000000000)
+      |    // (sa.n + sb.n - coalesce(i.n_inter, 0)) AS BIGINT)
+      |    AS exact_sim_fp
+      |FROM est e
+      |LEFT JOIN inter i ON e.source_a = i.source_a
+      |  AND e.source_b = i.source_b
+      |JOIN sizes sa ON e.source_a = sa.source
+      |JOIN sizes sb ON e.source_b = sb.source""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
@@ -1397,5 +1512,6 @@ object Dedup {
     "q158_simhash_join"   -> (q158SimhashJoin _, q158Sql),
     "q171_cluster_histogram" -> (q171ClusterHistogram _, q171Sql),
     "q192_bucket_dedup"   -> (q192BucketDedup _, q192Sql),
+    "q198_source_minhash" -> (q198SourceMinhash _, q198Sql),
   )
 }

@@ -401,6 +401,83 @@ object Vocab {
       |    6) AS g2_6
       |FROM r WHERE rnk <= 10""".stripMargin
 
+  /** SCORE CALIBRATION + ROC TABLE for the q69 unigram-LM surprisal as
+    * an English-detector: band documents by 0.1-nat surprisal bands and
+    * report, per band, the empirical positive rate (is the band's
+    * "englishness" monotone in the score?) plus the cumulative
+    * TPR/FPR pair sweeping bands from high surprisal down — the ROC
+    * curve's actual points, the eval artifact behind every
+    * threshold-picking decision (q178's AUC is the area under exactly
+    * this curve; this emits the curve itself).
+    *
+    * Determinism: avg_nll is already rounded to 4 decimals identically
+    * on both engines (q69), so band = round(avg_nll·1000) div 500 is
+    * the same IEEE double op then integer arithmetic on both; all
+    * rates are 1e-9 floor-ratio fixed point. Zero-word docs carry a
+    * NULL score and are excluded (documented — a scoreless doc has no
+    * place on a score ROC).
+    *
+    * Scale shape: q69's plan plus one doc-sized band projection, a
+    * bands-sized partial agg, and cumulative windows over the BANDS
+    * frame — tens of rows by construction (score range / 0.1 nat), the
+    * sanctioned bounded-frame unpartitioned window. */
+  def q199RocCalibration(s: SparkSession, d: String): DataFrame = {
+    val scored = q69LmScore(s, d).filter(col("avg_nll").isNotNull)
+      .join(documents(s, d).select(col("doc_id"),
+        (col("lang") === "en").as("pos")), Seq("doc_id"))
+      .select(expr("CAST(round(avg_nll * 1000, 0) AS BIGINT) div 100")
+        .as("band"), col("pos"))
+    val bands = scored.groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val tot = bands.agg(sum(col("n")).as("tot_n"),
+      sum(col("n_pos")).as("tot_pos"))
+    val w = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("band"), col("n"), col("n_pos"),
+        expr("(n_pos * 1000000000L) div n").as("pos_rate_fp"),
+        when(col("tot_pos") > 0L,
+          expr("(cum_pos * 1000000000L) div tot_pos")).otherwise(0L)
+          .as("tpr_fp"),
+        when(col("tot_n") - col("tot_pos") > 0L,
+          expr("((cum_n - cum_pos) * 1000000000L) div (tot_n - tot_pos)"))
+          .otherwise(0L).as("fpr_fp"))
+  }
+
+  val q199Sql: String =
+    s"""WITH sc AS ($q69Sql),
+       |b AS (
+       |  SELECT CAST(round(avg_nll * 1000, 0) AS BIGINT) // 100 AS band,
+       |    d.lang = 'en' AS pos
+       |  FROM sc JOIN documents d USING (doc_id)
+       |  WHERE avg_nll IS NOT NULL),
+       |bands AS (
+       |  SELECT band, count(*) AS n,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM b GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n,
+       |               CAST(sum(n_pos) AS BIGINT) AS tot_pos FROM bands),
+       |c AS (
+       |  SELECT band, n, n_pos,
+       |    sum(n) OVER (ORDER BY band DESC
+       |      ROWS UNBOUNDED PRECEDING) AS cum_n,
+       |    sum(n_pos) OVER (ORDER BY band DESC
+       |      ROWS UNBOUNDED PRECEDING) AS cum_pos
+       |  FROM bands)
+       |SELECT band, n, n_pos,
+       |  CAST((n_pos * 1000000000) // n AS BIGINT) AS pos_rate_fp,
+       |  CAST(CASE WHEN tot_pos > 0
+       |    THEN (cum_pos * 1000000000) // tot_pos ELSE 0 END AS BIGINT)
+       |    AS tpr_fp,
+       |  CAST(CASE WHEN tot_n - tot_pos > 0
+       |    THEN ((cum_n - cum_pos) * 1000000000) // (tot_n - tot_pos)
+       |    ELSE 0 END AS BIGINT) AS fpr_fp
+       |FROM c CROSS JOIN tot""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q68_heavy_hitters" -> (q68HeavyHitters _, q68Sql),
     "q69_lm_score"      -> (q69LmScore _, q69Sql),
@@ -408,5 +485,6 @@ object Vocab {
     "q89_bm25"          -> (q89Bm25 _, q89Sql),
     "q106_tf_cosine_pairs" -> (q106TfCosinePairs _, q106Sql),
     "q173_keyness"      -> (q173Keyness _, q173Sql),
+    "q199_roc_calibration" -> (q199RocCalibration _, q199Sql),
   )
 }

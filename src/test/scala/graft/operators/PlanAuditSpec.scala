@@ -891,6 +891,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("c_name"), readSchema)
   }
 
+  test("q198 source minhash: seeded hashes partial-agg min map-side; signature join is equi") {
+    val plan = planOf(Dedup.q198SourceMinhash(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.toLowerCase.contains("lambdafunction"), plan.take(2500))
+  }
+
+  test("q199 roc calibration: only the bands-sized frame is ever windowed unpartitioned") {
+    val plan = planOf(Vocab.q199RocCalibration(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // the single-partition exchange must feed a Window over the band
+    // rollup (tens of rows), never a doc-sized frame: the window's
+    // input aggregates on `band` first
+    assert(plan.contains("Window"), plan.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

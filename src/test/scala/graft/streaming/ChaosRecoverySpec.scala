@@ -290,4 +290,55 @@ class ChaosRecoverySpec extends SparkSpec {
         assert(finalSnap(s).words.contains(w), s"$w missing from shard $s")
     }
   }
+
+  test("rate limit: transformWithState admission counter survives loss + undrained kill") {
+    // the transformWithState (arbitrary-state v2) operator under the
+    // same protocol: user 1 bursts six events in ONE 10-minute bucket
+    // split across the kill boundary — only the first three may ever be
+    // admitted, which requires the (bucket, count) ValueState to both
+    // survive the undrained kill and not double-count the redelivered
+    // batch. RocksDB provider is a transformWithState requirement.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ms(min: Long): Long = (1000 + min) * 60000L
+      // (event_id, ts_ms, user_id, type): u1 bucket-0 burst split 3/3,
+      // u2 stays under cap, u1 next bucket resets
+      val evs = Seq(
+        (1L, ms(0), 1L, "click"), (2L, ms(1), 1L, "click"),
+        (3L, ms(2), 1L, "click"), (4L, ms(3), 2L, "click"),
+        // batch 2 (after the undrained kill)
+        (5L, ms(4), 1L, "click"), (6L, ms(5), 1L, "click"),
+        (7L, ms(6), 1L, "click"), (8L, ms(7), 2L, "click"),
+        // batch 3: next bucket (base 16:40 → breaks at 17:00 = min 20)
+        (9L, ms(21), 1L, "click"))
+      def json(e: (Long, Long, Long, String)) =
+        s"""{"event_id":${e._1},"ts":${e._2},"user_id":${e._3},"event_type":"${e._4}"}"""
+      val batches = Seq(evs.take(4).map(json), evs.slice(4, 8).map(json),
+        evs.drop(8).map(json))
+
+      val out = chaosProtocol("rl-chaos", batches, (in, out, ckpt) =>
+        RateLimitStream.throttled(
+          spark.readStream
+            .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING")
+            .option("maxFilesPerTrigger", "1").json(in)
+            .select(col("event_id"), timestamp_millis(col("ts")).as("ts"),
+              col("user_id"), col("event_type"))
+            .as[RateLimitStream.Ev].map(ChaosLoss.tap(_)), 3, 600000000L)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append).start())
+
+      val got = spark.read.parquet(out).as[RateLimitStream.Ev].collect()
+        .map(_.event_id).sorted.toSeq
+      // exactly-once admission: first three of u1's burst (the cross-
+      // kill tail all throttled), both u2 events, the next-bucket reset
+      assert(got === Seq(1L, 2L, 3L, 4L, 8L, 9L), got.mkString(","))
+    } finally oldProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
 }
