@@ -1495,6 +1495,69 @@ object Dedup {
       |JOIN sizes sa ON e.source_a = sa.source
       |JOIN sizes sb ON e.source_b = sb.source""".stripMargin
 
+  /** NEAR-DUP DECONTAMINATION CENSUS — the fuzzy counterpart of q45's
+    * exact n-gram contamination screen, and the 200th gated operator:
+    * with doc_id % 7 == 0 as the held-out eval split, find every TRAIN
+    * document that is a ≥0.8-Jaccard near-duplicate of ANY eval
+    * document (the leakage exact matching misses: reformatted copies,
+    * minor edits) and report the per-source leak census. This is the
+    * decontamination pass every pretraining pipeline runs before
+    * training — benchmark answers leak as near-dups far more often
+    * than as byte-identical strings.
+    *
+    * Built ON [[neardupPairs]] unchanged: LSH candidates from shared
+    * band buckets only, exact-Jaccard verification, bucket caps with
+    * observe counters — then the pair set is filtered to CROSS-SPLIT
+    * pairs and collapsed to the train side. Recall is the q21
+    * argument: at s ≥ 0.8 with 16×4 bands, P(candidate) ≥ 0.9998,
+    * and the oracle computes the TRUE cross-split pair set (no LSH),
+    * so the gate measures recall too.
+    *
+    * Scale shape: q21's shape plus a doc-sized split-flag join and a
+    * sources-sized rollup; the leak set is pairs-sized, DISTINCT'd
+    * before the final anti-style left join. */
+  def q200NeardupDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"), col("source"))
+    val pairs = neardupPairs(docs.select(col("doc_id"), col("text")),
+      bands = 16, rowsPerBand = 4, threshold = 0.8)
+    val side = docs.select(col("doc_id"), (col("doc_id") % 7 === 0).as("ev"))
+    val leaks = pairs
+      .join(side.select(col("doc_id").as("id_a"), col("ev").as("ea")),
+        Seq("id_a"))
+      .join(side.select(col("doc_id").as("id_b"), col("ev").as("eb")),
+        Seq("id_b"))
+      .filter(col("ea") =!= col("eb"))
+      .select(when(col("ea"), col("id_b")).otherwise(col("id_a"))
+        .as("train_id"))
+      .distinct()
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .join(leaks, col("doc_id") === col("train_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("train_id").isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+      .withColumn("leak_rate_fp",
+        expr("(n_leaked * 1000000000L) div n_train"))
+  }
+
+  val q200Sql: String =
+    s"""WITH pairs AS (${exactJaccardSql(0.8)}),
+       |side AS (SELECT doc_id, doc_id % 7 = 0 AS ev FROM documents),
+       |leak AS (
+       |  SELECT DISTINCT CASE WHEN sa.ev THEN p.id_b ELSE p.id_a END
+       |      AS train_id
+       |  FROM pairs p
+       |  JOIN side sa ON p.id_a = sa.doc_id
+       |  JOIN side sb ON p.id_b = sb.doc_id
+       |  WHERE sa.ev <> sb.ev)
+       |SELECT d.source, count(*) AS n_train,
+       |  CAST(sum(CASE WHEN l.train_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_leaked,
+       |  CAST((sum(CASE WHEN l.train_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000000) // count(*) AS BIGINT) AS leak_rate_fp
+       |FROM documents d LEFT JOIN leak l ON d.doc_id = l.train_id
+       |WHERE d.doc_id % 7 <> 0
+       |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
@@ -1513,5 +1576,6 @@ object Dedup {
     "q171_cluster_histogram" -> (q171ClusterHistogram _, q171Sql),
     "q192_bucket_dedup"   -> (q192BucketDedup _, q192Sql),
     "q198_source_minhash" -> (q198SourceMinhash _, q198Sql),
+    "q200_neardup_decontam" -> (q200NeardupDecontam _, q200Sql),
   )
 }

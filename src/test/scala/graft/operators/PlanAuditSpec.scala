@@ -911,6 +911,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(2500))
   }
 
+  test("q200 neardup decontam: candidates only from shared LSH buckets — no all-pairs product") {
+    val plan = planOf(Dedup.q200NeardupDecontam(spark, d))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(plan.contains("partial_"), plan.take(2500))
+    // the split-flag joins and the leak join are equi joins
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
