@@ -341,4 +341,53 @@ class ChaosRecoverySpec extends SparkSpec {
       case None    => spark.conf.unset(provKey)
     }
   }
+
+  test("timeout timers: pending click + event-time timer survive loss + undrained kill") {
+    // the v2 TIMER path under chaos: a click goes pending in batch 0
+    // (with its event-time timer registered), the query is killed
+    // undrained, and the timer must still FIRE after recovery once a
+    // later batch's watermark passes the deadline — timers and
+    // ListState both live in the checkpoint. A converted click across
+    // the same kill must NOT fire.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ms(min: Long): Long = (1000 + min) * 60000L
+      val evs = Seq(
+        (1L, ms(0), 1L, "click"),      // abandoned: no purchase ever
+        (2L, ms(1), 2L, "click"),      // converted AFTER the kill
+        // batch 2 (post-kill)
+        (3L, ms(5), 2L, "purchase"),   // converts click 2
+        // batch 3: watermark pusher (wm → min 110 > both deadlines)
+        (4L, ms(120), 9L, "click"))
+      def json(e: (Long, Long, Long, String)) =
+        s"""{"event_id":${e._1},"ts":${e._2},"user_id":${e._3},"event_type":"${e._4}"}"""
+      val batches = Seq(evs.take(2).map(json), evs.slice(2, 3).map(json),
+        evs.drop(3).map(json))
+
+      val out = chaosProtocol("to-chaos", batches, (in, out, ckpt) =>
+        TimeoutStream.abandoned(
+          spark.readStream
+            .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING")
+            .option("maxFilesPerTrigger", "1").json(in)
+            .select(col("event_id"), timestamp_millis(col("ts")).as("ts"),
+              col("user_id"), col("event_type"))
+            .as[TimeoutStream.Ev].map(ChaosLoss.tap(_)),
+          3600000000L, "10 minutes")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Append).start())
+
+      val got = spark.read.parquet(out).as[TimeoutStream.Abandoned]
+        .collect().map(_.click_id).sorted.toSeq
+      // exactly once: click 1's recovered timer fires once; click 2's
+      // conversion crossed the kill and never fires
+      assert(got === Seq(1L), got.mkString(","))
+    } finally oldProv match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None    => spark.conf.unset(provKey)
+    }
+  }
 }
