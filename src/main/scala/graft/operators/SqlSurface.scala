@@ -127,10 +127,70 @@ object SqlSurface {
 
   /** Oracles are REUSED verbatim from the DSL siblings — the entire
     * point: two front-ends, one result. */
+  /** q190 (CUSUM changepoint) as SQL: the closed-form running-sum /
+    * running-min windows and integer-scaled deviations verbatim in SQL
+    * text — the analyst-facing form of the changepoint monitor. */
+  def q201SqlCusum(s: SparkSession, d: String): DataFrame =
+    withViews(s, Seq(events(s, d))) { case Seq(v) =>
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+         |  FROM $v GROUP BY 1, 2),
+         |t AS (
+         |  SELECT event_type, sum(cnt) AS total, count(*) AS ndays
+         |  FROM d GROUP BY 1),
+         |dev AS (
+         |  SELECT d.event_type, day, total,
+         |    10 * ndays * cnt - 11 * total AS su,
+         |    9 * total - 10 * ndays * cnt AS sd
+         |  FROM d JOIN t USING (event_type)),
+         |p AS (
+         |  SELECT *,
+         |    sum(su) OVER (PARTITION BY event_type ORDER BY day) AS pu,
+         |    sum(sd) OVER (PARTITION BY event_type ORDER BY day) AS pd
+         |  FROM dev),
+         |c AS (
+         |  SELECT event_type, day, total,
+         |    pu - least(0L, coalesce(min(pu) OVER (PARTITION BY event_type
+         |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+         |      PRECEDING), 0L)) AS cu,
+         |    pd - least(0L, coalesce(min(pd) OVER (PARTITION BY event_type
+         |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+         |      PRECEDING), 0L)) AS cd,
+         |    (3 * total) div 2 AS h
+         |  FROM p)
+         |SELECT event_type,
+         |  max(cu) AS max_cusum_up, max(cd) AS max_cusum_dn,
+         |  sum(CASE WHEN cu > h THEN 1L ELSE 0L END) AS n_alarm_up,
+         |  sum(CASE WHEN cd > h THEN 1L ELSE 0L END) AS n_alarm_dn,
+         |  min(CASE WHEN cu > h THEN day END) AS first_alarm_up,
+         |  min(CASE WHEN cd > h THEN day END) AS first_alarm_dn
+         |FROM c GROUP BY 1""".stripMargin
+    }
+
+  /** q194 (rate-limit admission census) as SQL: the integer epoch
+    * bucketing and admission window rank in SQL text. */
+  def q202SqlRateLimit(s: SparkSession, d: String): DataFrame =
+    withViews(s, Seq(events(s, d))) { case Seq(v) =>
+      s"""WITH w AS (
+         |  SELECT event_type,
+         |    row_number() OVER (
+         |      PARTITION BY user_id, event_type,
+         |        unix_micros(ts) div 600000000
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM $v)
+         |SELECT event_type, count(*) AS n_raw,
+         |  sum(CASE WHEN rn <= 3 THEN 1L ELSE 0L END) AS n_allowed,
+         |  sum(CASE WHEN rn <= 3 THEN 0L ELSE 1L END) AS n_throttled,
+         |  max(CAST(rn AS BIGINT)) AS max_burst
+         |FROM w GROUP BY 1""".stripMargin
+    }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q182_sql_dedup_census" -> (q182SqlDedupCensus _, Dedup.q20Sql),
     "q183_sql_token_stats"  -> (q183SqlTokenStats _, TextAnalysis.q24Sql),
     "q184_sql_event_gaps"   -> (q184SqlEventGaps _, Analytics.q127Sql),
     "q185_sql_knn"          -> (q185SqlKnn _, Similarity.q23Sql),
+    "q201_sql_cusum"        -> (q201SqlCusum _, Analytics.q190Sql),
+    "q202_sql_rate_limit"   -> (q202SqlRateLimit _, Analytics.q194Sql),
   )
 }

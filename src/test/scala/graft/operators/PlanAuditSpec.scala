@@ -920,6 +920,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
   }
 
+  test("q201/q202 SQL surface: the new-family SQL text reaches the DSL siblings' shapes") {
+    // q201: per-type windows, never single-partition; daily rollup
+    // partial-aggregates — the q190 contract from SQL text
+    val p201 = planOf(SqlSurface.q201SqlCusum(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p201.contains("partial_"), p201.take(2500))
+    assert(!p201.contains("Exchange SinglePartition"), p201.take(2500))
+    // q202: one keyed admission window + census agg — the q194 contract
+    val p202 = planOf(SqlSurface.q202SqlRateLimit(spark, d))
+      .split("== Initial Plan ==").head
+    assert(p202.contains("partial_"), p202.take(2500))
+    assert(!p202.contains("Exchange SinglePartition"), p202.take(2500))
+    assert(!p202.contains("CartesianProduct"), p202.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
