@@ -2004,9 +2004,14 @@ object Analytics {
     * downward shifts, alarm when S crosses h.
     *
     * The textbook recurrence is a stateful fold; distributed, it
-    * becomes CLOSED FORM: S_t = P_t − min(0, min_{i<t} P_i) where P is
-    * the running sum of deviations — the q151 Kadane identity — so the
-    * whole scan is two stacked windows over one per-type sort.
+    * becomes CLOSED FORM: S_t = P_t − min(0, min_{i≤t} P_i) where P is
+    * the running sum of deviations — so the whole scan is two stacked
+    * windows over one per-type sort. The min INCLUDES the current
+    * prefix (unlike q151's Kadane form, which uses the preceding-only
+    * min): that inclusion is exactly what floors Page's statistic at 0
+    * when the prefix itself is the running minimum —
+    * AnalyticsPropertiesSpec pins the identity against the sequential
+    * max(0, S+dev) fold on arbitrary signed series.
     *
     * Integer-exact everywhere: deviations are scaled by 10·ndays
     * (x_t·10·ndays − 11·total encodes x_t − 1.1μ with slack κ = 0.1μ),
@@ -2030,14 +2035,14 @@ object Analytics {
         (lit(10L) * col("ndays") * col("cnt") - lit(11L) * col("total")).as("su"),
         (lit(9L) * col("total") - lit(10L) * col("ndays") * col("cnt")).as("sd"))
     val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    val wincl = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cusum = dev
       .withColumn("pu", sum(col("su")).over(wo))
       .withColumn("pd", sum(col("sd")).over(wo))
       .withColumn("cu", col("pu") -
-        least(lit(0L), coalesce(min(col("pu")).over(wprev), lit(0L))))
+        least(lit(0L), min(col("pu")).over(wincl)))
       .withColumn("cd", col("pd") -
-        least(lit(0L), coalesce(min(col("pd")).over(wprev), lit(0L))))
+        least(lit(0L), min(col("pd")).over(wincl)))
       .withColumn("h", expr("(3L * total) div 2"))
     cusum.groupBy(col("event_type"))
       .agg(max(col("cu")).as("max_cusum_up"),
@@ -2067,12 +2072,10 @@ object Analytics {
       |  FROM dev),
       |c AS (
       |  SELECT event_type, day, total,
-      |    pu - least(0, coalesce(min(pu) OVER (PARTITION BY event_type
-      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      |      0)) AS cu,
-      |    pd - least(0, coalesce(min(pd) OVER (PARTITION BY event_type
-      |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      |      0)) AS cd,
+      |    pu - least(0, min(pu) OVER (PARTITION BY event_type
+      |      ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cu,
+      |    pd - least(0, min(pd) OVER (PARTITION BY event_type
+      |      ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cd,
       |    (3 * total) // 2 AS h
       |  FROM p)
       |SELECT event_type,

@@ -150,12 +150,10 @@ object SqlSurface {
          |  FROM dev),
          |c AS (
          |  SELECT event_type, day, total,
-         |    pu - least(0L, coalesce(min(pu) OVER (PARTITION BY event_type
-         |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1
-         |      PRECEDING), 0L)) AS cu,
-         |    pd - least(0L, coalesce(min(pd) OVER (PARTITION BY event_type
-         |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1
-         |      PRECEDING), 0L)) AS cd,
+         |    pu - least(0L, min(pu) OVER (PARTITION BY event_type
+         |      ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cu,
+         |    pd - least(0L, min(pd) OVER (PARTITION BY event_type
+         |      ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cd,
          |    (3 * total) div 2 AS h
          |  FROM p)
          |SELECT event_type,
