@@ -478,6 +478,93 @@ object Vocab {
        |    ELSE 0 END AS BIGINT) AS fpr_fp
        |FROM c CROSS JOIN tot""".stripMargin
 
+  /** MULTI-ROUND BPE MERGE TRAINING — q78 is one count step; this is
+    * the actual trainer loop (Sennrich et al., ACL'16), three rounds
+    * unrolled: count adjacent pairs → merge the most frequent pair
+    * corpus-wide (joined with '#') → re-count on the rewritten corpus.
+    * Round 2's winner can CONTAIN round 1's merged token — that
+    * feedback is what a single count step can't show.
+    *
+    * Determinism: winner = (count desc, pair asc) via the min_by-on-
+    * struct argmax (never a sort of the pair table); the rewrite is
+    * space-delimited literal `replace` — leftmost non-overlapping in
+    * BOTH engines (java UTF8String.replace and DuckDB replace agree),
+    * so a chain "a b a b" merges its leftmost occurrence per pass on
+    * both sides by the same rule. The winner row reaches the rewrite
+    * as a broadcast 1-row cross join (the scalar-join idiom — no
+    * driver-side collect in an operator).
+    *
+    * Scale shape: per round one corpus pass for the Zipf-collapsed
+    * pair count (map-side partial agg), one broadcast scalar join, and
+    * a checkpoint of the rewritten corpus — the trainer's working set,
+    * exactly what a production BPE trainer keeps materialized between
+    * merges. Rounds are fixed (3), lineage truncated per round. */
+  def q203BpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrain(documents(s, d))
+
+  /** Three unrolled merge rounds over any (text) frame; rounds whose
+    * corpus has no pair left are dropped (Spark's empty aggregation
+    * yields a null min_by row where the oracle's LIMIT 1 yields zero
+    * rows — the filter makes both engines emit only realized merges;
+    * VocabSpec pins the exhaustion AND the round-2-uses-round-1's-
+    * token feedback on crafted corpora). */
+  private[operators] def bpeTrain(docs: DataFrame): DataFrame = {
+    def pairCounts(repr: DataFrame): DataFrame =
+      repr.select(split(trim(col("t")), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    def top1(cnt: DataFrame): DataFrame =
+      cnt.agg(min_by(struct(col("pair"), col("n")),
+        struct(negate(col("n")), col("pair"))).as("w"))
+        .select(col("w.pair").as("pair"), col("w.n").as("n"))
+    var repr = docs
+      .select(Dedup.tokensCodegen(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(concat(lit(" "), concat_ws(" ", col("toks")), lit(" ")).as("t"))
+      .localCheckpoint(false)
+    val rounds = (1 to 3).map { r =>
+      val win = top1(pairCounts(repr))
+        .select(lit(r.toLong).as("round"), col("pair"), col("n"))
+        .localCheckpoint(false) // two consumers: output + the rewrite
+      repr = repr.crossJoin(broadcast(win))
+        .select(expr("replace(t, concat(' ', pair, ' '), " +
+          "concat(' ', replace(pair, ' ', '#'), ' '))").as("t"))
+        .localCheckpoint(false)
+      win
+    }
+    rounds.reduce(_ unionAll _).filter(col("pair").isNotNull)
+  }
+
+  private def bpeRoundSql(i: Int): String =
+    s"""c$i AS (
+       |  SELECT pair, count(*) AS n FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+       |      j -> tk[j] || ' ' || tk[j+1])) AS pair
+       |    FROM (SELECT string_split(trim(t), ' ') AS tk FROM t${i - 1})
+       |    WHERE len(tk) >= 2)
+       |  GROUP BY 1),
+       |s$i AS (SELECT CAST($i AS BIGINT) AS round, pair, n FROM c$i
+       |        ORDER BY n DESC, pair LIMIT 1),
+       |t$i AS (
+       |  SELECT replace(t, ' ' || s$i.pair || ' ',
+       |    ' ' || replace(s$i.pair, ' ', '#') || ' ') AS t
+       |  FROM t${i - 1} CROSS JOIN s$i)"""
+
+  val q203Sql: String =
+    s"""WITH t0 AS (
+       |  SELECT ' ' || array_to_string(toks, ' ') || ' ' AS t
+       |  FROM (SELECT list_filter(string_split_regex(lower(text),
+       |          '[^a-z]+'), x -> x <> '') AS toks FROM documents)
+       |  WHERE len(toks) >= 2),
+       |${(1 to 3).map(bpeRoundSql).mkString(",\n")}
+       |SELECT round, pair, CAST(n AS BIGINT) AS n FROM s1
+       |UNION ALL SELECT round, pair, CAST(n AS BIGINT) FROM s2
+       |UNION ALL SELECT round, pair, CAST(n AS BIGINT) FROM s3""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q68_heavy_hitters" -> (q68HeavyHitters _, q68Sql),
     "q69_lm_score"      -> (q69LmScore _, q69Sql),
@@ -486,5 +573,6 @@ object Vocab {
     "q106_tf_cosine_pairs" -> (q106TfCosinePairs _, q106Sql),
     "q173_keyness"      -> (q173Keyness _, q173Sql),
     "q199_roc_calibration" -> (q199RocCalibration _, q199Sql),
+    "q203_bpe_train"    -> (q203BpeTrain _, q203Sql),
   )
 }

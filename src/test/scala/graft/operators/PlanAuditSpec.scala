@@ -935,6 +935,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p202.contains("CartesianProduct"), p202.take(2500))
   }
 
+  test("q203 bpe train: winner rows broadcast into the rewrite — no driver collect, no cartesian blowup") {
+    val plan = planOf(Vocab.q203BpeTrain(spark, d))
+      .split("== Initial Plan ==").head
+    // rounds sit behind checkpoints; the visible tail must union the
+    // three 1-row winner frames — nothing corpus-sized
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(plan.contains("Union"), plan.take(2500))
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

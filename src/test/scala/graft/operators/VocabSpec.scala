@@ -161,4 +161,14 @@ class VocabSpec extends SparkSpec {
     // per-source rank cut: at most 10 words each (2 words per source here)
     assert(got.keySet.map(_._1) === Set("A", "B"))
   }
+
+  test("bpe trainer: round 2 merges a pair CONTAINING round 1's token; exhaustion drops rounds") {
+    // 5 copies of "a b c": round 1 merges the tied-min pair "a b",
+    // round 2 merges "a#b c" (the feedback a single count step cannot
+    // show), round 3 finds no pair left and is dropped on both engines
+    val docs = Seq.fill(5)("a b c").toDF("text")
+    val got = Vocab.bpeTrain(docs)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a b", 5L), (2L, "a#b c", 5L)))
+  }
 }
