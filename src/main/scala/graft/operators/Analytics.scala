@@ -1245,13 +1245,19 @@ object Analytics {
     * increments in, which IS streaming CMS maintenance (StreamingSpec
     * diffs the two modes). */
   private[graft] def cmsSketch(keys: DataFrame): DataFrame =
+    cmsSketchW(keys, 64L)
+
+  /** Width-parameterized CMS: q145 gates the 64-wide form; the join-
+    * cardinality estimator (q204) needs width ≈ the additive-error
+    * budget ||f_A||₁·||f_B||₁/ε and uses 16384. */
+  private[graft] def cmsSketchW(keys: DataFrame, w: Long): DataFrame =
     keys
       .select(col("key"),
         explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("row_idx"))
       .select(col("row_idx"),
         pmod(conv(substring(md5(concat_ws(":",
             col("row_idx").cast("string"), col("key"))), 1, 15), 16, 10)
-          .cast("long"), lit(64L)).as("col_idx"))
+          .cast("long"), lit(w)).as("col_idx"))
       .groupBy(col("row_idx"), col("col_idx"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -2308,6 +2314,95 @@ object Analytics {
        |  exact_a, exact_b, exact_union, exact_intersect
        |FROM e CROSS JOIN x""".stripMargin
 
+  /** JOIN-CARDINALITY ESTIMATION from CMS inner products — the query-
+    * optimizer application of the q145 sketch (AMS/Cormode-
+    * Muthukrishnan): |A ⋈_k B| = Σ_v f_A(v)·f_B(v), and the inner
+    * product of two count-min rows OVERESTIMATES it one-sidedly
+    * (collisions only add), so min over the d rows is the classic
+    * estimator. This is how an engine prices a join WITHOUT touching
+    * either side's keys: two 256-counter sketches meet, not two
+    * tables. Width is 16384 here (vs q145's point-query 64): the
+    * inner-product estimator's additive error is ||f_A||₁·||f_B||₁/w,
+    * so the width IS the precision budget — still a constant-size
+    * sketch at any corpus. Estimates events⋈orders on user/cust key
+    * with the exact
+    * join size riding along as the referee (the q55 convention) plus
+    * the one-sided overestimate gap in fixed point.
+    *
+    * Determinism: the sketch is the q145 md5 construction verbatim;
+    * products and sums widen to DECIMAL(38,0)/HUGEINT (counter
+    * products graze 2^63 around sf100 — the q146 discipline), BIGINT
+    * out. One-sidedness (est ≥ exact) is a THEOREM here, not a
+    * tolerance: the gate checks exact integers.
+    *
+    * Scale shape: each side folds to ≤256 counters map-side (the q145
+    * shape); the estimator joins 256-row frames; only the referee
+    * touches key-level counts (per-key partial aggs, dropped in
+    * production use). */
+  def q204JoinCardinality(s: SparkSession, d: String): DataFrame = {
+    val a = cmsSketchW(events(s, d)
+      .select(col("user_id").cast("string").as("key")), 16384L)
+    val b = cmsSketchW(orders(s, d)
+      .select(col("o_custkey").cast("string").as("key")), 16384L)
+    val rows = a.select(col("row_idx"), col("col_idx"), col("cnt").as("ca"))
+      .join(b.select(col("row_idx"), col("col_idx"), col("cnt").as("cb")),
+        Seq("row_idx", "col_idx"))
+      .groupBy(col("row_idx"))
+      .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("ip"))
+    val est = rows.agg(min(col("ip")).cast("long").as("est_join_size"),
+      max(col("ip")).cast("long").as("max_row_est"))
+    val fa = events(s, d).groupBy(col("user_id").cast("string").as("key"))
+      .agg(count(lit(1)).as("na"))
+    val fb = orders(s, d).groupBy(col("o_custkey").cast("string").as("key"))
+      .agg(count(lit(1)).as("nb"))
+    val exact = fa.join(fb, Seq("key"))
+      .agg(coalesce(sum(expr("CAST(na AS DECIMAL(38,0)) * nb")), lit(0))
+        .cast("long").as("exact_join_size"))
+    est.crossJoin(broadcast(exact))
+      .withColumn("overest_fp",
+        when(col("exact_join_size") > 0L,
+          expr("((est_join_size - exact_join_size) * 1000000000L) " +
+            "div exact_join_size")).otherwise(0L))
+  }
+
+  val q204Sql: String =
+    """WITH g AS (SELECT CAST(range AS BIGINT) AS row_idx FROM range(4)),
+      |ha AS (
+      |  SELECT g.row_idx,
+      |    CAST('0x' || substr(md5(CAST(g.row_idx AS VARCHAR) || ':'
+      |         || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 16384
+      |      AS col_idx
+      |  FROM events CROSS JOIN g),
+      |ca AS (SELECT row_idx, col_idx, count(*) AS ca
+      |       FROM ha GROUP BY 1, 2),
+      |hb AS (
+      |  SELECT g.row_idx,
+      |    CAST('0x' || substr(md5(CAST(g.row_idx AS VARCHAR) || ':'
+      |         || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 16384
+      |      AS col_idx
+      |  FROM orders CROSS JOIN g),
+      |cb AS (SELECT row_idx, col_idx, count(*) AS cb
+      |       FROM hb GROUP BY 1, 2),
+      |ip AS (
+      |  SELECT ca.row_idx, sum(CAST(ca.ca AS HUGEINT) * cb.cb) AS ip
+      |  FROM ca JOIN cb USING (row_idx, col_idx)
+      |  GROUP BY 1),
+      |e AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size,
+      |             CAST(max(ip) AS BIGINT) AS max_row_est FROM ip),
+      |fa AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS na
+      |       FROM events GROUP BY 1),
+      |fb AS (SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS nb
+      |       FROM orders GROUP BY 1),
+      |x AS (SELECT CAST(coalesce(sum(CAST(na AS HUGEINT) * nb), 0)
+      |        AS BIGINT) AS exact_join_size
+      |      FROM fa JOIN fb USING (key))
+      |SELECT est_join_size, max_row_est, exact_join_size,
+      |  CAST(CASE WHEN exact_join_size > 0 THEN
+      |    ((est_join_size - exact_join_size) * 1000000000)
+      |      // exact_join_size
+      |    ELSE 0 END AS BIGINT) AS overest_fp
+      |FROM e CROSS JOIN x""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -2348,5 +2443,6 @@ object Analytics {
     "q190_cusum_changepoint" -> (q190CusumChangepoint _, q190Sql),
     "q194_rate_limit" -> (q194RateLimit _, q194Sql),
     "q195_hll_setops" -> (q195HllSetops _, q195Sql),
+    "q204_join_cardinality" -> (q204JoinCardinality _, q204Sql),
   )
 }

@@ -944,6 +944,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Union"), plan.take(2500))
   }
 
+  test("q204 join cardinality: both sides fold to sketch size map-side; estimator joins sketch frames") {
+    val plan = planOf(Analytics.q204JoinCardinality(spark, d))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_"), plan.take(2500))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    // the only nested-loop join allowed is the 1-row referee assembly
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"$bnlj nested-loop joins\n${plan.take(2500)}")
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results
