@@ -79,9 +79,14 @@ object BenchSkewAB {
             .otherwise(0L)).as("kept_chars"))
     }
 
-    def time(df: DataFrame): Double = {
+    // The timer starts BEFORE the DataFrame is constructed: twoPhase()'s
+    // eager localCheckpoint() materializes the per-source aggregation at
+    // construction time, so timing a pre-built frame would exclude that
+    // whole scan+shuffle from the two-phase arm while the one-window arm
+    // pays everything inside the timer (round-11 advisory).
+    def time(mk: () => DataFrame): Double = {
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      mk().write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -90,8 +95,8 @@ object BenchSkewAB {
     require(a.sameElements(b), s"arm mismatch: ${a.length} vs ${b.length} rows")
 
     val (tps, ows) = (1 to reps).map { i =>
-      if (i % 2 == 0) { val o = time(oneWindow()); (time(twoPhase()), o) }
-      else { val t = time(twoPhase()); (t, time(oneWindow())) }
+      if (i % 2 == 0) { val o = time(() => oneWindow()); (time(() => twoPhase()), o) }
+      else { val t = time(() => twoPhase()); (t, time(() => oneWindow())) }
     }.unzip
     def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     (tps zip ows).zipWithIndex.foreach { case ((t, o), i) =>

@@ -2021,8 +2021,11 @@ object Analytics {
     *
     * Integer-exact everywhere: deviations are scaled by 10·ndays
     * (x_t·10·ndays − 11·total encodes x_t − 1.1μ with slack κ = 0.1μ),
-    * the alarm threshold h = 3·total div 2 ≈ 1.5·μ·ndays in the same
-    * units — no float mean ever compared. Both tails emitted per type
+    * and the alarm threshold h = (3·total) div 2 = 1.5·μ·ndays is in
+    * those SCALED units — dividing out the 10·ndays factor, the alarm
+    * fires when the accumulated raw deviation Σ(x_t − 1.1μ) exceeds
+    * h_raw = 0.15·μ, a deliberately sensitive operating point for the
+    * sf-sized fixture — no float mean ever compared. Both tails emitted per type
     * with alarm counts and first-alarm dates (null when quiet — fixture
     * verified to alarm some types each direction and not others).
     *

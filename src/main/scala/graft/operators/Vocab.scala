@@ -411,7 +411,7 @@ object Vocab {
     * this curve; this emits the curve itself).
     *
     * Determinism: avg_nll is already rounded to 4 decimals identically
-    * on both engines (q69), so band = round(avg_nll·1000) div 500 is
+    * on both engines (q69), so band = round(avg_nll·1000) div 100 is
     * the same IEEE double op then integer arithmetic on both; all
     * rates are 1e-9 floor-ratio fixed point. Zero-word docs carry a
     * NULL score and are excluded (documented — a scoreless doc has no
@@ -507,7 +507,20 @@ object Vocab {
     * yields a null min_by row where the oracle's LIMIT 1 yields zero
     * rows — the filter makes both engines emit only realized merges;
     * VocabSpec pins the exhaustion AND the round-2-uses-round-1's-
-    * token feedback on crafted corpora). */
+    * token feedback on crafted corpora).
+    *
+    * KNOWN DEVIATION from canonical (Sennrich) BPE: the rewrite
+    * `replace(t, ' a b ', ' a#b ')` consumes the shared separator
+    * space, so of CONSECUTIVE occurrences of the winning pair only
+    * every other one merges per round ('a b a b' → 'a#b a b', not
+    * 'a#b a#b') — canonical BPE merges every non-overlapping
+    * occurrence in one pass, so later rounds' pair counts can diverge
+    * from the textbook algorithm on corpora with immediate pair
+    * repeats. The deviation is cross-engine consistent (DuckDB's
+    * replace scans identically), deterministic, and pinned by the
+    * gate; it is accepted rather than fixed because a per-round
+    * fixed-point replace is not expressible as one identical
+    * non-recursive expression on both engines. */
   private[operators] def bpeTrain(docs: DataFrame): DataFrame = {
     def pairCounts(repr: DataFrame): DataFrame =
       repr.select(split(trim(col("t")), " ").as("tk"))

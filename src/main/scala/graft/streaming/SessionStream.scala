@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *   - BATCH: `sessions(df, gap)` is a plain groupBy aggregation —
   *     the registered q186 runs it against the DuckDB gaps-and-islands
   *     oracle (lag + running break-sum), pinning the exact semantics:
-  *     a session breaks when ts − prev_ts ≥ gap, the window end is
-  *     last_event + gap.
+  *     a session breaks when ts − prev_ts > gap (an event at exactly
+  *     prev + gap still merges — StreamingSessionSpec's exact-gap test
+  *     and the q186 oracle's `> INTERVAL` break pin this); the window
+  *     end is last_event + gap.
   *   - STREAMING: the same expression under a watermark emits each
   *     session ONCE, when the watermark passes its close (Append mode) —
   *     StreamingSessionSpec drives the batch differential and
