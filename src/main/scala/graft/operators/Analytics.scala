@@ -1804,12 +1804,20 @@ object Analytics {
   }
 
   /** See [[q178MannWhitney]]; any (value, isa) frame — isa marks group A. */
-  private[operators] def mannWhitneyU(rows: DataFrame, parts: Int): DataFrame = {
+  private[operators] def mannWhitneyU(rows: DataFrame, parts: Int): DataFrame =
+    mannWhitneyFromCounts(
+      rows.groupBy(col("value"))
+        .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("isa"), 1L).otherwise(0L)).as("b")),
+      parts)
+
+  /** The statistic from pre-aggregated per-value counts (value, a, b) —
+    * split out so the DECIMAL(38,0) ratio path can be regression-pinned
+    * on counts whose U exceeds BIGINT (~3e9 rows/arm) without
+    * materializing the rows (AnalyticsSpec). */
+  private[operators] def mannWhitneyFromCounts(g: DataFrame, parts: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
-    val g = rows.groupBy(col("value"))
-      .agg(sum(when(col("isa"), 1L).otherwise(0L)).as("a"),
-        sum(when(!col("isa"), 1L).otherwise(0L)).as("b"))
     val parted = g.repartitionByRange(parts, col("value"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()

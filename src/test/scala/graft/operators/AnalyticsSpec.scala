@@ -694,6 +694,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1 === brute(big, other))
   }
 
+  test("Mann-Whitney ratio path is exact where raw U overflows BIGINT (round-10 advisory regression)") {
+    import spark.implicits._
+    // Pre-aggregated per-value counts standing in for 5e9 rows per arm —
+    // the ~100 TB regime the round-10 advisory flagged. Here
+    // U1 = 1.1e19 > Long.MaxValue (9.22e18): the round-10 formulation,
+    // which emitted raw U as a BIGINT column, is arithmetically
+    // unrepresentable on this input; the 1e-9 ratio outputs must stay
+    // exact through the DECIMAL(38,0) pipeline.
+    val g = Seq(
+      (1.0, 2000000000L, 1000000000L),
+      (2.0, 1000000000L, 2000000000L),
+      (3.0, 2000000000L, 2000000000L)).toDF("value", "a", "b")
+    // BigInt referee over the same closed form
+    val counts = Seq((2000000000L, 1000000000L),
+      (1000000000L, 2000000000L), (2000000000L, 2000000000L))
+    var bLess = BigInt(0); var u1x2 = BigInt(0)
+    counts.foreach { case (a, b) =>
+      u1x2 += BigInt(a) * (bLess * 2 + b); bLess += b
+    }
+    assert(u1x2 / 2 > BigInt(Long.MaxValue)) // raw U1 really is past BIGINT
+    val n1 = BigInt(counts.map(_._1).sum); val n2 = BigInt(counts.map(_._2).sum)
+    val auc = (u1x2 * 1000000000L / (n1 * n2 * 2)).toLong
+    val cliff = (u1x2 * 1000000000L / (n1 * n2)).toLong - 1000000000L
+    val r = Analytics.mannWhitneyFromCounts(g, parts = 3).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      (n1.toLong, n2.toLong, auc, cliff))
+    assert((auc, cliff) === (440000000L, -120000000L)) // hand-checked
+  }
+
   test("bootstrap CI: 32 deterministic replicates, weights mean ~1, means bracket the point estimate") {
     import spark.implicits._
     val d = sf("sf0.001")

@@ -433,4 +433,81 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(budgetRatio - math.sqrt(docRatio)) < 0.2 * math.sqrt(docRatio))
     }
   }
+
+  test("C4 rules census zero-token docs exactly once, failing only f_short (round-10 advisory regression)") {
+    import spark.implicits._
+    // doc 1 has NO [a-z]+ token at all — under the round-10 inner join
+    // it vanished from the exploded word stream and the whole 'zz'
+    // source was missing from the census; the left-join fix must count
+    // it, failing f_short alone (every other rule compares 0 vs 0).
+    val docs = Seq(
+      (1L, "1234 5678 !!! ??? 90 --", "en", "zz"),
+      (2L, Seq.fill(12)("the a word").mkString(" "), "en", "ok"),
+      (3L, "the quick brown fox jumps over a lazy dog", "en", "ok"))
+    val dir = java.nio.file.Files.createTempDirectory("c4zero").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.q175C4Rules(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.contains("zz"), "zero-token doc's source missing from census")
+    val (_, nDocs, nKeep, fShort, fWordlen, fStop, fRep) = out("zz")
+    assert(nDocs === 1L)
+    assert(nKeep === 0L)
+    assert((fShort, fWordlen, fStop, fRep) === ((1L, 0L, 0L, 0L)))
+    assert(out("ok")._2 === 2L) // normal docs censused alongside
+  }
+
+  test("DSIR affinity table is bucket-sized, never vocabulary-sized, and matches a hashed referee (round-10 advisory regression)") {
+    import spark.implicits._
+    // 18 000 globally-unique alphabetic tokens across 300 docs — a
+    // vocabulary 4.4x the 4096-bucket space, the regime where the
+    // round-10 per-WORD affinity broadcast grows without bound. The
+    // referee below computes affinities per HASHED BUCKET; with 18k
+    // tokens in 4096 buckets cross-language collisions are guaranteed,
+    // so a per-word formulation CANNOT reproduce these scores.
+    def alpha(i: Int): String = {
+      var n = i; val sb = new StringBuilder
+      do { sb += ('a' + n % 26).toChar; n /= 26 } while (n > 0)
+      sb.result()
+    }
+    val docs = (0 until 300).map { i =>
+      val toks = (0 until 60).map(j => "t" + alpha(i * 60 + j))
+      (i.toLong, toks.mkString(" "), if (i % 3 == 0) "en" else "de", "s")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dsirvocab").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q177DsirWeights(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    // local referee: same md5-prefix 4096-bucket hash, Laplace-smoothed
+    // target share in 1e6 fixed point, decile by (-score, doc_id) rank
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Long = {
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 4096
+    }
+    val occ = docs.flatMap { case (id, text, lang, _) =>
+      text.split(" ").map(w => (id, lang == "en", bucket(w)))
+    }
+    assert(occ.map(_._3).distinct.size <= 4096)
+    assert(docs.flatMap(_._2.split(" ")).distinct.size === 18000)
+    val aff = occ.groupBy(_._3).map { case (bk, rows) =>
+      val cAll = rows.size.toLong
+      val cT = rows.count(_._2).toLong
+      bk -> 1000000L * (cT + 1) / (cAll + 2)
+    }
+    val scores = occ.groupBy(_._1).map { case (id, rows) =>
+      id -> rows.map(r => aff(r._3)).sum
+    }
+    val nd = scores.size
+    val want = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }.zipWithIndex
+      .map { case ((id, sc), i) =>
+        (id, sc, ((i + 1).toLong * 10 - 1) / nd + 1) }
+      .map { case (id, sc, dec) => (id, sc, dec.toInt) }.toSet
+    assert(got === want)
+  }
 }

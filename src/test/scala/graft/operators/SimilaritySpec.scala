@@ -409,4 +409,36 @@ class SimilaritySpec extends SparkSpec {
     // the two-pass path is exercised, not vacuous)
     assert(got.nonEmpty)
   }
+
+  test("MIPS degrades to brute force on a sub-11-vector corpus (round-10 advisory regression)") {
+    // 6 vectors: no query has a 10th-best seed score, so every certified
+    // threshold is ABSENT. The round-10 formulation inner-joined the
+    // threshold and emitted zero rows here; the fix left-joins and
+    // coalesces to -inf, which must reproduce the unpruned scan exactly.
+    // Components are quarters (exact in binary), so dot products and
+    // their 1e-6 roundings are bit-identical between the operator and
+    // this Scala referee.
+    val vecs = (0L to 5L).map { i =>
+      (i, Array.tabulate(4)(j => (((i * 7 + j * 3) % 11).toFloat - 5) / 4f),
+        (i % 3).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mipstiny").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.q180Mips(spark, dir)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val e = vecs.map { case (id, a, _) => id -> a.map(_.toDouble) }.toMap
+    val brute = (0L to 5L).flatMap { q =>
+      val scored = (0L to 5L).filter(_ != q).map { x =>
+        val ip = e(q).zip(e(x)).map { case (u, v) => u * v }.sum
+        val sim = BigDecimal(ip)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (x, sim)
+      }
+      scored.sortBy { case (x, s) => (-s, x) }.take(10).zipWithIndex
+        .map { case ((x, s), i) => (q, x, i + 1, s) }
+    }.toSet
+    assert(got === brute)
+    assert(got.size === 30) // 6 queries x 5 neighbors — nothing dropped
+  }
 }
