@@ -20,7 +20,7 @@ object SparkEntry {
     Seq(Relational.all, TextOps.all, Dedup.all, Similarity.all,
       TextAnalysis.all, Multimodal.all, Asof.all, Curation.all, Skew.all,
       Storage.all, Analytics.all, Vocab.all, Graph.all, BloomPrune.all,
-      SqlSurface.all)
+      SqlSurface.all, SketchPlanner.all)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
