@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.functions.MisraGries
 
@@ -10,6 +10,16 @@ import graft.functions.MisraGries
   * (q68): Misra–Gries summaries live in the state store and absorb
   * each micro-batch; a batch-side exact recount of the (bounded)
   * candidate set finishes the job whenever a snapshot is taken.
+  *
+  * Ported to `transformWithState` (arbitrary-state v2; round-11
+  * verdict task 4): the per-shard summary is a named ValueState under
+  * the kryo encoder (the sketch state is a mutable hash map — exactly
+  * the opaque-blob case kryo exists for; contrast GapFillStream's
+  * product-encoded state, the structured case). No timers — TimeMode
+  * .None, like RateLimitStream. Requires the RocksDB state store
+  * provider, like every transformWithState operator. Spec coverage
+  * (HeavyHittersStreamSpec differential, ParquetStreamDiffSpec,
+  * ChaosRecoverySpec loss/kill) is unchanged by the port.
   *
   * Sharding: words group by `floorMod(hashCode, shards)`, so every
   * occurrence of a word lands in ONE shard and each shard holds an
@@ -31,24 +41,32 @@ object HeavyHittersStream {
 
   case class ShardCandidates(shard: Int, words: Seq[String], n: Long)
 
+  class MGProcessor(k: Int)
+      extends StatefulProcessor[Int, String, ShardCandidates] {
+    private val mg = new MisraGries(k)
+    @transient private var st: ValueState[MisraGries.State] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[MisraGries.State]("mg",
+        Encoders.kryo[MisraGries.State], TTLConfig.NONE)
+
+    override def handleInputRows(shard: Int, rows: Iterator[String],
+        timerValues: TimerValues): Iterator[ShardCandidates] = {
+      val s = if (st.exists()) st.get() else new MisraGries.State()
+      rows.foreach(w => mg.reduce(s, w))
+      st.update(s)
+      val snap = mg.finish(s)
+      Iterator.single(ShardCandidates(shard, snap.words, snap.n))
+    }
+  }
+
   def shardedCandidates(words: Dataset[String], k: Int,
       shards: Int): Dataset[ShardCandidates] = {
     require(shards > 0, s"shards must be positive: $shards")
-    val spark = words.sparkSession
-    import spark.implicits._
-    implicit val stateEnc: Encoder[MisraGries.State] =
-      Encoders.kryo[MisraGries.State]
-    val mg = new MisraGries(k)
+    implicit val outEnc = Encoders.product[ShardCandidates]
     words
-      .groupByKey(w => math.floorMod(w.hashCode, shards))
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
-        (shard: Int, it: Iterator[String],
-         state: GroupState[MisraGries.State]) => {
-          val st = state.getOption.getOrElse(new MisraGries.State())
-          it.foreach(w => mg.reduce(st, w))
-          state.update(st)
-          val snap = mg.finish(st)
-          Iterator(ShardCandidates(shard, snap.words, snap.n))
-        })
+      .groupByKey(w => math.floorMod(w.hashCode, shards))(Encoders.scalaInt)
+      .transformWithState(new MGProcessor(k),
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -33,4 +33,19 @@ abstract class SparkSpec extends AnyFunSuite {
   // stable identifier so subclasses can `import spark.implicits._`
   lazy val spark: SparkSession = SharedSpark.spark
   def sf(dir: String): String = s"/root/testdata/$dir"
+
+  /** Run `body` with the RocksDB state store provider — a
+    * transformWithState requirement (v2 operators refuse the default
+    * HDFS-backed provider). Restores the previous provider after. */
+  def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally old match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -149,7 +149,7 @@ class ChaosRecoverySpec extends SparkSpec {
     }
   }
 
-  test("gap fill: pending-hour chain finalizes correctly across loss + undrained kill") {
+  test("gap fill: pending-hour chain finalizes correctly across loss + undrained kill") { withRocksDb {
     def json(tpe: String, h: Int, m: Int) =
       s"""{"event_type":"$tpe","ts":${h * 3600000L + m * 60000L}}"""
     // hour 10: A x2, B x1; hour 12: A x1; then two watermark closers
@@ -177,7 +177,7 @@ class ChaosRecoverySpec extends SparkSpec {
     assert(got === Set(
       ("A", 10L, 2L), ("A", 11L, 0L), ("A", 12L, 1L), ("A", 13L, 0L),
       ("B", 10L, 1L), ("B", 11L, 0L), ("B", 12L, 0L), ("B", 13L, 0L)))
-  }
+  } }
 
   test("sessions: merging session_window state survives loss + undrained kill") {
     def json(u: Long, min: Int, v: Double) =
@@ -249,7 +249,7 @@ class ChaosRecoverySpec extends SparkSpec {
       (6L, 7L, 7L, 38L * 60000000L, 4000L)))
   }
 
-  test("heavy hitters: Misra-Gries shard state exact-once across loss + undrained kill") {
+  test("heavy hitters: Misra-Gries shard state exact-once across loss + undrained kill") { withRocksDb {
     val k = 5
     val shards = 2
     val words = Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
@@ -289,7 +289,7 @@ class ChaosRecoverySpec extends SparkSpec {
       if (occ.size > trueShard(s) / (k + 1))
         assert(finalSnap(s).words.contains(w), s"$w missing from shard $s")
     }
-  }
+  } }
 
   test("rate limit: transformWithState admission counter survives loss + undrained kill") {
     // the transformWithState (arbitrary-state v2) operator under the

@@ -9,6 +9,12 @@ import graft.operators.Vocab
 class HeavyHittersStreamSpec extends SparkSpec {
   import spark.implicits._
 
+  // HeavyHittersStream is transformWithState (v2) since round 12: every
+  // test here needs the RocksDB provider
+  override protected def test(name: String, tags: org.scalatest.Tag*)(
+      body: => Any)(implicit pos: org.scalactic.source.Position): Unit =
+    super.test(name, tags: _*)(withRocksDb(body))(pos)
+
   test("streaming MG shards: cross-batch state; recount of candidates == batch") {
     implicit val sqlCtx = spark.sqlContext
     val k = 3; val shards = 4

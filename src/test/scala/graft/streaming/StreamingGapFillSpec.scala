@@ -11,6 +11,12 @@ import graft.operators.Analytics
 class StreamingGapFillSpec extends SparkSpec {
   import spark.implicits._
 
+  // GapFillStream is transformWithState (v2) since round 12: every test
+  // here needs the RocksDB provider
+  override protected def test(name: String, tags: org.scalatest.Tag*)(
+      body: => Any)(implicit pos: org.scalactic.source.Position): Unit =
+    super.test(name, tags: _*)(withRocksDb(body))(pos)
+
   private def at(hour: Int, min: Int) =
     new Timestamp(hour * 3600000L + min * 60000L)
 
