@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions._
   *     pair as soon as both sides are present; the parquet sink's
   *     batchId log keeps replays exactly-once (ChaosRecoverySpec).
   *
-  * Watermark caveat (spec-pinned): the GLOBAL watermark is the MIN
-  * over both derived watermark nodes (Spark's multipleWatermarkPolicy
-  * default), and each side's watermark advances only when THAT side
-  * sees events — a stream with no purchases pins the global watermark
-  * and with it state eviction. Real deployments feeding both sides
-  * from one ingest topic (as here) advance together.
+  * Watermark caveat (property-pinned by StreamingAttributionSpec's
+  * "idle purchase side pins the global watermark" test): the GLOBAL
+  * watermark is the MIN over both derived watermark nodes (Spark's
+  * multipleWatermarkPolicy default), and each side's watermark advances
+  * only when THAT side sees events — the spec drives a click-only
+  * stream hours past every deadline and shows the global watermark
+  * stays at epoch 0, nothing emits, join state grows unevicted, and
+  * one purchase-side row releases it all. Real deployments feeding
+  * both sides from one ingest topic (as here) advance together.
   *
   * Money in fixed-point millis (q179 convention), lag in exact
   * microseconds (q127/q167 convention). */

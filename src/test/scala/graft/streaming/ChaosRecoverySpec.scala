@@ -47,8 +47,16 @@ class ChaosRecoverySpec extends SparkSpec {
     val in = Files.createTempDirectory(s"$prefix-in")
     val out = Files.createTempDirectory(s"$prefix-out").toString
     val ckpt = Files.createTempDirectory(s"$prefix-ckpt").toString
-    def write(i: Int): Unit =
-      Files.writeString(in.resolve(s"b$i.json"), batches(i).mkString("\n"))
+    // strictly increasing mtimes: FileStreamSource orders by file
+    // timestamp, and batch files written in one loop share a millisecond
+    // — ties would let maxFilesPerTrigger=1 process batches OUT OF
+    // ORDER, late-dropping the earlier ones under the advanced watermark
+    def write(i: Int): Unit = {
+      val p = in.resolve(s"b$i.json")
+      Files.writeString(p, batches(i).mkString("\n"))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
     write(0)
     val q1 = start(in.toString, out, ckpt)
     try q1.processAllAvailable() finally q1.stop()
@@ -247,6 +255,58 @@ class ChaosRecoverySpec extends SparkSpec {
       (1L, 2L, 7L, 5L * 60000000L, 10500L),
       (1L, 3L, 7L, 30L * 60000000L, 2250L),
       (6L, 7L, 7L, 38L * 60000000L, 4000L)))
+  }
+
+  test("left-outer attribution: held-back null row survives loss + undrained kill, emits exactly once") {
+    val day = 86400000L
+    def json(id: Long, min: Int, u: Long, tpe: String, v: Double) =
+      s"""{"event_id":$id,"ts":${day + min * 60000L},"user_id":$u,"event_type":"$tpe","value":$v}"""
+    // click 2 (user 8) NEVER converts: its null row exists only in join
+    // state when batch 0 is processed, and the undrained kill lands
+    // BEFORE any watermark can release it — recovery must neither lose
+    // it nor emit it twice. Clicks 4/6/8/10 convert instantly and exist
+    // to push both derived watermarks past click 2's 70+10 min deadline
+    // (null release needs a FOLLOWING batch after the watermark moves,
+    // hence four pusher batches).
+    val batches = Seq(
+      Seq(json(1L, 0, 7L, "click", 0.0), json(2L, 10, 8L, "click", 0.0),
+        json(3L, 20, 7L, "purchase", 5.0)),
+      Seq(json(4L, 200, 9L, "click", 0.0), json(5L, 200, 9L, "purchase", 1.0)),
+      Seq(json(6L, 210, 9L, "click", 0.0), json(7L, 210, 9L, "purchase", 1.0)),
+      Seq(json(8L, 220, 9L, "click", 0.0), json(9L, 220, 9L, "purchase", 1.0)),
+      Seq(json(10L, 230, 9L, "click", 0.0), json(11L, 230, 9L, "purchase", 1.0)))
+
+    val out = chaosProtocol("lo-chaos", batches, (in, out, ckpt) =>
+      AttributionStream.attribution(
+        spark.readStream
+          .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").json(in)
+          .select(col("event_id"), timestamp_millis(col("ts")).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .as[AttrEv].map(ChaosLoss.tap(_)).toDF,
+        "1 HOUR", "10 minutes", "left_outer")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start())
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+    // exactly-once across loss + replay: no duplicate rows at all
+    assert(rows.length === rows.toSet.size, rows.mkString("\n"))
+    val set = rows.toSet
+    // the held-back null row was released exactly once after recovery
+    assert(set.contains((2L, -1L, -1L)), set)
+    // converted clicks never grew a spurious null sibling
+    assert(!set.exists(r => r._1 != 2L && r._2 == -1L), set)
+    // the matched pairs are intact: every u9 click matches every u9
+    // purchase inside its forward hour (purchases are 10 min apart)
+    val pusher = for {
+      (c, ci) <- Seq(4L, 6L, 8L, 10L).zipWithIndex
+      (p, pi) <- Seq(5L, 7L, 9L, 11L).zipWithIndex if pi >= ci
+    } yield (c, p, 1000L)
+    assert(set === (pusher.toSet + ((1L, 3L, 5000L)) + ((2L, -1L, -1L))), set)
   }
 
   test("heavy hitters: Misra-Gries shard state exact-once across loss + undrained kill") { withRocksDb {

@@ -107,6 +107,59 @@ class StreamingAttributionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idle purchase side pins the global watermark: nulls held, state grows, release on first purchase") {
+    // the q187/q188 caveat as a PROPERTY (round-11 verdict task 6): the
+    // global watermark is the MIN over both derived watermark nodes, and
+    // a side that sees no rows keeps ITS node at epoch 0 — so a
+    // click-only stream can advance its own event time arbitrarily far
+    // without ever proving "unconverted" for anyone, and left-outer null
+    // rows stay in state indefinitely. Feeding the idle side one row
+    // un-pins everything at once.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AttrEv]
+    val q = AttributionStream.attribution(mem.toDF(), "1 HOUR",
+        "10 minutes", "left_outer")
+      .writeStream.format("memory").queryName("attr_pin_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // phase 1: clicks ONLY, event time marching 0 → 400 min — click
+      // 1's 70+10 min deadline is hours behind the click-side watermark
+      mem.addData(AttrEv(1L, at(0), 1L, "click", 0.0))
+      q.processAllAvailable()
+      Seq(200, 300, 400).zipWithIndex.foreach { case (m, i) =>
+        mem.addData(AttrEv(10L + i, at(m), 2L + i, "click", 0.0))
+        q.processAllAvailable()
+      }
+      // nothing may emit: no matches exist and no null row is provable
+      // while the purchase watermark node sits at epoch 0
+      assert(spark.table("attr_pin_out").isEmpty,
+        spark.table("attr_pin_out").collect().mkString("\n"))
+      // the global watermark really is pinned at epoch 0 by the idle side
+      assert(q.lastProgress.eventTime.get("watermark")
+        === "1970-01-01T00:00:00.000Z", q.lastProgress.eventTime)
+      // and every click is still buffered in join state (nothing evicted)
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows >= 4L, s"state=$stateRows")
+
+      // phase 2: release — the purchase side sees data at the frontier,
+      // its watermark jumps 0 → ~390, the global min follows, and the
+      // long-closed click windows all resolve (subsequent batches apply
+      // the advanced watermark)
+      mem.addData(AttrEv(50L, at(400), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      Seq(410, 420, 430).foreach { m =>
+        mem.addData(AttrEv((50 + m).toLong, at(m), 9L, "click", 0.0),
+          AttrEv((100 + m).toLong, at(m), 9L, "purchase", 1.0))
+        q.processAllAvailable()
+      }
+      val got = spark.table("attr_pin_out").collect()
+        .map(r => (r.getLong(0), r.isNullAt(1))).toSet
+      // clicks 1, 10, 11 (windows closed well under the released
+      // watermark) emit their null rows; click 12 @400 may still be open
+      assert(Set((1L, true), (10L, true), (11L, true)).subsetOf(got), got)
+    } finally q.stop()
+  }
+
   test("join state is watermark-bounded: an out-of-horizon click cannot match a late purchase") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[AttrEv]
