@@ -254,7 +254,7 @@ object Graph {
        |  UNION ALL SELECT c FROM tri)
        |GROUP BY 1""".stripMargin
 
-  private val BfsDepth = 4
+  private[operators] val BfsDepth = 4
 
   /** Bounded-depth BFS shortest-path distances over the undirected
     * customer–supplier trade graph (q81's node encoding), seeded from
@@ -310,7 +310,7 @@ object Graph {
     dist
   }
 
-  private def bfsIterSql(i: Int): String =
+  private[operators] def bfsIterSql(i: Int): String =
     s"""n$i AS (
        |  SELECT DISTINCT e.dst AS node, $i AS dist
        |  FROM d${i - 1} f JOIN edges e ON e.src = f.node

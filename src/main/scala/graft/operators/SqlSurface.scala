@@ -183,6 +183,76 @@ object SqlSurface {
          |FROM w GROUP BY 1""".stripMargin
     }
 
+  /** q35 (backward as-of join) as SQL — the TEMPORAL-JOIN family's
+    * twin (round-11 verdict task 7): Spark SQL has no ASOF JOIN
+    * keyword (DuckDB's oracle uses one), so the SQL text IS the
+    * scale-right merge the DSL builds — union both sides tagged, one
+    * window per key ordered (t, side) with side 0 sorting first at
+    * equal t for the inclusive ≤, running `last(_, true)` carrying the
+    * most recent order forward. Same single user-keyed exchange. */
+  def q206SqlAsof(s: SparkSession, d: String): DataFrame =
+    withViews(s, Seq(events(s, d), orders(s, d))) { case Seq(ev, ord) =>
+      s"""WITH o AS (
+         |  SELECT o_custkey AS k, o_orderdate AS t,
+         |    max(o_orderkey) AS o_orderkey
+         |  FROM $ord GROUP BY 1, 2),
+         |u AS (
+         |  SELECT k, CAST(t AS TIMESTAMP) AS t, 0 AS side, o_orderkey,
+         |    CAST(NULL AS BIGINT) AS event_id
+         |  FROM o
+         |  UNION ALL
+         |  SELECT user_id AS k, ts AS t, 1 AS side,
+         |    CAST(NULL AS BIGINT) AS o_orderkey, event_id
+         |  FROM $ev),
+         |m AS (
+         |  SELECT event_id, k, side,
+         |    last(o_orderkey, true) OVER (PARTITION BY k
+         |      ORDER BY t, side
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched
+         |  FROM u)
+         |SELECT event_id, k AS user_id, matched AS o_orderkey
+         |FROM m WHERE side = 1""".stripMargin
+    }
+
+  /** q109 (frontier BFS) as SQL — the GRAPH-ITERATION family's twin:
+    * Spark SQL has no recursive CTE, and the DSL's loop is FIXED-depth
+    * anyway (the q81 discipline), so the iteration unrolls as chained
+    * CTEs — Graph.bfsIterSql, the SAME text the DuckDB oracle runs.
+    * What the SQL form gives up vs the DSL: the per-round
+    * localCheckpoint lineage cuts and the reused edge partitioning —
+    * at depth 4 Catalyst handles the unrolled plan; an unbounded-depth
+    * traversal is the one shape this surface cannot express (see
+    * COVERAGE.md). */
+  def q207SqlBfs(s: SparkSession, d: String): DataFrame =
+    withViews(s, Seq(orders(s, d), lineitem(s, d), customer(s, d))) {
+      case Seq(ord, li, cust) =>
+        s"""WITH eraw AS (
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |  FROM $ord JOIN $li ON o_orderkey = l_orderkey),
+           |edges AS (SELECT src, dst FROM eraw
+           |          UNION ALL SELECT dst, src FROM eraw),
+           |d0 AS (SELECT c_custkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+           |       FROM $cust WHERE c_nationkey = 0),
+           |${(1 to Graph.BfsDepth).map(Graph.bfsIterSql).mkString(",\n")}
+           |SELECT node, dist FROM d${Graph.BfsDepth}""".stripMargin
+    }
+
+  /** q186 (sessionization) as SQL — the STREAMING-SHAPE family's twin:
+    * `session_window` is the engine's merging session operator, and
+    * calling it from SQL text builds the identical stateful-capable
+    * aggregation the DSL (and the streaming query in SessionStream)
+    * uses — GROUP BY session_window(ts, gap), window bounds from the
+    * struct. The same SQL under readStream would run continuously. */
+  def q208SqlSessionize(s: SparkSession, d: String): DataFrame =
+    withViews(s, Seq(events(s, d))) { case Seq(v) =>
+      s"""SELECT user_id,
+         |  session_window.start AS s_start, session_window.end AS s_end,
+         |  count(1) AS n_events,
+         |  sum(CAST(round(value * 1000, 0) AS BIGINT)) AS total_milli
+         |FROM $v
+         |GROUP BY user_id, session_window(ts, '30 minutes')""".stripMargin
+    }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q182_sql_dedup_census" -> (q182SqlDedupCensus _, Dedup.q20Sql),
     "q183_sql_token_stats"  -> (q183SqlTokenStats _, TextAnalysis.q24Sql),
@@ -190,5 +260,8 @@ object SqlSurface {
     "q185_sql_knn"          -> (q185SqlKnn _, Similarity.q23Sql),
     "q201_sql_cusum"        -> (q201SqlCusum _, Analytics.q190Sql),
     "q202_sql_rate_limit"   -> (q202SqlRateLimit _, Analytics.q194Sql),
+    "q206_sql_asof"         -> (q206SqlAsof _, Asof.q35Sql),
+    "q207_sql_bfs"          -> (q207SqlBfs _, Graph.q109Sql),
+    "q208_sql_sessionize"   -> (q208SqlSessionize _, Analytics.q186Sql),
   )
 }
