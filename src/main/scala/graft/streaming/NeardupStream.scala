@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming MinHash-LSH near-dup detection — the streaming form of the
   * batch Dedup.neardupPairs candidate generation, for deduplicating a
@@ -73,8 +73,71 @@ object NeardupStream {
                       tables: Int = 8, bits: Int = 16): Dataset[Claim] =
     claimsFromRows(embeddingBandRows(vecs, tables, bits), watermarkDelay)
 
+  /** "N unit" watermark-delay string → milliseconds, for the v2 timer
+    * arithmetic (v1's two-arg setTimeoutTimestamp did this addition
+    * internally; registerTimer takes an absolute ms timestamp). */
+  private[streaming] def delayToMs(d: String): Long = {
+    val parts = d.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"expected '<n> <unit>': '$d'")
+    val base = parts(1).stripSuffix("s") match {
+      case "millisecond" => 1L
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case "day" => 86400000L
+      case u => throw new IllegalArgumentException(s"unit '$u' in '$d'")
+    }
+    parts(0).toLong * base
+  }
+
+  /** The v2 first-wins processor: one owner long per bucket; in
+    * streaming mode an event-time timer at lastSeen + delay evicts idle
+    * buckets exactly where v1's setTimeoutTimestamp(lastTs, delay) did
+    * (single-timer hygiene: delete-then-register, v2 timers accumulate).
+    * Batch mode runs the SAME processor under TimeMode.None — timers
+    * never arm, state lives for the one "batch". */
+  class ClaimProcessor(streaming: Boolean, delayMs: Long)
+      extends StatefulProcessor[(Int, Long), BandRow, Claim] {
+    @transient private var owner: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long), rows: Iterator[BandRow],
+        timerValues: TimerValues): Iterator[Claim] = {
+      // one bucket's rows from one micro-batch (streaming) or one
+      // bucket's full history (batch) — bounded like any keyed group.
+      // Ordering uses exact epoch-µs (EventStreams.micros): getTime's
+      // ms truncation would flip first-wins ownership on sub-ms ties
+      // vs the batch window formulation's full-precision ORDER BY ts.
+      val sorted = rows.toArray.sortInPlaceBy(r => (EventStreams.micros(r.ts), r.doc_id))
+      var own = if (owner.exists()) owner.get() else -1L
+      var lastTs = 0L
+      val out = sorted.map { r =>
+        lastTs = math.max(lastTs, r.ts.getTime)
+        if (own == -1L) { own = r.doc_id; Claim(r.doc_id, key._1, claimed = true) }
+        else Claim(r.doc_id, key._1, claimed = r.doc_id == own)
+      }
+      owner.update(own)
+      if (streaming) {
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.registerTimer(lastTs + delayMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Int, Long),
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Claim] = {
+      owner.clear()
+      Iterator.empty
+    }
+  }
+
   /** Shared first-wins keyed state over any (doc_id, ts, band, bkey)
-    * frame, batch or streaming. */
+    * frame, batch or streaming — `transformWithState` (arbitrary-state
+    * v2) since round 12; requires the RocksDB state store provider. */
   private def claimsFromRows(bandedRows: DataFrame,
                              watermarkDelay: String): Dataset[Claim] = {
     val s = bandedRows.sparkSession
@@ -83,31 +146,11 @@ object NeardupStream {
       .withWatermark("ts", watermarkDelay)
       .as[BandRow]
     val streaming = rows.isStreaming
-
-    def claim(key: (Int, Long), batch: Iterator[BandRow],
-              state: GroupState[Long]): Iterator[Claim] = {
-      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      // one bucket's rows from one micro-batch (streaming) or one
-      // bucket's full history (batch) — bounded like any keyed group.
-      // Ordering uses exact epoch-µs (EventStreams.micros): getTime's
-      // ms truncation would flip first-wins ownership on sub-ms ties
-      // vs the batch window formulation's full-precision ORDER BY ts.
-      val sorted = batch.toArray.sortInPlaceBy(r => (EventStreams.micros(r.ts), r.doc_id))
-      var owner = state.getOption.getOrElse(-1L)
-      var lastTs = 0L
-      val out = sorted.map { r =>
-        lastTs = math.max(lastTs, r.ts.getTime)
-        if (owner == -1L) { owner = r.doc_id; Claim(r.doc_id, key._1, claimed = true) }
-        else Claim(r.doc_id, key._1, claimed = r.doc_id == owner)
-      }
-      state.update(owner)
-      if (streaming) state.setTimeoutTimestamp(lastTs, watermarkDelay)
-      out.iterator
-    }
-
     rows.groupByKey(r => (r.band, r.bkey))
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(claim)
+      .transformWithState(
+        new ClaimProcessor(streaming, delayToMs(watermarkDelay)),
+        if (streaming) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Kept set from a claims frame: a doc survives iff it claimed EVERY

@@ -68,7 +68,7 @@ class ChaosRecoverySpec extends SparkSpec {
     out
   }
 
-  test("neardup claims: exactly-once first-wins state across loss + undrained kill") {
+  test("neardup claims: exactly-once first-wins state across loss + undrained kill") { withRocksDb {
     val docs = Seq(
       (1L, 1000L, "the quick brown fox jumps over the lazy dog again and again"),
       (2L, 2000L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -111,7 +111,7 @@ class ChaosRecoverySpec extends SparkSpec {
     val byDoc = got.groupBy(_.doc_id).view
       .mapValues(cs => cs.forall(_.claimed)).toMap
     assert(byDoc(1L) && !byDoc(2L) && !byDoc(4L))
-  }
+  } }
 
   test("transitions: per-user last-event state survives loss + undrained kill") {
     val provKey = "spark.sql.streaming.stateStore.providerClass"

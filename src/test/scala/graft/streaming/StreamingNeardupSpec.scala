@@ -12,6 +12,12 @@ import graft.SparkSpec
 class StreamingNeardupSpec extends SparkSpec {
   import spark.implicits._
 
+  // NeardupStream is transformWithState (v2) since round 12: every test
+  // here (batch differentials included) needs the RocksDB provider
+  override protected def test(name: String, tags: org.scalatest.Tag*)(
+      body: => Any)(implicit pos: org.scalactic.source.Position): Unit =
+    super.test(name, tags: _*)(withRocksDb(body))(pos)
+
   private def ts(min: Long): Timestamp = new Timestamp((1000 + min) * 60000L)
 
   private val orig =
