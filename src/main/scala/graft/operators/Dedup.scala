@@ -1558,6 +1558,98 @@ object Dedup {
        |WHERE d.doc_id % 7 <> 0
        |GROUP BY 1""".stripMargin
 
+  /** N-GRAM-LEVEL DECONTAMINATION CENSUS — the third granularity of the
+    * contamination family: q45 flags exact whole-doc n-gram overlap
+    * presence, q200 flags whole-doc NEAR-dups; this measures, per train
+    * document, WHAT FRACTION of its distinct word 8-grams appear
+    * anywhere in the held-out split (doc_id % 7 == 0, the q200
+    * convention) — the contamination metric eval suites actually
+    * publish (GPT-3 appendix C / PaLM style n-gram overlap), catching
+    * partial leakage (a quoted benchmark question inside an otherwise
+    * clean document) that whole-doc methods miss. A train doc is
+    * flagged when ≥10% of its distinct 8-grams are eval-contaminated
+    * (integer cross-multiply, never a float ratio).
+    *
+    * Grams are 60-bit md5-prefix hashes of the space-joined 8-token
+    * windows (engine-portable; collisions at 2^-60 are below any
+    * corpus's pair count). Docs with fewer than 8 tokens have ZERO
+    * grams and are censused via the left join with n_grams = 0 — never
+    * dropped (the q175 lesson).
+    *
+    * Scale shape: both sides reduce to DISTINCT (key, gram) frames with
+    * map-side partial aggregation; the probe is one equi join on the
+    * gram hash (at real scale the eval side is benchmark-sized —
+    * broadcastable; here it is corpus/7, so the shuffle join is the
+    * honest plan); per-doc then per-source rollups. Nothing is ever
+    * pairs-of-docs. */
+  def q210NgramDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"), col("source"))
+      .withColumn("toks", tokensCodegen(col("text")))
+    // CASE guard, not greatest(): Spark's sequence(1, 0) DESCENDS to
+    // [1, 0] (DuckDB's generate_series yields empty), and j = 0 is an
+    // invalid slice start
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 8 THEN " +
+          "transform(sequence(1, size(toks) - 7), " +
+          "j -> conv(substring(md5(concat_ws(' ', slice(toks, j, 8))), " +
+          "1, 15), 16, 10)) ELSE array() END")).as("g"))
+      .select(col("doc_id"), col("g").cast("long").as("gram"))
+      .distinct()
+    val evalGrams = grams(docs.filter(col("doc_id") % 7 === 0))
+      .select(col("gram")).distinct()
+    val trainGrams = grams(docs.filter(col("doc_id") % 7 =!= 0))
+    val perDoc = trainGrams
+      .join(evalGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("n_grams") > 0, 1L).otherwise(0L)).as("n_with_grams"),
+        sum(when(col("n_hit") * 10 >= col("n_grams") && col("n_grams") > 0,
+          1L).otherwise(0L)).as("n_contaminated"),
+        sum(col("n_hit")).as("total_hits"))
+  }
+
+  val q210Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |      t -> t <> '') AS toks
+      |  FROM documents),
+      |gr AS (
+      |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(g), 1, 15)
+      |      AS BIGINT) AS gram
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, greatest(len(toks) - 7, 0)),
+      |      j -> array_to_string(toks[j:j+7], ' '))) AS g
+      |    FROM tk)),
+      |ev AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 7 = 0),
+      |pd AS (
+      |  SELECT g.doc_id, count(*) AS n_grams,
+      |    CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_hit
+      |  FROM gr g LEFT JOIN ev e ON g.gram = e.gram
+      |  WHERE g.doc_id % 7 <> 0
+      |  GROUP BY 1)
+      |SELECT t.source, count(*) AS n_train,
+      |  CAST(sum(CASE WHEN coalesce(pd.n_grams, 0) > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_with_grams,
+      |  CAST(sum(CASE WHEN coalesce(pd.n_hit, 0) * 10
+      |      >= coalesce(pd.n_grams, 0) AND coalesce(pd.n_grams, 0) > 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(sum(coalesce(pd.n_hit, 0)) AS BIGINT) AS total_hits
+      |FROM tk t LEFT JOIN pd ON t.doc_id = pd.doc_id
+      |WHERE t.doc_id % 7 <> 0
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
@@ -1577,5 +1669,6 @@ object Dedup {
     "q192_bucket_dedup"   -> (q192BucketDedup _, q192Sql),
     "q198_source_minhash" -> (q198SourceMinhash _, q198Sql),
     "q200_neardup_decontam" -> (q200NeardupDecontam _, q200Sql),
+    "q210_ngram_decontam" -> (q210NgramDecontam _, q210Sql),
   )
 }

@@ -1131,6 +1131,116 @@ object Similarity {
       |      FROM f)
       |WHERE fused_rank <= 5""".stripMargin
 
+  /** The 16×64 Johnson–Lindenstrauss sign matrix, derived ONCE from md5
+    * (sign(i,j) = parity of the 60-bit prefix of md5("i:j")) and
+    * interpolated as the SAME integer literals into both engines — the
+    * q189/q195 irrational-constant-table idiom applied to a random
+    * matrix: no engine ever evaluates the hash, so the projection is
+    * trivially cross-engine identical AND a genuine data-independent
+    * random projection (Achlioptas 2003 shows ±1 entries suffice for
+    * the JL guarantee). */
+  private[operators] lazy val jlSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(16, 64) { (i, j) =>
+      val hex = md.digest(s"$i:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+  }
+
+  /** JOHNSON–LINDENSTRAUSS SIGN PROJECTION + SELF-RECALL EVAL — the
+    * embedding-compression operator a retrieval pipeline runs before
+    * indexing (4× cheaper distance math and state than the 64-dim
+    * original), with the eval that justifies — or, as here, VETOES —
+    * it: project every vector
+    * to 16 dims through [[jlSigns]], rank each query's top-10 by
+    * REDUCED-dim L2, and report the overlap with the FULL-dim L2
+    * top-10 — recall@10 of the compressed index against ground truth,
+    * per query.
+    *
+    * Integer-exact everywhere: components quantize to 1e-6 fixed point
+    * (the q88 convention) BEFORE projection, so projections are exact
+    * integer dot products with ±1 weights (|p_i| ≤ 64·5e5 — far inside
+    * BIGINT) and both distance ranks compare exact integers; ties break
+    * by vec_id. No IEEE summation-order hazard anywhere.
+    *
+    * Scale shape: the projection is a per-row expression (16 integer
+    * dot products — no shuffle); the eval joins the corpus to the
+    * 10-row broadcast query set and pays one qid-keyed exchange for the
+    * two rank windows. At 100 TB only the projection runs — the eval is
+    * a sampled-query diagnostic by construction.
+    *
+    * On the synthetic near-isotropic test embeddings the measured
+    * recall@10 is 0–2/10: 16 sign dims are NOT enough here, and that
+    * verdict — cheap to obtain, exact, per-query — is precisely what
+    * this operator exists to deliver before anyone builds the
+    * compressed index. */
+  def q209JlProjection(s: SparkSession, d: String): DataFrame = {
+    val mat = jlSigns
+      .map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    val v = embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+          "* 1000000, 0) AS BIGINT))").as("ei"))
+      .withColumn("p", expr(s"transform($mat, r -> " +
+        "aggregate(zip_with(r, ei, (sg, x) -> CAST(sg AS BIGINT) * x), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + x))"))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("ei").as("qei"), col("p").as("qp"))
+    val pairs = v.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr("aggregate(zip_with(p, qp, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("d16"),
+        expr("aggregate(zip_with(ei, qei, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("d64"))
+    val w16 = Window.partitionBy(col("qid")).orderBy(col("d16"), col("vec_id"))
+    val w64 = Window.partitionBy(col("qid")).orderBy(col("d64"), col("vec_id"))
+    val ranked = pairs
+      .withColumn("r16", row_number().over(w16))
+      .withColumn("r64", row_number().over(w64))
+    val overlap = ranked.filter(col("r16") <= 10 && col("r64") <= 10)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("qid").as("query_id"))
+      .join(overlap.select(col("qid").as("query_id"), col("n_overlap")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+
+  val q209Sql: String = {
+    val mat = jlSigns
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(round(x * 1000000) AS BIGINT)) AS ei
+       |  FROM embeddings),
+       |pr AS (
+       |  SELECT vec_id, ei,
+       |    list_transform($mat,
+       |      r -> CAST(list_sum(list_transform(generate_series(1, 64),
+       |        j -> r[j] * ei[j])) AS BIGINT)) AS p
+       |  FROM v),
+       |q AS (SELECT vec_id AS qid, ei AS qei, p AS qp FROM pr
+       |      WHERE vec_id < 10),
+       |pairs AS (
+       |  SELECT qid, vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 16),
+       |      i -> (p[i] - qp[i]) * (p[i] - qp[i]))) AS BIGINT) AS d16,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      j -> (ei[j] - qei[j]) * (ei[j] - qei[j]))) AS BIGINT) AS d64
+       |  FROM pr CROSS JOIN q WHERE vec_id <> qid),
+       |rk AS (
+       |  SELECT qid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d16, vec_id) AS r16,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d64, vec_id) AS r64
+       |  FROM pairs),
+       |ov AS (
+       |  SELECT qid, count(*) AS n_overlap FROM rk
+       |  WHERE r16 <= 10 AND r64 <= 10 GROUP BY 1)
+       |SELECT q.qid AS query_id,
+       |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap
+       |FROM q LEFT JOIN ov ON q.qid = ov.qid""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
@@ -1148,5 +1258,6 @@ object Similarity {
     "q180_mips"             -> (q180Mips _, q180Sql),
     "q189_retrieval_eval"   -> (q189RetrievalEval _, q189Sql),
     "q191_rrf_fusion"       -> (q191RrfFusion _, q191Sql),
+    "q209_jl_projection"    -> (q209JlProjection _, q209Sql),
   )
 }

@@ -590,4 +590,32 @@ class DedupSpec extends SparkSpec {
     assert(brute.exists(p => p._1 == 100L && p._2 == 102L && p._3 == 0L))
     assert(brute.exists(p => Set(p._1, p._2).contains(101L)))
   }
+
+  test("ngram decontam: quoted eval phrase flags the quoting doc; short and clean docs censused unflagged") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      // eval split (id % 7 == 0): the benchmark question
+      (14L, phrase, "bench"),
+      // train doc QUOTING the phrase: 11 tokens -> 4 grams, exactly 1 of
+      // which is the planted 8-gram -> 25% >= 10% -> contaminated
+      (8L, s"intro words then $phrase closing", "s1"),
+      // clean train doc: 10 unique tokens -> 3 grams, 0 hits
+      (9L, "one two three four five six seven eight nine ten", "s1"),
+      // sub-8-token train doc: ZERO grams, censused but never flagged
+      (10L, "tiny doc here", "s2"))
+    val dir = java.nio.file.Files.createTempDirectory("ngdecon").toString
+    docs.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q210NgramDecontam(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // s1: 2 train docs, both have grams, doc 8 contaminated with 1 hit
+    assert(got("s1") === ((2L, 2L, 1L, 1L)))
+    // s2: the short doc is counted but has no grams and no flag
+    assert(got("s2") === ((1L, 0L, 0L, 0L)))
+    // the eval split itself never appears as a train source
+    assert(!got.contains("bench"))
+  }
 }

@@ -441,4 +441,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got === brute)
     assert(got.size === 30) // 6 queries x 5 neighbors — nothing dropped
   }
+
+  test("JL projection: rank-preserving corpus scores perfect recall; sign matrix is the pinned md5 parity") {
+    // the sign matrix is a pure function of md5 — re-derive two entries
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Int = {
+      val hex = md.digest(s"$i:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+    }
+    assert(Similarity.jlSigns(0)(0) === sign(0, 0))
+    assert(Similarity.jlSigns(15)(63) === sign(15, 63))
+    assert(Similarity.jlSigns.length === 16)
+    assert(Similarity.jlSigns.forall(_.length === 64))
+    // at least one projection row has a nonzero sign sum — required for
+    // the collinear corpus below to rank at all in reduced space
+    assert(Similarity.jlSigns.exists(_.sum != 0))
+
+    // COLLINEAR corpus: e_k = c_k * (1,...,1) with distinct c_k. Both
+    // the 64-dim and 16-dim L2 ranks are then monotone in |c_k - c_q|
+    // with IDENTICAL tie sets (even spacing) and the same vec_id
+    // tiebreak, so the projection provably loses nothing: every query
+    // must score n_overlap = 10. A bug in either distance, either rank,
+    // or the projection itself breaks the equality.
+    val vecs = (0 until 30).map { k =>
+      (k.toLong, Array.fill(64)((k + 1) / 64f), k % 2)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("jlproj").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.q209JlProjection(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === (0L until 10L).toSet)
+    got.foreach { case (q, n) => assert(n === 10L, s"query $q") }
+    // determinism: rerun bit-identical
+    val again = Similarity.q209JlProjection(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === again)
+  }
 }
