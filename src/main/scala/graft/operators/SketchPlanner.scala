@@ -53,7 +53,7 @@ object SketchPlanner {
     * guarantees, ~an order of magnitude cheaper per row, for the
     * execution-side planner where no cross-engine parity is needed
     * (the hash only has to be uniform, not portable). */
-  private def estPair(a: DataFrame, ka: Column, b: DataFrame, kb: Column,
+  private[operators] def estPair(a: DataFrame, ka: Column, b: DataFrame, kb: Column,
       fast: Boolean = false): DataFrame = {
     def sketch(df: DataFrame, k: Column, out: String): DataFrame = {
       val s =
@@ -82,7 +82,7 @@ object SketchPlanner {
   /** Exact |A ⋈_key B| referee: per-key partial counts joined, Σ na·nb —
     * what the estimate is graded against (never run in production use;
     * the whole point of the sketch is not touching keys). */
-  private def exactPair(a: DataFrame, ka: Column, b: DataFrame, kb: Column): DataFrame = {
+  private[operators] def exactPair(a: DataFrame, ka: Column, b: DataFrame, kb: Column): DataFrame = {
     val fa = a.groupBy(ka.cast("string").as("key")).agg(count(lit(1)).as("na"))
     val fb = b.groupBy(kb.cast("string").as("key")).agg(count(lit(1)).as("nb"))
     fa.join(fb, Seq("key"))
@@ -239,6 +239,120 @@ object SketchPlanner {
     buildThreeWay(a, b, c, kab, kbc,
       invertDecision(decideThreeWay(a, b, c, kab, kbc)))
 
+  /** SELECTIVITY-ESTIMATOR COMPARISON — the CMS inner product (q204)
+    * side by side with the classic System-R formula
+    * |A⋈B| ≈ n_A·n_B / max(ndv_A, ndv_B) (Selinger 1979, and what
+    * Catalyst's CBO computes from ANALYZE stats), each against the
+    * exact size, per candidate join of the TPC-H-ish chain plus
+    * events⋈orders. Emits both estimates and both 1e-9 fixed-point
+    * relative errors (CMS error signed-positive by theorem; System-R
+    * error in absolute value). System-R here gets EXACT ndv/row counts
+    * (better than any catalog), so its residual error is purely the
+    * uniformity assumption.
+    *
+    * The honest reading of the gated fixture: on FK-shaped joins with
+    * mild skew, System-R-with-exact-stats is accurate — often beating
+    * the CMS's width-noise overestimate. The CMS earns its keep on the
+    * two axes the table can't show: (1) its error is ONE-SIDED — it
+    * never underestimates, so a planner consuming it never wrongly
+    * picks a broadcast/unsalted plan for an exploding join, while
+    * System-R's uniformity assumption UNDERESTIMATES under real key
+    * skew by arbitrary factors (SketchPlannerSpec's hot-key fixture:
+    * 125× under, exactly the dangerous direction), and (2) it needs no
+    * catalog — it works on any mid-pipeline frame a filter just
+    * produced. An engine wants both: System-R when stats exist and
+    * distributions are tame, the sketch when they don't or aren't.
+    *
+    * Scale shape: per candidate, two count-distinct partial aggs (key
+    * frames), one CMS fold each side (≤4·16384 counters map-side), a
+    * sketch-sized join — nothing data×data; the exact referee is
+    * gate-only as in q204/q205. */
+  def q211SelectivityCompare(s: SparkSession, d: String): DataFrame = {
+    val cands = Seq(
+      ("c_join_o",
+        customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey")),
+      ("o_join_l",
+        orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey")),
+      ("e_join_o",
+        events(s, d), col("user_id"), orders(s, d), col("o_custkey")))
+    cands.map { case (name, a, ka, b, kb) =>
+      val fa = a.groupBy(ka.cast("string").as("key")).agg(count(lit(1)).as("na"))
+      val fb = b.groupBy(kb.cast("string").as("key")).agg(count(lit(1)).as("nb"))
+      val statsA = fa.agg(sum(col("na")).as("n_a"), count(lit(1)).as("ndv_a"))
+      val statsB = fb.agg(sum(col("nb")).as("n_b"), count(lit(1)).as("ndv_b"))
+      val exact = fa.join(fb, Seq("key"))
+        .agg(coalesce(sum(expr("CAST(na AS DECIMAL(38,0)) * nb")), lit(0))
+          .cast("long").as("exact_size"))
+      estPair(a, ka, b, kb)
+        .crossJoin(broadcast(exact))
+        .crossJoin(broadcast(statsA)).crossJoin(broadcast(statsB))
+        .select(lit(name).as("candidate"), col("exact_size"),
+          col("est").as("cms_est"),
+          expr("CAST((CAST(n_a AS DECIMAL(38,0)) * n_b) " +
+            "div greatest(ndv_a, ndv_b) AS BIGINT)").as("systemr_est"))
+        .withColumn("cms_err_fp",
+          expr("CASE WHEN exact_size > 0 THEN " +
+            "((cms_est - exact_size) * 1000000000L) div exact_size " +
+            "ELSE 0L END"))
+        .withColumn("systemr_err_fp",
+          expr("CASE WHEN exact_size > 0 THEN " +
+            "(abs(CAST(systemr_est AS DECIMAL(38,0)) - exact_size) " +
+            "* 1000000000) div exact_size ELSE 0 END").cast("long"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def selSql(name: String, ta: String, ka: String,
+      tb: String, kb: String): String =
+    s"""ga_$name AS (SELECT CAST($ka AS VARCHAR) AS key, count(*) AS na
+       |             FROM $ta GROUP BY 1),
+       |gb_$name AS (SELECT CAST($kb AS VARCHAR) AS key, count(*) AS nb
+       |             FROM $tb GROUP BY 1),
+       |ha_$name AS (
+       |  SELECT g.row_idx,
+       |    CAST('0x' || substr(md5(CAST(g.row_idx AS VARCHAR) || ':' ||
+       |         CAST($ka AS VARCHAR)), 1, 15) AS BIGINT) % $W AS col_idx
+       |  FROM $ta CROSS JOIN g),
+       |sa_$name AS (SELECT row_idx, col_idx, count(*) AS ca
+       |             FROM ha_$name GROUP BY 1, 2),
+       |hb_$name AS (
+       |  SELECT g.row_idx,
+       |    CAST('0x' || substr(md5(CAST(g.row_idx AS VARCHAR) || ':' ||
+       |         CAST($kb AS VARCHAR)), 1, 15) AS BIGINT) % $W AS col_idx
+       |  FROM $tb CROSS JOIN g),
+       |sb_$name AS (SELECT row_idx, col_idx, count(*) AS cb
+       |             FROM hb_$name GROUP BY 1, 2),
+       |r_$name AS (
+       |  SELECT '$name' AS candidate,
+       |    (SELECT CAST(coalesce(sum(CAST(na AS HUGEINT) * nb), 0) AS BIGINT)
+       |     FROM ga_$name JOIN gb_$name USING (key)) AS exact_size,
+       |    (SELECT CAST(min(ip) AS BIGINT) FROM (
+       |       SELECT sa_$name.row_idx,
+       |         sum(CAST(sa_$name.ca AS HUGEINT) * sb_$name.cb) AS ip
+       |       FROM sa_$name JOIN sb_$name USING (row_idx, col_idx)
+       |       GROUP BY 1)) AS cms_est,
+       |    CAST((SELECT CAST(sum(na) AS HUGEINT) FROM ga_$name)
+       |       * (SELECT CAST(sum(nb) AS HUGEINT) FROM gb_$name)
+       |       // greatest((SELECT count(*) FROM ga_$name),
+       |                   (SELECT count(*) FROM gb_$name))
+       |      AS BIGINT) AS systemr_est)""".stripMargin
+
+  val q211Sql: String =
+    s"""WITH g AS (SELECT CAST(range AS BIGINT) AS row_idx FROM range(4)),
+       |${selSql("c_join_o", "customer", "c_custkey", "orders", "o_custkey")},
+       |${selSql("o_join_l", "orders", "o_orderkey", "lineitem", "l_orderkey")},
+       |${selSql("e_join_o", "events", "user_id", "orders", "o_custkey")},
+       |r AS (SELECT * FROM r_c_join_o UNION ALL SELECT * FROM r_o_join_l
+       |      UNION ALL SELECT * FROM r_e_join_o)
+       |SELECT candidate, exact_size, cms_est, systemr_est,
+       |  CAST(CASE WHEN exact_size > 0 THEN
+       |    ((cms_est - exact_size) * 1000000000) // exact_size
+       |    ELSE 0 END AS BIGINT) AS cms_err_fp,
+       |  CAST(CASE WHEN exact_size > 0 THEN
+       |    (abs(CAST(systemr_est AS HUGEINT) - exact_size) * 1000000000)
+       |      // exact_size ELSE 0 END AS BIGINT) AS systemr_err_fp
+       |FROM r""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "q205_join_planner" -> (q205JoinPlanner _, q205Sql))
+    "q205_join_planner" -> (q205JoinPlanner _, q205Sql),
+    "q211_selectivity_compare" -> (q211SelectivityCompare _, q211Sql))
 }

@@ -75,6 +75,30 @@ class SketchPlannerSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet)
   }
 
+  test("hot-key skew: System-R underestimates 100x in the dangerous direction; CMS stays one-sided") {
+    // 500 copies of key 7 on each side plus 500 disjoint unique keys:
+    // exact |A join B| = 500*500 = 250_000, but n*n/max(ndv) with EXACT
+    // stats says ~1996 - the uniformity assumption underestimating by
+    // 125x, exactly the error that makes a planner broadcast an
+    // exploding join. The CMS prices the frequency inner product
+    // directly: >= exact always, and within width noise here.
+    val a = spark.range(1000).select(
+      when(col("id") < 500, lit(7L)).otherwise(col("id") + 1000).as("k"))
+    val b = spark.range(1000).select(
+      when(col("id") < 500, lit(7L)).otherwise(col("id") + 9000).as("k"))
+    val exact = SketchPlanner.exactPair(a, col("k"), b, col("k"))
+      .as[Long].collect().head
+    val cms = SketchPlanner.estPair(a, col("k"), b, col("k"))
+      .as[Long].collect().head
+    val (na, ndvA) = (1000L, 501L)
+    val systemR = na * na / ndvA
+    assert(exact === 250000L)
+    assert(systemR < exact / 100, s"System-R $systemR vs exact $exact")
+    assert(cms >= exact, s"CMS must never underestimate: $cms vs $exact")
+    assert(cms <= exact + (1000L * 1000L) / 16384 * 4,
+      s"CMS $cms far past the width-noise bound") // eps = n_a*n_b/w slack
+  }
+
   test("q205 decision table: one-sided estimates, picks and strategies agree with exact") {
     val d = sf("sf0.001")
     val rows = SketchPlanner.q205JoinPlanner(spark, d)
