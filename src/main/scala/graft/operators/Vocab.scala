@@ -578,6 +578,104 @@ object Vocab {
        |UNION ALL SELECT round, pair, CAST(n AS BIGINT) FROM s2
        |UNION ALL SELECT round, pair, CAST(n AS BIGINT) FROM s3""".stripMargin
 
+  /** INTERPOLATED KNESER–NEY BIGRAM LM SCORING — the q69 unigram scorer
+    * upgraded to the smoothing real LM-based quality filters use
+    * (Kneser–Ney 1995; Chen & Goodman 1999 found interpolated KN the
+    * best of the classical family; CCNet/Gopher filter on exactly this
+    * kind of n-gram LM perplexity). Per bigram position:
+    *
+    *   P(w|v) = [max(c(vw) − D, 0) + D·N1+(v·)·Pcont(w)] / c(v),
+    *   Pcont(w) = N1+(·w) / N1+(··),  D = 3/4
+    *
+    * which over the common denominator becomes ONE integer numerator
+    * and ONE integer denominator (×4 clears D):
+    *
+    *   P = (max(4·c(vw) − 3, 0)·N₊₊ + 3·N1+(v·)·N1+(·w))
+    *       / (4·c(v)·N₊₊)
+    *
+    * so both engines build the SAME two integers exactly and perform
+    * ONE identical double division before the q69-convention
+    * round(−ln(p), 8) / per-doc round(avg, 4). The ×-products graze
+    * 2^63 in the 1e12-count regime, so the numerator/denominator widen
+    * to DECIMAL(38,0)/HUGEINT (the q146 discipline) and only the final
+    * ratio is a double. The continuation probability is what makes KN
+    * KN: a word seen in many CONTEXTS (high N1+(·w)) gets backoff mass
+    * even when rare — "francisco" appears often but only after "san",
+    * so its continuation count, not its frequency, sets its unseen-
+    * context probability.
+    *
+    * Scale shape: bigram generation is per-row; all four count tables
+    * partial-aggregate map-side; the probability is computed ONCE per
+    * distinct bigram (vocab-sized frame) and the corpus stream joins
+    * that single table on (v, w) — one data-sized shuffle, the same
+    * shape as q69's unigram join. Docs with <2 tokens carry
+    * n_bigrams = 0 and NULL score via the left join (the q69/q175
+    * convention). */
+  def q212KnBigram(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val big = docs
+      .select(col("doc_id"), Dedup.tokensCodegen(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> " +
+          "struct(element_at(toks, i) AS v, element_at(toks, i + 1) AS w))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
+    val cvw = big.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+    val cv = cvw.groupBy(col("v"))
+      .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
+    val n1w = cvw.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+    val npp = cvw.agg(count(lit(1)).as("npp"))
+    val prob = cvw.join(cv, Seq("v")).join(n1w, Seq("w"))
+      .crossJoin(broadcast(npp))
+      .select(col("v"), col("w"),
+        round(-log(
+          expr("CAST(greatest(4 * CAST(cvw AS DECIMAL(38,0)) - 3, 0) * npp" +
+            " + CAST(3 AS DECIMAL(38,0)) * n1v * n1w AS DOUBLE)") /
+          expr("CAST(CAST(4 AS DECIMAL(38,0)) * cv * npp AS DOUBLE)")),
+          8).as("nll"))
+    val scored = big.join(prob, Seq("v", "w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 4).as("avg_nll"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_nll"))
+  }
+
+  val q212Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, b[1] AS v, b[2] AS w FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(toks) - 1),
+      |      i -> [toks[i], toks[i + 1]])) AS b
+      |    FROM tk WHERE len(toks) >= 2)),
+      |cvw AS (SELECT v, w, count(*) AS cvw FROM big GROUP BY 1, 2),
+      |cv AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv,
+      |         count(*) AS n1v FROM cvw GROUP BY 1),
+      |n1w AS (SELECT w, count(*) AS n1w FROM cvw GROUP BY 1),
+      |npp AS (SELECT count(*) AS npp FROM cvw),
+      |prob AS (
+      |  SELECT v, w,
+      |    round(-ln(
+      |      CAST(greatest(4 * CAST(cvw AS HUGEINT) - 3, 0) * npp
+      |           + CAST(3 AS HUGEINT) * n1v * n1w AS DOUBLE)
+      |      / CAST(CAST(4 AS HUGEINT) * cv * npp AS DOUBLE)), 8) AS nll
+      |  FROM cvw JOIN cv USING (v) JOIN n1w USING (w), npp),
+      |per AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    round(CAST(sum(CAST(nll AS DECIMAL(38,18))) AS DOUBLE)
+      |      / count(*), 4) AS avg_nll
+      |  FROM big JOIN prob USING (v, w)
+      |  GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, p.avg_nll
+      |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q68_heavy_hitters" -> (q68HeavyHitters _, q68Sql),
     "q69_lm_score"      -> (q69LmScore _, q69Sql),
@@ -587,5 +685,6 @@ object Vocab {
     "q173_keyness"      -> (q173Keyness _, q173Sql),
     "q199_roc_calibration" -> (q199RocCalibration _, q199Sql),
     "q203_bpe_train"    -> (q203BpeTrain _, q203Sql),
+    "q212_kn_bigram"    -> (q212KnBigram _, q212Sql),
   )
 }

@@ -171,4 +171,53 @@ class VocabSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(got === Seq((1L, "a b", 5L), (2L, "a#b c", 5L)))
   }
+
+  test("KN bigram: first-principles referee equality; continuation counts, not frequency, set backoff mass") {
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the dog sat"), (3L, "a cat ran"),
+      (4L, "san francisco san francisco"), (5L, "x")) // <2 tokens: null score
+    val dir = java.nio.file.Files.createTempDirectory("knspec").toString
+    corpus.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Vocab.q212KnBigram(spark, dir)
+      .as[(Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // independent Scala referee, straight from the KN definition
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    }.toMap
+    val bigrams = toks.view.mapValues(ts => ts.zip(ts.drop(1))).toMap
+    val all = bigrams.values.flatten.toSeq
+    val cvw = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cv = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1v = cvw.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1w = cvw.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val npp = cvw.size.toLong
+    def nll(b: (String, String)): BigDecimal = {
+      val num = math.max(4 * cvw(b) - 3, 0L) * npp + 3 * n1v(b._1) * n1w(b._2)
+      val den = 4 * cv(b._1) * npp
+      BigDecimal(-math.log(num.toDouble / den.toDouble))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }
+    corpus.foreach { case (id, _) =>
+      val bs = bigrams(id)
+      val (n, score) = got(id)
+      assert(n === bs.size.toLong, s"doc $id")
+      if (bs.isEmpty) assert(score.isEmpty, s"doc $id")
+      else {
+        val want = BigDecimal(bs.map(nll).sum.toDouble / bs.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(score.contains(want), s"doc $id: ${score} vs $want")
+      }
+    }
+    // the Kneser-Ney point: 'sat' and 'francisco' both occur twice, but
+    // 'sat' follows TWO distinct contexts and 'francisco' only one, so
+    // sat's continuation weight - its probability in unseen contexts -
+    // must be the larger one
+    assert(all.count(_._2 == "sat") === all.count(_._2 == "francisco"))
+    assert(n1w("sat") > n1w("francisco"))
+  }
 }
