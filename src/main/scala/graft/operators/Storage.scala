@@ -407,6 +407,113 @@ object Storage {
       tail = true),
   ).mkString("\nUNION ALL\n")
 
+  /** ZONE-MAP FILE-SKIPPING CENSUS — the min/max-statistics pruning
+    * every columnar table format performs (parquet row-group stats,
+    * Iceberg/Delta file-level zonemaps), made a gated calculation: bin
+    * lineitem into 64 synthetic "files" under TWO layouts — CLUSTERED
+    * (globally range-ordered by ship date: the layout a time-ordered
+    * ingest or a z-order/sort-on-write produces) and HASHED (uniform
+    * scatter: what unordered parallel writes produce) — build each
+    * file's (min, max) ship-date zonemap, and count how many files a
+    * quarter-long date predicate can SKIP and how many rows the
+    * surviving files force a scan over. The exact selected-row count
+    * rides along (identical under both layouts — pruning never changes
+    * results, only work). This is the quantified WHY behind q79's
+    * z-order writer and q62's partitioned sink: the clustered layout
+    * skips ~95% of files, the hashed layout skips none, for the same
+    * bytes stored.
+    *
+    * Determinism: the clustered binning uses [[Relational.globalRank]]
+    * (two-pass distributed rank, no SinglePartition) with the full
+    * (shipdate, orderkey, linenumber) total order, file =
+    * (rnk−1)·64 div N; the hashed layout bins on the md5 prefix of the
+    * row identity (engine-portable). Zonemaps and the census are plain
+    * integer/date aggregation — partial-agg'd, files-sized frames. */
+  def q213ZonemapPrune(s: SparkSession, d: String): DataFrame = {
+    val lo = "1997-01-01"; val hi = "1997-03-31"
+    val li = lineitem(s, d)
+      .select(to_date(col("l_shipdate")).as("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"))
+    val n = li.agg(count(lit(1)).as("n"))
+    val clustered = Relational.globalRank(li, col("l_shipdate"),
+        struct(col("l_orderkey"), col("l_linenumber")), parts = 32)
+      .crossJoin(broadcast(n))
+      .select(col("l_shipdate"),
+        expr("CAST((rnk - 1) * 64 div n AS BIGINT)").as("file"))
+    val hashed = li.select(col("l_shipdate"),
+      pmod(conv(substring(md5(concat_ws(":",
+          col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(64L)).as("file"))
+    def census(rows: DataFrame, layout: String): DataFrame =
+      rows.groupBy(col("file"))
+        .agg(min(col("l_shipdate")).as("lo_d"),
+          max(col("l_shipdate")).as("hi_d"),
+          count(lit(1)).as("cnt"),
+          sum(when(col("l_shipdate").between(lo, hi), 1L).otherwise(0L))
+            .as("sel"))
+        .withColumn("skip",
+          col("hi_d") < lit(lo).cast("date") ||
+            col("lo_d") > lit(hi).cast("date"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("skip"), 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(!col("skip"), col("cnt")).otherwise(0L))
+            .as("rows_scanned"),
+          sum(col("sel")).as("rows_selected"))
+        .select(lit(layout).as("layout"), col("n_files"), col("n_skipped"),
+          col("rows_scanned"), col("rows_selected"))
+    census(clustered, "clustered").unionByName(census(hashed, "hashed"))
+  }
+
+  val q213Sql: String =
+    """WITH li AS (
+      |  SELECT l_shipdate, l_orderkey, l_linenumber FROM lineitem),
+      |n AS (SELECT count(*) AS n FROM li),
+      |cl AS (
+      |  SELECT l_shipdate,
+      |    CAST((rnk - 1) * 64 // n AS BIGINT) AS file
+      |  FROM (SELECT l_shipdate,
+      |          row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+      |                             l_linenumber) AS rnk
+      |        FROM li), n),
+      |ha AS (
+      |  SELECT l_shipdate,
+      |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+      |      CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS file
+      |  FROM li),
+      |cc AS (
+      |  SELECT file, min(l_shipdate) AS lo_d, max(l_shipdate) AS hi_d,
+      |    count(*) AS cnt,
+      |    sum(CASE WHEN l_shipdate BETWEEN DATE '1997-01-01'
+      |          AND DATE '1997-03-31' THEN 1 ELSE 0 END) AS sel
+      |  FROM cl GROUP BY 1),
+      |hc AS (
+      |  SELECT file, min(l_shipdate) AS lo_d, max(l_shipdate) AS hi_d,
+      |    count(*) AS cnt,
+      |    sum(CASE WHEN l_shipdate BETWEEN DATE '1997-01-01'
+      |          AND DATE '1997-03-31' THEN 1 ELSE 0 END) AS sel
+      |  FROM ha GROUP BY 1),
+      |roll AS (
+      |  SELECT 'clustered' AS layout, count(*) AS n_files,
+      |    CAST(sum(CASE WHEN hi_d < DATE '1997-01-01'
+      |        OR lo_d > DATE '1997-03-31' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_skipped,
+      |    CAST(sum(CASE WHEN hi_d >= DATE '1997-01-01'
+      |        AND lo_d <= DATE '1997-03-31' THEN cnt ELSE 0 END) AS BIGINT)
+      |      AS rows_scanned,
+      |    CAST(sum(sel) AS BIGINT) AS rows_selected
+      |  FROM cc
+      |  UNION ALL
+      |  SELECT 'hashed', count(*),
+      |    CAST(sum(CASE WHEN hi_d < DATE '1997-01-01'
+      |        OR lo_d > DATE '1997-03-31' THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(sum(CASE WHEN hi_d >= DATE '1997-01-01'
+      |        AND lo_d <= DATE '1997-03-31' THEN cnt ELSE 0 END) AS BIGINT),
+      |    CAST(sum(sel) AS BIGINT)
+      |  FROM hc)
+      |SELECT layout, n_files, n_skipped, rows_scanned, rows_selected
+      |FROM roll""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
@@ -415,5 +522,6 @@ object Storage {
     "q144_compaction_plan" -> (q144CompactionPlan _, q144Sql),
     "q152_fd_audit"        -> (q152FdAudit _, q152Sql),
     "q155_table_digest"    -> (q155TableDigest _, q155Sql),
+    "q213_zonemap_prune"   -> (q213ZonemapPrune _, q213Sql),
   )
 }

@@ -319,4 +319,22 @@ class StorageSpec extends SparkSpec {
     val dup = digestOf(writeCustomers(all ++ all, "dup"))
     assert(dup._2 === 0L && dup._1 === 2 * whole._1)
   }
+
+  test("zonemap pruning: layouts agree on results, clustered skips most files, hashed skips none") {
+    import spark.implicits._
+    val rows = Storage.q213ZonemapPrune(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val (cf, cs, cScan, cSel) = rows("clustered")
+    val (hf, hs, hScan, hSel) = rows("hashed")
+    assert(cf === 64L && hf === 64L)
+    // pruning never changes the answer, only the work
+    assert(cSel === hSel && cSel > 0L)
+    // every selected row survives in the scanned set
+    assert(cScan >= cSel && hScan >= hSel)
+    // the point: range clustering makes zonemaps bite, hashing kills them
+    assert(cs >= 48L, s"clustered skipped only $cs/64")
+    assert(hs === 0L, s"hashed skipped $hs files")
+    assert(cScan * 4 < hScan, s"scan reduction too small: $cScan vs $hScan")
+  }
 }
