@@ -57,6 +57,54 @@ class DedupPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ngram decontam census == first-principles referee on random corpora") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    // longer docs than corpusGen's default so 8-grams exist; the small
+    // vocabulary makes cross-split gram collisions common
+    val gen = {
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta")
+      for {
+        nDocs <- Gen.choose(6, 20)
+        texts <- Gen.listOfN(nDocs,
+          Gen.choose(0, 26).flatMap(len =>
+            Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+        dupFrom <- Gen.listOfN(nDocs, Gen.choose(0, nDocs * 2))
+      } yield texts.zipWithIndex.map { case (t, i) =>
+        val txt = if (dupFrom(i) < i) texts(dupFrom(i)) else t
+        (i.toLong, txt, s"src${i % 3}")
+      }
+    }
+    samples(gen, 8).zipWithIndex.foreach { case (docs, k) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"ngprop$k").toString
+      docs.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Dedup.q210NgramDecontam(spark, dir)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+      // referee straight from the definition (no hashing — gram strings)
+      def grams(t: String): Set[Seq[String]] = {
+        val ts = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+        if (ts.size < 8) Set.empty else ts.sliding(8).map(_.toSeq).toSet
+      }
+      val evalSet = docs.filter(_._1 % 7 == 0).flatMap(d => grams(d._2)).toSet
+      val train = docs.filter(_._1 % 7 != 0)
+      val want = train.groupBy(_._3).map { case (src, ds) =>
+        val per = ds.map { d =>
+          val g = grams(d._2); val hit = g.count(evalSet.contains).toLong
+          (g.size.toLong, hit)
+        }
+        src -> ((ds.size.toLong,
+          per.count(_._1 > 0).toLong,
+          per.count(p => p._1 > 0 && p._2 * 10 >= p._1).toLong,
+          per.map(_._2).sum))
+      }
+      assert(got === want, s"case $k")
+    }
+  }
+
   test("jaccard: prefix-filtered == inverted baseline on random corpora, all (t, maxDf)") {
     val cases = samples(Gen.zip(corpusGen,
       Gen.oneOf(0.2, 0.5, 0.9), Gen.oneOf(3, 1000)), 12)

@@ -220,4 +220,59 @@ class VocabSpec extends SparkSpec {
     assert(all.count(_._2 == "sat") === all.count(_._2 == "francisco"))
     assert(n1w("sat") > n1w("francisco"))
   }
+
+  test("KN bigram: referee equality holds on random corpora") {
+    // randomized version of the fixture test: small vocabulary forces
+    // rich bigram collision structure (shared contexts, repeated pairs,
+    // max(4c-3,0) hitting both branches)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rng = new Random(4242)
+    (0 until 8).foreach { k =>
+      val corpus = (0 until (3 + rng.nextInt(10))).map { i =>
+        val len = rng.nextInt(12) // 0..11 tokens: sub-2 docs included
+        (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"knprop$k").toString
+      corpus.toDF("doc_id", "text").withColumn("lang", lit("en"))
+        .withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = Vocab.q212KnBigram(spark, dir)
+        .as[(Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+
+      val toks = corpus.map { case (id, t) =>
+        id -> t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val bigrams = toks.view.mapValues(ts => ts.zip(ts.drop(1))).toMap
+      val all = bigrams.values.flatten.toSeq
+      if (all.nonEmpty) {
+        val cvw = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val cv = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val n1v = cvw.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val n1w = cvw.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val npp = cvw.size.toLong
+        def nll(b: (String, String)): BigDecimal = {
+          val num = math.max(4 * cvw(b) - 3, 0L) * npp +
+            3 * n1v(b._1) * n1w(b._2)
+          val den = 4 * cv(b._1) * npp
+          BigDecimal(-math.log(num.toDouble / den.toDouble))
+            .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        }
+        corpus.foreach { case (id, _) =>
+          val bs = bigrams(id)
+          val (n, score) = got(id)
+          assert(n === bs.size.toLong, s"case $k doc $id")
+          if (bs.isEmpty) assert(score.isEmpty, s"case $k doc $id")
+          else {
+            val want = BigDecimal(bs.map(nll).sum.toDouble / bs.size)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            assert(score.contains(want), s"case $k doc $id")
+          }
+        }
+      } else corpus.foreach { case (id, _) =>
+        assert(got(id) === ((0L, None)), s"case $k doc $id")
+      }
+    }
+  }
 }
