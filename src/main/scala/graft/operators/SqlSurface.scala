@@ -242,7 +242,10 @@ object SqlSurface {
     * calling it from SQL text builds the identical stateful-capable
     * aggregation the DSL (and the streaming query in SessionStream)
     * uses — GROUP BY session_window(ts, gap), window bounds from the
-    * struct. The same SQL under readStream would run continuously. */
+    * struct. The same SQL under readStream runs continuously —
+    * StreamingSessionSpec's "q208 SQL text runs CONTINUOUSLY" test
+    * executes this literal text as a streaming query over a
+    * watermarked view and diffs it against the DSL stream. */
   def q208SqlSessionize(s: SparkSession, d: String): DataFrame =
     withViews(s, Seq(events(s, d))) { case Seq(v) =>
       s"""SELECT user_id,

@@ -52,6 +52,47 @@ class StreamingSessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the q208 SQL text runs CONTINUOUSLY: spark.sql over a streaming view equals the DSL stream") {
+    // q208_sql_sessionize's docstring claims the same SQL under
+    // readStream runs as a continuous query — prove it: register a
+    // watermarked MemoryStream as a temp view, run the literal
+    // session_window SQL through spark.sql as a STREAMING query, and
+    // diff against the DSL streaming pipeline on identical batches.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.toDF().withWatermark("ts", "10 minutes")
+      .createOrReplaceTempView("graft_sess_sql_stream")
+    val q = spark.sql(
+      """SELECT user_id,
+        |  session_window.start AS s_start, session_window.end AS s_end,
+        |  count(1) AS n_events,
+        |  sum(CAST(round(value * 1000, 0) AS BIGINT)) AS total_milli
+        |FROM graft_sess_sql_stream
+        |GROUP BY user_id, session_window(ts, '30 minutes')""".stripMargin)
+      .writeStream.format("memory").queryName("sess_sql_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Ev(1L, at(0), 1.5), Ev(1L, at(20), 2.0), Ev(2L, at(5), 4.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1L, at(40), 0.25), Ev(1L, at(90), 8.0))
+      q.processAllAvailable()
+      mem.addData(Ev(9L, at(190), 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(9L, at(191), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_sql_out")
+        .as[(Long, Timestamp, Timestamp, Long, Long)].collect().toSet
+      // same emissions the DSL streaming test pins on these batches —
+      // cross-batch merge included
+      assert(got.contains((1L, at(0), at(70), 3L, 3750L)), got)
+      assert(got.contains((1L, at(90), at(120), 1L, 8000L)), got)
+      assert(got.contains((2L, at(5), at(35), 1L, 4000L)), got)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("graft_sess_sql_stream")
+    }
+  }
+
   test("exact-gap boundary MERGES: ts - prev == gap joins the session; one past it splits") {
     // Spark's session_window is inclusive at the close: an event AT
     // prev + gap merges (split strictly greater) — the oracle's
