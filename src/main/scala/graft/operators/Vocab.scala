@@ -676,6 +676,96 @@ object Vocab {
       |SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, p.avg_nll
       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
 
+  /** BPE ENCODE — the apply half of q203's train half: take the 3
+    * merges [[bpeTrain]] learns from the corpus and ENCODE the same
+    * corpus with them, reporting per source the token counts before and
+    * after and the realized compression in 1e-9 fixed point. Training
+    * without application is half an operator: this is the pass that
+    * turns a learned vocabulary into shorter sequences (and its
+    * compression number is the metric BPE vocab size is tuned by).
+    *
+    * Every doc is encoded — including sub-2-token docs the TRAINER
+    * ignores (nothing to merge: before == after) and zero-token docs
+    * (0 == 0, the q175 census discipline). Each round's winner reaches
+    * the rewrite as a broadcast 1-row aggregate (min over the ≤1-row
+    * round slice — null when the round exhausted, in which case the
+    * rewrite is a guarded no-op on BOTH engines). Shares q203's
+    * documented consecutive-occurrence deviation. Scale shape: the
+    * trainer's three corpus passes plus three broadcast-scalar rewrites
+    * over a doc-keyed stream; rollup is sources-sized. */
+  def q214BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val wins = bpeTrain(docs).localCheckpoint(false)
+    var enc = docs
+      .select(col("doc_id"), col("source"),
+        Dedup.tokensCodegen(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        concat(lit(" "), concat_ws(" ", col("toks")), lit(" ")).as("t"))
+      // count from the joined string, not size(toks): tokensCodegen
+      // yields [""] (size 1) for a letterless doc — the join+trim guard
+      // sends it to 0, matching the oracle's list_filter semantics
+      .withColumn("n_before",
+        when(length(trim(col("t"))) === 0, 0L)
+          .otherwise(size(split(trim(col("t")), " ")).cast("long")))
+    (1 to 3).foreach { r =>
+      val w = wins.filter(col("round") === r)
+        .agg(min(col("pair")).as("pair")) // 1 row; null when exhausted
+      enc = enc.crossJoin(broadcast(w))
+        .withColumn("t", when(col("pair").isNull, col("t"))
+          .otherwise(expr("replace(t, concat(' ', pair, ' '), " +
+            "concat(' ', replace(pair, ' ', '#'), ' '))")))
+        .drop("pair")
+    }
+    enc
+      .withColumn("n_after",
+        when(length(trim(col("t"))) === 0, 0L)
+          .otherwise(size(split(trim(col("t")), " ")).cast("long")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_before")).as("tok_before"),
+        sum(col("n_after")).as("tok_after"))
+      .withColumn("saved_fp",
+        when(col("tok_before") > 0,
+          expr("((tok_before - tok_after) * 1000000000L) div tok_before"))
+          .otherwise(0L))
+  }
+
+  private def encRoundSql(i: Int): String =
+    s"""w$i AS (SELECT min(pair) AS pair FROM s$i),
+       |e$i AS (
+       |  SELECT doc_id, source, n_before,
+       |    CASE WHEN w$i.pair IS NULL THEN t
+       |         ELSE replace(t, ' ' || w$i.pair || ' ',
+       |           ' ' || replace(w$i.pair, ' ', '#') || ' ') END AS t
+       |  FROM e${i - 1} CROSS JOIN w$i)""".stripMargin
+
+  val q214Sql: String = {
+    // the trainer chain (t0..t3/s1..s3) verbatim from q203Sql, plus a
+    // doc-keyed encode chain e0..e3 driven by the same winners
+    val trainer = q203Sql
+      .split("\nSELECT ").head // keep the WITH chain, drop q203's SELECT
+    s"""$trainer,
+       |e0 AS (
+       |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_before,
+       |    ' ' || array_to_string(toks, ' ') || ' ' AS t
+       |  FROM (SELECT doc_id, source, list_filter(string_split_regex(
+       |          lower(text), '[^a-z]+'), x -> x <> '') AS toks
+       |        FROM documents)),
+       |${(1 to 3).map(encRoundSql).mkString(",\n")},
+       |fin AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_before) AS BIGINT) AS tok_before,
+       |    CAST(sum(CASE WHEN trim(t) = '' THEN 0
+       |      ELSE len(string_split(trim(t), ' ')) END) AS BIGINT)
+       |      AS tok_after
+       |  FROM e3 GROUP BY 1)
+       |SELECT source, n_docs, tok_before, tok_after,
+       |  CAST(CASE WHEN tok_before > 0 THEN
+       |    ((tok_before - tok_after) * 1000000000) // tok_before
+       |    ELSE 0 END AS BIGINT) AS saved_fp
+       |FROM fin""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q68_heavy_hitters" -> (q68HeavyHitters _, q68Sql),
     "q69_lm_score"      -> (q69LmScore _, q69Sql),
@@ -686,5 +776,6 @@ object Vocab {
     "q199_roc_calibration" -> (q199RocCalibration _, q199Sql),
     "q203_bpe_train"    -> (q203BpeTrain _, q203Sql),
     "q212_kn_bigram"    -> (q212KnBigram _, q212Sql),
+    "q214_bpe_encode"   -> (q214BpeEncode _, q214Sql),
   )
 }

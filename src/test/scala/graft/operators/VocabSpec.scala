@@ -172,6 +172,28 @@ class VocabSpec extends SparkSpec {
     assert(got === Seq((1L, "a b", 5L), (2L, "a#b c", 5L)))
   }
 
+  test("bpe encode: learned merges compress the training corpus; exhausted round is a no-op; short docs censused") {
+    // same corpus as the exhaustion trainer test, plus docs the TRAINER
+    // ignores but the ENCODER must still census: a 1-token doc (nothing
+    // to merge) and a letterless doc (zero tokens)
+    val corpus = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c", "s1"), (3L, "a b c", "s1"),
+      (4L, "a b c", "s1"), (5L, "a b c", "s1"),
+      (6L, "x", "s2"), (7L, "123 !!!", "s2"))
+    val dir = java.nio.file.Files.createTempDirectory("bpeenc").toString
+    corpus.toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Vocab.q214BpeEncode(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // s1: round 1 "a b" -> a#b, round 2 "a#b c" -> a#b#c, round 3
+    // exhausted (guarded no-op): every doc 3 tokens -> 1
+    assert(got("s1") === ((5L, 15L, 5L, (10L * 1000000000L) / 15L)))
+    // s2: 1-token and 0-token docs pass through unchanged, censused
+    assert(got("s2") === ((2L, 1L, 1L, 0L)))
+  }
+
   test("KN bigram: first-principles referee equality; continuation counts, not frequency, set backoff mass") {
     val corpus = Seq(
       (1L, "the cat sat"), (2L, "the dog sat"), (3L, "a cat ran"),
