@@ -479,4 +479,40 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === again)
   }
+
+  test("JL projection overlap equals an exact integer referee on random embeddings") {
+    // the whole pipeline is integer-exact after quantization, so a
+    // Scala referee reproduces the overlap BIT-exactly — no tolerance
+    val rng = new scala.util.Random(90210)
+    (0 until 4).foreach { k =>
+      val nv = 15 + rng.nextInt(25)
+      val vecs = (0 until nv).map { i =>
+        (i.toLong, Array.fill(64)((rng.nextInt(1001) - 500) / 1024f), 0)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"jlrand$k").toString
+      vecs.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = Similarity.q209JlProjection(spark, dir)
+        .as[(Long, Long)].collect().toMap
+
+      // HALF_UP (away from zero), matching Spark's round — math.round
+      // is half-toward-positive-infinity and diverges on negative halves
+      val ei = vecs.map { case (id, a, _) =>
+        id -> a.map(x => BigDecimal(x.toDouble * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }.toMap
+      val pj = ei.view.mapValues(e =>
+        Similarity.jlSigns.map(r =>
+          r.zip(e).map { case (sg, x) => sg * x }.sum)).toMap
+      def d2(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val want = (0L until 10L).map { q =>
+        def top(metric: Long => Array[Long]) =
+          (0L until nv.toLong).filter(_ != q)
+            .sortBy(x => (d2(metric(x), metric(q)), x)).take(10).toSet
+        q -> top(ei(_)).intersect(top(pj(_))).size.toLong
+      }.toMap
+      assert(got === want, s"case $k ($nv vectors)")
+    }
+  }
 }

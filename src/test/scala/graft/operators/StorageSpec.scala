@@ -337,4 +337,34 @@ class StorageSpec extends SparkSpec {
     assert(hs === 0L, s"hashed skipped $hs files")
     assert(cScan * 4 < hScan, s"scan reduction too small: $cScan vs $hScan")
   }
+
+  test("zonemap census equals a first-principles referee (clustered layout)") {
+    import spark.implicits._
+    // replicate the clustered binning exactly: sort by the same total
+    // order, bin by (rank-1)*64 div n, build zonemaps, apply the same
+    // predicate — the distributed two-pass rank must agree bit-for-bit
+    val rows = Tables.lineitem(spark, sf("sf0.001"))
+      .selectExpr("CAST(l_shipdate AS DATE) AS d", "l_orderkey", "l_linenumber")
+      .as[(java.sql.Date, Long, Long)].collect()
+    val n = rows.length
+    val sorted = rows.sortBy(r => (r._1.getTime, r._2, r._3))
+    val lo = java.sql.Date.valueOf("1997-01-01")
+    val hi = java.sql.Date.valueOf("1997-03-31")
+    val files = sorted.zipWithIndex
+      .groupBy { case (_, i) => i.toLong * 64 / n }.values.toSeq
+    val skipped = files.count { f =>
+      val ds = f.map(_._1._1.getTime)
+      ds.max < lo.getTime || ds.min > hi.getTime
+    }
+    val scanned = files.filter { f =>
+      val ds = f.map(_._1._1.getTime)
+      !(ds.max < lo.getTime || ds.min > hi.getTime)
+    }.map(_.length.toLong).sum
+    val selected = rows.count(r =>
+      !r._1.before(lo) && !r._1.after(hi)).toLong
+    val got = Storage.q213ZonemapPrune(spark, sf("sf0.001"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got("clustered") === ((skipped.toLong, scanned, selected)))
+  }
 }
