@@ -6,6 +6,14 @@ package graft
   * excluded from the total) and the process exits nonzero — a failure must
   * never masquerade as a fast timing.
   *
+  * The stdout line is kept COMPACT — per-query timings rounded to ms
+  * (full-precision doubles at 215+ queries overflow the driver's output
+  * capture window: every BENCH_r*.json through r12 arrived truncated at
+  * 61 timings with `"parsed": null`) — and the SAME JSON is also written
+  * to `BENCH_full.json` in the working directory (override with
+  * SPARK_GRAFT_BENCH_OUT) so a full record always exists on disk even if
+  * a capture window still clips the line.
+  *
   * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
   * the MEDIAN: this VM shows ±2-3× transient contention, and one-shot
   * numbers have repeatedly mislead (r03's 28.4 s q50 artifact re-measured
@@ -65,12 +73,24 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    // ms precision: 1/1000 of any per-query timing we report; keeps the
+    // 215-query line at ~6 KB instead of ~12 KB
+    def ms(v: Double): String = {
+      val r = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      r.underlying.stripTrailingZeros.toPlainString
+    }
     val qs = results.map {
-      case (k, Right(v)) => s"${jstr(k)}:$v"
+      case (k, Right(v)) => s"${jstr(k)}:${ms(v)}"
       case (k, Left(e))  => s"${jstr(k)}:{${jstr("err")}:${jstr(e)}}"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"failed":${failed.size}}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"failed":${failed.size}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    println(line)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.sorted.mkString(", ")}")

@@ -8,12 +8,13 @@ import graft.operators.SketchPlanner
   *
   * Corpus where static row counts cannot rank the two candidate first
   * joins of A⋈B⋈C (A and B are the same size) but the key distributions
-  * make |A⋈B| explode (rows/400 shared k1 keys × 400 rows each side →
-  * 8e8 intermediate rows at the 2M default, each carrying A's 64-byte
-  * payload) while |B⋈C| is ~1e3: the CMS inner product sees the square
-  * of the per-key counts, so the planner routes around the explosion.
-  * Even pipelined (AQE broadcasts C, so the intermediate never hits a
-  * shuffle), 8e8 payload-bearing rows are pure wasted CPU the good
+  * make |A⋈B| explode (rows/800 shared k1 keys × 800 rows each side →
+  * 2500 × 800 × 800 ≈ 1.6e9 intermediate rows at the 2M default, each
+  * carrying A's 64-byte payload) while |B⋈C| is ~1e3: the CMS inner
+  * product sees the square of the per-key counts, so the planner routes
+  * around the explosion. Even pipelined (AQE broadcasts C, so the
+  * intermediate never hits a shuffle), 1.6e9 payload-bearing rows are
+  * pure wasted CPU the good
   * order never spends. Arms, all constructed INSIDE the timer (the round-11
   * BenchSkewAB lesson):
   *

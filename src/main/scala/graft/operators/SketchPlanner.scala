@@ -68,11 +68,16 @@ object SketchPlanner {
   }
 
   /** q145's 4×W CMS shape with xxhash64 rows (seeded by row_idx via the
-    * hash's argument list) — whole-stage-codegen'd, no md5, no string
-    * cast. Partial-agg to ≤4·W counters map-side, like the gated form. */
+    * hash's argument list) — whole-stage-codegen'd, no md5. Partial-agg
+    * to ≤4·W counters map-side, like the gated form. The key is
+    * normalized to its STRING rendering first (same canonicalization as
+    * the gated md5 path): xxhash64 is type-sensitive, so without it an
+    * INT key on one side and a BIGINT/STRING key holding the same
+    * values on the other would hash to unrelated cells and the inner
+    * product would silently price garbage. */
   private def cmsSketchFast(keys: DataFrame): DataFrame =
     keys
-      .select(col("key"),
+      .select(col("key").cast("string").as("key"),
         explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("row_idx"))
       .select(col("row_idx"),
         pmod(xxhash64(col("row_idx"), col("key")), lit(W)).as("col_idx"))

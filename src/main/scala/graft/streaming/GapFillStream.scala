@@ -97,8 +97,11 @@ object GapFillStream extends Serializable {
         }
       }
       cursor.update(c)
-      // single-timeout discipline: replace whatever is armed
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      // single-timeout discipline: replace whatever is armed.
+      // Materialize BEFORE deleting: deleting under the live iterator
+      // would lean on unspecified iterator-under-mutation behavior of
+      // the v2 timer API (≤1 timer here, so the copy is one element).
+      getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
       val next =
         (if (c.lastFinalized == Long.MinValue) wm else c.lastFinalized) +
           2 * HourMs

@@ -73,21 +73,21 @@ object NeardupStream {
                       tables: Int = 8, bits: Int = 16): Dataset[Claim] =
     claimsFromRows(embeddingBandRows(vecs, tables, bits), watermarkDelay)
 
-  /** "N unit" watermark-delay string → milliseconds, for the v2 timer
-    * arithmetic (v1's two-arg setTimeoutTimestamp did this addition
-    * internally; registerTimer takes an absolute ms timestamp). */
+  /** Watermark-delay string → milliseconds, for the v2 timer arithmetic
+    * (v1's two-arg setTimeoutTimestamp did this addition internally;
+    * registerTimer takes an absolute ms timestamp). Parsed with Spark's
+    * own CalendarInterval grammar so every delay `withWatermark` accepts
+    * — "10 seconds", "1 hour 30 minutes", "interval 2 minutes" — is
+    * accepted here too (v1 took any CalendarInterval text; a narrower
+    * hand-rolled grammar would throw at pipeline construction on
+    * previously-valid strings). Month/year units are rejected exactly
+    * like v1's GroupState did: they have no fixed ms width. */
   private[streaming] def delayToMs(d: String): Long = {
-    val parts = d.trim.toLowerCase.split("\\s+")
-    require(parts.length == 2, s"expected '<n> <unit>': '$d'")
-    val base = parts(1).stripSuffix("s") match {
-      case "millisecond" => 1L
-      case "second" => 1000L
-      case "minute" => 60000L
-      case "hour" => 3600000L
-      case "day" => 86400000L
-      case u => throw new IllegalArgumentException(s"unit '$u' in '$d'")
-    }
-    parts(0).toLong * base
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(d))
+    require(iv.months == 0,
+      s"month/year intervals unsupported in watermark delay '$d'")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   /** The v2 first-wins processor: one owner long per bucket; in
@@ -121,7 +121,9 @@ object NeardupStream {
       }
       owner.update(own)
       if (streaming) {
-        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        // materialize before deleting (single timer — one-element copy;
+        // see GapFillStream.finalizeAndArm for the rationale)
+        getHandle.listTimers().toSeq.foreach(t => getHandle.deleteTimer(t))
         getHandle.registerTimer(lastTs + delayMs)
       }
       out.iterator

@@ -20,6 +20,18 @@ class StreamingNeardupSpec extends SparkSpec {
 
   private def ts(min: Long): Timestamp = new Timestamp((1000 + min) * 60000L)
 
+  test("delayToMs accepts the full CalendarInterval grammar withWatermark accepts") {
+    // the v1 API took any CalendarInterval text; the v2 port must not
+    // narrow the accepted delay grammar (round-12 advisory)
+    assert(NeardupStream.delayToMs("10 seconds") === 10000L)
+    assert(NeardupStream.delayToMs("1 hour 30 minutes") === 5400000L)
+    assert(NeardupStream.delayToMs("interval 2 minutes") === 120000L)
+    assert(NeardupStream.delayToMs("1 day") === 86400000L)
+    assert(NeardupStream.delayToMs("500 milliseconds") === 500L)
+    intercept[IllegalArgumentException](NeardupStream.delayToMs("3 months"))
+    intercept[Exception](NeardupStream.delayToMs("not an interval"))
+  }
+
   private val orig =
     "the quick brown fox jumps over the lazy dog near the river bank today " +
       "while the sun sets slowly behind the distant purple mountains casting long shadows"
