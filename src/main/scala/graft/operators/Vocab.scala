@@ -487,12 +487,14 @@ object Vocab {
     *
     * Determinism: winner = (count desc, pair asc) via the min_by-on-
     * struct argmax (never a sort of the pair table); the rewrite is
-    * space-delimited literal `replace` — leftmost non-overlapping in
-    * BOTH engines (java UTF8String.replace and DuckDB replace agree),
-    * so a chain "a b a b" merges its leftmost occurrence per pass on
-    * both sides by the same rule. The winner row reaches the rewrite
-    * as a broadcast 1-row cross join (the scalar-join idiom — no
-    * driver-side collect in an operator).
+    * the CANONICAL Sennrich merge — every leftmost-greedy
+    * non-overlapping occurrence of the winning pair merges in one
+    * round, consecutive repeats included — realized as three literal
+    * `replace` calls (see [[mergeRewriteExpr]]) that behave identically
+    * on both engines (java UTF8String.replace and DuckDB replace share
+    * leftmost non-overlapping scan semantics). The winner row reaches
+    * the rewrite as a broadcast 1-row cross join (the scalar-join
+    * idiom — no driver-side collect in an operator).
     *
     * Scale shape: per round one corpus pass for the Zipf-collapsed
     * pair count (map-side partial agg), one broadcast scalar join, and
@@ -509,18 +511,10 @@ object Vocab {
     * VocabSpec pins the exhaustion AND the round-2-uses-round-1's-
     * token feedback on crafted corpora).
     *
-    * KNOWN DEVIATION from canonical (Sennrich) BPE: the rewrite
-    * `replace(t, ' a b ', ' a#b ')` consumes the shared separator
-    * space, so of CONSECUTIVE occurrences of the winning pair only
-    * every other one merges per round ('a b a b' → 'a#b a b', not
-    * 'a#b a#b') — canonical BPE merges every non-overlapping
-    * occurrence in one pass, so later rounds' pair counts can diverge
-    * from the textbook algorithm on corpora with immediate pair
-    * repeats. The deviation is cross-engine consistent (DuckDB's
-    * replace scans identically), deterministic, and pinned by the
-    * gate; it is accepted rather than fixed because a per-round
-    * fixed-point replace is not expressible as one identical
-    * non-recursive expression on both engines. */
+    * The rewrite is [[mergeRewriteExpr]] — canonical Sennrich merge
+    * semantics via the separator-doubling trick (closes the round-11/12
+    * "consecutive-occurrence deviation": 'a b a b' now merges to
+    * 'a#b a#b' in ONE round, as the textbook algorithm does). */
   private[operators] def bpeTrain(docs: DataFrame): DataFrame = {
     def pairCounts(repr: DataFrame): DataFrame =
       repr.select(split(trim(col("t")), " ").as("tk"))
@@ -544,13 +538,49 @@ object Vocab {
         .select(lit(r.toLong).as("round"), col("pair"), col("n"))
         .localCheckpoint(false) // two consumers: output + the rewrite
       repr = repr.crossJoin(broadcast(win))
-        .select(expr("replace(t, concat(' ', pair, ' '), " +
-          "concat(' ', replace(pair, ' ', '#'), ' '))").as("t"))
+        .select(expr(mergeRewriteExpr).as("t"))
         .localCheckpoint(false)
       win
     }
     rounds.reduce(_ unionAll _).filter(col("pair").isNotNull)
   }
+
+  /** CANONICAL BPE merge rewrite of a single-space-delimited token
+    * string `t` (columns in scope: `t`, and the winning `pair` as
+    * "tokA tokB") — the separator-DOUBLING trick:
+    *
+    *   1. double every space, so each token boundary owns TWO spaces
+    *   2. replace ' tokA␣␣tokB ' with ' tokA#tokB ' — each occurrence
+    *      now takes one PRIVATE space from each flanking double group,
+    *      so adjacent occurrences ('a b a b') no longer compete for a
+    *      shared separator and BOTH merge in the single left-to-right
+    *      scan; overlapping occurrences of a self-pair ('a a a') still
+    *      conflict — on the shared token itself — and resolve leftmost-
+    *      greedy, exactly Sennrich's reference merge order
+    *   3. collapse the doubles back (every boundary group is exactly 2
+    *      spaces after step 2: untouched groups keep both; a consumed
+    *      group's survivor pairs with the replacement's own edge space)
+    *
+    * A naive single-spaced replace(' a b ', ' a#b ') consumes the
+    * shared separator and merges only every OTHER consecutive
+    * occurrence — the round-11/12 documented deviation this closes.
+    * All three steps are plain literal `replace`, with identical
+    * leftmost non-overlapping semantics on Spark (UTF8String.replace)
+    * and DuckDB, so both engines produce the same canonical merge —
+    * VocabSpec pins 'a b a b' and self-pair runs against hand-derived
+    * expectations. '#' never collides: tokens are [a-z]+ plus '#' from
+    * prior merges, never spaces. */
+  private[operators] val mergeRewriteExpr: String =
+    "replace(replace(replace(t, ' ', '  '), " +
+      "concat(' ', replace(pair, ' ', '  '), ' '), " +
+      "concat(' ', replace(pair, ' ', '#'), ' ')), '  ', ' ')"
+
+  /** [[mergeRewriteExpr]] for the DuckDB oracle, over arbitrary
+    * column/expression names. */
+  private[operators] def mergeRewriteSql(t: String, pair: String): String =
+    s"replace(replace(replace($t, ' ', '  '), " +
+      s"' ' || replace($pair, ' ', '  ') || ' ', " +
+      s"' ' || replace($pair, ' ', '#') || ' '), '  ', ' ')"
 
   private def bpeRoundSql(i: Int): String =
     s"""c$i AS (
@@ -563,8 +593,7 @@ object Vocab {
        |s$i AS (SELECT CAST($i AS BIGINT) AS round, pair, n FROM c$i
        |        ORDER BY n DESC, pair LIMIT 1),
        |t$i AS (
-       |  SELECT replace(t, ' ' || s$i.pair || ' ',
-       |    ' ' || replace(s$i.pair, ' ', '#') || ' ') AS t
+       |  SELECT ${mergeRewriteSql("t", s"s$i.pair")} AS t
        |  FROM t${i - 1} CROSS JOIN s$i)"""
 
   val q203Sql: String =
@@ -689,10 +718,11 @@ object Vocab {
     * (0 == 0, the q175 census discipline). Each round's winner reaches
     * the rewrite as a broadcast 1-row aggregate (min over the ≤1-row
     * round slice — null when the round exhausted, in which case the
-    * rewrite is a guarded no-op on BOTH engines). Shares q203's
-    * documented consecutive-occurrence deviation. Scale shape: the
-    * trainer's three corpus passes plus three broadcast-scalar rewrites
-    * over a doc-keyed stream; rollup is sources-sized. */
+    * rewrite is a guarded no-op on BOTH engines). The rewrite is the
+    * canonical [[mergeRewriteExpr]], identical to the trainer's. Scale
+    * shape: the trainer's three corpus passes plus three
+    * broadcast-scalar rewrites over a doc-keyed stream; rollup is
+    * sources-sized. */
   def q214BpeEncode(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val wins = bpeTrain(docs).localCheckpoint(false)
@@ -712,8 +742,7 @@ object Vocab {
         .agg(min(col("pair")).as("pair")) // 1 row; null when exhausted
       enc = enc.crossJoin(broadcast(w))
         .withColumn("t", when(col("pair").isNull, col("t"))
-          .otherwise(expr("replace(t, concat(' ', pair, ' '), " +
-            "concat(' ', replace(pair, ' ', '#'), ' '))")))
+          .otherwise(expr(mergeRewriteExpr)))
         .drop("pair")
     }
     enc
@@ -735,8 +764,7 @@ object Vocab {
        |e$i AS (
        |  SELECT doc_id, source, n_before,
        |    CASE WHEN w$i.pair IS NULL THEN t
-       |         ELSE replace(t, ' ' || w$i.pair || ' ',
-       |           ' ' || replace(w$i.pair, ' ', '#') || ' ') END AS t
+       |         ELSE ${mergeRewriteSql("t", s"w$i.pair")} END AS t
        |  FROM e${i - 1} CROSS JOIN w$i)""".stripMargin
 
   val q214Sql: String = {

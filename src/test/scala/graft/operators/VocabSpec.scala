@@ -172,6 +172,39 @@ class VocabSpec extends SparkSpec {
     assert(got === Seq((1L, "a b", 5L), (2L, "a#b c", 5L)))
   }
 
+  test("bpe rewrite is canonical Sennrich: consecutive occurrences all merge in one round") {
+    // the pre-round-13 single-spaced rewrite consumed the shared
+    // separator, merging only every OTHER consecutive occurrence —
+    // demonstrably: replace(' a b a b ', ' a b ', ' a#b ') leaves the
+    // middle occurrence untouched
+    val old = spark.sql(
+      "SELECT replace(' a b a b ', ' a b ', ' a#b ') AS t").first().getString(0)
+    assert(old === " a#b a b ") // the documented deviation, now closed
+    // the separator-doubling rewrite merges every leftmost-greedy
+    // non-overlapping occurrence, exactly the reference algorithm —
+    // including self-pair runs, where overlap is on the shared TOKEN
+    val cases = Seq(
+      (" a b a b ", "a b", " a#b a#b "),
+      (" a b a b a b ", "a b", " a#b a#b a#b "),
+      (" a a a a ", "a a", " a#a a#a "),
+      (" a a a a a ", "a a", " a#a a#a a "),
+      (" a a a ", "a a", " a#a a "),
+      (" x a b y ", "a b", " x a#b y "),
+      (" a b ", "c d", " a b "),              // non-occurring pair: no-op
+      (" a#b c a#b c ", "a#b c", " a#b#c a#b#c ")) // merged-token pairs
+    import spark.implicits._
+    val got = cases.map(_._1).zip(cases.map(_._2)).toDF("t", "pair")
+      .selectExpr(Vocab.mergeRewriteExpr + " AS t")
+      .as[String].collect().toSeq
+    assert(got === cases.map(_._3)) // Spark == hand-derived == DuckDB
+    // end-to-end: "a b a b" corpus — round 1 merges BOTH occurrences,
+    // so round 2 sees (a#b, a#b) and round 3 exhausts
+    val docs = Seq.fill(3)("a b a b").toDF("text")
+    val trained = Vocab.bpeTrain(docs)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(trained === Seq((1L, "a b", 6L), (2L, "a#b a#b", 3L)))
+  }
+
   test("bpe encode: learned merges compress the training corpus; exhausted round is a no-op; short docs censused") {
     // same corpus as the exhaustion trainer test, plus docs the TRAINER
     // ignores but the ENCODER must still census: a 1-token doc (nothing
