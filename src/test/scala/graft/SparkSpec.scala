@@ -22,6 +22,26 @@ object SharedSpark {
     graft.functions.BloomFilterFns.register(s)
     s
   }
+
+  /** BATCH transformWithState constructs its StateStoreConf from a
+    * fresh default SQLConf (TransformWithStateExec's batch path), so
+    * RocksDB's snapshot-upload report cannot be conf'd off and phones
+    * the driver-side StateStoreCoordinator RPC endpoint — which only a
+    * StreamExecution creates. Without it, whichever suite runs a batch
+    * v2 operator FIRST dies with RpcEndpointNotFoundException (an
+    * ordering hazard: round-12 suites passed only because a streaming
+    * test always ran earlier). Running one trivial streaming query once
+    * per JVM makes the endpoint exist deterministically. */
+  lazy val stateStoreCoordinatorReady: Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Int]
+    mem.addData(1)
+    val q = mem.toDS().writeStream.format("noop").start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }
 
 /** Marks long-running soak/repeat tests. They RUN by default (the suite
@@ -36,16 +56,32 @@ abstract class SparkSpec extends AnyFunSuite {
 
   /** Run `body` with the RocksDB state store provider — a
     * transformWithState requirement (v2 operators refuse the default
-    * HDFS-backed provider). Restores the previous provider after. */
+    * HDFS-backed provider). Restores the previous provider after.
+    *
+    * Snapshot-upload-LAG reporting is disabled for the scope: it is a
+    * monitoring side channel that phones the StateStoreCoordinator RPC
+    * endpoint, which only exists once a STREAMING query has started —
+    * BATCH transformWithState (the differential/linearizability specs)
+    * would die with RpcEndpointNotFoundException on the report. */
   def withRocksDb[T](body: => T): T = {
+    SharedSpark.stateStoreCoordinatorReady // batch v2 needs the endpoint
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val lagKey = "spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag"
     val old = spark.conf.getOption(key)
+    val oldLag = spark.conf.getOption(lagKey)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(lagKey, "false")
     try body
-    finally old match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
+    finally {
+      old match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+      oldLag match {
+        case Some(v) => spark.conf.set(lagKey, v)
+        case None => spark.conf.unset(lagKey)
+      }
     }
   }
 }

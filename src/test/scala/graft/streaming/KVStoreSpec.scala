@@ -14,6 +14,12 @@ import graft.streaming.KVStore.{KvOp, KvResult}
 class KVStoreSpec extends SparkSpec {
   import spark.implicits._
 
+  // KVStore is transformWithState (v2) since round 13: every test here
+  // (batch differentials included) needs the RocksDB provider
+  override protected def test(name: String, tags: org.scalatest.Tag*)(
+      body: => Any)(implicit pos: org.scalactic.source.Position): Unit =
+    super.test(name, tags: _*)(withRocksDb(body))(pos)
+
   /** The reference model, executed sequentially per key in opId order. */
   private def model(ops: Seq[KvOp]): Map[Long, String] = {
     val state = scala.collection.mutable.Map.empty[String, String].withDefaultValue("")
@@ -60,31 +66,29 @@ class KVStoreSpec extends SparkSpec {
   }
 
   test("RocksDB state store backend: same results, state survives batches") {
-    // the scale path for streaming state: HDFSBackedStateStore keeps
-    // every key on-heap, RocksDB spills to native memory + disk — at
-    // 100 TB of KV state the provider swap is the difference between
-    // executor OOM and steady state. Results must be identical.
+    // the scale path for streaming state: RocksDB spills to native
+    // memory + disk where the HDFS-backed default keeps every key
+    // on-heap — at 100 TB of KV state that is the difference between
+    // executor OOM and steady state. Since the v2 port RocksDB is also
+    // a REQUIREMENT (every test in this suite opts in via withRocksDb);
+    // this case keeps the multi-key / absent-key contract pinned on it.
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[KvOp]
+    val q = KVStore.run(mem.toDS())
+      .writeStream.format("memory").queryName("kv_rocks")
+      .outputMode(OutputMode.Append).start()
     try {
-      val mem = MemoryStream[KvOp]
-      val q = KVStore.run(mem.toDS())
-        .writeStream.format("memory").queryName("kv_rocks")
-        .outputMode(OutputMode.Append).start()
-      try {
-        mem.addData(KvOp(1, "put", "k", "a"), KvOp(2, "append", "k", "b"))
-        q.processAllAvailable()
-        mem.addData(KvOp(3, "get", "k", ""), KvOp(4, "append", "j", "solo"))
-        q.processAllAvailable()
-        mem.addData(KvOp(5, "get", "j", ""))
-        q.processAllAvailable()
-        val got = spark.table("kv_rocks").as[KvResult].collect()
-          .map(r => r.opId -> r.value).toMap
-        assert(got(3) === "ab")   // state crossed batch boundary in RocksDB
-        assert(got(5) === "solo") // absent key initialized to "" then appended
-      } finally q.stop()
-    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      mem.addData(KvOp(1, "put", "k", "a"), KvOp(2, "append", "k", "b"))
+      q.processAllAvailable()
+      mem.addData(KvOp(3, "get", "k", ""), KvOp(4, "append", "j", "solo"))
+      q.processAllAvailable()
+      mem.addData(KvOp(5, "get", "j", ""))
+      q.processAllAvailable()
+      val got = spark.table("kv_rocks").as[KvResult].collect()
+        .map(r => r.opId -> r.value).toMap
+      assert(got(3) === "ab")   // state crossed batch boundary in RocksDB
+      assert(got(5) === "solo") // absent key initialized to "" then appended
+    } finally q.stop()
   }
 
   test("linearizability checker: accepts valid, rejects invalid histories") {

@@ -15,6 +15,12 @@ import graft.streaming.KVStore.{KvOp, KvResult}
 class RecoverySpec extends SparkSpec {
   import spark.implicits._
 
+  // KVStore is transformWithState (v2) since round 13: RocksDB provider
+  // required for every checkpoint/recovery case here
+  override protected def test(name: String, tags: org.scalatest.Tag*)(
+      body: => Any)(implicit pos: org.scalactic.source.Position): Unit =
+    super.test(name, tags: _*)(withRocksDb(body))(pos)
+
   private def writeOps(dir: Path, name: String, ops: Seq[KvOp]): Unit = {
     val lines = ops.map(o =>
       s"""{"opId":${o.opId},"op":"${o.op}","key":"${o.key}","value":"${o.value}"}""")
