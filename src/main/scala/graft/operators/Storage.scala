@@ -421,7 +421,9 @@ object Storage {
     * results, only work). This is the quantified WHY behind q79's
     * z-order writer and q62's partitioned sink: the clustered layout
     * skips ~95% of files, the hashed layout skips none, for the same
-    * bytes stored.
+    * bytes stored. [[q216PrunedRead]] is the census cashed in — the
+    * real read path that builds this manifest from parquet footers and
+    * opens only the surviving files.
     *
     * Determinism: the clustered binning uses [[Relational.globalRank]]
     * (two-pass distributed rank, no SinglePartition) with the full
@@ -514,6 +516,166 @@ object Storage {
       |SELECT layout, n_files, n_skipped, rows_scanned, rows_selected
       |FROM roll""".stripMargin
 
+  /** One file's zone map: [lo, hi] days-since-epoch of its date column,
+    * folded across the file's row groups from the parquet FOOTER. */
+  case class FileZone(path: String, lo: Int, hi: Int)
+
+  /** Write `df` as `nFiles` parquet files globally range-clustered and
+    * internally sorted on `dateCol` — the layout whose per-file min/max
+    * stats make date predicates skippable (what q213's census priced;
+    * [[prunedRead]] is the read path that cashes it in) — then build
+    * the zone-map manifest from the fresh footers and PERSIST it next
+    * to the data (`_zonemap.json`). Stats are collected at WRITE time
+    * and read back in O(1) at plan time, the Delta/Iceberg split:
+    * measured locally, re-reading 64 footers per query cost more than
+    * the full scan it saved at sf0.1 (BenchPruneAB's first cut), while
+    * the persisted manifest makes the plan cost one small file. */
+  def zonemapClusteredWrite(df: DataFrame, dateCol: String, nFiles: Int,
+      path: String): Unit = {
+    df.repartitionByRange(nFiles, col(dateCol))
+      .sortWithinPartitions(col(dateCol))
+      .write.mode("overwrite").parquet(path)
+    val s = df.sparkSession
+    writeManifest(s, path, zonemapManifest(s, path, dateCol))
+  }
+
+  private def manifestPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_zonemap.json")
+
+  /** Persist a manifest as one JSON-lines file beside the data. Relative
+    * file names: the layout stays valid if the directory moves. */
+  private def writeManifest(s: SparkSession, dir: String,
+      man: Seq[FileZone]): Unit = {
+    val p = manifestPath(dir)
+    val out = p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true)
+    try out.write(man.map(z =>
+      s"""{"file":"${new org.apache.hadoop.fs.Path(z.path).getName}","lo":${z.lo},"hi":${z.hi}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read a persisted manifest (absolute paths restored against `dir`);
+    * None when the layout has no `_zonemap.json`. */
+  def readManifest(s: SparkSession, dir: String): Option[Seq[FileZone]] = {
+    val p = manifestPath(dir)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val re = """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
+      Some(text.linesIterator.filter(_.nonEmpty).map {
+        case re(f, lo, hi) =>
+          FileZone(new org.apache.hadoop.fs.Path(dir, f).toUri.getPath,
+            lo.toInt, hi.toInt)
+        case bad => throw new IllegalStateException(s"bad manifest line: $bad")
+      }.toSeq)
+    }
+  }
+
+  /** Build the layout's zone-map manifest by reading parquet FOOTERS
+    * only — O(files) metadata I/O, zero data pages — exactly the stats
+    * Delta/Iceberg persist at write time and read at plan time. A file
+    * whose footer lacks stats for `dateCol` (never the case for our own
+    * writes) gets an infinite zone: unskippable, never incorrect. */
+  def zonemapManifest(s: SparkSession, dir: String, dateCol: String): Seq[FileZone] = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val zones = rd.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == dateCol).flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else Some((st.genericGetMin.asInstanceOf[Number].intValue(),
+                st.genericGetMax.asInstanceOf[Number].intValue()))
+            }
+          }
+          // scheme-less absolute paths everywhere (listStatus yields
+          // file:/..., Path(dir, name) doesn't — normalize so persisted
+          // and footer-built manifests compare equal)
+          if (zones.isEmpty)
+            FileZone(f.getPath.toUri.getPath, Int.MinValue, Int.MaxValue)
+          else FileZone(f.getPath.toUri.getPath,
+            zones.map(_._1).min, zones.map(_._2).max)
+        } finally rd.close()
+      }
+  }
+
+  /** ZONE-MAP PRUNED READ — answer a date-range probe over a
+    * [[zonemapClusteredWrite]] layout reading ONLY the files whose zone
+    * intersects [lo, hi]: skipped files are absent from the returned
+    * frame's file index, so they are never opened (StorageSpec pins
+    * that via the scan's numFiles/filesSize metrics and inputFiles).
+    * The predicate is re-applied on the survivors — pruning is an
+    * optimization, never a filter — so results equal a full scan by
+    * construction (gated: q216 vs the plain-filter oracle). Returns
+    * (frame, total files, skipped files).
+    *
+    * Scale shape: plan cost is ONE small manifest file when the layout
+    * was written by [[zonemapClusteredWrite]] (stats persisted at write
+    * time — the Delta/Iceberg planning shape; at 100 TB the manifest
+    * would be a table of its own), falling back to per-file footer
+    * reads for foreign layouts; execution touches only surviving files,
+    * so a quarter-long probe on a years-long clustered table reads ~the
+    * quarter. */
+  def prunedRead(s: SparkSession, dir: String, dateCol: String,
+      lo: String, hi: String): (DataFrame, Int, Int) = {
+    val loD = java.time.LocalDate.parse(lo).toEpochDay.toInt
+    val hiD = java.time.LocalDate.parse(hi).toEpochDay.toInt
+    val man = readManifest(s, dir)
+      .getOrElse(zonemapManifest(s, dir, dateCol))
+    val survivors = man.filterNot(z => z.hi < loD || z.lo > hiD)
+    val base =
+      if (survivors.isEmpty) s.read.parquet(dir).where(lit(false))
+      else s.read.parquet(survivors.map(_.path): _*)
+    (base.filter(col(dateCol).between(lit(lo).cast("date"), lit(hi).cast("date"))),
+      man.size, man.size - survivors.size)
+  }
+
+  /** The q213 census CASHED IN as a real read path under the gate: land
+    * lineitem's (ship_date, l_quantity) as a 64-file date-clustered
+    * layout (built once per session — the q70 amortization stance: a
+    * layout is written once and serves every later query), then answer
+    * the 1997-Q1 probe through [[prunedRead]] and aggregate per month.
+    * The oracle is the SAME aggregate as a plain filter over the source
+    * table — if pruning ever dropped or duplicated a file, the
+    * row/hash gate fails. File-skipping itself is pinned in StorageSpec
+    * (scan metrics: only surviving files opened) and quantified in
+    * BASELINE.md (BenchPruneAB); it cannot be oracled here because the
+    * range partitioner's sampled file boundaries are not replicable in
+    * SQL. Quantity accumulates in DECIMAL (the q70 convention). */
+  def q216PrunedRead(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q216_li_shipclustered", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")))
+      zonemapClusteredWrite(
+        lineitem(s, d).select(to_date(col("l_shipdate")).as("ship_date"),
+          col("l_quantity")),
+        "ship_date", 64, dir)
+    val (probe, _, _) = prunedRead(s, dir, "ship_date", "1997-01-01", "1997-03-31")
+    probe.groupBy(month(col("ship_date")).as("mth"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  val q216Sql: String =
+    """SELECT CAST(month(l_shipdate) AS INT) AS mth, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-01-01'
+      |  AND DATE '1997-03-31'
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
@@ -523,5 +685,6 @@ object Storage {
     "q152_fd_audit"        -> (q152FdAudit _, q152Sql),
     "q155_table_digest"    -> (q155TableDigest _, q155Sql),
     "q213_zonemap_prune"   -> (q213ZonemapPrune _, q213Sql),
+    "q216_pruned_read"     -> (q216PrunedRead _, q216Sql),
   )
 }

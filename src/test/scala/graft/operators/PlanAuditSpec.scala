@@ -998,15 +998,14 @@ class PlanAuditSpec extends SparkSpec {
     //   MRJob.scala: 1 — runToLines, the documented sequential-oracle
     //     test helper (never an operator path).
     //   SketchPlanner.scala: 3 — decideThreeWay's two 1-ROW estimate
-    //     reads + decideChain's one bounded estimates read (#edges ≤
-    //     chain length): plan decisions need scalars on the driver, the
-    //     AQE runtime-stats shape; the GATED q205/q216 paths collect
-    //     nothing.
-    //   Storage.scala: 1 — prunedRead's zonemap-manifest read (one row
-    //     per FILE, metadata-sized) — exactly what a Delta/Iceberg
-    //     planner reads on the driver to prune the file list.
-    val collectBudget = Map(
-      "MRJob.scala" -> 1, "SketchPlanner.scala" -> 3, "Storage.scala" -> 1)
+    //     reads + decideChain's one bounded per-edge estimates read
+    //     (#edges = chain length − 1): plan decisions need scalars on
+    //     the driver, the AQE runtime-stats shape; the GATED q205/q217
+    //     paths collect nothing.
+    //   (Storage.prunedRead's zone-map manifest is driver-side too, but
+    //   reads parquet FOOTERS directly — no Dataset materialization, so
+    //   no budget entry.)
+    val collectBudget = Map("MRJob.scala" -> 1, "SketchPlanner.scala" -> 3)
     val markers = Seq(".collect()", ".toLocalIterator", ".collectAsList")
     val offending = roots.flatMap { r =>
       java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala

@@ -367,4 +367,61 @@ class StorageSpec extends SparkSpec {
       .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
     assert(got("clustered") === ((skipped.toLong, scanned, selected)))
   }
+
+  test("zonemap pruned read: skipped files are never opened, results equal the full scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.{DataFrame, Row}
+    val dir = Files.createTempDirectory("graft-zmprune").toString
+    Storage.zonemapClusteredWrite(
+      Tables.lineitem(spark, sf("sf0.01"))
+        .select(to_date(col("l_shipdate")).as("ship_date"), col("l_quantity")),
+      "ship_date", 64, dir)
+    val man = Storage.zonemapManifest(spark, dir, "ship_date")
+    assert(man.size === 64)
+    man.foreach(z => assert(z.lo <= z.hi))
+    // the write persisted the manifest; the planning path reads IT, not
+    // 64 footers, and it must equal the footer-derived truth exactly
+    assert(Storage.readManifest(spark, dir) === Some(man))
+    val (pruned, total, skipped) =
+      Storage.prunedRead(spark, dir, "ship_date", "1997-01-01", "1997-03-31")
+    assert(total === 64)
+    assert(skipped >= 48, s"clustered layout should skip most files, skipped $skipped")
+    // the pruned frame's FILE INDEX holds only survivors — a skipped
+    // file cannot be opened by any plan over this frame
+    assert(pruned.inputFiles.length === total - skipped)
+
+    // observed input metrics on the EXECUTED scan: numFiles == survivors
+    // for the pruned probe, == 64 for the full scan; bytes shrink with it
+    def scanMetrics(df: DataFrame): (Long, Long, Row) = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      val agg = df.agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"))
+      val row = agg.collect()(0)
+      // AQE wraps executed subtrees in QueryStageExec nodes whose plans
+      // are not `children` — descend through them explicitly
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val ss = scans(agg.queryExecution.executedPlan)
+      assert(ss.nonEmpty, agg.queryExecution.executedPlan.toString.take(1000))
+      (ss.map(_.metrics("numFiles").value).sum,
+        ss.map(_.metrics("filesSize").value).sum, row)
+    }
+    val (pFiles, pBytes, pRow) = scanMetrics(pruned)
+    val full = spark.read.parquet(dir)
+      .filter(col("ship_date").between(lit("1997-01-01").cast("date"),
+        lit("1997-03-31").cast("date")))
+    val (fFiles, fBytes, fRow) = scanMetrics(full)
+    assert(pFiles === (total - skipped).toLong, s"pruned scan opened $pFiles files")
+    assert(fFiles === 64L, s"full scan should list all files, got $fFiles")
+    assert(pBytes * 4 < fBytes, s"pruned bytes $pBytes vs full $fBytes")
+    // pruning never changes the answer, only the work
+    assert(pRow === fRow)
+    assert(pRow.getLong(0) > 0L)
+  }
 }
