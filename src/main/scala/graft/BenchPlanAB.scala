@@ -47,12 +47,16 @@ object BenchPlanAB {
         col("id").as("k2"), (col("id") * 2).as("bv"))
       .write.mode("overwrite").parquet(s"$dir/b.parquet")
     spark.range(1000L)
-      .select(col("id").as("k2"), (col("id") * 3).as("cv"))
+      .select(col("id").as("k2"), col("id").as("k3"), (col("id") * 3).as("cv"))
       .write.mode("overwrite").parquet(s"$dir/c.parquet")
+    spark.range(1000L)
+      .select(col("id").as("k3"), (col("id") * 5).as("dv"))
+      .write.mode("overwrite").parquet(s"$dir/d.parquet")
 
     def a: DataFrame = spark.read.parquet(s"$dir/a.parquet")
     def b: DataFrame = spark.read.parquet(s"$dir/b.parquet")
     def c: DataFrame = spark.read.parquet(s"$dir/c.parquet")
+    def dd: DataFrame = spark.read.parquet(s"$dir/d.parquet")
 
     // differential: both orders agree (on a 1000-row slice of the output)
     val (label0, planned0) = SketchPlanner.planThreeWay(a, b, c, "k1", "k2")
@@ -89,6 +93,58 @@ object BenchPlanAB {
     println(f"[plan-ab] rows=$rows MEDIAN plan ${med(results.map(_._1))}%.3f s, " +
       f"good-order ${med(results.map(_._2))}%.3f s, " +
       f"bad-order ${med(results.map(_._3))}%.3f s")
+
+    // ── 4-table CHAIN: the decideChain rule vs a hand-built best order
+    // vs the no-knowledge left-to-right fold. The rule's plan must be
+    // IDENTICAL to manual (asserted on canonicalized logical plans), so
+    // "rule == manual" is structural; the timing rows document it.
+    //
+    // Expected decision, derived from the sketch's own arithmetic (not
+    // from exact sizes): |c⋈d| = 1000 ranks first (noise ≤ ~61); b's 2M
+    // distinct k2 values fill all 16384 cells, so est|b⋈c| carries the
+    // structural ‖b‖₁·‖c‖₁/w ≈ 122k floor and ranks second — both
+    // orders dodge e0's 1.6e9 explosion, which is all that costs money.
+    // The final a-merge goes UNHINTED: the propagated estimate (~250k)
+    // exceeds the 50k broadcast budget — one-sidedness means the
+    // planner never wrongly broadcasts, and AQE's runtime stats (the
+    // true 1000-row build side) still convert it dynamically: exactly
+    // the static-planner/AQE division of labor.
+    val chain = Seq(a, b, c, dd)
+    val keys = Seq("k1", "k2", "k3")
+    val steps = SketchPlanner.decideChain(chain, keys)
+    require(steps == Seq(
+      SketchPlanner.ChainStep(2, bcastLeft = true, bcastRight = false),
+      SketchPlanner.ChainStep(1, bcastLeft = false, bcastRight = true),
+      SketchPlanner.ChainStep(0, bcastLeft = false, bcastRight = false)),
+      s"unexpected chain decision $steps")
+    val ruled = SketchPlanner.buildChain(chain, keys, steps)
+    val manual = a.join(
+      b.join(broadcast(broadcast(c).join(dd, "k3")), "k2"), "k1")
+    require(ruled.queryExecution.optimizedPlan.canonicalized ==
+      manual.queryExecution.optimizedPlan.canonicalized,
+      "rule-applied plan differs from the hand-built best order")
+    def chainAgg(df: DataFrame) =
+      df.agg(count(lit(1)), sum(col("av")), sum(col("cv")), sum(col("dv")))
+        .collect()(0)
+    val cg = chainAgg(ruled)
+    require(cg == chainAgg(SketchPlanner.chainLeftToRight(chain, keys)),
+      "chain arm mismatch")
+    val chainResults = (1 to reps).map { i =>
+      val plan = time(() => SketchPlanner.decideChain(chain, keys))
+      def ruleArm() = time(() => sink(SketchPlanner.buildChain(chain, keys, steps)))
+      def manualArm() = time(() => sink(manual))
+      def ltrArm() = time(() => sink(SketchPlanner.chainLeftToRight(chain, keys)))
+      val (r, m, l) =
+        if (i % 2 == 0) { val l0 = ltrArm(); val m0 = manualArm(); (ruleArm(), m0, l0) }
+        else { val r0 = ruleArm(); val m0 = manualArm(); (r0, m0, ltrArm()) }
+      println(f"[plan-ab] chain rep $i: plan $plan%.3f s, rule $r%.3f s, " +
+        f"manual $m%.3f s, left-to-right $l%.3f s")
+      (plan, r, m, l)
+    }
+    println(f"[plan-ab] chain rows=$rows MEDIAN plan ${med(chainResults.map(_._1))}%.3f s, " +
+      f"rule ${med(chainResults.map(_._2))}%.3f s, " +
+      f"manual ${med(chainResults.map(_._3))}%.3f s, " +
+      f"left-to-right ${med(chainResults.map(_._4))}%.3f s")
     spark.stop()
   }
 }

@@ -357,7 +357,220 @@ object SketchPlanner {
        |      // exact_size ELSE 0 END AS BIGINT) AS systemr_err_fp
        |FROM r""".stripMargin
 
+  // ──────────────────────────────────────────────────────────────────
+  // N-WAY CHAIN REORDER (round-13, generalizing decideThreeWay): price
+  // every adjacent join of a linear N-table chain from per-side
+  // sketches, then GREEDILY merge the cheapest adjacent pair,
+  // propagating intermediate cardinalities through edge SELECTIVITIES —
+  // System-R's independence assumption with sketch-measured
+  // selectivities (sel(e) = est|A⋈B| / (n_A·n_B)) in place of the
+  // catalog's 1/max(ndv). The estimator is one counting scan per
+  // (table, key); a mid-chain table prices both its edges from the same
+  // scan's keyspace, and every sketch is reusable across plans.
+  // ──────────────────────────────────────────────────────────────────
+
+  /** One greedy merge: join across `edge` (= keys(edge), between tables
+    * edge and edge+1); broadcast-hint the named side when its estimated
+    * rows clear the threshold (at most one side is hinted — the
+    * smaller). */
+  case class ChainStep(edge: Int, bcastLeft: Boolean, bcastRight: Boolean)
+
+  /** Decide the merge order for `tables(0) ⋈ … ⋈ tables(n-1)` with
+    * `keys(i)` joining tables i and i+1 (shared column names, the
+    * planThreeWay convention). ONE bounded collect: all edge estimates
+    * and table counts union into a single (2n−1)-row frame read on the
+    * driver — the AQE runtime-stats shape, same budget discipline as
+    * decideThreeWay. Greedy state lives in plain Scala: segment
+    * cardinalities multiply through the sketch selectivities, ties
+    * break on the lower edge index (deterministic; the q217 gated
+    * decision table replicates the same arithmetic in-plan against the
+    * DuckDB oracle). */
+  def decideChain(tables: Seq[DataFrame], keys: Seq[String],
+      bcastRows: Long = broadcastRowThreshold): Seq[ChainStep] = {
+    require(tables.size >= 2 && keys.size == tables.size - 1,
+      s"chain needs n tables and n-1 keys, got ${tables.size}/${keys.size}")
+    val parts =
+      keys.zipWithIndex.map { case (k, i) =>
+        estPair(tables(i), col(k), tables(i + 1), col(k), fast = true)
+          .select(lit(s"e$i").as("id"), col("est"))
+      } ++ tables.zipWithIndex.map { case (t, i) =>
+        t.agg(count(lit(1)).as("est")).select(lit(s"n$i").as("id"), col("est"))
+      }
+    val stats = parts.reduce(_ unionByName _)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = tables.indices.map(i => stats(s"n$i").toDouble)
+    val sel = keys.indices.map(i =>
+      stats(s"e$i").toDouble / math.max(1.0, n(i) * n(i + 1)))
+    // segments (loTable, hiTable, estCard); edge between adjacent
+    // segments l and r is keys(l.hiTable)
+    var segs = tables.indices.map(i => (i, i, n(i))).toVector
+    val steps = Vector.newBuilder[ChainStep]
+    while (segs.size > 1) {
+      val cands = (0 until segs.size - 1).map { j =>
+        val (l, r) = (segs(j), segs(j + 1))
+        (l._3 * r._3 * sel(l._2), l._2, j)
+      }
+      val (cost, _, j) = cands.minBy(c => (c._1, c._2))
+      val (l, r) = (segs(j), segs(j + 1))
+      steps += ChainStep(l._2,
+        bcastLeft = l._3 <= r._3 && l._3 <= bcastRows.toDouble,
+        bcastRight = r._3 < l._3 && r._3 <= bcastRows.toDouble)
+      segs = segs.patch(j, Vector((l._1, r._2, cost)), 2)
+    }
+    steps.result()
+  }
+
+  /** Execute a decided merge order — no sketching, so a cached decision
+    * replays free (and the A/B times execution alone). */
+  def buildChain(tables: Seq[DataFrame], keys: Seq[String],
+      steps: Seq[ChainStep]): DataFrame = {
+    var segs = tables.indices.map(i => (i, i, tables(i))).toVector
+    steps.foreach { st =>
+      val j = segs.indexWhere(_._2 == st.edge)
+      require(j >= 0 && j < segs.size - 1, s"step $st does not fit $segs")
+      val (l, r) = (segs(j), segs(j + 1))
+      val lf = if (st.bcastLeft) broadcast(l._3) else l._3
+      val rf = if (st.bcastRight) broadcast(r._3) else r._3
+      segs = segs.patch(j, Vector((l._1, r._2, lf.join(rf, keys(st.edge)))), 2)
+    }
+    segs.head._3
+  }
+
+  /** Decide + build in one call. */
+  def planChain(tables: Seq[DataFrame], keys: Seq[String],
+      bcastRows: Long = broadcastRowThreshold): (Seq[ChainStep], DataFrame) = {
+    val d = decideChain(tables, keys, bcastRows)
+    (d, buildChain(tables, keys, d))
+  }
+
+  /** Left-to-right fold with no hints — the order a planner with no
+    * distribution knowledge defaults to; the A/B's comparison arm. */
+  def chainLeftToRight(tables: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    buildChain(tables, keys,
+      keys.indices.map(i => ChainStep(i, bcastLeft = false, bcastRight = false)))
+
+  /** Greedy-rank arithmetic for a 3-EDGE chain (4 tables), shared
+    * verbatim by the Spark plan and the DuckDB oracle: given edge
+    * estimates a0..a2 and inner-table counts n1, n2, every greedy
+    * comparison reduces to a cross-multiplied integer inequality
+    * (division-free — the determinism convention):
+    *
+    *   step 1: argmin(a0, a1, a2)                 [ties → lower index]
+    *   step 2 after e0: cost(e1) = a0·a1/n1  vs cost(e2) = a2
+    *   step 2 after e1: cost(e0) = a0·a1/n1  vs cost(e2) = a1·a2/n2
+    *   step 2 after e2: cost(e0) = a0        vs cost(e1) = a1·a2/n2
+    *
+    * each both-sides-×(n1·n2) into DECIMAL(38,0)/HUGEINT products. */
+  private def rank3Sql(a0: String, a1: String, a2: String,
+      n1: String, n2: String, edgeCol: String,
+      e0: String, e1: String, e2: String): String = {
+    def d(x: String) = s"CAST($x AS DECIMAL(38,0))"
+    val f0 = s"($a0 <= $a1 AND $a0 <= $a2)"
+    val f1 = s"(NOT ($a0 <= $a1 AND $a0 <= $a2) AND $a1 <= $a2)"
+    s"""CAST(CASE $edgeCol
+       WHEN '$e0' THEN
+         CASE WHEN $f0 THEN 1
+              WHEN $f1 THEN CASE WHEN ${d(a0)} * $n2 <= ${d(a2)} * $n1
+                            THEN 2 ELSE 3 END
+              ELSE CASE WHEN ${d(a0)} * $n2 <= ${d(a1)} * $a2
+                   THEN 2 ELSE 3 END END
+       WHEN '$e1' THEN
+         CASE WHEN $f1 THEN 1
+              WHEN $f0 THEN CASE WHEN ${d(a0)} * $a1 <= ${d(a2)} * $n1
+                            THEN 2 ELSE 3 END
+              ELSE CASE WHEN ${d(a1)} * $a2 < ${d(a0)} * $n2
+                   THEN 2 ELSE 3 END END
+       ELSE
+         CASE WHEN NOT $f0 AND NOT $f1 THEN 1
+              WHEN $f0 THEN CASE WHEN ${d(a2)} * $n1 < ${d(a0)} * $a1
+                            THEN 2 ELSE 3 END
+              ELSE CASE WHEN ${d(a2)} * $n1 < ${d(a0)} * $n2
+                   THEN 2 ELSE 3 END END
+       END AS BIGINT)"""
+  }
+
+  /** The GATED chain-reorder decision table — the q205 pattern widened
+    * to the 4-table chain customer⋈orders⋈lineitem⋈part: one row per
+    * edge with the md5-CMS estimate, the exact referee, and the edge's
+    * GREEDY MERGE RANK under both cost models (`est_rank` from
+    * sketches — what [[decideChain]] would do; `exact_rank` from true
+    * sizes — what a perfectly-informed optimizer would do). Rank
+    * arithmetic is [[rank3Sql]], interpolated verbatim into BOTH
+    * engines, so the gate pins every greedy comparison bit-for-bit; no
+    * driver collect anywhere in this path (scalars travel as broadcast
+    * 1-row aggregates). */
+  def q217JoinReorder(s: SparkSession, d: String): DataFrame = {
+    val cands = Seq(
+      ("e0_c_o",
+        estPair(customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey")),
+        exactPair(customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey"))),
+      ("e1_o_l",
+        estPair(orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey")),
+        exactPair(orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey"))),
+      ("e2_l_p",
+        estPair(lineitem(s, d), col("l_partkey"), part(s, d), col("p_partkey")),
+        exactPair(lineitem(s, d), col("l_partkey"), part(s, d), col("p_partkey"))))
+    val rows = cands.map { case (name, e, x) =>
+      e.crossJoin(broadcast(x))
+        .select(lit(name).as("edge"), col("est").as("est_size"),
+          col("exact").as("exact_size"))
+    }.reduce(_ unionByName _)
+      .localCheckpoint(false) // two consumers: output rows + the pivot
+    val wide = rows.agg(
+      max(when(col("edge") === "e0_c_o", col("est_size"))).as("a0"),
+      max(when(col("edge") === "e1_o_l", col("est_size"))).as("a1"),
+      max(when(col("edge") === "e2_l_p", col("est_size"))).as("a2"),
+      max(when(col("edge") === "e0_c_o", col("exact_size"))).as("x0"),
+      max(when(col("edge") === "e1_o_l", col("exact_size"))).as("x1"),
+      max(when(col("edge") === "e2_l_p", col("exact_size"))).as("x2"))
+    val n1 = orders(s, d).agg(count(lit(1)).as("n1"))
+    val n2 = lineitem(s, d).agg(count(lit(1)).as("n2"))
+    rows.crossJoin(broadcast(wide))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("edge"), col("est_size"), col("exact_size"),
+        expr(rank3Sql("a0", "a1", "a2", "n1", "n2", "edge",
+          "e0_c_o", "e1_o_l", "e2_l_p")).as("est_rank"),
+        expr(rank3Sql("x0", "x1", "x2", "n1", "n2", "edge",
+          "e0_c_o", "e1_o_l", "e2_l_p")).as("exact_rank"))
+  }
+
+  val q217Sql: String =
+    s"""WITH g AS (SELECT CAST(range AS BIGINT) AS row_idx FROM range(4)),
+       |${cmsSql("customer", "c_custkey", "s_c")},
+       |${cmsSql("orders", "o_custkey", "s_oc")},
+       |${cmsSql("orders", "o_orderkey", "s_ok")},
+       |${cmsSql("lineitem", "l_orderkey", "s_l")},
+       |${cmsSql("lineitem", "l_partkey", "s_lp")},
+       |${cmsSql("part", "p_partkey", "s_p")},
+       |${pairSql("e0_c_o", "s_c", "s_oc", "customer", "c_custkey", "orders", "o_custkey")},
+       |${pairSql("e1_o_l", "s_ok", "s_l", "orders", "o_orderkey", "lineitem", "l_orderkey")},
+       |${pairSql("e2_l_p", "s_lp", "s_p", "lineitem", "l_partkey", "part", "p_partkey")},
+       |r AS (SELECT candidate AS edge, est_join_size AS est_size,
+       |             exact_join_size AS exact_size FROM r_e0_c_o
+       |      UNION ALL SELECT candidate, est_join_size, exact_join_size
+       |      FROM r_e1_o_l
+       |      UNION ALL SELECT candidate, est_join_size, exact_join_size
+       |      FROM r_e2_l_p),
+       |wide AS (
+       |  SELECT
+       |    max(CASE WHEN edge = 'e0_c_o' THEN est_size END) AS a0,
+       |    max(CASE WHEN edge = 'e1_o_l' THEN est_size END) AS a1,
+       |    max(CASE WHEN edge = 'e2_l_p' THEN est_size END) AS a2,
+       |    max(CASE WHEN edge = 'e0_c_o' THEN exact_size END) AS x0,
+       |    max(CASE WHEN edge = 'e1_o_l' THEN exact_size END) AS x1,
+       |    max(CASE WHEN edge = 'e2_l_p' THEN exact_size END) AS x2
+       |  FROM r),
+       |ns AS (SELECT (SELECT count(*) FROM orders) AS n1,
+       |              (SELECT count(*) FROM lineitem) AS n2)
+       |SELECT edge, est_size, exact_size,
+       |  ${rank3Sql("a0", "a1", "a2", "n1", "n2", "edge",
+                     "e0_c_o", "e1_o_l", "e2_l_p")} AS est_rank,
+       |  ${rank3Sql("x0", "x1", "x2", "n1", "n2", "edge",
+                     "e0_c_o", "e1_o_l", "e2_l_p")} AS exact_rank
+       |FROM r CROSS JOIN wide CROSS JOIN ns""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q205_join_planner" -> (q205JoinPlanner _, q205Sql),
-    "q211_selectivity_compare" -> (q211SelectivityCompare _, q211Sql))
+    "q211_selectivity_compare" -> (q211SelectivityCompare _, q211Sql),
+    "q217_join_reorder" -> (q217JoinReorder _, q217Sql))
 }

@@ -984,6 +984,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(2500))
   }
 
+  test("chain reorder: rule-applied plan is identical to the hand-built best order") {
+    import org.apache.spark.sql.functions._
+    // the SketchPlannerSpec fixture: greedy = e2 (100-row dim), e0
+    // (1:1 FK), e1 (explosive) last, broadcasting the small/tied-left
+    // sides — the rule's output must be THE SAME PLAN a person hand-
+    // writing the best order would get, not merely an equivalent one
+    val t0 = spark.range(2000).select(col("id").as("k0"), lit(1L).as("v0"))
+    val t1 = spark.range(2000).select(col("id").as("k0"),
+      pmod(col("id"), lit(40)).as("k1"), lit(2L).as("v1"))
+    val t2 = spark.range(2000).select(pmod(col("id"), lit(40)).as("k1"),
+      col("id").as("k2"), lit(3L).as("v2"))
+    val t3 = spark.range(100).select(col("id").as("k2"), lit(4L).as("v3"))
+    val (steps, ruled) =
+      SketchPlanner.planChain(Seq(t0, t1, t2, t3), Seq("k0", "k1", "k2"))
+    assert(steps.map(_.edge) === Seq(2, 0, 1), steps)
+    val manual = broadcast(t0).join(t1, "k0")
+      .join(broadcast(t2.join(broadcast(t3), "k2")), "k1")
+    assert(ruled.queryExecution.optimizedPlan.canonicalized ===
+      manual.queryExecution.optimizedPlan.canonicalized)
+  }
+
   test("no driver-side materialization in any operator source") {
     // collect()/take()/toLocalIterator in an operator would mean the
     // operator isn't distributed; the only sanctioned driver-side results

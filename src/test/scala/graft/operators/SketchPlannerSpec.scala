@@ -115,4 +115,101 @@ class SketchPlannerSpec extends SparkSpec {
       assert(r._6 === r._7, s"${r._1}: strategy disagrees with exact stats")
     }
   }
+
+  // ── N-way chain reorder ────────────────────────────────────────────
+
+  /** The decisive 4-table chain: e0 cheap (1:1 FK), e1 explosive
+    * (40 hot k1 keys × 50 rows each side), e2 tiny (100-row dim).
+    * Hand-derived greedy: merge e2 (cost 100), then e0 (2000), then e1
+    * last — any order that takes e1 early materializes ~100k rows. */
+  private def chainFixture = {
+    val t0 = spark.range(2000).select(col("id").as("k0"), lit(1L).as("v0"))
+    val t1 = spark.range(2000).select(col("id").as("k0"),
+      pmod(col("id"), lit(40)).as("k1"), lit(2L).as("v1"))
+    val t2 = spark.range(2000).select(pmod(col("id"), lit(40)).as("k1"),
+      col("id").as("k2"), lit(3L).as("v2"))
+    val t3 = spark.range(100).select(col("id").as("k2"), lit(4L).as("v3"))
+    (Seq(t0, t1, t2, t3), Seq("k0", "k1", "k2"))
+  }
+
+  test("chain: greedy decision equals the hand-derived best order; output order-independent") {
+    import SketchPlanner.ChainStep
+    val (tables, keys) = chainFixture
+    val steps = SketchPlanner.decideChain(tables, keys)
+    // e2 first (100-row join), then e0 (2000), e1's explosion last;
+    // broadcast hints on the ≤50k sides (tie on e0 → left by convention)
+    assert(steps === Seq(
+      ChainStep(2, bcastLeft = false, bcastRight = true),
+      ChainStep(0, bcastLeft = true, bcastRight = false),
+      ChainStep(1, bcastLeft = false, bcastRight = true)))
+    val ruled = SketchPlanner.buildChain(tables, keys, steps)
+    val ltr = SketchPlanner.chainLeftToRight(tables, keys)
+    val cols = Seq("k0", "k1", "k2", "v0", "v1", "v2", "v3")
+    val r = ruled.select(cols.map(col): _*).collect().map(_.toSeq)
+    val l = ltr.select(cols.map(col): _*).collect().map(_.toSeq)
+    // multiset equality: the join emits duplicate rows by design
+    assert(r.length === l.length)
+    assert(r.groupBy(identity).view.mapValues(_.length).toMap ===
+      l.groupBy(identity).view.mapValues(_.length).toMap)
+    // |t1⋈t2| = 40 keys × 50 × 50 = 100k survives t3's 100-row filter
+    // to 100·50 = 5000 rows; sanity that the fixture is what we claim
+    assert(r.length === 5000)
+  }
+
+  test("chain: sketch greedy order equals exact-stats greedy on uniform and skewed corpora") {
+    // referee: the SAME greedy loop run on EXACT pair sizes and counts
+    def exactGreedy(tables: Seq[org.apache.spark.sql.DataFrame],
+        keys: Seq[String]): Seq[Int] = {
+      val n = tables.map(_.count().toDouble)
+      val sel = keys.zipWithIndex.map { case (k, i) =>
+        val e = tables(i).groupBy(col(k)).count().withColumnRenamed("count", "na")
+          .join(tables(i + 1).groupBy(col(k)).count()
+            .withColumnRenamed("count", "nb"), k)
+          .agg(coalesce(sum(col("na") * col("nb")), lit(0L)))
+          .collect()(0).getLong(0).toDouble
+        e / math.max(1.0, n(i) * n(i + 1))
+      }
+      var segs = tables.indices.map(i => (i, i, n(i))).toVector
+      val order = Vector.newBuilder[Int]
+      while (segs.size > 1) {
+        val cands = (0 until segs.size - 1).map { j =>
+          val (l, r) = (segs(j), segs(j + 1))
+          (l._3 * r._3 * sel(l._2), l._2, j)
+        }
+        val (cost, edge, j) = cands.minBy(c => (c._1, c._2))
+        order += edge
+        val (l, r) = (segs(j), segs(j + 1))
+        segs = segs.patch(j, Vector((l._1, r._2, cost)), 2)
+      }
+      order.result()
+    }
+    // uniform: all tables same size, selectivities differ DECISIVELY
+    // (exact sizes 3000 / 15000 / 6000 — gaps far beyond the sketch's
+    // ~n_a·n_b/w ≈ 550-row noise floor, so the orders must agree; a tie
+    // would be legitimately noise-ranked and prove nothing)
+    val u0 = spark.range(3000).select(col("id").as("k0"), lit(1L).as("v0"))
+    val u1 = spark.range(3000).select(col("id").as("k0"),
+      pmod(col("id"), lit(600)).as("k1"), lit(2L).as("v1"))
+    val u2 = spark.range(3000).select(pmod(col("id"), lit(600)).as("k1"),
+      pmod(col("id"), lit(50)).as("k2"), lit(3L).as("v2"))
+    val u3 = spark.range(3000).select(pmod(col("id"), lit(1500)).as("k2"),
+      lit(4L).as("v3"))
+    val uniform = (Seq(u0, u1, u2, u3), Seq("k0", "k1", "k2"))
+    // skewed: SAME row counts everywhere — static stats cannot rank the
+    // edges — but e1 carries one hot key on both sides
+    val s0 = spark.range(3000).select(col("id").as("k0"), lit(1L).as("v0"))
+    val s1 = spark.range(3000).select(col("id").as("k0"),
+      when(col("id") < 1500, lit(7L)).otherwise(col("id")).as("k1"),
+      lit(2L).as("v1"))
+    val s2 = spark.range(3000).select(
+      when(col("id") < 1500, lit(7L)).otherwise(col("id") + 100000L).as("k1"),
+      col("id").as("k2"), lit(3L).as("v2"))
+    val s3 = spark.range(3000).select(col("id").as("k2"), lit(4L).as("v3"))
+    val skewed = (Seq(s0, s1, s2, s3), Seq("k0", "k1", "k2"))
+    for ((tables, keys) <- Seq(uniform, skewed)) {
+      val got = SketchPlanner.decideChain(tables, keys).map(_.edge)
+      val want = exactGreedy(tables, keys)
+      assert(got === want, s"sketch greedy $got vs exact greedy $want")
+    }
+  }
 }
