@@ -819,6 +819,70 @@ object Curation {
       |    AS n_low_diversity
       |FROM g GROUP BY 1""".stripMargin
 
+  /** PERPLEXITY-BAND CURATION FILTER — q212's interpolated-KN bigram
+    * scorer given its production CONSUMER (the round-12 verdict's
+    * "estimator → decision" close-the-loop move, as q205 did for q204):
+    * CCNet's head/middle/tail split (Wenzek et al. 2020 cut each
+    * language's corpus into perplexity TERCILES and trained on the
+    * head+middle), censused per (source, bucket) with the bucket's
+    * score range and the keep decision.
+    *
+    * Terciles are a RELATIVE cut — corpus-size- and distribution-free,
+    * so the decision survives scale-up where any absolute nats
+    * threshold tuned at sf0.01 would silently keep 0% or 100% at sf1.
+    * Rank order is (score-fixed-point, doc_id) — s_fp = round(avg_nll·
+    * 10000) is exact on both engines because q212 already rounds
+    * avg_nll to 4 decimals identically — via [[Relational.globalRank]]
+    * (two-pass distributed rank, never a SinglePartition window);
+    * bucket = (rnk−1)·3 div n. Docs q212 cannot score (<2 tokens, NULL
+    * avg_nll) become the 'unscored' bucket, dropped but censused — the
+    * q175 every-doc-exactly-once discipline.
+    *
+    * Scale shape: q212's plan (vocab-sized prob table joined to the
+    * bigram stream) plus one doc-keyed range exchange for the rank and
+    * a sources×4 rollup; nothing new is corpus×corpus. */
+  def q218PplFilter(s: SparkSession, d: String): DataFrame = {
+    val scored = Vocab.q212KnBigram(s, d)
+      .filter(col("avg_nll").isNotNull)
+      .select(col("doc_id"),
+        expr("CAST(round(avg_nll * 10000, 0) AS BIGINT)").as("s_fp"))
+    val n = scored.agg(count(lit(1)).as("n_scored"))
+    val bucketed = Relational.globalRank(scored, col("s_fp"),
+        col("doc_id"), parts = 32)
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("s_fp"),
+        expr("CASE (rnk - 1) * 3 div n_scored WHEN 0 THEN 'head' " +
+          "WHEN 1 THEN 'middle' ELSE 'tail' END").as("bucket"))
+    documents(s, d).select(col("doc_id"), col("source"))
+      .join(bucketed, Seq("doc_id"), "left")
+      .select(col("source"), coalesce(col("bucket"), lit("unscored")).as("bucket"),
+        col("s_fp"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("s_fp")).as("lo_fp"), max(col("s_fp")).as("hi_fp"))
+      .withColumn("kept", col("bucket").isin("head", "middle"))
+  }
+
+  val q218Sql: String =
+    s"""WITH kn AS (${Vocab.q212Sql}),
+       |sc AS (
+       |  SELECT doc_id, CAST(round(avg_nll * 10000, 0) AS BIGINT) AS s_fp
+       |  FROM kn WHERE avg_nll IS NOT NULL),
+       |n AS (SELECT count(*) AS n_scored FROM sc),
+       |bk AS (
+       |  SELECT doc_id, s_fp,
+       |    CASE (row_number() OVER (ORDER BY s_fp, doc_id) - 1) * 3
+       |         // n_scored
+       |      WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END
+       |      AS bucket
+       |  FROM sc, n)
+       |SELECT d.source, coalesce(bk.bucket, 'unscored') AS bucket,
+       |  count(*) AS n_docs,
+       |  min(bk.s_fp) AS lo_fp, max(bk.s_fp) AS hi_fp,
+       |  coalesce(bk.bucket, 'unscored') IN ('head', 'middle') AS kept
+       |FROM documents d LEFT JOIN bk USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -836,5 +900,6 @@ object Curation {
     "q177_dsir_weights" -> (q177DsirWeights _, q177Sql),
     "q181_temperature_mix" -> (q181TemperatureMix _, q181Sql),
     "q197_k_anonymity"  -> (q197KAnonymity _, q197Sql),
+    "q218_ppl_filter"   -> (q218PplFilter _, q218Sql),
   )
 }

@@ -510,4 +510,33 @@ class CurationSpec extends SparkSpec {
       .map { case (id, sc, dec) => (id, sc, dec.toInt) }.toSet
     assert(got === want)
   }
+
+  test("perplexity-band filter: terciles split scored docs ±1, unscored censused and dropped") {
+    import spark.implicits._
+    // 30 scorable docs with distinct bigram mixes + one 1-token doc the
+    // KN scorer cannot score (NULL avg_nll) — it must surface as the
+    // dropped 'unscored' bucket, never vanish (q175 discipline), and
+    // the three terciles must hold 10 docs each with disjoint,
+    // ascending score ranges
+    val docs = (1 to 30).map { i =>
+      val junk = Seq.tabulate(i)(j => s"tok${(i * 7 + j) % 13}").mkString(" ")
+      (i.toLong, s"the cat sat $junk on the mat", "en", "s1")
+    } :+ ((31L, "solo", "en", "s2"))
+    val dir = java.nio.file.Files.createTempDirectory("pplband").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q218PplFilter(spark, dir)
+      .as[(String, String, Long, Option[Long], Option[Long], Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet === Set(("s1", "head"), ("s1", "middle"),
+      ("s1", "tail"), ("s2", "unscored")))
+    assert(got(("s2", "unscored"))._3 === 1L)
+    assert(!got(("s2", "unscored"))._6 && got(("s2", "unscored"))._4.isEmpty)
+    val (h, m, t) = (got(("s1", "head")), got(("s1", "middle")), got(("s1", "tail")))
+    assert(h._3 === 10L && m._3 === 10L && t._3 === 10L)
+    assert(h._6 && m._6 && !t._6) // CCNet keeps head+middle
+    // tercile ranges are disjoint and ascending in score
+    assert(h._5.get <= m._4.get && m._5.get <= t._4.get)
+  }
 }
