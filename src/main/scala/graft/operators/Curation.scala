@@ -883,6 +883,71 @@ object Curation {
        |FROM documents d LEFT JOIN bk USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** SEQUENCE-PACKING EFFICIENCY SWEEP — the context-length decision
+    * table behind q51's packer: under GPT-style concat-then-chunk
+    * packing (docs concatenated per source in deterministic doc_id
+    * order, chunked into fixed budget-token sequences), sweep the
+    * budget over 512/1024/2048/4096 and census per (budget, source):
+    * how many documents STRADDLE a sequence boundary (fragmented docs —
+    * the cost side of longer-context packing masks), how many sequences
+    * the source yields, and the tail waste of its last partial
+    * sequence. This is the table a pipeline owner reads to pick context
+    * length: bigger budgets fragment more docs but waste less tail,
+    * smaller ones the reverse.
+    *
+    * Everything is closed-form integer arithmetic over q51's prefix-sum
+    * offsets: doc straddles ⇔ offset div B ≠ (offset+n−1) div B (n>0);
+    * n_seqs = ceil(Σn / B) as (Σn + B − 1) div B — nonnegative
+    * numerators, so Spark's truncating div and DuckDB's floor // agree.
+    *
+    * Scale shape: ONE tokenize pass, q51's per-source window (the
+    * sanctioned partitioned prefix sum), a 4× budget explode of the
+    * doc-grain stats, and a (budgets×sources)-sized rollup. */
+  def q220PackSweep(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents(s, d)
+      .withColumn("n_tokens", Dedup.nTokensCol(col("text")).cast("long"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("n_tokens"), col("offset"),
+        explode(typedLit(Seq(512L, 1024L, 2048L, 4096L))).as("budget"))
+      .groupBy(col("budget"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") > 0 &&
+          expr("offset div budget") =!= expr("(offset + n_tokens - 1) div budget"),
+          1L).otherwise(0L)).as("n_straddling"),
+        sum(col("n_tokens")).as("tok_total"))
+      .withColumn("n_seqs", expr("(tok_total + budget - 1) div budget"))
+      .withColumn("tail_waste", col("n_seqs") * col("budget") - col("tok_total"))
+  }
+
+  val q220Sql: String =
+    """WITH st AS (
+      |  SELECT source, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |        t -> t <> '')) AS BIGINT) AS n_tokens
+      |    FROM documents)),
+      |sw AS (SELECT st.*, budget FROM st,
+      |       (SELECT unnest([512, 1024, 2048, 4096]) AS budget)),
+      |agg AS (
+      |  SELECT CAST(budget AS BIGINT) AS budget, source,
+      |    count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN n_tokens > 0
+      |      AND o // budget <> (o + n_tokens - 1) // budget
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tok_total
+      |  FROM sw GROUP BY 1, 2)
+      |SELECT budget, source, n_docs, n_straddling, tok_total,
+      |  CAST((tok_total + budget - 1) // budget AS BIGINT) AS n_seqs,
+      |  CAST((tok_total + budget - 1) // budget * budget - tok_total
+      |    AS BIGINT) AS tail_waste
+      |FROM agg""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -901,5 +966,6 @@ object Curation {
     "q181_temperature_mix" -> (q181TemperatureMix _, q181Sql),
     "q197_k_anonymity"  -> (q197KAnonymity _, q197Sql),
     "q218_ppl_filter"   -> (q218PplFilter _, q218Sql),
+    "q220_pack_sweep"   -> (q220PackSweep _, q220Sql),
   )
 }

@@ -539,6 +539,26 @@ object Storage {
     writeManifest(s, path, zonemapManifest(s, path, dateCol))
   }
 
+  /** APPEND a new batch of `nFiles` clustered files to an existing
+    * layout and update `_zonemap.json` INCREMENTALLY — only the new
+    * files' footers are read (prior zones carry over verbatim), which
+    * is the commit discipline that keeps manifest maintenance O(new
+    * files) while the table grows to millions of files: exactly how a
+    * Delta/Iceberg append commit adds file stats without restating the
+    * table. The merged manifest is re-sorted by path so it stays
+    * byte-identical to a from-scratch rebuild (StorageSpec pins that
+    * equality, and q219 gates a probe spanning both commits). */
+  def zonemapAppend(df: DataFrame, dateCol: String, nFiles: Int,
+      path: String): Unit = {
+    val s = df.sparkSession
+    val prior = readManifest(s, path).getOrElse(Seq.empty)
+    df.repartitionByRange(nFiles, col(dateCol))
+      .sortWithinPartitions(col(dateCol))
+      .write.mode("append").parquet(path)
+    val fresh = footerZones(s, path, dateCol, prior.map(_.path).toSet)
+    writeManifest(s, path, (prior ++ fresh).sortBy(_.path))
+  }
+
   private def manifestPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_zonemap.json")
 
@@ -579,13 +599,21 @@ object Storage {
     * Delta/Iceberg persist at write time and read at plan time. A file
     * whose footer lacks stats for `dateCol` (never the case for our own
     * writes) gets an infinite zone: unskippable, never incorrect. */
-  def zonemapManifest(s: SparkSession, dir: String, dateCol: String): Seq[FileZone] = {
+  def zonemapManifest(s: SparkSession, dir: String, dateCol: String): Seq[FileZone] =
+    footerZones(s, dir, dateCol, Set.empty)
+
+  /** Footer-derived zones for every data file in `dir` NOT in `known` —
+    * the incremental half of manifest maintenance: an append commit
+    * reads only ITS OWN files' footers. */
+  private def footerZones(s: SparkSession, dir: String, dateCol: String,
+      known: Set[String]): Seq[FileZone] = {
     import scala.jdk.CollectionConverters._
     val conf = s.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
     fs.listStatus(root).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
+      .filterNot(f => known.contains(f.getPath.toUri.getPath))
       .sortBy(_.getPath.getName)
       .map { f =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -676,6 +704,43 @@ object Storage {
       |  AND DATE '1997-03-31'
       |GROUP BY 1""".stripMargin
 
+  /** q216's layout grown by an APPEND COMMIT, gated: the base write
+    * lands pre-1997 lineitem, [[zonemapAppend]] adds 1997+ reading only
+    * its own footers, and the probe window (1996-11-01..1997-02-28)
+    * deliberately SPANS both commits — rows from base files, appended
+    * files, and the skip decision all have to be right across the
+    * incremental manifest merge for the hash to match the plain-filter
+    * oracle. Year grouping keys the output across the commit boundary. */
+  def q219AppendPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q219_li_appended", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(manifestPath(dir))) {
+      val li = lineitem(s, d).select(
+        to_date(col("l_shipdate")).as("ship_date"), col("l_quantity"))
+      zonemapClusteredWrite(
+        li.filter(col("ship_date") < lit("1997-01-01").cast("date")),
+        "ship_date", 32, dir)
+      zonemapAppend(
+        li.filter(col("ship_date") >= lit("1997-01-01").cast("date")),
+        "ship_date", 32, dir)
+    }
+    val (probe, _, _) = prunedRead(s, dir, "ship_date", "1996-11-01", "1997-02-28")
+    probe.groupBy(year(col("ship_date")).as("yr"),
+        month(col("ship_date")).as("mth"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  val q219Sql: String =
+    """SELECT CAST(year(l_shipdate) AS INT) AS yr,
+      |  CAST(month(l_shipdate) AS INT) AS mth, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-11-01'
+      |  AND DATE '1997-02-28'
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
@@ -686,5 +751,6 @@ object Storage {
     "q155_table_digest"    -> (q155TableDigest _, q155Sql),
     "q213_zonemap_prune"   -> (q213ZonemapPrune _, q213Sql),
     "q216_pruned_read"     -> (q216PrunedRead _, q216Sql),
+    "q219_append_prune"    -> (q219AppendPrune _, q219Sql),
   )
 }

@@ -424,4 +424,40 @@ class StorageSpec extends SparkSpec {
     assert(pRow === fRow)
     assert(pRow.getLong(0) > 0L)
   }
+
+  test("zonemap append commit: incremental manifest equals a from-scratch rebuild") {
+    val dir = Files.createTempDirectory("graft-zmappend").toString
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+      .select(to_date(col("l_shipdate")).as("ship_date"), col("l_quantity"))
+    Storage.zonemapClusteredWrite(
+      li.filter(col("ship_date") < lit("1997-01-01").cast("date")),
+      "ship_date", 8, dir)
+    Storage.zonemapAppend(
+      li.filter(col("ship_date") >= lit("1997-01-01").cast("date")),
+      "ship_date", 8, dir)
+    // the incremental merge (prior zones + only-new footers) must be
+    // byte-identical to rebuilding the whole manifest from footers
+    val incremental = Storage.readManifest(spark, dir)
+    assert(incremental === Some(Storage.zonemapManifest(spark, dir, "ship_date")))
+    assert(incremental.get.size === 16)
+    // a probe spanning the commit boundary reads from both batches and
+    // equals the unpruned answer
+    val (probe, total, skipped) =
+      Storage.prunedRead(spark, dir, "ship_date", "1996-11-01", "1997-02-28")
+    assert(total === 16 && skipped > 0 && skipped < 16)
+    val opened = probe.inputFiles.map(f => f.substring(f.lastIndexOf('/'))).toSet
+    val boundary = lit("1997-01-01").cast("date")
+    def names(df: org.apache.spark.sql.DataFrame) =
+      df.select(input_file_name()).distinct().collect()
+        .map(r => { val f = r.getString(0); f.substring(f.lastIndexOf('/')) }).toSet
+    assert(names(probe.filter(col("ship_date") < boundary)).subsetOf(opened))
+    assert(names(probe.filter(col("ship_date") >= boundary)).nonEmpty)
+    val fullAns = spark.read.parquet(dir)
+      .filter(col("ship_date").between(lit("1996-11-01").cast("date"),
+        lit("1997-02-28").cast("date")))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)")))
+      .collect()(0)
+    assert(probe.agg(count(lit(1)),
+      sum(col("l_quantity").cast("decimal(18,2)"))).collect()(0) === fullAns)
+  }
 }
