@@ -4,7 +4,7 @@
 #   bash tools/local_gate.sh [sfDir]
 #
 #   1. sbt test            — all ScalaTest suites
-#   2. Verify + DuckDB     — 181-query oracle gate (tools/check_oracle.py,
+#   2. Verify + DuckDB     — full-registry oracle gate (tools/check_oracle.py,
 #                            incl. the dtype gate + pandas-mirror hash)
 #   3. plan drift          — fresh DumpPlans vs committed PLANS.md
 #                            (tools/plan_drift.py)
