@@ -846,6 +846,9 @@ object Curation {
       .filter(col("avg_nll").isNotNull)
       .select(col("doc_id"),
         expr("CAST(round(avg_nll * 10000, 0) AS BIGINT)").as("s_fp"))
+      // two consumers (the scored-count scalar + the rank) — without
+      // the checkpoint each would re-run the whole KN scoring plan
+      .localCheckpoint(false)
     val n = scored.agg(count(lit(1)).as("n_scored"))
     val bucketed = Relational.globalRank(scored, col("s_fp"),
         col("doc_id"), parts = 32)
