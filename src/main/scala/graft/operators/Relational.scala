@@ -450,6 +450,64 @@ object Relational {
       |  count(*) AS n_events, min(event_id) AS first_event
       |FROM runs GROUP BY user_id, sid""".stripMargin
 
+  /** DYNAMIC-GAP session windows — `session_window(ts, gapColumn)`
+    * with a PER-ROW gap expression (Spark 3.2+ surface; q101 is the
+    * static-gap member): an error event holds a session open 5
+    * minutes, a purchase/signup 60, clicks/views 20 — the
+    * inactivity-policy-by-event-type sessionization real product
+    * analytics run. Sessions merge by interval UNION under the
+    * running-max-end rule: an event joins while ts ≤ max(tsᵢ + gapᵢ)
+    * over the session so far (boundary inclusive, the q101/q186 pin),
+    * and the session's end is that max — NOT last-event + constant.
+    * The oracle states the same rule directly: running max of
+    * (ts + gap) over preceding rows, break strictly beyond it,
+    * sum-of-breaks session ids (sorted-by-start interval union ≡
+    * connected overlap components, so the linear scan is exact).
+    *
+    * Scale shape: identical to q101 — one user_id exchange, merging
+    * inside the MergingSessions aggregate; the gap CASE is a per-row
+    * codegen'd expression. The same expression runs under a watermark
+    * in streaming mode (StreamingSessionSpec's dynamic-gap
+    * differential). */
+  def q221DynamicSession(s: SparkSession, d: String): DataFrame = {
+    // STRING gap branches, not INTERVAL literals: session_window
+    // requires CalendarIntervalType and casts strings to it, while
+    // `INTERVAL 5 MINUTES` parses as the ANSI DayTimeIntervalType the
+    // operator rejects
+    val gap = expr("CASE event_type WHEN 'error' THEN '5 minutes' " +
+      "WHEN 'purchase' THEN '60 minutes' " +
+      "WHEN 'signup' THEN '60 minutes' " +
+      "ELSE '20 minutes' END")
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n_events"), col("n_types"))
+  }
+
+  val q221Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE event_type WHEN 'error' THEN INTERVAL 5 MINUTE
+      |      WHEN 'purchase' THEN INTERVAL 60 MINUTE
+      |      WHEN 'signup' THEN INTERVAL 60 MINUTE
+      |      ELSE INTERVAL 20 MINUTE END AS gap
+      |  FROM events),
+      |x AS (
+      |  SELECT *, max(ts + gap) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM e),
+      |runs AS (
+      |  SELECT *, sum(CASE WHEN prev_end IS NULL OR ts > prev_end
+      |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, min(ts) AS s_start, max(ts + gap) AS s_end,
+      |  count(*) AS n_events, count(DISTINCT event_type) AS n_types
+      |FROM runs GROUP BY user_id, sid""".stripMargin
+
   /** TPC-H Q17 analog: revenue from small-quantity lines relative to the
     * per-part average — expressed as a window aggregate over l_partkey
     * instead of self-join-on-aggregate: ONE shuffle of lineitem on
@@ -2277,6 +2335,7 @@ object Relational {
     "q137_skyline"        -> (q137Skyline _, q137Sql),
     "q142_hdr_histogram"  -> (q142HdrHistogram _, q142Sql),
     "q101_session_window" -> (q101SessionWindow _, q101Sql),
+    "q221_dynamic_session" -> (q221DynamicSession _, q221Sql),
     "q102_unpivot"        -> (q102Unpivot _, q102Sql),
     "q147_waiting_supplier" -> (q147WaitingSupplier _, q147Sql),
     "q153_gini"             -> (q153Gini _, q153Sql),

@@ -106,4 +106,60 @@ class StreamingSessionSpec extends SparkSpec {
       (8L, at(0), at(30), 1L, 1000L),
       (8L, at(31), at(61), 1L, 1000L)))
   }
+
+  test("dynamic per-row gap: session end is the running max(ts+gap), streaming == batch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    // value encodes the gap policy: value >= 4 → 60-minute hold, else
+    // 10 minutes (the q221 shape on the Ev schema)
+    def dynSessions(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"),
+          session_window(col("ts"), expr(
+            "CASE WHEN value >= 4.0 THEN '60 minutes' ELSE '10 minutes' END"))
+            .as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("s_start"),
+          col("w.end").as("s_end"), col("n"))
+    // user 1: long-gap event at 0 (holds to 60) bridges the 40-min
+    // event (short gap → holds to 50); event at 51 still merges (≤ the
+    // RUNNING MAX end 60, not the last event's own 50) — the dynamic
+    // rule a static formulation cannot express; 61 would split, pin 70
+    // splitting. user 2: two short-gap events 11 min apart split.
+    val rows = Seq(
+      Ev(1L, at(0), 9.0), Ev(1L, at(40), 1.0), Ev(1L, at(51), 1.0),
+      Ev(1L, at(70), 1.0),
+      Ev(2L, at(0), 1.0), Ev(2L, at(11), 1.0))
+    val batch = dynSessions(rows.toDF)
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(batch === Set(
+      (1L, at(0), at(61), 3L), // end = max(0+60, 40+10, 51+10) = 61
+      (1L, at(70), at(80), 1L),
+      (2L, at(0), at(10), 1L),
+      (2L, at(11), at(21), 1L)))
+    // streaming: same expression under a watermark, sessions emitted
+    // once closed, batch-identical
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = dynSessions(mem.toDS().toDF.withWatermark("ts", "5 minutes"))
+      .writeStream.format("memory").queryName("dyn_sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 2's t=0/11 events must ride in batch 1: batch 1's max ts
+      // (51) sets the watermark to 46, so arriving later would drop
+      // them as late — the cross-batch merge is exercised by user 1's
+      // t=70 event alone
+      mem.addData(rows.take(3) ++ rows.drop(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows(3))
+      q.processAllAvailable()
+      mem.addData(Ev(9L, at(500), 0.0)) // watermark far past every close
+      q.processAllAvailable()
+      mem.addData(Ev(9L, at(501), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("dyn_sess_out")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .filter(_._1 != 9L).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
 }
