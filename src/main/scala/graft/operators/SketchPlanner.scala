@@ -461,7 +461,7 @@ object SketchPlanner {
     *   step 2 after e2: cost(e0) = a0        vs cost(e1) = a1·a2/n2
     *
     * each both-sides-×(n1·n2) into DECIMAL(38,0)/HUGEINT products. */
-  private def rank3Sql(a0: String, a1: String, a2: String,
+  private[operators] def rank3Sql(a0: String, a1: String, a2: String,
       n1: String, n2: String, edgeCol: String,
       e0: String, e1: String, e2: String): String = {
     def d(x: String) = s"CAST($x AS DECIMAL(38,0))"

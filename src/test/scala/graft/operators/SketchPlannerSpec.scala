@@ -212,4 +212,73 @@ class SketchPlannerSpec extends SparkSpec {
       assert(got === want, s"sketch greedy $got vs exact greedy $want")
     }
   }
+
+  test("q217 rank arithmetic: the cross-multiplied CASE equals a first-principles greedy on random scalars") {
+    // the gated rank3Sql collapses every greedy comparison of the
+    // 3-edge chain into integer inequalities over (a0,a1,a2,n1,n2) —
+    // pin that algebra against a direct rational-cost greedy referee
+    // on randomized scalars (including exact ties, which must break to
+    // the lower edge index on both paths)
+    def referee(a0: Long, a1: Long, a2: Long, n1: Long, n2: Long): Map[String, Int] = {
+      // costs as exact rationals via BigInt cross-multiplication; the
+      // common denominator for step-2 costs is n1·n2
+      def cost2(first: Int): Seq[(BigInt, Int)] = first match {
+        // (numerator over n1·n2, edge): cost(e)·n1·n2
+        case 0 => Seq((BigInt(a0) * a1 * n2, 1), (BigInt(a2) * n1 * n2, 2))
+        case 1 => Seq((BigInt(a0) * a1 * n2, 0), (BigInt(a1) * a2 * n1, 2))
+        case _ => Seq((BigInt(a0) * n1 * n2, 0), (BigInt(a1) * a2 * n1, 1))
+      }
+      val first = Seq(a0, a1, a2).zipWithIndex.minBy { case (v, i) => (v, i) }._2
+      val second = cost2(first).minBy { case (c, e) => (c, e) }._2
+      val third = (Set(0, 1, 2) - first - second).head
+      Map("e0" -> 0, "e1" -> 1, "e2" -> 2).map { case (nm, e) =>
+        nm -> (if (e == first) 1 else if (e == second) 2 else 3)
+      }
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val cases = Seq.fill(40)((
+      1L + rnd.nextInt(100000), 1L + rnd.nextInt(100000), 1L + rnd.nextInt(100000),
+      1L + rnd.nextInt(5000), 1L + rnd.nextInt(5000))) ++ Seq(
+      (7L, 7L, 7L, 3L, 3L),            // three-way tie → 1,2,3 by index
+      (100L, 100L, 5L, 10L, 10L),      // tie at rank 2 after e2
+      (50L, 1L, 50L, 1L, 1L))          // middle edge first
+    cases.foreach { case (a0, a1, a2, n1, n2) =>
+      val sqlRanks = spark.sql(
+        s"""SELECT edge,
+           |  ${SketchPlanner.rank3Sql("a0", "a1", "a2", "n1", "n2",
+                 "edge", "e0", "e1", "e2")} AS r
+           |FROM VALUES ('e0'), ('e1'), ('e2') AS t(edge)
+           |CROSS JOIN (SELECT CAST($a0 AS BIGINT) a0, CAST($a1 AS BIGINT) a1,
+           |  CAST($a2 AS BIGINT) a2, CAST($n1 AS BIGINT) n1,
+           |  CAST($n2 AS BIGINT) n2)""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+      assert(sqlRanks === referee(a0, a1, a2, n1, n2),
+        s"case ($a0,$a1,$a2,$n1,$n2)")
+    }
+  }
+
+  test("chain decision prices the ACTUAL filtered frame, not any catalog: a filter flips the order") {
+    // the planner's no-catalog selling point (q211): a mid-pipeline
+    // filter changes a frame's distribution and the decision must
+    // follow. Unfiltered, e0 explodes (one hot k0 on both sides) and
+    // merges last; filtering t0 to the non-hot rows deflates e0 to a
+    // cheap 1:1 join that merges FIRST. Static table stats see the
+    // same row counts either way... and the catalog would not even
+    // have stats for the filtered frame.
+    val t0 = spark.range(4000).select(
+      when(col("id") < 2000, lit(13L)).otherwise(col("id")).as("k0"),
+      col("id").as("v0"))
+    val t1 = spark.range(4000).select(
+      when(col("id") < 2000, lit(13L)).otherwise(col("id") + 50000L).as("k0"),
+      pmod(col("id"), lit(400)).as("k1"), col("id").as("v1"))
+    val t2 = spark.range(4000).select(pmod(col("id"), lit(400)).as("k1"),
+      col("id").as("v2"))
+    val keys = Seq("k0", "k1")
+    val hot = SketchPlanner.decideChain(Seq(t0, t1, t2), keys).map(_.edge)
+    assert(hot === Seq(1, 0), s"unfiltered: e0's 2000x2000 hot key must merge last, got $hot")
+    val cooled = SketchPlanner.decideChain(
+      Seq(t0.filter(col("k0") =!= 13L), t1, t2), keys).map(_.edge)
+    assert(cooled === Seq(0, 1),
+      s"filtered: e0 deflates to ~0 matches and must merge first, got $cooled")
+  }
 }
