@@ -951,6 +951,185 @@ object Curation {
       |    AS BIGINT) AS tail_waste
       |FROM agg""".stripMargin
 
+  /** END-TO-END CURATION FUNNEL — the composition a real pretraining
+    * pipeline runs, as ONE gated query with per-stage attrition per
+    * source (the funnel table every corpus owner reads before a
+    * training run):
+    *
+    *   train docs (held-out split excluded)
+    *     → C4/Gopher quality rules   (q175's exact flags)
+    *     → exact dedup, keep-first   (q20's hash, among survivors)
+    *     → 8-gram decontamination    (q210's grams vs the held-out split)
+    *     → perplexity terciles       (q212 scores, q218's head+middle cut,
+    *                                  ranked among the surviving population)
+    *
+    * Stage order matters and is the production order: dedup after
+    * quality (why hash garbage), decontamination before the LM cut
+    * (leaked eval text often scores "fluent"), and the tercile is
+    * computed over the POPULATION THAT SURVIVES — a cut ranked on the
+    * raw corpus would mis-band once earlier stages shift the
+    * distribution. Every stage reuses the already-gated formulation,
+    * so this query pins their COMPOSITION (flag interactions, join
+    * nullability, population-dependent ranking), not new math.
+    *
+    * Scale shape: the union of the member shapes — two tokenize passes
+    * (quality stats, grams) + q212's scoring pass, one hash-partitioned
+    * dedup window, one bounded rank exchange over survivors, boolean
+    * joins on doc_id, sources-sized rollup. Nothing corpus×corpus. */
+  def q222CurationFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+
+    // stage 1 — C4/Gopher rules at doc grain (q175's expressions)
+    val stats = train
+      .select(col("doc_id"), explode(Dedup.tokensCodegen(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(length(col("w")).cast("long") * col("c")).as("sum_len"),
+        sum(when(col("w").isin("the", "a"), col("c")).otherwise(0L)).as("stop_c"),
+        max(col("c")).as("max_c"))
+    val base = train.join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("text"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_len"), lit(0L)).as("sum_len"),
+        coalesce(col("stop_c"), lit(0L)).as("stop_c"),
+        coalesce(col("max_c"), lit(0L)).as("max_c"))
+      .withColumn("keep1",
+        !(col("n") < 30) &&
+          !(col("sum_len") * 10 < col("n") * 42 ||
+            col("sum_len") * 10 > col("n") * 50) &&
+          !(col("stop_c") * 100 < col("n") * 5) &&
+          !(col("max_c") * 10 > col("n")))
+      .localCheckpoint(false) // consumers: dedup window, rollup join
+
+    // stage 2 — exact dedup among survivors, keep-first by doc_id
+    val wHash = Window.partitionBy(md5(Dedup.normText(col("text"))))
+    val s2 = base.filter(col("keep1"))
+      .withColumn("keep2", col("doc_id") === min(col("doc_id")).over(wHash))
+      .select(col("doc_id"), col("keep2"))
+
+    // stage 3 — 8-gram decontamination vs the held-out split (q210)
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("toks", Dedup.tokensCodegen(col("text")))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) >= 8 THEN " +
+          "transform(sequence(1, size(toks) - 7), " +
+          "j -> conv(substring(md5(concat_ws(' ', slice(toks, j, 8))), " +
+          "1, 15), 16, 10)) ELSE array() END")).as("g"))
+      .select(col("doc_id"), col("g").cast("long").as("gram"))
+      .distinct()
+    val evalGrams = grams(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text")))
+      .select(col("gram")).distinct()
+    val contam = grams(train.select(col("doc_id"), col("text")))
+      .join(evalGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"),
+        (col("n_hit") * 10 >= col("n_grams")).as("contaminated"))
+
+    val flags = base.select(col("doc_id"), col("source"))
+      .join(s2, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(base.select(col("doc_id"), col("keep1")), Seq("doc_id"))
+      .withColumn("keep2", coalesce(col("keep2"), lit(false)))
+      .withColumn("keep3",
+        col("keep2") && !coalesce(col("contaminated"), lit(false)))
+      .localCheckpoint(false) // consumers: ppl rank filter + rollup
+
+    // stage 4 — perplexity terciles among stage-3 survivors (q218 cut)
+    val scored = Vocab.q212KnBigram(s, d)
+      .filter(col("avg_nll").isNotNull)
+      .select(col("doc_id"),
+        expr("CAST(round(avg_nll * 10000, 0) AS BIGINT)").as("s_fp"))
+    val surv = flags.filter(col("keep3")).select(col("doc_id"))
+      .join(scored, Seq("doc_id"))
+      .localCheckpoint(false) // consumers: count scalar + rank
+    val nS = surv.agg(count(lit(1)).as("n_scored"))
+    val keep4 = Relational.globalRank(surv, col("s_fp"), col("doc_id"), parts = 32)
+      .crossJoin(broadcast(nS))
+      .filter(col("n_scored") > 0 && expr("(rnk - 1) * 3 div n_scored") < 2)
+      .select(col("doc_id"), lit(true).as("keep4"))
+
+    flags.join(keep4, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep1"), 1L).otherwise(0L)).as("n_c4"),
+        sum(when(col("keep2"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("keep3"), 1L).otherwise(0L)).as("n_decontam"),
+        sum(when(coalesce(col("keep4"), lit(false)), 1L).otherwise(0L))
+          .as("n_kept"))
+  }
+
+  val q222Sql: String =
+    s"""WITH tr AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
+       |ws AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^a-z]+'), t -> t <> '') AS w
+       |  FROM tr),
+       |st AS (
+       |  SELECT doc_id, len(w) AS n,
+       |    coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS sum_len,
+       |    len(list_filter(w, t -> t IN ('the','a'))) AS stop_c,
+       |    coalesce(list_max(list_transform(list_distinct(w),
+       |      t -> len(list_filter(w, x -> x = t)))), 0) AS max_c
+       |  FROM ws),
+       |b AS (
+       |  SELECT tr.doc_id, tr.source, tr.text,
+       |    NOT (n < 30) AND NOT (sum_len*10 < n*42 OR sum_len*10 > n*50)
+       |      AND NOT (stop_c*100 < n*5) AND NOT (max_c*10 > n) AS keep1
+       |  FROM tr JOIN st USING (doc_id)),
+       |dd AS (
+       |  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep2
+       |  FROM b WHERE keep1),
+       |gr AS (
+       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(g), 1, 15)
+       |      AS BIGINT) AS gram
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(len(toks) - 7, 0)),
+       |      j -> array_to_string(toks[j:j+7], ' '))) AS g
+       |    FROM (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |            '[^a-z]+'), t -> t <> '') AS toks FROM documents))),
+       |ev AS (SELECT DISTINCT gram, 1 AS hit FROM gr WHERE doc_id % 7 = 0),
+       |ct AS (
+       |  SELECT gr.doc_id,
+       |    sum(coalesce(hit, 0)) * 10 >= count(*) AS contaminated
+       |  FROM gr LEFT JOIN ev USING (gram)
+       |  WHERE gr.doc_id % 7 <> 0 GROUP BY 1),
+       |f AS (
+       |  SELECT b.doc_id, b.source, b.keep1,
+       |    coalesce(dd.keep2, FALSE) AS keep2,
+       |    coalesce(dd.keep2, FALSE)
+       |      AND NOT coalesce(ct.contaminated, FALSE) AS keep3
+       |  FROM b LEFT JOIN dd USING (doc_id)
+       |  LEFT JOIN ct ON ct.doc_id = b.doc_id),
+       |kn AS (${Vocab.q212Sql}),
+       |sc AS (SELECT doc_id, CAST(round(avg_nll * 10000, 0) AS BIGINT)
+       |         AS s_fp FROM kn WHERE avg_nll IS NOT NULL),
+       |sv AS (SELECT f.doc_id, s_fp FROM f JOIN sc USING (doc_id)
+       |       WHERE keep3),
+       |ns AS (SELECT count(*) AS n_scored FROM sv),
+       |k4 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY s_fp, doc_id) AS rn
+       |    FROM sv), ns
+       |  WHERE n_scored > 0 AND (rn - 1) * 3 // n_scored < 2)
+       |SELECT f.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN keep1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c4,
+       |  CAST(sum(CASE WHEN keep2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       |  CAST(sum(CASE WHEN keep3 THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+       |  CAST(sum(CASE WHEN k4.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept
+       |FROM f LEFT JOIN k4 USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -970,5 +1149,6 @@ object Curation {
     "q197_k_anonymity"  -> (q197KAnonymity _, q197Sql),
     "q218_ppl_filter"   -> (q218PplFilter _, q218Sql),
     "q220_pack_sweep"   -> (q220PackSweep _, q220Sql),
+    "q222_curation_funnel" -> (q222CurationFunnel _, q222Sql),
   )
 }

@@ -511,6 +511,59 @@ class CurationSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("curation funnel: every stage bites once, counts hand-derived") {
+    import spark.implicits._
+    // pure-letter 5-char words (digits would split under tokensCodegen)
+    def w5(k: Int, i: Int): String =
+      "" + ('b' + k).toChar + ('a' + i / 26).toChar + ('a' + i % 26).toChar + "xy"
+    // eval doc (id 7 = the held-out split): 35 tokens, stopwords at
+    // fixed positions so a copied span keeps its C4 stats
+    val evalToks = (1 to 35).map {
+      case 3 => "the"; case 5 => "a"; case 20 => "the"; case 22 => "a"
+      case i => w5(0, i)
+    }
+    // a C4-passing doc: 4 stopwords + 36 distinct 5-letter words
+    def goodToks(k: Int): Seq[String] =
+      Seq("the", "the", "a", "a") ++ (1 to 36).map(i => w5(k, i))
+    // the contaminated doc: 33 consecutive eval tokens (26 of its 33
+    // 8-gram windows sit fully inside the copied span → 26/33 ≥ 10%)
+    // plus 7 distinct fillers to reach C4's 30-word floor
+    val contamToks = evalToks.slice(1, 34) ++ (1 to 7).map(i => w5(25, i))
+    // in-test C4 referee (q175's formulas) guards the fixture itself
+    def c4Pass(toks: Seq[String]): Boolean = {
+      val n = toks.size.toLong
+      val sumLen = toks.map(_.length.toLong).sum
+      val stop = toks.count(t => t == "the" || t == "a").toLong
+      val maxC = toks.groupBy(identity).values.map(_.size).max.toLong
+      !(n < 30) && !(sumLen * 10 < n * 42 || sumLen * 10 > n * 50) &&
+        !(stop * 100 < n * 5) && !(maxC * 10 > n)
+    }
+    assert(c4Pass(contamToks), "fixture: contaminated doc must pass C4")
+    assert(c4Pass(goodToks(1)), "fixture: good docs must pass C4")
+    assert(!c4Pass(Seq("too", "short")))
+    val good2 = goodToks(2).mkString(" ")
+    val docs = Seq(
+      (7L, evalToks.mkString(" ")),        // held-out: excluded from train
+      (1L, contamToks.mkString(" ")),      // dropped at decontamination
+      (2L, good2),
+      (3L, good2),                         // exact duplicate: dedup drops
+      (4L, "too short"),                   // fails C4
+      (5L, goodToks(5).mkString(" ")), (6L, goodToks(6).mkString(" ")),
+      (8L, goodToks(8).mkString(" ")), (9L, goodToks(9).mkString(" ")),
+      (10L, goodToks(10).mkString(" ")), (11L, goodToks(11).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q222CurationFunnel(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // train=10 (id 7 held out); C4 drops id4 → 9; dedup drops id3 → 8;
+    // decontam drops id1 → 7; terciles keep head+middle of 7 scored =
+    // ranks 1..5 ((rnk−1)·3 div 7 < 2) → 5
+    assert(got.toSeq === Seq(("s", 10L, 9L, 8L, 7L, 5L)))
+  }
+
   test("perplexity-band filter: terciles split scored docs ±1, unscored censused and dropped") {
     import spark.implicits._
     // 30 scorable docs with distinct bigram mixes + one 1-token doc the
