@@ -508,6 +508,43 @@ object Relational {
       |  count(*) AS n_events, count(DISTINCT event_type) AS n_types
       |FROM runs GROUP BY user_id, sid""".stripMargin
 
+  /** HOPPING (sliding) time windows — `window(ts, 60m, 15m)`: every
+    * event lands in exactly FOUR overlapping hour-long windows that
+    * advance every 15 minutes, the rolling-dashboard aggregation
+    * (hourly actives refreshed every quarter hour). Completes the
+    * window-family surface next to tumbling (EventStreams) and session
+    * (q101/q221); the same expression runs under a watermark as a
+    * streaming query. The oracle states the expansion directly: per
+    * event, the four epoch-aligned slide starts (floor(epoch_us/slide)
+    * − j)·slide for j ∈ 0..3 — membership is exact integer arithmetic,
+    * and window(…) aligns starts to epoch multiples of the slide by
+    * definition (default startTime 0).
+    *
+    * Scale shape: Spark expands each row to its 4 windows BEFORE the
+    * partial aggregation (an Expand node), so the shuffle carries
+    * (windows × groups)-sized partials, never 4× raw rows. */
+  def q223HoppingWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "60 minutes", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n_events"), col("n_users"))
+
+  val q223Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, user_id
+      |  FROM events),
+      |x AS (
+      |  SELECT make_timestamp(
+      |      (epoch_us(ts) // 900000000 - j) * 900000000) AS w_start,
+      |    event_type, user_id
+      |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS j))
+      |SELECT w_start, event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM x GROUP BY 1, 2""".stripMargin
+
   /** TPC-H Q17 analog: revenue from small-quantity lines relative to the
     * per-part average — expressed as a window aggregate over l_partkey
     * instead of self-join-on-aggregate: ONE shuffle of lineitem on
@@ -2336,6 +2373,7 @@ object Relational {
     "q142_hdr_histogram"  -> (q142HdrHistogram _, q142Sql),
     "q101_session_window" -> (q101SessionWindow _, q101Sql),
     "q221_dynamic_session" -> (q221DynamicSession _, q221Sql),
+    "q223_hopping_window" -> (q223HoppingWindow _, q223Sql),
     "q102_unpivot"        -> (q102Unpivot _, q102Sql),
     "q147_waiting_supplier" -> (q147WaitingSupplier _, q147Sql),
     "q153_gini"             -> (q153Gini _, q153Sql),
