@@ -153,4 +153,44 @@ class DedupPropertiesSpec extends SparkSpec {
       assert(got === want, s"case $k: ${evs.size} events")
     }
   }
+
+  test("dynamic-gap sessionize: session_window(gap col) == running-max-end interval union on random events") {
+    // the q221 semantic on arbitrary inputs: each event holds the
+    // session open for ITS OWN gap; sessions are the connected
+    // components of [ts, ts+gap] interval overlap, i.e. (sorted by ts)
+    // an event merges while ts <= the running max end — inclusive at
+    // the boundary, like the static pin — and the session end is that
+    // running max, NOT last-event + anything
+    val evGen = for {
+      n <- Gen.choose(1, 40)
+      evs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 4L),
+        Gen.choose(0, 600), Gen.oneOf(5L, 20L, 60L)))
+    } yield evs
+    samples(evGen, 12).zipWithIndex.foreach { case (evs, k) =>
+      val df = evs.map { case (u, m, g) =>
+        (u, new java.sql.Timestamp(m * 60000L), g) }
+        .toDF("user_id", "ts", "gap_min")
+      val got = df.groupBy(col("user_id"),
+          session_window(col("ts"),
+            expr("concat(gap_min, ' minutes')")).as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start"), col("w.end"), col("n"))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      val want = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val iv = es.map(e => (e._2 * 60000L, e._2 * 60000L + e._3 * 60000L))
+          .sortBy(identity)
+        // fold into (start, maxEnd, count) sessions
+        val sessions = iv.tail.foldLeft(
+          List((iv.head._1, iv.head._2, 1L))) { case (acc, (ts, end)) =>
+          val (s0, e0, n0) = acc.head
+          if (ts <= e0) (s0, math.max(e0, end), n0 + 1) :: acc.tail
+          else (ts, end, 1L) :: acc
+        }
+        sessions.map { case (s0, e0, n0) =>
+          (u, new java.sql.Timestamp(s0), new java.sql.Timestamp(e0), n0) }
+      }.toSet
+      assert(got === want, s"case $k: ${evs.size} events")
+    }
+  }
 }
