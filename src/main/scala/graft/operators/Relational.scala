@@ -545,6 +545,69 @@ object Relational {
       |  count(DISTINCT user_id) AS n_users
       |FROM x GROUP BY 1, 2""".stripMargin
 
+  /** TPC-H Q13 analog (custdist): the DISTRIBUTION of per-customer
+    * order counts — how many customers placed 0, 1, 2, … orders. The
+    * load-bearing detail is ZERO preservation: customers with no
+    * orders must appear in the 0 bucket, so the first aggregation runs
+    * over a LEFT join and counts the right side's key (count(col)
+    * skips nulls — never count(*), which would report 1). Two-level
+    * aggregation: customer-grain counts, then a counts-grain rollup.
+    *
+    * Scale shape: one c_custkey-keyed outer join (both sides shuffle on
+    * the key), customer-grain partial-agg, then a tiny second exchange
+    * on the count value (distinct order-counts ≈ tens). */
+  def q224Custdist(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey"))
+      .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  val q224Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q18 analog (large-volume orders): orders whose total line
+    * quantity clears a threshold, joined BACK to their customer and
+    * order attributes — the group-filter-then-rejoin shape (HAVING on
+    * an aggregate of a DIFFERENT table than the one being reported).
+    * The threshold sits inside the observed distribution so the filter
+    * genuinely bites. Quantity accumulates in DECIMAL (the q01
+    * convention) and is emitted as an exact integer-valued double.
+    *
+    * Scale shape: lineitem partial-aggregates to order grain before
+    * any join (never join-then-aggregate — at scale the join input
+    * would be 4× larger than the aggregate output); the surviving
+    * order keys are a small fraction, so AQE can broadcast them into
+    * the orders/customer joins. */
+  def q225LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+  }
+
+  val q225Sql: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(sum_qty AS DOUBLE) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |        sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |      FROM lineitem GROUP BY 1 HAVING sum_qty > 250) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
   /** TPC-H Q17 analog: revenue from small-quantity lines relative to the
     * per-part average — expressed as a window aggregate over l_partkey
     * instead of self-join-on-aggregate: ONE shuffle of lineitem on
@@ -2374,6 +2437,8 @@ object Relational {
     "q101_session_window" -> (q101SessionWindow _, q101Sql),
     "q221_dynamic_session" -> (q221DynamicSession _, q221Sql),
     "q223_hopping_window" -> (q223HoppingWindow _, q223Sql),
+    "q224_custdist" -> (q224Custdist _, q224Sql),
+    "q225_large_orders" -> (q225LargeOrders _, q225Sql),
     "q102_unpivot"        -> (q102Unpivot _, q102Sql),
     "q147_waiting_supplier" -> (q147WaitingSupplier _, q147Sql),
     "q153_gini"             -> (q153Gini _, q153Sql),

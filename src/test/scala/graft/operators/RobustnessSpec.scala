@@ -109,4 +109,27 @@ class RobustnessSpec extends SparkSpec {
     Dedup.q21MinhashNeardup(spark, dir).count() // no crash
     Dedup.q31Simhash(spark, dir).count()        // no crash
   }
+
+  test("custdist preserves the zero-order bucket (left join + count(col), never count(*))") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the sf0.01 gate corpus has no order-less customers, so the
+    // Q13-defining branch needs a crafted fixture: customers 1 and 2
+    // place orders, 3 and 4 place none — they must land in c_count=0,
+    // not vanish (inner join) or report 1 (count(*) over the null row)
+    val dir = java.nio.file.Files.createTempDirectory("custdist").toString
+    Seq((1L, "a", 0L, 0.0, "m"), (2L, "b", 0L, 0.0, "m"),
+      (3L, "c", 0L, 0.0, "m"), (4L, "d", 0L, 0.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, "O", 5.0, "1997-01-01", "1-URGENT"),
+      (11L, 1L, "O", 5.0, "1997-01-02", "1-URGENT"),
+      (12L, 2L, "O", 5.0, "1997-01-03", "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Relational.q224Custdist(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
 }
