@@ -347,4 +347,48 @@ class StreamingSpec extends SparkSpec {
       Ev(1L, 2L, tsAt(1001800L, 100000))).toDS()     // +1799.9996 s
     assert(EventStreams.sessionize(under, 1800).count() === 1L)
   }
+
+  test("STREAMING hopping windows (q223's expression) emit batch-identical closed windows") {
+    // window(ts, 60m, 15m) under a watermark: each event's FOUR
+    // overlapping windows finalize independently as the watermark
+    // passes their ends — the rolling-dashboard continuous query
+    implicit val sqlCtx = spark.sqlContext
+    def hop(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window(col("ts"), "60 minutes", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("user_id")).as("u"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n"), col("u"))
+    val rows = Seq(
+      (ts(0), "click", 1L, 1.0), (ts(10), "click", 2L, 2.0),
+      (ts(10), "click", 1L, 2.0), (ts(61), "view", 3L, 4.0),
+      (ts(75), "click", 2L, 8.0))
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val q = hop(mem.toDF().toDF("ts", "event_type", "user_id", "value")
+        .withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      // closer: watermark far past every window end
+      mem.addData((ts(600), "zz", 9L, 0.0))
+      q.processAllAvailable()
+      mem.addData((ts(601), "zz", 9L, 0.0))
+      q.processAllAvailable()
+      val cutoff = ts(600).getTime - 10 * 60000L
+      val got = spark.table("hop_out")
+        .as[(Timestamp, String, Long, Long)].collect()
+        .filter(r => r._2 != "zz").toSet
+      val batch = hop(rows.toDF("ts", "event_type", "user_id", "value"))
+        .as[(Timestamp, String, Long, Long)].collect()
+        .filter(r => r._1.getTime + 60 * 60000L <= cutoff).toSet
+      assert(got === batch)
+      // four windows per (event, type) group by construction
+      assert(batch.count(_._2 == "view") === 4)
+    } finally q.stop()
+  }
 }
