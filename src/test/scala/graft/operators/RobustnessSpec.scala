@@ -39,9 +39,18 @@ class RobustnessSpec extends SparkSpec {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], custSchema)
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     val liSchema = StructType(Seq(
-      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_quantity", DoubleType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], liSchema)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val ordSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", StringType),
+      StructField("o_orderpriority", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val ptSchema = StructType(Seq(
       StructField("p_partkey", LongType), StructField("p_brand", StringType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ptSchema)
@@ -84,6 +93,20 @@ class RobustnessSpec extends SparkSpec {
     assert(Analytics.q124Chi2(spark, emptyDir).count() === 0L)
     assert(Analytics.q127EventGaps(spark, emptyDir).count() === 0L)
     assert(Relational.q125BrandBasket(spark, emptyDir).count() === 0L)
+    // round-13 operators: empty corpora flow through composed stages,
+    // dynamic windows, and the funnel's rank-over-survivors without
+    // crashing (the n_scored > 0 guard keeps the tercile division off
+    // the empty set)
+    assert(Curation.q218PplFilter(spark, emptyDir).count() === 0L)
+    assert(Curation.q220PackSweep(spark, emptyDir).count() === 0L)
+    assert(Curation.q222CurationFunnel(spark, emptyDir).count() === 0L)
+    assert(Relational.q221DynamicSession(spark, emptyDir).count() === 0L)
+    assert(Relational.q223HoppingWindow(spark, emptyDir).count() === 0L)
+    assert(Relational.q225LargeOrders(spark, emptyDir).count() === 0L)
+    // q224 is the zero-PRESERVING distribution: an empty ORDERS side
+    // with customers present must yield one (0, n_customers) row, and
+    // a fully empty corpus yields none
+    assert(Relational.q224Custdist(spark, emptyDir).count() === 0L)
   }
 
   test("pathological documents: letterless, whitespace-only, huge-token, unicode") {
