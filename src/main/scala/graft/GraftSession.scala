@@ -36,6 +36,7 @@ object GraftSession {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.FnvHash.register(spark)
+    graft.functions.TextTokens.register(spark)
     graft.functions.VecMath.register(spark)
     graft.functions.MinhashBands.register(spark)
     graft.functions.ZorderBits.register(spark)

@@ -67,12 +67,21 @@ object Dedup {
       |  min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Lowercase a-z word tokens without a higher-order lambda (lambdas
-    * are interpreted, not codegen'd): strip leading/trailing non-letters
-    * so split never produces empty tokens. A letterless text yields [""]
+  /** Lowercase a-z word tokens — the corpus tokenizer under every text
+    * operator. Since round 13 this is the NATIVE single-pass
+    * `alpha_tokens` kernel (graft.functions.TextTokens): bit-identical
+    * to the regex pipeline it replaced (AlphaTokensSpec pins the
+    * equivalence on random unicode inputs, [[tokensRegex]] keeps the
+    * reference form), measured 1.4× on the end-to-end tokenize→agg
+    * shape (BASELINE §TokenizeAB). A letterless text yields [""]
     * (size 1 → callers' short-doc fallback branch), matching the
     * oracle semantics of an empty token list joined with ' '. */
-  def tokensCodegen(c: Column): Column =
+  def tokensCodegen(c: Column): Column = call_function("alpha_tokens", c)
+
+  /** The regex formulation tokensCodegen replaced — kept as the
+    * in-repo reference semantics for the AlphaTokensSpec differential
+    * and the TokenizeAB baseline arm. */
+  private[graft] def tokensRegex(c: Column): Column =
     split(regexp_replace(lower(c), "(^[^a-z]+)|([^a-z]+$)", ""), "[^a-z]+")
 
   /** Lambda-free WHITESPACE token count ("" → 0) — the oracle-matched

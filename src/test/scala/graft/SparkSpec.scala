@@ -16,6 +16,7 @@ object SharedSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     graft.functions.FnvHash.register(s)
+    graft.functions.TextTokens.register(s)
     graft.functions.VecMath.register(s)
     graft.functions.MinhashBands.register(s)
     graft.functions.ZorderBits.register(s)
