@@ -336,8 +336,10 @@ object Vocab {
   def q173Keyness(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cnt = documents(s, d)
+      // native tokenizer + the ≠"" filter ≡ the old unanchored split
+      // (split's possible leading empty token was filtered anyway)
       .select(col("source"),
-        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        explode(Dedup.tokensCodegen(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("o_in"))
