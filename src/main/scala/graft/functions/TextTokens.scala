@@ -106,6 +106,46 @@ object TextTokens {
     else new GenericArrayData(out.toArray)
   }
 
+  /** Whitespace token count: maximal runs of non-[ \t\n\f\r]
+    * bytes (Java's ASCII `\s` class — multibyte UTF-8 never aliases
+    * single-byte separators, so the byte scan is exact), "" and
+    * all-whitespace → 0. Equals `when(length(trim)==0, 0)
+    * .otherwise(size(split(trim, "\\s+")))` without allocating the
+    * split array — WsTokenCountSpec pins the differential. */
+  def wsTokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    var n = 0
+    var inTok = false
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isWs = b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+        b == '\f' || b == '\r'
+      if (!isWs && !inTok) { n += 1; inTok = true }
+      else if (isWs) inTok = false
+      i += 1
+    }
+    n
+  }
+
+  case class WsTokenCount(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"ws_token_count requires string, got ${child.dataType.catalogString}")
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "ws_token_count"
+
+    override protected def nullSafeEval(s: Any): Any =
+      wsTokenCount(s.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextTokens.wsTokenCount($c)")
+
+    override protected def withNewChildInternal(c: Expression): WsTokenCount =
+      copy(child = c)
+  }
+
   case class AlphaTokens(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -133,6 +173,14 @@ object TextTokens {
         require(exprs.length == 1,
           s"alpha_tokens takes 1 argument, got ${exprs.length}")
         AlphaTokens(exprs.head)
+      })
+    reg.registerFunction(
+      FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"ws_token_count takes 1 argument, got ${exprs.length}")
+        WsTokenCount(exprs.head)
       })
   }
 }

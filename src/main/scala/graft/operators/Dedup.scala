@@ -84,10 +84,17 @@ object Dedup {
   private[graft] def tokensRegex(c: Column): Column =
     split(regexp_replace(lower(c), "(^[^a-z]+)|([^a-z]+$)", ""), "[^a-z]+")
 
-  /** Lambda-free WHITESPACE token count ("" → 0) — the oracle-matched
-    * semantic shared by the quality stats (q24) and sequence packing
-    * (q51): trim whitespace ends with one regex, then count splits. */
-  private[operators] def nTokensCol(c: Column): Column = {
+  /** WHITESPACE token count ("" → 0) — the oracle-matched semantic
+    * shared by the quality stats (q24) and sequence packing (q51).
+    * Native since round 13 (`ws_token_count`: one byte scan counting
+    * non-\s runs, no split-array allocation — bit-equal to the old
+    * trim+split form, which [[nTokensRegex]] keeps for the spec
+    * differential). */
+  private[operators] def nTokensCol(c: Column): Column =
+    call_function("ws_token_count", c)
+
+  /** The trim+split formulation nTokensCol replaced (spec reference). */
+  private[graft] def nTokensRegex(c: Column): Column = {
     val trimmed = regexp_replace(c, "(^\\s+)|(\\s+$)", "")
     when(length(trimmed) === 0, 0).otherwise(size(split(trimmed, "\\s+")))
   }

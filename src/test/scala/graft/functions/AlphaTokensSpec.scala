@@ -47,6 +47,22 @@ class AlphaTokensSpec extends SparkSpec {
     }
   }
 
+  test("ws_token_count == trim+split on edges and random whitespace mixes") {
+    val wsForm = "CASE WHEN length(regexp_replace(s, '(^\\\\s+)|(\\\\s+$)', '')) = 0 " +
+      "THEN 0 ELSE size(split(regexp_replace(s, '(^\\\\s+)|(\\\\s+$)', ''), '\\\\s+')) END"
+    val edges = Seq("", " ", "\t\n", "a", " a ", "a b", "  a\t\tb\nc  ",
+      "word", " ", "a b", "one two  three\r\nfour", "x" * 1000)
+    val charGen = Gen.frequency((5, Gen.alphaChar),
+      (3, Gen.oneOf(' ', '\t', '\n', '\r', '\f')), (1, Gen.const(' ')))
+    val rand = (0 until 200).map(i =>
+      Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+        .pureApply(Gen.Parameters.default, Seed(7207L + i)))
+    (edges ++ rand).toDF("s")
+      .selectExpr("s", "ws_token_count(s) AS a", s"CAST(($wsForm) AS INT) AS b")
+      .as[(String, Int, Int)].collect()
+      .foreach { case (s, a, b) => assert(a === b, s"input ${s.toSeq}") }
+  }
+
   test("interpreted eval equals codegen (collect vs whole-stage paths)") {
     // eval(): build the expression directly and call it interpreted
     import org.apache.spark.unsafe.types.UTF8String
