@@ -6,13 +6,15 @@ package graft
   * excluded from the total) and the process exits nonzero — a failure must
   * never masquerade as a fast timing.
   *
-  * The stdout line is kept COMPACT — per-query timings rounded to ms
-  * (full-precision doubles at 215+ queries overflow the driver's output
-  * capture window: every BENCH_r*.json through r12 arrived truncated at
-  * 61 timings with `"parsed": null`) — and the SAME JSON is also written
-  * to `BENCH_full.json` in the working directory (override with
-  * SPARK_GRAFT_BENCH_OUT) so a full record always exists on disk even if
-  * a capture window still clips the line.
+  * The stdout line is kept COMPACT — numeric query keys ("q216_…" →
+  * "216") with INTEGER-ms values, flagged by `"queries_key":"qnum",
+  * "queries_unit":"ms"` (name-keyed second-valued lines overflowed the
+  * driver's ~2.5 KB output capture window: every BENCH_r*.json through
+  * r13 arrived truncated, 61–77 of 215–225 timings, `"parsed": null`).
+  * The FULL-NAME + seconds form of the same record is written to
+  * `BENCH_full.json` in the working directory (override with
+  * SPARK_GRAFT_BENCH_OUT) so a complete readable record always exists
+  * on disk.
   *
   * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
   * the MEDIAN: this VM shows ±2-3× transient contention, and one-shot
@@ -79,18 +81,37 @@ object Bench {
       val r = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       r.underlying.stripTrailingZeros.toPlainString
     }
-    val qs = results.map {
-      case (k, Right(v)) => s"${jstr(k)}:${ms(v)}"
-      case (k, Left(e))  => s"${jstr(k)}:{${jstr("err")}:${jstr(e)}}"
+    def qmap(short: Boolean): String = results.map {
+      case (k, entry) =>
+        // stdout keys are the bare query NUMBER ("q216_pruned_read" →
+        // "216") and values INTEGER ms: ~9 B/query keeps the full
+        // 225-query line near 2 KB, inside the driver's ~2.5 KB stdout
+        // capture window (r13 still clipped at 77 timings with
+        // name-keyed seconds); BENCH_full.json keeps full names +
+        // seconds, and `queries_key`/`queries_unit` on the stdout line
+        // say how to read it
+        val key = if (short) k.drop(1).takeWhile(_.isDigit).toInt.toString else k
+        entry match {
+          case Right(v) =>
+            if (short) s"${jstr(key)}:${math.round(v * 1000)}"
+            else s"${jstr(key)}:${ms(v)}"
+          case Left(e) => s"${jstr(key)}:{${jstr("err")}:${jstr(e)}}"
+        }
     }.mkString("{", ",", "}")
+    val shortKeys = results.map(_._1.drop(1).takeWhile(_.isDigit).toInt)
+    require(shortKeys.distinct.size == shortKeys.size,
+      "duplicate numeric query keys — compact stdout encoding would lose timings")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)},"reps":$reps,"failed":${failed.size}}"""
+    def line(short: Boolean): String = {
+      val extra = if (short) s""","queries_key":"qnum","queries_unit":"ms"""" else ""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(short)}$extra,"sf":${jstr(sfDir)},"reps":$reps,"failed":${failed.size}}"""
+    }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (line(short = false) + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    println(line)
+    println(line(short = true))
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.sorted.mkString(", ")}")

@@ -106,12 +106,17 @@ object TextTokens {
     else new GenericArrayData(out.toArray)
   }
 
-  /** Whitespace token count: maximal runs of non-[ \t\n\f\r]
-    * bytes (Java's ASCII `\s` class — multibyte UTF-8 never aliases
-    * single-byte separators, so the byte scan is exact), "" and
-    * all-whitespace → 0. Equals `when(length(trim)==0, 0)
-    * .otherwise(size(split(trim, "\\s+")))` without allocating the
-    * split array — WsTokenCountSpec pins the differential. */
+  /** Whitespace token count: maximal runs of non-[ \t\n\x0B\f\r]
+    * bytes — Java's ASCII `\s` class INCLUDING vertical tab \x0B
+    * (multibyte UTF-8 never aliases single-byte separators, so the
+    * byte scan is exact); "" and all-whitespace → 0. Equals
+    * `when(length(trim)==0, 0).otherwise(size(split(trim, "\\s+")))`
+    * without allocating the split array — WsTokenCountSpec pins the
+    * differential. Cross-engine note: DuckDB's RE2 `\s` EXCLUDES \x0B,
+    * so an oracle built on regexp-splitting by '\s+' would diverge on
+    * text containing a vertical tab; the kernel stays faithful to the
+    * Spark/Java semantics of the regex form it replaced (no gated
+    * corpus contains \x0B — the testdata generator emits none). */
   def wsTokenCount(s: UTF8String): Int = {
     val bytes = s.getBytes
     var n = 0

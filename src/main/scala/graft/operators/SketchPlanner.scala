@@ -460,7 +460,14 @@ object SketchPlanner {
     *   step 2 after e1: cost(e0) = a0·a1/n1  vs cost(e2) = a1·a2/n2
     *   step 2 after e2: cost(e0) = a0        vs cost(e1) = a1·a2/n2
     *
-    * each both-sides-×(n1·n2) into DECIMAL(38,0)/HUGEINT products. */
+    * each both-sides-×(n1·n2) into DECIMAL(38,0)/HUGEINT products. The
+    * after-e1 comparisons additionally cancel the common a1 factor
+    * (keeping products two-wide, overflow-safe) — valid only when
+    * a1 > 0, so both carry an explicit `a1 = 0` guard: with a1 = 0 the
+    * true costs tie at zero and the greedy breaks to the LOWER edge
+    * (e0 second, e2 third), which the cancelled inequality alone would
+    * get wrong whenever a0·n2 > a2·n1. The spec referee includes
+    * zero-size edges to pin this branch. */
   private[operators] def rank3Sql(a0: String, a1: String, a2: String,
       n1: String, n2: String, edgeCol: String,
       e0: String, e1: String, e2: String): String = {
@@ -470,7 +477,8 @@ object SketchPlanner {
     s"""CAST(CASE $edgeCol
        WHEN '$e0' THEN
          CASE WHEN $f0 THEN 1
-              WHEN $f1 THEN CASE WHEN ${d(a0)} * $n2 <= ${d(a2)} * $n1
+              WHEN $f1 THEN CASE WHEN $a1 = 0
+                                   OR ${d(a0)} * $n2 <= ${d(a2)} * $n1
                             THEN 2 ELSE 3 END
               ELSE CASE WHEN ${d(a0)} * $n2 <= ${d(a1)} * $a2
                    THEN 2 ELSE 3 END END
@@ -484,7 +492,8 @@ object SketchPlanner {
          CASE WHEN NOT $f0 AND NOT $f1 THEN 1
               WHEN $f0 THEN CASE WHEN ${d(a2)} * $n1 < ${d(a0)} * $a1
                             THEN 2 ELSE 3 END
-              ELSE CASE WHEN ${d(a2)} * $n1 < ${d(a0)} * $n2
+              ELSE CASE WHEN $a1 <> 0
+                          AND ${d(a2)} * $n1 < ${d(a0)} * $n2
                    THEN 2 ELSE 3 END END
        END AS BIGINT)"""
   }

@@ -587,7 +587,8 @@ object Storage {
       val re = """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
       Some(text.linesIterator.filter(_.nonEmpty).map {
         case re(f, lo, hi) =>
-          FileZone(new org.apache.hadoop.fs.Path(dir, f).toUri.getPath,
+          FileZone(
+            fs.makeQualified(new org.apache.hadoop.fs.Path(dir, f)).toString,
             lo.toInt, hi.toInt)
         case bad => throw new IllegalStateException(s"bad manifest line: $bad")
       }.toSeq)
@@ -613,7 +614,7 @@ object Storage {
     val fs = root.getFileSystem(conf)
     fs.listStatus(root).toSeq
       .filter(_.getPath.getName.endsWith(".parquet"))
-      .filterNot(f => known.contains(f.getPath.toUri.getPath))
+      .filterNot(f => known.contains(fs.makeQualified(f.getPath).toString))
       .sortBy(_.getPath.getName)
       .map { f =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -627,13 +628,16 @@ object Storage {
                 st.genericGetMax.asInstanceOf[Number].intValue()))
             }
           }
-          // scheme-less absolute paths everywhere (listStatus yields
-          // file:/..., Path(dir, name) doesn't — normalize so persisted
-          // and footer-built manifests compare equal)
+          // FULLY-QUALIFIED URIs everywhere (scheme + authority kept):
+          // listStatus yields file:/... while Path(dir, name) doesn't,
+          // so both are normalized through fs.makeQualified — persisted
+          // and footer-built manifests compare equal, and on hdfs://
+          // or s3a:// layouts the survivor paths handed to
+          // spark.read.parquet still carry their filesystem
+          val qual = fs.makeQualified(f.getPath).toString
           if (zones.isEmpty)
-            FileZone(f.getPath.toUri.getPath, Int.MinValue, Int.MaxValue)
-          else FileZone(f.getPath.toUri.getPath,
-            zones.map(_._1).min, zones.map(_._2).max)
+            FileZone(qual, Int.MinValue, Int.MaxValue)
+          else FileZone(qual, zones.map(_._1).min, zones.map(_._2).max)
         } finally rd.close()
       }
   }

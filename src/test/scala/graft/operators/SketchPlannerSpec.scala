@@ -238,10 +238,19 @@ class SketchPlannerSpec extends SparkSpec {
     val rnd = new scala.util.Random(20260815L)
     val cases = Seq.fill(40)((
       1L + rnd.nextInt(100000), 1L + rnd.nextInt(100000), 1L + rnd.nextInt(100000),
-      1L + rnd.nextInt(5000), 1L + rnd.nextInt(5000))) ++ Seq(
+      1L + rnd.nextInt(5000), 1L + rnd.nextInt(5000))) ++
+      // zero-size edges: rnd sizes 0..2 hit empty joins constantly —
+      // the a1 = 0 guard in the after-e1 branches (costs tie at zero →
+      // lower edge second) only differs from the cancelled inequality
+      // here, so these cases pin it (round-13 ADVICE)
+      Seq.fill(30)((
+        rnd.nextInt(3).toLong, rnd.nextInt(3).toLong, rnd.nextInt(3).toLong,
+        1L + rnd.nextInt(5), 1L + rnd.nextInt(5))) ++ Seq(
       (7L, 7L, 7L, 3L, 3L),            // three-way tie → 1,2,3 by index
       (100L, 100L, 5L, 10L, 10L),      // tie at rank 2 after e2
-      (50L, 1L, 50L, 1L, 1L))          // middle edge first
+      (50L, 1L, 50L, 1L, 1L),          // middle edge first
+      (5L, 0L, 9L, 2L, 1L),            // a1=0, a0·n2 > a2·n1: guard decides
+      (0L, 0L, 0L, 3L, 4L))            // all-empty chain → 1,2,3 by index
     cases.foreach { case (a0, a1, a2, n1, n2) =>
       val sqlRanks = spark.sql(
         s"""SELECT edge,

@@ -123,8 +123,11 @@ class StreamingSessionSpec extends SparkSpec {
     // user 1: long-gap event at 0 (holds to 60) bridges the 40-min
     // event (short gap → holds to 50); event at 51 still merges (≤ the
     // RUNNING MAX end 60, not the last event's own 50) — the dynamic
-    // rule a static formulation cannot express; 61 would split, pin 70
-    // splitting. user 2: two short-gap events 11 min apart split.
+    // rule a static formulation cannot express; the merge rule is
+    // boundary-INCLUSIVE (an event AT the running max end still joins,
+    // matching the oracle's strictly-greater break), so 61 would merge
+    // and 62 would split; pin 70 splitting. user 2: two short-gap
+    // events 11 min apart split.
     val rows = Seq(
       Ev(1L, at(0), 9.0), Ev(1L, at(40), 1.0), Ev(1L, at(51), 1.0),
       Ev(1L, at(70), 1.0),
