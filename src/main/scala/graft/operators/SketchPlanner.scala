@@ -45,6 +45,59 @@ object SketchPlanner {
 
   private val W = 16384L
 
+  /** SESSION-LEVEL SKETCH CATALOG (round-13 verdict task 2): every
+    * sketch estimate is reusable across plans, but [[decideChain]] used
+    * to re-scan each (table, key) per call. The catalog memoizes the
+    * COLLECTED scalars — edge estimates and table counts — keyed by the
+    * CANONICALIZED analyzed plan of the priced frame (exprIds
+    * normalized, so re-reading the same parquet path or re-deriving the
+    * same filtered subquery hits), which is the same plan-identity
+    * Spark's own CacheManager uses. A second decision over the same
+    * corpus therefore adds ZERO table scans (SketchPlannerSpec pins
+    * this via a QueryExecutionListener execution count; BenchPlanAB
+    * records the plan-arm drop).
+    *
+    * Staleness contract — the same one Spark's catalog statistics and
+    * every stats-cache in Delta/Iceberg carry: entries describe the
+    * data as of the scan; a writer mutating files under an already-
+    * priced path must [[SketchCatalog.clear]] (or flip
+    * `spark.graft.planner.sketchCache` to false) or decisions price the
+    * old distribution. Estimates are advisory (plan shape only), so a
+    * stale entry can cost performance, never correctness. Sessions are
+    * weak keys: a stopped session's entries are collectable. */
+  object SketchCatalog {
+    private val perSession = new java.util.WeakHashMap[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[AnyRef, Long]]()
+
+    private def map(s: SparkSession) = perSession.synchronized {
+      var m = perSession.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[AnyRef, Long]()
+        perSession.put(s, m)
+      }
+      m
+    }
+
+    private[operators] def lookup(s: SparkSession, k: AnyRef): Option[Long] =
+      Option(map(s).get(k))
+    private[operators] def store(s: SparkSession, k: AnyRef, v: Long): Unit =
+      map(s).put(k, v)
+    /** Invalidate every cached estimate (all sessions). */
+    def clear(): Unit = perSession.synchronized {
+      perSession.values().forEach(_.clear())
+    }
+    def size(s: SparkSession): Int = map(s).size()
+  }
+
+  /** Catalog identity of one side of an edge: the canonicalized plan of
+    * the key projection (embeds both the source subtree and the key). */
+  private def sideKey(df: DataFrame, k: Column): AnyRef =
+    df.select(k).queryExecution.analyzed.canonicalized
+  private def edgeKey(a: DataFrame, ka: Column, b: DataFrame, kb: Column): AnyRef =
+    ("edge", sideKey(a, ka), sideKey(b, kb))
+  private def countKey(t: DataFrame): AnyRef =
+    ("count", t.queryExecution.analyzed.canonicalized)
+
   /** min over the 4 CMS rows of Σ_col ca·cb — the one-sided
     * |A ⋈_key B| overestimate (see q204's derivation). One row, one
     * BIGINT column `est`. `fast=false` is the gated md5 construction
@@ -377,29 +430,58 @@ object SketchPlanner {
 
   /** Decide the merge order for `tables(0) ⋈ … ⋈ tables(n-1)` with
     * `keys(i)` joining tables i and i+1 (shared column names, the
-    * planThreeWay convention). ONE bounded collect: all edge estimates
-    * and table counts union into a single (2n−1)-row frame read on the
-    * driver — the AQE runtime-stats shape, same budget discipline as
-    * decideThreeWay. Greedy state lives in plain Scala: segment
+    * planThreeWay convention). AT MOST ONE bounded collect: the edge
+    * estimates and table counts not already in [[SketchCatalog]] union
+    * into a single (≤2n−1)-row frame read on the driver — the AQE
+    * runtime-stats shape, same budget discipline as decideThreeWay —
+    * and a fully-warm catalog means ZERO scans and zero collects.
+    * Greedy state lives in plain Scala: segment
     * cardinalities multiply through the sketch selectivities, ties
     * break on the lower edge index (deterministic; the q217 gated
     * decision table replicates the same arithmetic in-plan against the
     * DuckDB oracle). */
   def decideChain(tables: Seq[DataFrame], keys: Seq[String],
+      bcastRows: Long = broadcastRowThreshold): Seq[ChainStep] =
+    decideChainCols(tables, keys.map(k => (col(k), col(k))), bcastRows)
+
+  /** [[decideChain]]'s core with per-edge (left key, right key) COLUMNS
+    * instead of shared names — what [[graft.plans.RewriteChainJoin]]
+    * needs, since a plan-extracted chain joins on attributes whose
+    * names differ per table (c_custkey = o_custkey). */
+  private[graft] def decideChainCols(tables: Seq[DataFrame],
+      edgeCols: Seq[(Column, Column)],
       bcastRows: Long = broadcastRowThreshold): Seq[ChainStep] = {
-    require(tables.size >= 2 && keys.size == tables.size - 1,
-      s"chain needs n tables and n-1 keys, got ${tables.size}/${keys.size}")
-    val parts =
-      keys.zipWithIndex.map { case (k, i) =>
-        estPair(tables(i), col(k), tables(i + 1), col(k), fast = true)
-          .select(lit(s"e$i").as("id"), col("est"))
+    require(tables.size >= 2 && edgeCols.size == tables.size - 1,
+      s"chain needs n tables and n-1 keys, got ${tables.size}/${edgeCols.size}")
+    val s = tables.head.sparkSession
+    val useCatalog = s.conf.getOption("spark.graft.planner.sketchCache")
+      .forall(_.toBoolean) // default ON — see SketchCatalog's contract
+    // (id, catalog key, estimator frame) per needed statistic
+    val wanted: Seq[(String, AnyRef, () => DataFrame)] =
+      edgeCols.zipWithIndex.map { case ((lk, rk), i) =>
+        (s"e$i", edgeKey(tables(i), lk, tables(i + 1), rk), () =>
+          estPair(tables(i), lk, tables(i + 1), rk, fast = true)
+            .select(lit(s"e$i").as("id"), col("est")))
       } ++ tables.zipWithIndex.map { case (t, i) =>
-        t.agg(count(lit(1)).as("est")).select(lit(s"n$i").as("id"), col("est"))
+        (s"n$i", countKey(t), () =>
+          t.agg(count(lit(1)).as("est")).select(lit(s"n$i").as("id"), col("est")))
       }
-    val stats = parts.reduce(_ unionByName _)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cached: Map[String, Long] =
+      if (!useCatalog) Map.empty
+      else wanted.flatMap { case (id, ck, _) =>
+        SketchCatalog.lookup(s, ck).map(id -> _)
+      }.toMap
+    val missing = wanted.filterNot { case (id, _, _) => cached.contains(id) }
+    val fresh: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else missing.map(_._3()).reduce(_ unionByName _)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (useCatalog) missing.foreach { case (id, ck, _) =>
+      SketchCatalog.store(s, ck, fresh(id))
+    }
+    val stats = cached ++ fresh
     val n = tables.indices.map(i => stats(s"n$i").toDouble)
-    val sel = keys.indices.map(i =>
+    val sel = edgeCols.indices.map(i =>
       stats(s"e$i").toDouble / math.max(1.0, n(i) * n(i + 1)))
     // segments (loTable, hiTable, estCard); edge between adjacent
     // segments l and r is keys(l.hiTable)

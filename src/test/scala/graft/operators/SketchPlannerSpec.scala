@@ -266,6 +266,39 @@ class SketchPlannerSpec extends SparkSpec {
     }
   }
 
+  test("sketch catalog: a warm second decideChain runs ZERO jobs and returns the same steps") {
+    def jobCount = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    SketchPlanner.SketchCatalog.clear()
+    val (tables, keys) = chainFixture
+    val before = jobCount
+    val cold = SketchPlanner.decideChain(tables, keys)
+    val afterCold = jobCount
+    assert(afterCold > before, "cold decision must scan")
+    val warm = SketchPlanner.decideChain(tables, keys)
+    assert(jobCount === afterCold,
+      "warm decision over the same frames must add ZERO table scans")
+    assert(warm === cold)
+    // independently-constructed but canonically-equal frames also hit
+    val (tables2, keys2) = chainFixture
+    val warm2 = SketchPlanner.decideChain(tables2, keys2)
+    assert(jobCount === afterCold, "canonically-equal frames must hit the catalog")
+    assert(warm2 === cold)
+  }
+
+  test("sketch catalog: spark.graft.planner.sketchCache=false re-prices every call") {
+    def jobCount = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    spark.conf.set("spark.graft.planner.sketchCache", "false")
+    try {
+      val (tables, keys) = chainFixture
+      val c0 = jobCount
+      SketchPlanner.decideChain(tables, keys)
+      val c1 = jobCount
+      assert(c1 > c0)
+      SketchPlanner.decideChain(tables, keys)
+      assert(jobCount > c1, "with the catalog off, the second call must re-scan")
+    } finally spark.conf.unset("spark.graft.planner.sketchCache")
+  }
+
   test("chain decision prices the ACTUAL filtered frame, not any catalog: a filter flips the order") {
     // the planner's no-catalog selling point (q211): a mid-pipeline
     // filter changes a frame's distribution and the decision must
