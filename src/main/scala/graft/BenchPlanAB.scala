@@ -129,22 +129,47 @@ object BenchPlanAB {
     val cg = chainAgg(ruled)
     require(cg == chainAgg(SketchPlanner.chainLeftToRight(chain, keys)),
       "chain arm mismatch")
+    // the AUTOMATIC rule (round-14): optimizer rewrite of the plain
+    // left-to-right query must land on the same plan as buildChain
+    spark.conf.set(graft.plans.RewriteChainJoin.FLAG, "true")
+    val auto = SketchPlanner.chainLeftToRight(chain, keys)
+    require(auto.queryExecution.optimizedPlan.canonicalized ==
+      manual.select(auto.columns.toSeq.map(col): _*)
+        .queryExecution.optimizedPlan.canonicalized,
+      "automatic RewriteChainJoin plan differs from the hand-built best order")
+    spark.conf.unset(graft.plans.RewriteChainJoin.FLAG)
+
     val chainResults = (1 to reps).map { i =>
-      val plan = time(() => SketchPlanner.decideChain(chain, keys))
+      // plan-cold re-prices every (table, key); plan-warm hits the
+      // session sketch catalog (zero scans) — the cross-decision
+      // amortization arm
+      SketchPlanner.SketchCatalog.clear()
+      val planCold = time(() => SketchPlanner.decideChain(chain, keys))
+      val planWarm = time(() => SketchPlanner.decideChain(chain, keys))
       def ruleArm() = time(() => sink(SketchPlanner.buildChain(chain, keys, steps)))
       def manualArm() = time(() => sink(manual))
       def ltrArm() = time(() => sink(SketchPlanner.chainLeftToRight(chain, keys)))
-      val (r, m, l) =
-        if (i % 2 == 0) { val l0 = ltrArm(); val m0 = manualArm(); (ruleArm(), m0, l0) }
-        else { val r0 = ruleArm(); val m0 = manualArm(); (r0, m0, ltrArm()) }
-      println(f"[plan-ab] chain rep $i: plan $plan%.3f s, rule $r%.3f s, " +
-        f"manual $m%.3f s, left-to-right $l%.3f s")
-      (plan, r, m, l)
+      def autoArm() = time { () =>
+        spark.conf.set(graft.plans.RewriteChainJoin.FLAG, "true")
+        try sink(SketchPlanner.chainLeftToRight(chain, keys))
+        finally spark.conf.unset(graft.plans.RewriteChainJoin.FLAG)
+      }
+      val (r, m, l, u) =
+        if (i % 2 == 0) {
+          val l0 = ltrArm(); val m0 = manualArm(); val u0 = autoArm()
+          (ruleArm(), m0, l0, u0)
+        } else { val r0 = ruleArm(); val m0 = manualArm(); (r0, m0, ltrArm(), autoArm()) }
+      println(f"[plan-ab] chain rep $i: plan-cold $planCold%.3f s, " +
+        f"plan-warm $planWarm%.3f s, rule $r%.3f s, " +
+        f"manual $m%.3f s, auto-rule $u%.3f s, left-to-right $l%.3f s")
+      (planCold, planWarm, r, m, l, u)
     }
-    println(f"[plan-ab] chain rows=$rows MEDIAN plan ${med(chainResults.map(_._1))}%.3f s, " +
-      f"rule ${med(chainResults.map(_._2))}%.3f s, " +
-      f"manual ${med(chainResults.map(_._3))}%.3f s, " +
-      f"left-to-right ${med(chainResults.map(_._4))}%.3f s")
+    println(f"[plan-ab] chain rows=$rows MEDIAN plan-cold ${med(chainResults.map(_._1))}%.3f s, " +
+      f"plan-warm ${med(chainResults.map(_._2))}%.3f s, " +
+      f"rule ${med(chainResults.map(_._3))}%.3f s, " +
+      f"manual ${med(chainResults.map(_._4))}%.3f s, " +
+      f"auto-rule ${med(chainResults.map(_._6))}%.3f s, " +
+      f"left-to-right ${med(chainResults.map(_._5))}%.3f s")
     spark.stop()
   }
 }

@@ -1,0 +1,249 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Filter, HintInfo, Join, JoinHint, LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+
+import graft.operators.SketchPlanner
+import graft.operators.SketchPlanner.ChainStep
+
+/** AUTOMATIC sketch-driven join-chain reorder — the round-13 verdict's
+  * "engine-behavior" close of the planner arc: `SketchPlanner.planChain`
+  * prices and builds the right join tree, but a user had to CALL it;
+  * this optimizer [[Rule]] (the [[RewriteWindowTopK]] registration
+  * pattern: `extraOptimizations`, strictly opt-in) detects a left-deep
+  * LINEAR equi-join chain over base relations in the logical plan,
+  * prices its edges from per-side CMS sketches, and rebuilds the tree
+  * in [[SketchPlanner.decideChain]]'s greedy order with broadcast hints
+  * — so an existing `a.join(b, "k1").join(c, "k2").join(d, "k3")` query
+  * gets the reorder for free.
+  *
+  * Opt-in and cost model: the rule fires only when
+  * `spark.graft.chainReorder.enabled` is true (default FALSE — no gated
+  * query's plan changes unless a session asks). When it fires, pricing
+  * EXECUTES bounded sketch jobs during optimization — deliberate, the
+  * same execute-inside-planning shape as AQE's runtime stats and
+  * dynamic partition pruning's subquery, costing one counting scan per
+  * (table, key) whose shuffle payload is the constant-size sketch; the
+  * session-level [[SketchPlanner.SketchCatalog]] makes repeat decisions
+  * over the same corpus free. A reentrancy guard keeps the rule from
+  * pricing its own sketch queries.
+  *
+  * Conservative matching, in the RewriteWindowTopK tradition:
+  *   - INNER joins only, single `EqualTo` between attributes, no
+  *     existing join hints (never fight an explicit user hint);
+  *   - every chain side must be a base relation — a leaf, optionally
+  *     under deterministic Project/Filter (the subtrees are re-executed
+  *     for sketching, so they must be cheap scans and deterministic);
+  *   - the chain must be LINEAR: join i's chain-side key comes from
+  *     table i, not an earlier one (a star/snowflake fact joining many
+  *     dims is a different search space than decideChain's greedy);
+  *   - ≥ 3 tables (a 2-table "chain" has nothing to reorder).
+  *
+  * Safety: inner-join reorder with unchanged conditions is semantics-
+  * preserving; a `Project(original output, ...)` on top restores the
+  * exact attribute order so any parent (positional consumers included)
+  * is untouched. Attribute-only Projects BETWEEN spine joins (using-
+  * join key drops) are seen through and not rebuilt — every attribute
+  * they pruned is re-pruned by the top Project, and downstream
+  * EnsureRequirements/AQE never see a semantic difference
+  * (ChainReorderSpec pins result equality and the rewritten plan's
+  * canonical equality with `buildChain`'s).
+  *
+  * Fixpoint: `extraOptimizations` is a fixedPoint batch, so the rule
+  * tags every join it has priced ([[RewriteChainJoin.PRICED]]) and
+  * skips tagged nodes — one pricing per chain per optimization, and a
+  * left-to-right decision with no hints returns the node unchanged.
+  */
+object RewriteChainJoin extends Rule[LogicalPlan] {
+
+  val FLAG = "spark.graft.chainReorder.enabled"
+
+  /** Set on a Join this rule has already priced (or produced). */
+  private[plans] val PRICED = TreeNodeTag[Boolean]("graft.chain.priced")
+
+  /** True while the rule's own sketch queries are being planned on this
+    * thread — they must not be priced recursively. */
+  private val pricing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** tables(i) ⋈ tables(i+1) on conds(i) = (attr of table i, attr of
+    * table i+1) — the decideChain convention extracted from a plan. */
+  private case class Chain(tables: Vector[LogicalPlan],
+                           conds: Vector[(Attribute, Attribute)])
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val session = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).orNull
+    if (session == null || pricing.get() ||
+        !session.conf.get(FLAG, "false").toBoolean) plan
+    else rewrite(session, plan)
+  }
+
+  /** Top-down manual recursion: rewrite the OUTERMOST chain whole and do
+    * not descend into its replacement (its children are base relations).
+    * The preferred anchor is the `Project(pl, join)` PAIR — the analyzer
+    * always leaves such a projection over a using-join chain and the
+    * optimizer's top user projection survives above it — because the
+    * Project tells us exactly which attributes the world above needs, so
+    * the rebuilt tree prunes like the original (no duplicate join keys
+    * riding to the top). A bare Join anchor (positional or expression
+    * parents) gets the conservative form: keep everything, restore the
+    * exact output order with a Project. */
+  private def rewrite(s: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan match {
+      case p @ Project(pl, j: Join) if j.getTagValue(PRICED).isEmpty =>
+        extract(j) match {
+          case Some(ch) if ch.tables.size >= 3 =>
+            reorder(s, j, ch, AttributeSet(pl.flatMap(_.references)))
+              .map(Project(pl, _)).getOrElse(p)
+          case _ =>
+            j.setTagValue(PRICED, true)
+            p.mapChildren(rewrite(s, _))
+        }
+      case j: Join if j.getTagValue(PRICED).isEmpty =>
+        extract(j) match {
+          case Some(ch) if ch.tables.size >= 3 =>
+            reorder(s, j, ch, j.outputSet)
+              // restore the original attribute order for positional parents
+              .map(Project(j.output, _)).getOrElse(j)
+          case _ =>
+            j.setTagValue(PRICED, true) // not a chain now, not one later
+            j.mapChildren(rewrite(s, _))
+        }
+      case other => other.mapChildren(rewrite(s, _))
+    }
+
+  /** Price and rebuild; None when the decision IS the existing plan. */
+  private def reorder(s: SparkSession, j: Join, ch: Chain,
+      needed: AttributeSet): Option[LogicalPlan] = {
+    j.setTagValue(PRICED, true)
+    val steps = price(s, ch)
+    val leftToRightNoHints = ch.conds.indices.map(i =>
+      ChainStep(i, bcastLeft = false, bcastRight = false))
+    if (steps == leftToRightNoHints) None // the plan is already the decision
+    else {
+      val rebuilt = build(ch, steps, needed)
+      rebuilt.foreach {
+        case nj: Join => nj.setTagValue(PRICED, true)
+        case _ =>
+      }
+      Some(rebuilt)
+    }
+  }
+
+  /** Attribute-only Projects between spine joins (using-join key drops /
+    * pruning) are transparent for extraction; the sides they fed keep
+    * their own subtrees verbatim. */
+  private def stripSpineProjects(p: LogicalPlan): LogicalPlan = p match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripSpineProjects(child)
+    case other => other
+  }
+
+  /** A chain side we are willing to (a) treat as a unit and (b) re-scan
+    * for sketching: a leaf under deterministic Project/Filter only. */
+  private def isBaseRelation(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    case Project(pl, c) if pl.forall(_.deterministic) => isBaseRelation(c)
+    case Filter(cond, c) if cond.deterministic => isBaseRelation(c)
+    case _ => false
+  }
+
+  private def extract(plan: LogicalPlan): Option[Chain] = plan match {
+    case Join(l, r, Inner, Some(cond), hint) if hint == JoinHint.NONE &&
+        isBaseRelation(r) =>
+      val base: Option[Chain] = stripSpineProjects(l) match {
+        case inner: Join => extract(inner)
+        case _ if isBaseRelation(l) => Some(Chain(Vector(l), Vector.empty))
+        case _ => None
+      }
+      for {
+        ch <- base
+        oriented <- orient(cond, ch, r)
+        // LINEAR: the chain-side key must come from the LAST table
+        if ch.tables.last.outputSet.contains(oriented._1)
+      } yield Chain(ch.tables :+ r, ch.conds :+ oriented)
+    case _ => None
+  }
+
+  /** Normalize an equi-condition to (chain-side attr, new-table attr). */
+  private def orient(cond: Expression, ch: Chain,
+      r: LogicalPlan): Option[(Attribute, Attribute)] = cond match {
+    case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      def inChain(x: Attribute) = ch.tables.exists(_.outputSet.contains(x))
+      if (inChain(a) && r.outputSet.contains(b)) Some((a, b))
+      else if (inChain(b) && r.outputSet.contains(a)) Some((b, a))
+      else None
+    case _ => None
+  }
+
+  /** Price the chain's edges — decideChain over DataFrames wrapped from
+    * the extracted subtrees, reentrancy-guarded. */
+  private def price(s: SparkSession, ch: Chain): Seq[ChainStep] = {
+    pricing.set(true)
+    try {
+      val frames = ch.tables.map(t => GraftSqlBridge.ofRows(s, t))
+      val edgeCols = ch.conds.map { case (ca, ra) =>
+        (GraftSqlBridge.column(ca), GraftSqlBridge.column(ra))
+      }
+      SketchPlanner.decideChainCols(frames, edgeCols)
+    } finally pricing.set(false)
+  }
+
+  /** buildChain's segment-patching merge, emitting logical Joins with
+    * the ORIGINAL conditions and broadcast hints from the decision.
+    * Every NON-FINAL merge is topped with a using-join-ordered Project
+    * ([key, left others, right others]) FILTERED to the attributes the
+    * world above still needs (`needed` from the anchor + every
+    * not-yet-merged edge condition) — exactly the plan the analyzer's
+    * using-join projection plus the optimizer's ColumnPruning produce
+    * for `buildChain`, which is what makes the rewritten plan
+    * canonicalize equal to it and keeps intermediate joins from
+    * shipping duplicate key columns. The final merge stays bare: the
+    * anchor's own Project sits directly above it, as CollapseProject
+    * leaves it in the manual plan. */
+  private def build(ch: Chain, steps: Seq[ChainStep],
+      needed: AttributeSet): LogicalPlan = {
+    var segs = ch.tables.indices.map(i => (i, i, ch.tables(i))).toVector
+    val remaining = scala.collection.mutable.Set(ch.conds.indices: _*)
+    steps.zipWithIndex.foreach { case (st, k) =>
+      val j = segs.indexWhere(_._2 == st.edge)
+      require(j >= 0 && j < segs.size - 1, s"step $st does not fit $segs")
+      remaining -= st.edge
+      val (l, r) = (segs(j), segs(j + 1))
+      val (ca, ra) = ch.conds(st.edge)
+      val hint = JoinHint(
+        if (st.bcastLeft) Some(HintInfo(strategy = Some(BROADCAST))) else None,
+        if (st.bcastRight) Some(HintInfo(strategy = Some(BROADCAST))) else None)
+      val joined = Join(l._3, r._3, Inner, Some(EqualTo(ca, ra)), hint)
+      val node: LogicalPlan =
+        if (k == steps.size - 1) joined
+        else {
+          val keep = needed ++ AttributeSet(
+            remaining.toSeq.flatMap(i => Seq(ch.conds(i)._1, ch.conds(i)._2)))
+          val out = (ca +: (l._3.output.filterNot(_.exprId == ca.exprId) ++
+            r._3.output.filterNot(_.exprId == ra.exprId)))
+            .filter(keep.contains)
+          Project(out, joined)
+        }
+      segs = segs.patch(j, Vector((l._1, r._2, node)), 2)
+    }
+    segs.head._3
+  }
+}
+
+object ChainReorderExtension {
+  /** Idempotently registers the rule (the GroupTopKExtension seam). The
+    * rule itself stays inert until `spark.graft.chainReorder.enabled`
+    * is set true on the session. */
+  def install(spark: SparkSession): Unit = synchronized {
+    val e = spark.experimental
+    if (!e.extraOptimizations.contains(RewriteChainJoin))
+      e.extraOptimizations = e.extraOptimizations :+ RewriteChainJoin
+  }
+}

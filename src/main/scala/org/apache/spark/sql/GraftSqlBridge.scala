@@ -12,4 +12,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap a resolved catalyst [[Expression]] as a user-facing [[Column]]
+    * (the inverse seam: plan-extracted attributes fed back through the
+    * public DataFrame API, e.g. the chain-reorder rule pricing a join
+    * key it pulled out of an optimized plan). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

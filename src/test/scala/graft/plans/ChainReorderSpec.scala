@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SketchPlanner
+
+/** The automatic sketch-driven chain reorder: opt-in inertness, the
+  * canonical-equality pin against buildChain (the round-13 verdict's
+  * "done" bar), end-to-end result invariance, and the conservative
+  * non-matches (star shapes, hinted joins). */
+class ChainReorderSpec extends SparkSpec {
+
+  ChainReorderExtension.install(spark)
+
+  /** SketchPlannerSpec's decisive 4-table chain: e0 cheap 1:1, e1
+    * explosive (40 hot keys × 50 each side), e2 a 100-row dim. Greedy:
+    * e2 → e0 → e1, with broadcast hints on the small sides. */
+  private def chainFixture = {
+    val t0 = spark.range(2000).select(col("id").as("k0"), lit(1L).as("v0"))
+    val t1 = spark.range(2000).select(col("id").as("k0"),
+      pmod(col("id"), lit(40)).as("k1"), lit(2L).as("v1"))
+    val t2 = spark.range(2000).select(pmod(col("id"), lit(40)).as("k1"),
+      col("id").as("k2"), lit(3L).as("v2"))
+    val t3 = spark.range(100).select(col("id").as("k2"), lit(4L).as("v3"))
+    (Seq(t0, t1, t2, t3), Seq("k0", "k1", "k2"))
+  }
+
+  private def leftToRight(tables: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    tables.tail.zip(keys).foldLeft(tables.head) { case (acc, (t, k)) =>
+      acc.join(t, k)
+    }
+
+  private def withFlag[T](body: => T): T = {
+    spark.conf.set(RewriteChainJoin.FLAG, "true")
+    try body finally spark.conf.unset(RewriteChainJoin.FLAG)
+  }
+
+  private def multiset(df: DataFrame, cols: Seq[String]): Map[Seq[Any], Int] =
+    df.select(cols.map(col): _*).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+  test("flag off (default): the rule is inert — same plan instance back") {
+    val (tables, keys) = chainFixture
+    val opt = leftToRight(tables, keys).queryExecution.optimizedPlan
+    assert(RewriteChainJoin(opt) eq opt)
+  }
+
+  test("rule-rewritten plan canonicalizes equal to buildChain's on the 4-table fixture") {
+    val (tables, keys) = chainFixture
+    val chainDf = leftToRight(tables, keys)
+    val opt = chainDf.queryExecution.optimizedPlan
+    val rewritten = withFlag { RewriteChainJoin(opt) }
+    assert(rewritten.canonicalized !== opt.canonicalized,
+      "the fixture's best order is not left-to-right; the rule must rewrite")
+    val steps = SketchPlanner.decideChain(tables, keys)
+    val manual = SketchPlanner.buildChain(tables, keys, steps)
+      .select(chainDf.columns.toSeq.map(col): _*)
+    // the rule's DIRECT output (no re-optimization pass) must already be
+    // the plan buildChain + the full optimizer produce — intermediate
+    // projection pruning included
+    assert(rewritten.canonicalized ===
+      manual.queryExecution.optimizedPlan.canonicalized,
+      s"\nrule:\n$rewritten\nmanual:\n${manual.queryExecution.optimizedPlan}")
+    // and the results are identical
+    val cols = chainDf.columns.toSeq
+    assert(multiset(GraftSqlBridge.ofRows(spark, rewritten), cols) ===
+      multiset(manual, cols))
+  }
+
+  test("end-to-end with the flag on: results unchanged, broadcast hints land") {
+    val (tables, keys) = chainFixture
+    val cols = Seq("k0", "k1", "k2", "v0", "v1", "v2", "v3")
+    val off = multiset(leftToRight(tables, keys), cols)
+    withFlag {
+      val on = leftToRight(tables, keys)
+      assert(multiset(on, cols) === off)
+      val hinted = on.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint != JoinHint.NONE => j
+      }
+      assert(hinted.nonEmpty, "decideChain's broadcast hints must reach the plan:\n" +
+        on.queryExecution.optimizedPlan)
+    }
+  }
+
+  test("star shape (both keys from the fact table) is not a linear chain — untouched") {
+    val fact = spark.range(1000).select(col("id").as("a"),
+      pmod(col("id"), lit(10)).as("b"), col("id").as("fv"))
+    val d1 = spark.range(100).select(col("id").as("a"), lit(1L).as("d1v"))
+    val d2 = spark.range(10).select(col("id").as("b"), lit(2L).as("d2v"))
+    val opt = fact.join(d1, "a").join(d2, "b").queryExecution.optimizedPlan
+    val rw = withFlag { RewriteChainJoin(opt) }
+    assert(rw.canonicalized === opt.canonicalized)
+  }
+
+  test("an existing user hint anywhere on the spine vetoes the rewrite") {
+    val (tables, keys) = chainFixture
+    val hintedChain = tables.head.join(broadcast(tables(1)), keys.head)
+      .join(tables(2), keys(1)).join(tables(3), keys(2))
+    val opt = hintedChain.queryExecution.optimizedPlan
+    val rw = withFlag { RewriteChainJoin(opt) }
+    assert(rw.canonicalized === opt.canonicalized)
+  }
+
+  test("gated queries are output-invariant under the flag") {
+    val d = sf("sf0.001")
+    for (name <- Seq("q05_local_supplier", "q03_top_revenue")) {
+      val q = graft.SparkEntry.queries(name)
+      val off = q(spark, d).collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val on = withFlag {
+        q(spark, d).collect().map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.length).toMap
+      }
+      assert(on === off, name)
+    }
+  }
+}
