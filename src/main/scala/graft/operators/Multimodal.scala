@@ -155,8 +155,132 @@ object Multimodal {
       |  CAST(least(len, n * chunk) AS BIGINT) AS total_bytes
       |FROM f""".stripMargin
 
+  /** ===== Payload fingerprint + Hamming-banded near-dup (round-14) ===== */
+
+  /** Fingerprint bits: 60 (not 64) for the same md5-portability reason
+    * as Dedup.simhashBits — the per-gram hash is the leading 15 hex
+    * chars of md5, replicable bit-for-bit in DuckDB. */
+  val fpBits = 60
+
+  /** Byte-gram sampling: 8-byte grams at a 4-byte stride. Stride 4 cuts
+    * the gram volume 4× vs stride 1; the price is ALIGNMENT sensitivity
+    * — an unaligned byte insertion shifts every later gram, so
+    * insertion-heavy edits look distant. That is the honest contract of
+    * fixed-stride payload fingerprinting (content-defined chunking is
+    * the insertion-robust alternative): the near-dup classes it is
+    * built for — identical payloads, in-place edits (metadata tweaks,
+    * bit rot), truncations, aligned splices — all preserve gram
+    * alignment and land within small Hamming distance. */
+  private val gramBytes = 8
+  private val strideBytes = 4
+
+  /** SimHash-style 60-bit fingerprint over the raw PAYLOAD BYTES of the
+    * binary column — no decode, so it works on any media kind: the
+    * payload's hex rendering is sampled into 8-byte grams ([[gramBytes]]
+    * at [[strideBytes]]), each gram votes ±1 per bit of its md5-derived
+    * 60-bit hash, fingerprint bit b = 1 iff the vote sum is positive
+    * (the q31 construction, `Dedup.scala`, applied to bytes instead of
+    * tokens). Unlike q31's token simhash this sees EVERYTHING in the
+    * payload — case, whitespace, headers — which is exactly right for
+    * "same bytes, small edits" media dedup. Payloads shorter than one
+    * gram produce no fingerprint row (the q31 no-tokens convention).
+    *
+    * Scale shape: bytes/4 grams per record, hashed once; the 60
+    * bit-votes are codegen'd SUM aggregates that fold map-side (the
+    * partial-agg shape) — per-record state is 60 longs regardless of
+    * payload size, and nothing is ever corpus×corpus. */
+  def payloadFingerprints(docs: DataFrame): DataFrame = {
+    val hexed = docs.select(col("doc_id"),
+      hex(to_binary(col("text"), lit("utf-8"))).as("hx"))
+    // hex coordinates: gram = 16 chars, stride = 8 chars
+    val grams = hexed
+      .filter(length(col("hx")) >= gramBytes * 2)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST((length(hx) - ${gramBytes * 2}) " +
+          s"div ${strideBytes * 2} AS INT)), " +
+          s"i -> substring(hx, i * ${strideBytes * 2} + 1, ${gramBytes * 2}))"))
+        .as("g"))
+    val hashed = grams.select(col("doc_id"),
+      conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until fpBits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$b")
+    }
+    hashed.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until fpBits).map { b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("fp"))
+  }
+
+  /** Hamming-radius-3 near-dup pairs over (doc_id, fp) fingerprints via
+    * the q158 pigeonhole multi-index (`Dedup.scala:1305`): 4 bands × 15
+    * bits — a pair within distance 3 differs in ≤3 bands so it shares
+    * ≥1 band verbatim; candidates come ONLY from band-bucket equality
+    * (full recall at radius 3 by construction, never all-pairs), exact
+    * `bit_count(xor)` verifies. Same scale shape as q158: fingerprints
+    * checkpointed once for the two self-join consumers, 4× band
+    * fan-out, bucket equi-join, DISTINCT collapses multi-band hits;
+    * bucket skew is bounded by true near-dup cluster sizes (q21's
+    * bucket-cap machinery applies verbatim if clusters blow up). */
+  def fingerprintPairs(fps: DataFrame, radius: Int = 3): DataFrame = {
+    val sig = fps.repartition(col("doc_id")).localCheckpoint(false)
+    val bands = sig.select(col("doc_id"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), b * 15).bitwiseAND(lit(0x7FFFL))
+            .as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("fp"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    bands.as("a")
+      .join(bands.as("b").hint("SHUFFLE_HASH"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
+  /** The gated composition: fingerprint every document's payload bytes,
+    * then the banded Hamming join — the media-column counterpart of the
+    * q31→q158 text arc. Exact text duplicates (the corpus plants them;
+    * q20 finds 47 clusters) have identical payloads → Hamming 0, so the
+    * pair set is non-trivially populated at every SF. */
+  def q226MediaNeardup(s: SparkSession, d: String): DataFrame =
+    fingerprintPairs(payloadFingerprints(Tables.documents(s, d)))
+
+  val q226Sql: String = {
+    val voteCols = (0 until fpBits)
+      .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS v$b").mkString(", ")
+    val bits = (0 until fpBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH hx AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(0, (length(hx) - ${gramBytes * 2}) // ${strideBytes * 2}),
+       |    i -> substr(hx, i * ${strideBytes * 2} + 1, ${gramBytes * 2}))) AS g
+       |  FROM hx WHERE length(hx) >= ${gramBytes * 2}),
+       |h AS (SELECT doc_id,
+       |        CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h FROM g),
+       |v AS (SELECT doc_id, $voteCols FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($bits AS BIGINT) AS fp FROM v),
+       |bands AS (
+       |  SELECT doc_id, fp, gb.band, (fp >> (gb.band * 15)) & 32767 AS bv
+       |  FROM fp CROSS JOIN
+       |    (SELECT CAST(range AS INTEGER) AS band FROM range(4)) gb),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+  }
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q29_multimodal_meta" -> (q29MultimodalMeta _, q29Sql),
     "q172_frame_manifest" -> (q172FrameManifest _, q172Sql),
+    "q226_media_neardup" -> (q226MediaNeardup _, q226Sql),
   )
 }

@@ -68,4 +68,65 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(media.count() === 6)
   }
+
+  // ── payload fingerprint + Hamming-banded near-dup ────────────────────
+
+  /** Deterministic "payload" corpus for the recall pin: a 4096-char base
+    * drawn from a seeded RNG, near-dups made by IN-PLACE character
+    * edits (the alignment-preserving edit class the stride-4 gram
+    * sampling is built for), plus unrelated payloads from other seeds.
+    * Radius 3 on a 60-bit simhash is a VERY-near-dup regime: each edit
+    * perturbs 2 of ~1023 grams, so a handful of edits (or a ~2%
+    * truncation) moves a few bits while unrelated payloads sit at the
+    * ~30-bit random baseline — the separation the pin asserts. */
+  private def seededPayloads() = {
+    def randText(seed: Long, n: Int): String = {
+      val rng = new scala.util.Random(seed)
+      val sb = new StringBuilder
+      (0 until n).foreach(_ => sb += (33 + rng.nextInt(94)).toChar)
+      sb.toString
+    }
+    val base = randText(7L, 4096)
+    def edited(nEdits: Int, seed: Long): String = {
+      val rng = new scala.util.Random(seed)
+      val arr = base.toCharArray
+      (0 until nEdits).foreach { _ =>
+        arr(rng.nextInt(arr.length)) = (33 + rng.nextInt(94)).toChar
+      }
+      new String(arr)
+    }
+    Seq(
+      (0L, base),              // anchor
+      (1L, base),              // exact duplicate → hamming 0
+      (2L, edited(2, 11L)),    // 2 in-place edits → near-dup
+      (3L, edited(4, 13L)),    // 4 in-place edits → near-dup
+      (4L, randText(99L, 4096)),  // unrelated
+      (5L, randText(123L, 4096)), // unrelated
+      (6L, base.take(4000))    // aligned ~2% truncation → near-dup
+    ).toDF("doc_id", "text")
+  }
+
+  test("payload fingerprint: exact dup at hamming 0; in-place edits and truncation within radius; unrelated payloads outside") {
+    val pairs = Multimodal.fingerprintPairs(
+        Multimodal.payloadFingerprints(seededPayloads()))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.get((0L, 1L)) === Some(0L), s"exact dup must be hamming 0: $pairs")
+    assert(pairs.contains((0L, 2L)), s"2-edit near-dup missed: $pairs")
+    assert(pairs.contains((0L, 3L)), s"4-edit near-dup missed: $pairs")
+    assert(pairs.contains((0L, 6L)), s"aligned truncation missed: $pairs")
+    // unrelated payloads never pair with the anchor family
+    assert(!pairs.keys.exists { case (a, b) => a >= 4L && a <= 5L || b >= 4L && b <= 5L },
+      s"unrelated payload paired: $pairs")
+  }
+
+  test("payload fingerprints are deterministic and 60-bit") {
+    val fps = Multimodal.payloadFingerprints(seededPayloads())
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val again = Multimodal.payloadFingerprints(seededPayloads())
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fps.toSeq === again.toSeq)
+    assert(fps.forall { case (_, fp) => fp >= 0L && fp < (1L << 60) })
+    // identical payloads → identical fingerprints
+    assert(fps(0)._2 === fps(1)._2)
+  }
 }
