@@ -525,7 +525,7 @@ object Storage {
     * stats make date predicates skippable (what q213's census priced;
     * [[prunedRead]] is the read path that cashes it in) — then build
     * the zone-map manifest from the fresh footers and PERSIST it next
-    * to the data (`_zonemap.json`). Stats are collected at WRITE time
+    * to the data (`_zonemap/zones-00000.json`). Stats are collected at WRITE time
     * and read back in O(1) at plan time, the Delta/Iceberg split:
     * measured locally, re-reading 64 footers per query cost more than
     * the full scan it saved at sf0.1 (BenchPruneAB's first cut), while
@@ -540,14 +540,16 @@ object Storage {
   }
 
   /** APPEND a new batch of `nFiles` clustered files to an existing
-    * layout and update `_zonemap.json` INCREMENTALLY — only the new
-    * files' footers are read (prior zones carry over verbatim), which
-    * is the commit discipline that keeps manifest maintenance O(new
-    * files) while the table grows to millions of files: exactly how a
-    * Delta/Iceberg append commit adds file stats without restating the
-    * table. The merged manifest is re-sorted by path so it stays
-    * byte-identical to a from-scratch rebuild (StorageSpec pins that
-    * equality, and q219 gates a probe spanning both commits). */
+    * layout and COMMIT only the new files' zones: each append writes its
+    * own `zones-<k>.json` under `_zonemap/` from only ITS OWN files'
+    * footers (prior commits are untouched — not even re-read for the
+    * known-set, beyond the listing), the discipline that keeps manifest
+    * maintenance O(new files) while the table grows to millions:
+    * exactly how a Delta/Iceberg append commit adds file stats without
+    * restating the table. [[readManifest]] merges commits sorted by
+    * data-file path, so the merged view is identical to a from-scratch
+    * rebuild (StorageSpec pins that equality, and q219 gates a probe
+    * spanning both commits). */
   def zonemapAppend(df: DataFrame, dateCol: String, nFiles: Int,
       path: String): Unit = {
     val s = df.sparkSession
@@ -556,42 +558,63 @@ object Storage {
       .sortWithinPartitions(col(dateCol))
       .write.mode("append").parquet(path)
     val fresh = footerZones(s, path, dateCol, prior.map(_.path).toSet)
-    writeManifest(s, path, (prior ++ fresh).sortBy(_.path))
+    writeManifest(s, path, fresh.sortBy(_.path))
   }
 
-  private def manifestPath(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "_zonemap.json")
+  /** The manifest lives as a DIRECTORY of per-commit JSON-lines files
+    * (`_zonemap/zones-00000.json`, `zones-00001.json`, …) — the
+    * `_delta_log` shape: the underscore prefix on the DIRECTORY hides
+    * the whole manifest from data scans of the layout, while the
+    * normally-named commit files inside stay readable by every Spark
+    * reader (an underscore-prefixed FILE would be invisible to
+    * [[manifestDf]]'s distributed read too — both Spark SQL's listing
+    * and Hadoop's input filter treat it as hidden). */
+  private def manifestDir(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_zonemap")
 
-  /** Persist a manifest as one JSON-lines file beside the data. Relative
-    * file names: the layout stays valid if the directory moves. */
+  /** Persist one manifest COMMIT as the next `zones-<k>.json` under
+    * `_zonemap/` — only the zones passed in, never a restatement of
+    * prior commits. Relative file names: the layout stays valid if the
+    * directory moves. */
   private def writeManifest(s: SparkSession, dir: String,
       man: Seq[FileZone]): Unit = {
-    val p = manifestPath(dir)
-    val out = p.getFileSystem(s.sessionState.newHadoopConf()).create(p, true)
+    val md = manifestDir(dir)
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(md)
+    val k = fs.listStatus(md).count(_.getPath.getName.endsWith(".json"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(md, f"zones-$k%05d.json"), true)
     try out.write(man.map(z =>
       s"""{"file":"${new org.apache.hadoop.fs.Path(z.path).getName}","lo":${z.lo},"hi":${z.hi}}""")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Read a persisted manifest (absolute paths restored against `dir`);
-    * None when the layout has no `_zonemap.json`. */
+  /** Read a persisted manifest — every commit file merged, sorted by
+    * data-file path (= the from-scratch rebuild's order); absolute
+    * paths restored against `dir`. None when the layout has no
+    * `_zonemap/` directory. */
   def readManifest(s: SparkSession, dir: String): Option[Seq[FileZone]] = {
-    val p = manifestPath(dir)
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
+    val md = manifestDir(dir)
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(md)) None
     else {
-      val in = fs.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
       val re = """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
-      Some(text.linesIterator.filter(_.nonEmpty).map {
-        case re(f, lo, hi) =>
-          FileZone(
-            fs.makeQualified(new org.apache.hadoop.fs.Path(dir, f)).toString,
-            lo.toInt, hi.toInt)
-        case bad => throw new IllegalStateException(s"bad manifest line: $bad")
-      }.toSeq)
+      val zones = fs.listStatus(md).toSeq
+        .filter(_.getPath.getName.endsWith(".json"))
+        .sortBy(_.getPath.getName)
+        .flatMap { f =>
+          val in = fs.open(f.getPath)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          text.linesIterator.filter(_.nonEmpty).map {
+            case re(name, lo, hi) =>
+              FileZone(
+                fs.makeQualified(new org.apache.hadoop.fs.Path(dir, name)).toString,
+                lo.toInt, hi.toInt)
+            case bad => throw new IllegalStateException(s"bad manifest line: $bad")
+          }.toSeq
+        }
+      Some(zones.sortBy(_.path))
     }
   }
 
@@ -673,6 +696,60 @@ object Storage {
       man.size, man.size - survivors.size)
   }
 
+  /** MANIFEST-AS-DATAFRAME pruned read — [[prunedRead]]'s 100 TB form
+    * (round-13 verdict task 4): [[prunedRead]] materializes the WHOLE
+    * manifest driver-side (`Seq[FileZone]`), right at 64 files but O(all
+    * files) at a million-file table. Here the zone predicate is
+    * evaluated DISTRIBUTED over the manifest read as a DataFrame, and
+    * the driver materializes only (a) one 1-row (total, skipped)
+    * aggregate and (b) the SURVIVOR paths — O(files actually read),
+    * which the reader needs on the driver anyway to plan the scan (the
+    * same contract as Delta/Iceberg: plan-time file listing is the
+    * pruned set, never the table). Both collects are inside
+    * PlanAuditSpec's budget for this file. The predicate is re-applied
+    * on survivors — pruning is an optimization, never a filter — so
+    * results equal a full scan by construction (gated: q227 vs the
+    * plain-filter oracle; StorageSpec drives a synthetic 4000-entry
+    * manifest and pins bounded materialization + scan metrics). */
+  def prunedReadScaled(s: SparkSession, dir: String, dateCol: String,
+      lo: String, hi: String): (DataFrame, Long, Long) = {
+    val loD = java.time.LocalDate.parse(lo).toEpochDay.toInt
+    val hiD = java.time.LocalDate.parse(hi).toEpochDay.toInt
+    val man = manifestDf(s, dir)
+    val dead = col("hi") < loD || col("lo") > hiD
+    val stats = man.agg(count(lit(1)).as("total"),
+      coalesce(sum(when(dead, 1L).otherwise(0L)), lit(0L)).as("skipped"))
+      .collect()(0) // 1-row planner scalar (the AQE-stats shape)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val survivors = man.filter(!dead).select(col("file"))
+      .collect() // O(surviving files) — the scan's own plan-time listing
+      .map(r => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(dir, r.getString(0))).toString)
+    val base =
+      if (survivors.isEmpty) s.read.parquet(dir).where(lit(false))
+      else s.read.parquet(survivors.toSeq: _*)
+    (base.filter(col(dateCol).between(lit(lo).cast("date"), lit(hi).cast("date"))),
+      stats.getLong(0), stats.getLong(1))
+  }
+
+  /** The `_zonemap/` commit files as a DataFrame — the
+    * manifest-is-a-table stance (see [[manifestDir]] for why the
+    * directory, not the files, carries the underscore). */
+  def manifestDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // glob INTO the children: Hadoop's hidden-file filter applies to the
+    // final glob matches (zones-*.json — visible names), not to the
+    // underscore ancestor, so this reads what a bare `_zonemap` path
+    // would filter out
+    s.createDataset(s.sparkContext.textFile(
+        new org.apache.hadoop.fs.Path(manifestDir(dir), "zones-*.json").toString))
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+        .fromDDL("file STRING, lo INT, hi INT")).as("z"))
+      .select(col("z.file").as("file"), col("z.lo").as("lo"), col("z.hi").as("hi"))
+      .filter(col("file").isNotNull)
+  }
+
   /** The q213 census CASHED IN as a real read path under the gate: land
     * lineitem's (ship_date, l_quantity) as a 64-file date-clustered
     * layout (built once per session — the q70 amortization stance: a
@@ -685,7 +762,9 @@ object Storage {
     * BASELINE.md (BenchPruneAB); it cannot be oracled here because the
     * range partitioner's sampled file boundaries are not replicable in
     * SQL. Quantity accumulates in DECIMAL (the q70 convention). */
-  def q216PrunedRead(s: SparkSession, d: String): DataFrame = {
+  /** Build (once per session) and return the 64-file ship_date-clustered
+    * lineitem layout q216/q227 probe. */
+  private def q216Layout(s: SparkSession, d: String): String = {
     val dir = scratch(s, "q216_li_shipclustered", d)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
@@ -694,7 +773,12 @@ object Storage {
         lineitem(s, d).select(to_date(col("l_shipdate")).as("ship_date"),
           col("l_quantity")),
         "ship_date", 64, dir)
-    val (probe, _, _) = prunedRead(s, dir, "ship_date", "1997-01-01", "1997-03-31")
+    dir
+  }
+
+  def q216PrunedRead(s: SparkSession, d: String): DataFrame = {
+    val (probe, _, _) = prunedRead(s, q216Layout(s, d), "ship_date",
+      "1997-01-01", "1997-03-31")
     probe.groupBy(month(col("ship_date")).as("mth"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
@@ -719,7 +803,7 @@ object Storage {
     val dir = scratch(s, "q219_li_appended", d)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sessionState.newHadoopConf())
-    if (!fs.exists(manifestPath(dir))) {
+    if (!fs.exists(manifestDir(dir))) {
       val li = lineitem(s, d).select(
         to_date(col("l_shipdate")).as("ship_date"), col("l_quantity"))
       zonemapClusteredWrite(
@@ -745,6 +829,27 @@ object Storage {
       |  AND DATE '1997-02-28'
       |GROUP BY 1, 2""".stripMargin
 
+  /** The SCALED read path under the gate: q216's layout probed for
+    * 1997-Q2 through [[prunedReadScaled]] — the manifest-as-DataFrame
+    * plan — aggregated per month against the same plain-filter oracle
+    * shape as q216. A drop/duplicate anywhere in the distributed zone
+    * filter, survivor listing, or path qualification hash-fails. */
+  def q227ScaledPrune(s: SparkSession, d: String): DataFrame = {
+    val (probe, _, _) = prunedReadScaled(s, q216Layout(s, d), "ship_date",
+      "1997-04-01", "1997-06-30")
+    probe.groupBy(month(col("ship_date")).as("mth"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  val q227Sql: String =
+    """SELECT CAST(month(l_shipdate) AS INT) AS mth, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1997-04-01'
+      |  AND DATE '1997-06-30'
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
@@ -756,5 +861,6 @@ object Storage {
     "q213_zonemap_prune"   -> (q213ZonemapPrune _, q213Sql),
     "q216_pruned_read"     -> (q216PrunedRead _, q216Sql),
     "q219_append_prune"    -> (q219AppendPrune _, q219Sql),
+    "q227_scaled_prune"    -> (q227ScaledPrune _, q227Sql),
   )
 }

@@ -1026,7 +1026,19 @@ class PlanAuditSpec extends SparkSpec {
     //   (Storage.prunedRead's zone-map manifest is driver-side too, but
     //   reads parquet FOOTERS directly — no Dataset materialization, so
     //   no budget entry.)
-    val collectBudget = Map("MRJob.scala" -> 1, "SketchPlanner.scala" -> 3)
+    //   Storage.scala: 2 — prunedReadScaled's 1-row (total, skipped)
+    //     aggregate + its SURVIVOR-path listing: the zone predicate runs
+    //     distributed over the manifest DataFrame and the driver holds
+    //     only the pruned set — the files the scan must list at plan
+    //     time anyway (the Delta/Iceberg planning contract; StorageSpec
+    //     pins bounded materialization on a 4000-entry manifest).
+    //   CurationStream.scala: 3 — buildRefs' frozen-model compile: the
+    //     KN prob table (bigram-type-sized), the eval-gram set
+    //     (held-out-reference-sized), and the 1-row tercile cut — the
+    //     "train the model, broadcast it to scorers" step; model-sized
+    //     reference data, never corpus rows.
+    val collectBudget = Map("MRJob.scala" -> 1, "SketchPlanner.scala" -> 3,
+      "Storage.scala" -> 2, "CurationStream.scala" -> 3)
     val markers = Seq(".collect()", ".toLocalIterator", ".collectAsList")
     val offending = roots.flatMap { r =>
       java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala

@@ -425,6 +425,44 @@ class StorageSpec extends SparkSpec {
     assert(pRow.getLong(0) > 0L)
   }
 
+  test("scaled pruned read: distributed zone filter over a 4000-entry manifest, driver holds only survivors") {
+    val dir = Files.createTempDirectory("graft-zmscaled").toString
+    Storage.zonemapClusteredWrite(
+      Tables.lineitem(spark, sf("sf0.001"))
+        .select(to_date(col("l_shipdate")).as("ship_date"), col("l_quantity")),
+      "ship_date", 8, dir)
+    // grow the manifest to 4000 entries: the 8 real zones plus 3992
+    // synthetic files whose zones sit far outside every real date —
+    // the millions-of-files shape, without writing millions of files.
+    // The fakes land as their own commit file (the zonemapAppend
+    // discipline). A correct scaled reader must (a) evaluate the zone
+    // predicate distributed, (b) materialize only the survivors
+    // driver-side, and (c) never try to open a pruned (nonexistent) file.
+    val fakes = (0 until 3992).map { i =>
+      s"""{"file":"fake-$i.parquet","lo":${90000 + i},"hi":${90000 + i}}"""
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_zonemap", "zones-00001.json"), fakes)
+    val (probe, total, skipped) = Storage.prunedReadScaled(
+      spark, dir, "ship_date", "1997-01-01", "1997-03-31")
+    assert(total === 4000L)
+    assert(skipped >= 3992L, s"every synthetic zone must be skipped, got $skipped")
+    // bounded driver materialization: the survivor set IS the file index
+    assert(probe.inputFiles.length === (total - skipped).toInt)
+    assert(probe.inputFiles.length <= 8)
+    // pruning never changes the answer
+    val fullAns = spark.read.parquet(dir)
+      .filter(col("ship_date").between(lit("1997-01-01").cast("date"),
+        lit("1997-03-31").cast("date")))
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)")))
+      .collect()(0)
+    assert(probe.agg(count(lit(1)),
+      sum(col("l_quantity").cast("decimal(18,2)"))).collect()(0) === fullAns)
+    assert(fullAns.getLong(0) > 0L)
+    // and the DataFrame manifest read sees every entry (schema'd JSON)
+    assert(Storage.manifestDf(spark, dir).count() === 4000L)
+  }
+
   test("zonemap append commit: incremental manifest equals a from-scratch rebuild") {
     val dir = Files.createTempDirectory("graft-zmappend").toString
     val li = Tables.lineitem(spark, sf("sf0.001"))
