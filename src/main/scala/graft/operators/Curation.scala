@@ -976,7 +976,26 @@ object Curation {
     * (quality stats, grams) + q212's scoring pass, one hash-partitioned
     * dedup window, one bounded rank exchange over survivors, boolean
     * joins on doc_id, sources-sized rollup. Nothing corpus×corpus. */
-  def q222CurationFunnel(s: SparkSession, d: String): DataFrame = {
+  /** q222's stage-3 decontamination grams — (doc_id, gram) distinct
+    * 60-bit md5-prefix hashes of 8-token windows — hoisted so the
+    * streaming funnel's frozen-reference compiler
+    * (graft.streaming.CurationStream) shares the exact arithmetic. */
+  private[graft] def decontamGrams(df: DataFrame): DataFrame = df
+    .withColumn("toks", Dedup.tokensCodegen(col("text")))
+    .select(col("doc_id"), explode(expr(
+      "CASE WHEN size(toks) >= 8 THEN " +
+        "transform(sequence(1, size(toks) - 7), " +
+        "j -> conv(substring(md5(concat_ws(' ', slice(toks, j, 8))), " +
+        "1, 15), 16, 10)) ELSE array() END")).as("g"))
+    .select(col("doc_id"), col("g").cast("long").as("gram"))
+    .distinct()
+
+  /** The funnel at DOC grain — (doc_id, source, keep1..keep4), exactly
+    * the frame [[q222CurationFunnel]] rolls up per source. Shared by
+    * the gated batch query and the streaming funnel's differential /
+    * frozen-cut compiler (CurationStream): the streaming form must
+    * match THESE verdicts row for row on closed windows. */
+  private[graft] def funnelVerdicts(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val train = docs.filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"), col("source"), col("text"))
@@ -1012,19 +1031,10 @@ object Curation {
       .select(col("doc_id"), col("keep2"))
 
     // stage 3 — 8-gram decontamination vs the held-out split (q210)
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("toks", Dedup.tokensCodegen(col("text")))
-      .select(col("doc_id"), explode(expr(
-        "CASE WHEN size(toks) >= 8 THEN " +
-          "transform(sequence(1, size(toks) - 7), " +
-          "j -> conv(substring(md5(concat_ws(' ', slice(toks, j, 8))), " +
-          "1, 15), 16, 10)) ELSE array() END")).as("g"))
-      .select(col("doc_id"), col("g").cast("long").as("gram"))
-      .distinct()
-    val evalGrams = grams(docs.filter(col("doc_id") % 7 === 0)
+    val evalGrams = decontamGrams(docs.filter(col("doc_id") % 7 === 0)
         .select(col("doc_id"), col("text")))
       .select(col("gram")).distinct()
-    val contam = grams(train.select(col("doc_id"), col("text")))
+    val contam = decontamGrams(train.select(col("doc_id"), col("text")))
       .join(evalGrams.withColumn("hit", lit(1L)), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -1056,6 +1066,10 @@ object Curation {
       .select(col("doc_id"), lit(true).as("keep4"))
 
     flags.join(keep4, Seq("doc_id"), "left")
+  }
+
+  def q222CurationFunnel(s: SparkSession, d: String): DataFrame =
+    funnelVerdicts(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep1"), 1L).otherwise(0L)).as("n_c4"),
@@ -1063,7 +1077,6 @@ object Curation {
         sum(when(col("keep3"), 1L).otherwise(0L)).as("n_decontam"),
         sum(when(coalesce(col("keep4"), lit(false)), 1L).otherwise(0L))
           .as("n_kept"))
-  }
 
   val q222Sql: String =
     s"""WITH tr AS (

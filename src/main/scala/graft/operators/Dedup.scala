@@ -52,7 +52,7 @@ object Dedup {
 
   /** lower → collapse whitespace → trim: the usual text canonicalization
     * before exact hashing. */
-  private[operators] def normText(c: Column): Column =
+  private[graft] def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Exact dedup: group by md5 of normalized text; keep the smallest

@@ -642,22 +642,28 @@ object Vocab {
     * shape as q69's unigram join. Docs with <2 tokens carry
     * n_bigrams = 0 and NULL score via the left join (the q69/q175
     * convention). */
-  def q212KnBigram(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val big = docs
-      .select(col("doc_id"), Dedup.tokensCodegen(col("text")).as("toks"))
-      .where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> " +
-          "struct(element_at(toks, i) AS v, element_at(toks, i + 1) AS w))"))
-        .as("b"))
-      .select(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
+  /** (doc_id, v, w) bigram rows of a corpus — q212's tokenize pass,
+    * hoisted for the streaming funnel's frozen-model compiler. */
+  private[graft] def bigramRows(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), Dedup.tokensCodegen(col("text")).as("toks"))
+    .where(size(col("toks")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(toks) - 1), i -> " +
+        "struct(element_at(toks, i) AS v, element_at(toks, i + 1) AS w))"))
+      .as("b"))
+    .select(col("doc_id"), col("b.v").as("v"), col("b.w").as("w"))
+
+  /** The interpolated-KN (v, w, nll) probability table trained from a
+    * bigram stream — q212's model half, hoisted so the streaming
+    * funnel can FREEZE it (collect + broadcast) and score new docs with
+    * the exact arithmetic the gate pins. */
+  private[graft] def knProbTable(big: DataFrame): DataFrame = {
     val cvw = big.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
     val cv = cvw.groupBy(col("v"))
       .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
     val n1w = cvw.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
     val npp = cvw.agg(count(lit(1)).as("npp"))
-    val prob = cvw.join(cv, Seq("v")).join(n1w, Seq("w"))
+    cvw.join(cv, Seq("v")).join(n1w, Seq("w"))
       .crossJoin(broadcast(npp))
       .select(col("v"), col("w"),
         round(-log(
@@ -665,6 +671,12 @@ object Vocab {
             " + CAST(3 AS DECIMAL(38,0)) * n1v * n1w AS DOUBLE)") /
           expr("CAST(CAST(4 AS DECIMAL(38,0)) * cv * npp AS DOUBLE)")),
           8).as("nll"))
+  }
+
+  def q212KnBigram(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val big = bigramRows(docs)
+    val prob = knProbTable(big)
     val scored = big.join(prob, Seq("v", "w"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

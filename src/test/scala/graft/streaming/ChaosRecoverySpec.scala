@@ -450,4 +450,65 @@ class ChaosRecoverySpec extends SparkSpec {
       case None    => spark.conf.unset(provKey)
     }
   }
+
+  test("curation funnel: first-wins dedup state survives loss + undrained kill, verdicts exactly once") { withRocksDb {
+    // crafted docs so stage 1 bites deterministically: quality docs are
+    // 28 distinct 5-letter words + 'the the' (n=30, mean len 4.87,
+    // stopword 6.7%, max_c 2 — every C4 rule passes); the dup of doc 1
+    // arrives in batch 0 AND (as doc 5) after the undrained kill, so
+    // the bucket-owner state must survive both the replay and the kill
+    // for keep2 to stay exactly-once-first-wins. Doc 4 fails stage 1
+    // (too short) and must not claim its bucket.
+    def words(seed: Int) =
+      (0 until 28).map(i => s"${('a' + (i + seed) % 26).toChar}${('a' + ((i + seed) / 26) % 26).toChar}xyz")
+    val textA = (words(0) :+ "the" :+ "the").mkString(" ")
+    val textB = (words(7) :+ "the" :+ "the").mkString(" ")
+    val docs = Seq(
+      (1L, 1000L, "s1", textA),   // claims A's bucket
+      (2L, 2000L, "s1", textA),   // same batch dup → keep2 false
+      (3L, 3000L, "s2", textB),   // its own bucket → keep2 true
+      (4L, 4000L, "s2", "tiny doc"), // fails keep1, never claims
+      // post-kill batch
+      (5L, 5000L, "s1", textA),   // cross-kill dup → state must hold
+      (6L, 6000L, "s2", textB))   // cross-kill dup of B
+    def json(r: (Long, Long, String, String)) =
+      s"""{"doc_id":${r._1},"ts":${r._2},"source":"${r._3}","text":"${r._4}"}"""
+    val batches = Seq(docs.take(4).map(json), docs.drop(4).map(json))
+
+    val refs = spark.sparkContext.broadcast(
+      CurationStream.buildRefs(spark, sf("sf0.001")))
+    def pipeline(raw: DataFrame): DataFrame =
+      CurationStream.verdicts(
+        raw.as[(Long, Long, String, String)].map(ChaosLoss.tap(_))
+          .toDF("doc_id", "ts_ms", "source", "text")
+          .select(col("doc_id"), timestamp_millis(col("ts_ms")).as("ts"),
+            col("source"), col("text")),
+        refs, "2 hours")
+
+    val out = chaosProtocol("funnel-chaos", batches, (in, out, ckpt) =>
+      pipeline(spark.readStream
+        .schema("doc_id LONG, ts LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", "1").json(in))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start())
+
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    // exactly once: one verdict per doc despite loss + replay
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L, 6L), got.mkString(","))
+    // differential vs the no-fault batch-mode run of the same operator
+    val batchDf = docs.toDF("doc_id", "ts_ms", "source", "text")
+      .select(col("doc_id"), timestamp_millis(col("ts_ms")).as("ts"),
+        col("source"), col("text"))
+    val want = CurationStream.verdicts(batchDf, refs, "2 hours")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(got === want)
+    // semantics spot check: (keep1, keep2) per doc
+    assert(got.map(t => (t._2, t._3)) === Seq(
+      (true, true), (true, false), (true, true),
+      (false, false), (true, false), (true, false)))
+  } }
 }

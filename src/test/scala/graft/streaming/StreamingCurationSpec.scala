@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.Curation
+
+/** The q222 funnel as a continuous query: the streaming form over the
+  * appended training corpus must equal the gated batch funnel's per-doc
+  * verdicts row for row (frozen refs compiled from the same population),
+  * in both batch mode (TimeMode.None) and micro-batched streaming. */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // transformWithState requires the RocksDB state store provider
+  override protected def test(name: String, tags: org.scalatest.Tag*)(
+      body: => Any)(implicit pos: org.scalactic.source.Position): Unit =
+    super.test(name, tags: _*)(withRocksDb(body))(pos)
+
+  private val d = sf("sf0.001")
+
+  private lazy val refs =
+    spark.sparkContext.broadcast(CurationStream.buildRefs(spark, d))
+
+  /** The gated funnel's per-doc verdicts (keep4 null → false, as the
+    * q222 rollup coalesces it). */
+  private lazy val want: Set[Seq[Any]] =
+    Curation.funnelVerdicts(spark, d)
+      .select(col("doc_id"), col("source"), col("keep1"), col("keep2"),
+        col("keep3"), coalesce(col("keep4"), lit(false)).as("keep4"))
+      .collect().map(_.toSeq).toSet
+
+  private def trainRows(): Array[(Long, Timestamp, String, String)] =
+    spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+      .orderBy(col("doc_id"))
+      .as[(Long, String, String)].collect()
+      // ts follows doc_id order — the ingest-sequencer contract the
+      // batch form's min-doc_id dedup winner maps onto
+      .map { case (id, src, txt) =>
+        (id, new Timestamp(1000000000000L + id * 1000L), src, txt)
+      }
+
+  test("batch mode: streaming operator equals the gated funnel's verdicts") {
+    val rows = trainRows()
+    val got = CurationStream.verdicts(
+        rows.toSeq.toDF("doc_id", "ts", "source", "text"), refs, "1 hour")
+      .collect().map(_.toSeq).toSet
+    assert(got.size === rows.length)
+    assert(got === want)
+  }
+
+  test("streaming over the appended corpus equals the batch funnel (2 micro-batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = trainRows()
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val q = CurationStream.verdicts(
+        mem.toDF().toDF("doc_id", "ts", "source", "text"), refs, "1 hour")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").collect().map(_.toSeq).toSet
+      assert(got.size === rows.length, "one verdict per appended document")
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("frozen cut reproduces the population-relative tercile exactly") {
+    // the batch keep4 is rank-based; the stream's (cutS, cutD) threshold
+    // must carve out the IDENTICAL doc set — already implied by the
+    // differentials above, pinned here directly on the kept counts
+    val batchKept = Curation.funnelVerdicts(spark, d)
+      .filter(coalesce(col("keep4"), lit(false))).count()
+    val r = refs.value
+    assert(r.anyKept === (batchKept > 0))
+    if (batchKept > 0) {
+      // the cut is the K-th smallest (s_fp, doc_id): K == kept count
+      assert(batchKept ===
+        want.count(row => row(5).asInstanceOf[Boolean]).toLong)
+    }
+  }
+}
