@@ -41,6 +41,7 @@ object GraftSession {
     graft.functions.MinhashBands.register(spark)
     graft.functions.ZorderBits.register(spark)
     graft.functions.BloomFilterFns.register(spark)
+    graft.functions.PayloadSimhash.register(spark)
     graft.plans.GroupTopKExtension.install(spark)
     graft.plans.ChainReorderExtension.install(spark)
     registerCapListener(spark)

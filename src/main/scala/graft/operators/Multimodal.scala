@@ -185,11 +185,22 @@ object Multimodal {
     * "same bytes, small edits" media dedup. Payloads shorter than one
     * gram produce no fingerprint row (the q31 no-tokens convention).
     *
-    * Scale shape: bytes/4 grams per record, hashed once; the 60
-    * bit-votes are codegen'd SUM aggregates that fold map-side (the
-    * partial-agg shape) — per-record state is 60 longs regardless of
-    * payload size, and nothing is ever corpus×corpus. */
-  def payloadFingerprints(docs: DataFrame): DataFrame = {
+    * Computed by the native `payload_simhash` expression — one fused
+    * per-row pass (graft.functions.PayloadSimhash), no gram-row
+    * explosion, no aggregation state; [[payloadFingerprintsAgg]] keeps
+    * the oracle-shaped builtin-expression form as the bit-parity
+    * referee (MultimodalSpec differentials them; the DuckDB gate
+    * re-verifies corpus-wide). */
+  def payloadFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        call_function("payload_simhash",
+          to_binary(col("text"), lit("utf-8"))).as("fp"))
+      .filter(col("fp").isNotNull)
+
+  /** The builtin-expression referee for [[payloadFingerprints]]: gram
+    * rows exploded through md5+conv, folded back with 60 map-side SUM
+    * votes — the construction DuckDB replicates verbatim. */
+  def payloadFingerprintsAgg(docs: DataFrame): DataFrame = {
     val hexed = docs.select(col("doc_id"),
       hex(to_binary(col("text"), lit("utf-8"))).as("hx"))
     // hex coordinates: gram = 16 chars, stride = 8 chars
@@ -250,12 +261,15 @@ object Multimodal {
   def q226MediaNeardup(s: SparkSession, d: String): DataFrame =
     fingerprintPairs(payloadFingerprints(Tables.documents(s, d)))
 
-  val q226Sql: String = {
+  /** Shared oracle CTE chain: payload hex → grams → md5 votes →
+    * fingerprints → bands → verified candidate pairs. Tail of q226Sql
+    * and q228Sql (the q50/q114 closureCte convention). */
+  private val pairCte: String = {
     val voteCols = (0 until fpBits)
       .map(b => s"sum(((h >> $b) & 1) * 2 - 1) AS v$b").mkString(", ")
     val bits = (0 until fpBits)
       .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""WITH hx AS (
+    s"""hx AS (
        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents),
        |g AS (
        |  SELECT doc_id, unnest(list_transform(
@@ -274,13 +288,44 @@ object Multimodal {
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  val q226Sql: String =
+    s"""WITH $pairCte
+       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3""".stripMargin
+
+  /** MEDIA DEDUP CLUSTERS — the q50 arc for the binary column: the
+    * q226 Hamming pairs closed into connected components
+    * (Dedup.dedupClusters' observed-fixpoint min-label propagation —
+    * the same bounded-iteration, checkpointed-lineage engine the text
+    * clusters run), censused as (doc_id, cluster_rep, cluster_size).
+    * This is the frame a media curation pass consumes: keep one
+    * representative per payload cluster. Oracle: the q226 pair CTE +
+    * the recursive min-label closure (the q50Sql tail). */
+  def q228MediaClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupClusters(q226MediaNeardup(s, d))
+
+  val q228Sql: String =
+    s"""WITH RECURSIVE $pairCte,
+       |pairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |cc AS (
+       |  SELECT id, id AS lbl FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, cc.lbl FROM edges e JOIN cc ON e.b = cc.id),
+       |reps AS (SELECT id, min(lbl) AS cluster_rep FROM cc GROUP BY id)
+       |SELECT id AS doc_id, cluster_rep,
+       |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |FROM reps""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q29_multimodal_meta" -> (q29MultimodalMeta _, q29Sql),
     "q172_frame_manifest" -> (q172FrameManifest _, q172Sql),
     "q226_media_neardup" -> (q226MediaNeardup _, q226Sql),
+    "q228_media_clusters" -> (q228MediaClusters _, q228Sql),
   )
 }

@@ -66,6 +66,31 @@ object NeardupStream {
                  bands: Int = 16, rowsPerBand: Int = 4): Dataset[Claim] =
     claimsFromRows(bandRows(docs, bands, rowsPerBand), watermarkDelay)
 
+  /** (doc_id, ts, band, bkey) rows for a MEDIA ingest stream
+    * (doc_id, ts, payload: binary) — the payload-fingerprint analog of
+    * [[bandRows]], enabled by the per-row `payload_simhash` expression
+    * (graft.functions.PayloadSimhash; the batch form's vote AGGREGATION
+    * could never run ahead of keyed state): the 60-bit fingerprint
+    * splits into the same 4×15-bit pigeonhole bands as the batch
+    * Multimodal.fingerprintPairs, so any payload within Hamming
+    * distance 3 of an already-ingested one shares ≥1 bucket and fails
+    * its claim. Sub-gram payloads (NULL fingerprint) pass through
+    * unbanded — never claimed, never blocked. */
+  def mediaBandRows(media: DataFrame): DataFrame =
+    media
+      .select(col("doc_id"), col("ts"),
+        call_function("payload_simhash", col("payload")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col("doc_id"), col("ts"),
+        posexplode(expr("transform(sequence(0, 3), " +
+          "b -> (fp >> (b * 15)) & 32767)")).as(Seq("band", "bkey")))
+
+  /** First-wins payload-fingerprint claims for a media ingest stream —
+    * byte-level near-dup dedup at ingest, same state contract as the
+    * text and embedding paths. */
+  def mediaClaims(media: DataFrame, watermarkDelay: String): Dataset[Claim] =
+    claimsFromRows(mediaBandRows(media), watermarkDelay)
+
   /** First-wins bucket claims for an embedding ingest stream — the
     * semantic-dedup-at-ingest form. Same state contract as the text
     * path: one owner long per observed bucket, event-time eviction. */

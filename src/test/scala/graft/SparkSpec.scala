@@ -21,6 +21,7 @@ object SharedSpark {
     graft.functions.MinhashBands.register(s)
     graft.functions.ZorderBits.register(s)
     graft.functions.BloomFilterFns.register(s)
+    graft.functions.PayloadSimhash.register(s)
     s
   }
 

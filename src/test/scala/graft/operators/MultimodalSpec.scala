@@ -119,6 +119,33 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated payload paired: $pairs")
   }
 
+  test("native payload_simhash == the builtin-expression vote aggregation, interpreted and codegen") {
+    // seeded payloads (ascii, incl. sub-gram + empty) AND real corpus
+    // text (multibyte-safe: hex is computed from utf-8 bytes either way)
+    val crafted = seededPayloads()
+      .union(Seq((100L, "short"), (101L, ""), (102L, "exactly8")).toDF("doc_id", "text"))
+    val corpus = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(crafted, corpus)) {
+      val native = Multimodal.payloadFingerprints(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val agg = Multimodal.payloadFingerprintsAgg(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(native === agg)
+    }
+    // interpreted path (no codegen) must agree too
+    val expr = graft.functions.PayloadSimhash.PayloadSimhashExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        "exactly8pluspayloadbytes".getBytes("UTF-8")))
+    val interpreted = expr.eval(null)
+    val viaDf = Multimodal.payloadFingerprints(
+        Seq((0L, "exactly8pluspayloadbytes")).toDF("doc_id", "text"))
+      .collect()(0).getLong(1)
+    assert(interpreted === viaDf)
+    // sub-gram payload → NULL (the no-row convention)
+    assert(graft.functions.PayloadSimhash.payloadSimhash("tiny".getBytes) == null)
+  }
+
   test("payload fingerprints are deterministic and 60-bit") {
     val fps = Multimodal.payloadFingerprints(seededPayloads())
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))

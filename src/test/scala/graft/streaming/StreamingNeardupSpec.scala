@@ -150,4 +150,51 @@ class StreamingNeardupSpec extends SparkSpec {
     assert(viaState === viaWindow)
     assert(viaState === Set(30L, 32L))
   }
+
+  test("streaming media near-dup: an edited payload in a later batch is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic payloads: base, a 2-char in-place edit (within
+    // Hamming radius 3 of the base — shares >=1 pigeonhole band), and
+    // an unrelated one; plus a sub-gram payload that must pass through
+    val rng = new scala.util.Random(41L)
+    val base = Array.fill(2048)((33 + rng.nextInt(94)).toChar).mkString
+    val edited = { val a = base.toCharArray; a(100) = '!'; a(900) = '@'; new String(a) }
+    val other = Array.fill(2048)((33 + rng.nextInt(94)).toChar).mkString
+    val mem = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val df = mem.toDF().toDF("doc_id", "ts", "payload")
+    val q = NeardupStream.mediaClaims(df, "1 hour")
+      .writeStream.format("memory").queryName("media_claims_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, ts(0), base.getBytes("UTF-8")))
+      q.processAllAvailable()
+      mem.addData((2L, ts(5), edited.getBytes("UTF-8")),
+        (3L, ts(6), other.getBytes("UTF-8")))
+      q.processAllAvailable()
+      val kept = NeardupStream.keptDocs(spark.table("media_claims_out"))
+        .as[Long].collect().toSet
+      assert(kept === Set(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("media claims band arithmetic equals the batch fingerprintPairs banding") {
+    // a pair the BATCH operator verifies within radius 3 must collide in
+    // >=1 streaming bucket (the pigeonhole guarantee shared verbatim)
+    val rng = new scala.util.Random(43L)
+    val base = Array.fill(2048)((33 + rng.nextInt(94)).toChar).mkString
+    val edited = { val a = base.toCharArray; a(500) = '#'; new String(a) }
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val batchPairs = graft.operators.Multimodal.fingerprintPairs(
+      graft.operators.Multimodal.payloadFingerprints(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs === Set((1L, 2L)))
+    val media = Seq(
+      (1L, ts(0), base.getBytes("UTF-8")),
+      (2L, ts(1), edited.getBytes("UTF-8"))).toDF("doc_id", "ts", "payload")
+    val shared = NeardupStream.mediaBandRows(media)
+      .groupBy(col("band"), col("bkey"))
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .filter(col("n") === 2).count()
+    assert(shared >= 1, "radius-3 pair must share a streaming bucket")
+  }
 }
