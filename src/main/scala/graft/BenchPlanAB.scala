@@ -76,6 +76,8 @@ object BenchPlanAB {
 
     val results = (1 to reps).map { i =>
       var decision = ""
+      // cold pricing per rep (the catalog would make reps 2+ free)
+      SketchPlanner.SketchCatalog.clear()
       val plan = time(() =>
         decision = SketchPlanner.decideThreeWay(a, b, c, "k1", "k2"))
       def goodArm() = time(() =>

@@ -257,15 +257,28 @@ object SketchPlanner {
     (d, buildThreeWay(a, b, c, kab, kbc, d))
   }
 
-  /** The decision alone — two constant-size sketch scans, two 1-row
-    * collects. Label: `{ab,bc}_first/{broadcast,shuffle}`. */
+  /** The decision alone — at most two constant-size sketch scans (1-row
+    * collects), zero when [[SketchCatalog]] already holds both edges.
+    * Catalog keys are the same per-edge identities [[decideChainCols]]
+    * uses, so a chain decision over the same tables warms the three-way
+    * and vice versa. Label: `{ab,bc}_first/{broadcast,shuffle}`. */
   def decideThreeWay(a: DataFrame, b: DataFrame, c: DataFrame,
       kab: String, kbc: String,
       bcastRows: Long = broadcastRowThreshold): String = {
-    val estAB = estPair(a, col(kab), b, col(kab), fast = true)
-      .collect()(0).getLong(0)
-    val estBC = estPair(b, col(kbc), c, col(kbc), fast = true)
-      .collect()(0).getLong(0)
+    val s = a.sparkSession
+    val useCatalog = s.conf.getOption("spark.graft.planner.sketchCache")
+      .forall(_.toBoolean)
+    def est(x: DataFrame, y: DataFrame, k: String): Long = {
+      val ck = edgeKey(x, col(k), y, col(k))
+      (if (useCatalog) SketchCatalog.lookup(s, ck) else None).getOrElse {
+        val v = estPair(x, col(k), y, col(k), fast = true)
+          .collect()(0).getLong(0) // 1-row planner scalar (AQE shape)
+        if (useCatalog) SketchCatalog.store(s, ck, v)
+        v
+      }
+    }
+    val estAB = est(a, b, kab)
+    val estBC = est(b, c, kbc)
     val label = if (estAB <= estBC) "ab_first" else "bc_first"
     val strat = if (math.min(estAB, estBC) <= bcastRows) "broadcast"
     else "shuffle"

@@ -1018,11 +1018,12 @@ class PlanAuditSpec extends SparkSpec {
     // file — raises that file's count above its budget and fails here.
     //   MRJob.scala: 1 — runToLines, the documented sequential-oracle
     //     test helper (never an operator path).
-    //   SketchPlanner.scala: 3 — decideThreeWay's two 1-ROW estimate
-    //     reads + decideChain's one bounded per-edge estimates read
-    //     (#edges = chain length − 1): plan decisions need scalars on
-    //     the driver, the AQE runtime-stats shape; the GATED q205/q217
-    //     paths collect nothing.
+    //   SketchPlanner.scala: 2 — decideThreeWay's 1-ROW estimate read
+    //     (one call site; catalog misses only) + decideChain's one
+    //     bounded per-edge estimates read (#edges = chain length − 1):
+    //     plan decisions need scalars on the driver, the AQE
+    //     runtime-stats shape; the GATED q205/q217 paths collect
+    //     nothing.
     //   (Storage.prunedRead's zone-map manifest is driver-side too, but
     //   reads parquet FOOTERS directly — no Dataset materialization, so
     //   no budget entry.)
@@ -1037,7 +1038,7 @@ class PlanAuditSpec extends SparkSpec {
     //     (held-out-reference-sized), and the 1-row tercile cut — the
     //     "train the model, broadcast it to scorers" step; model-sized
     //     reference data, never corpus rows.
-    val collectBudget = Map("MRJob.scala" -> 1, "SketchPlanner.scala" -> 3,
+    val collectBudget = Map("MRJob.scala" -> 1, "SketchPlanner.scala" -> 2,
       "Storage.scala" -> 2, "CurationStream.scala" -> 3)
     val markers = Seq(".collect()", ".toLocalIterator", ".collectAsList")
     val offending = roots.flatMap { r =>

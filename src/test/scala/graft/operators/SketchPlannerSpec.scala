@@ -285,6 +285,27 @@ class SketchPlannerSpec extends SparkSpec {
     assert(warm2 === cold)
   }
 
+  test("sketch catalog: decideThreeWay warms too, and shares edge keys with decideChain") {
+    def jobCount = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    SketchPlanner.SketchCatalog.clear()
+    val a = spark.range(3000).select(col("id").as("k1"), lit(1L).as("av"))
+    val b = spark.range(3000).select(col("id").as("k1"),
+      pmod(col("id"), lit(300)).as("k2"), lit(2L).as("bv"))
+    val c = spark.range(300).select(col("id").as("k2"), col("id").as("cv"))
+    val cold = SketchPlanner.decideThreeWay(a, b, c, "k1", "k2")
+    val afterCold = jobCount
+    assert(SketchPlanner.decideThreeWay(a, b, c, "k1", "k2") === cold)
+    assert(jobCount === afterCold, "warm three-way must add zero scans")
+    // a chain decision over the same tables reuses BOTH edge estimates —
+    // only the three table counts are new scans (one unioned collect)
+    val before = jobCount
+    SketchPlanner.decideChain(Seq(a, b, c), Seq("k1", "k2"))
+    assert(jobCount > before) // the counts ran...
+    val afterChain = jobCount
+    SketchPlanner.decideChain(Seq(a, b, c), Seq("k1", "k2"))
+    assert(jobCount === afterChain, "...and the second chain call is fully warm")
+  }
+
   test("sketch catalog: spark.graft.planner.sketchCache=false re-prices every call") {
     def jobCount = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     spark.conf.set("spark.graft.planner.sketchCache", "false")
