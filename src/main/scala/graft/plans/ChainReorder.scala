@@ -226,9 +226,13 @@ object RewriteChainJoin extends Rule[LogicalPlan] {
         else {
           val keep = needed ++ AttributeSet(
             remaining.toSeq.flatMap(i => Seq(ch.conds(i)._1, ch.conds(i)._2)))
+          // ra stays a CANDIDATE and lives or dies by `keep` like every
+          // other attribute: using-origin chains never need it (the
+          // buildChain-canonical drop), but an EqualTo-origin chain's
+          // root output legitimately carries it (bare-Join anchor) and
+          // the restoring top Project must still resolve
           val out = (ca +: (l._3.output.filterNot(_.exprId == ca.exprId) ++
-            r._3.output.filterNot(_.exprId == ra.exprId)))
-            .filter(keep.contains)
+            r._3.output)).filter(keep.contains)
           Project(out, joined)
         }
       segs = segs.patch(j, Vector((l._1, r._2, node)), 2)

@@ -104,6 +104,45 @@ class ChainReorderSpec extends SparkSpec {
     assert(rw.canonicalized === opt.canonicalized)
   }
 
+  test("TPC-H-style chain with per-table key names (EqualTo-origin): rewrite fires, results unchanged") {
+    // differing key names mean the user writes explicit EqualTo joins —
+    // the non-using origin where duplicate keys stay in the output;
+    // exercises decideChainCols' per-edge columns and BOTH anchors
+    val d = sf("sf0.001")
+    val c = spark.read.parquet(s"$d/customer.parquet")
+      .select("c_custkey", "c_nationkey")
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val p = spark.read.parquet(s"$d/part.parquet")
+      .select("p_partkey", "p_size")
+    def chain = c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(p, l("l_partkey") === p("p_partkey"))
+    // Project anchor (the common shape: a selection above the chain)
+    val sel = Seq("c_nationkey", "o_totalprice", "l_quantity", "p_size")
+    val off = multiset(chain.select(sel.map(col): _*), sel)
+    withFlag {
+      val on = chain.select(sel.map(col): _*)
+      assert(multiset(on, sel) === off)
+      val hinted = on.queryExecution.optimizedPlan.collect {
+        case j: Join if j.hint != JoinHint.NONE => j
+      }
+      assert(hinted.nonEmpty, "the sf0.001 chain has broadcast-able sides; " +
+        "the rewrite must fire:\n" + on.queryExecution.optimizedPlan)
+    }
+    // bare-Join anchor (no projection above): exact output order restored
+    val offBare = chain.collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    withFlag {
+      val onBare = chain
+      assert(onBare.columns.toSeq === chain.columns.toSeq)
+      assert(onBare.collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap === offBare)
+    }
+  }
+
   test("gated queries are output-invariant under the flag") {
     val d = sf("sf0.001")
     for (name <- Seq("q05_local_supplier", "q03_top_revenue")) {
