@@ -306,8 +306,10 @@ object Multimodal {
   def q228MediaClusters(s: SparkSession, d: String): DataFrame =
     Dedup.dedupClusters(q226MediaNeardup(s, d))
 
-  val q228Sql: String =
-    s"""WITH RECURSIVE $pairCte,
+  /** [[pairCte]] extended through the recursive min-label closure to
+    * (doc_id, cluster_rep, cluster_size) rows — shared by q228/q229. */
+  private val clusterCte: String =
+    s"""$pairCte,
        |pairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
        |edges AS (
        |  SELECT id_a AS a, id_b AS b FROM pairs
@@ -317,15 +319,56 @@ object Multimodal {
        |  SELECT id, id AS lbl FROM nodes
        |  UNION
        |  SELECT e.a AS id, cc.lbl FROM edges e JOIN cc ON e.b = cc.id),
-       |reps AS (SELECT id, min(lbl) AS cluster_rep FROM cc GROUP BY id)
-       |SELECT id AS doc_id, cluster_rep,
-       |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
-       |FROM reps""".stripMargin
+       |reps AS (SELECT id, min(lbl) AS cluster_rep FROM cc GROUP BY id),
+       |cl AS (
+       |  SELECT id AS doc_id, cluster_rep,
+       |    count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+       |  FROM reps)""".stripMargin
+
+  val q228Sql: String =
+    s"""WITH RECURSIVE $clusterCte
+       |SELECT doc_id, cluster_rep, cluster_size FROM cl""".stripMargin
+
+  /** MEDIA REPRESENTATIVE SELECTION — q114's curation policy applied to
+    * payload clusters: per q228 cluster keep the LARGEST payload (when
+    * near-dups are truncations or re-encodes of one asset, the biggest
+    * byte count carries the most signal), ties to the smallest doc_id.
+    * One row per cluster: the kept doc, its byte size, the cluster
+    * size. The rank-1 window is exactly the shape RewriteWindowTopK
+    * turns into the bounded-heap GroupTopK operator when installed —
+    * no per-cluster sort materializes at scale. */
+  def q229MediaKeep(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_rep"))
+      .orderBy(col("n_bytes").desc, col("doc_id"))
+    q228MediaClusters(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"),
+        length(to_binary(col("text"), lit("utf-8"))).as("n_bytes")),
+        Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("kept_doc"),
+        col("n_bytes"), col("cluster_size"))
+  }
+
+  val q229Sql: String =
+    s"""WITH RECURSIVE $clusterCte,
+       |sz AS (
+       |  SELECT cl.doc_id, cl.cluster_rep, cl.cluster_size,
+       |    octet_length(encode(d.text)) AS n_bytes
+       |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_rep
+       |    ORDER BY n_bytes DESC, doc_id) AS rn
+       |  FROM sz)
+       |SELECT cluster_rep, doc_id AS kept_doc, n_bytes, cluster_size
+       |FROM rk WHERE rn = 1""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q29_multimodal_meta" -> (q29MultimodalMeta _, q29Sql),
     "q172_frame_manifest" -> (q172FrameManifest _, q172Sql),
     "q226_media_neardup" -> (q226MediaNeardup _, q226Sql),
     "q228_media_clusters" -> (q228MediaClusters _, q228Sql),
+    "q229_media_keep" -> (q229MediaKeep _, q229Sql),
   )
 }
