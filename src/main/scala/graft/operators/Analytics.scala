@@ -2414,6 +2414,83 @@ object Analytics {
       |    ELSE 0 END AS BIGINT) AS overest_fp
       |FROM e CROSS JOIN x""".stripMargin
 
+  /** Spearman rank correlation per source between document length
+    * (n_chars) and whitespace token count — the monotone-association
+    * audit a curation pipeline runs between any two quality signals
+    * (Pearson, q96, is fooled by the heavy-tailed length distribution;
+    * rank correlation is outlier-immune). Average-rank tie handling via
+    * DOUBLED ranks: 2·rank_min + ties − 1 is the average rank scaled by
+    * 2, stays integral (no engine-divergent .5 doubles in the shuffle),
+    * and Pearson-on-ranks is invariant under the linear scaling. Exact
+    * integer rank moments accumulate in DECIMAL(38,0) (the q96
+    * convention), then ONE closed-form double expression shared
+    * verbatim with the oracle; rank products are int64-exact for
+    * groups up to ~1.5e9 docs (rx·ry ≤ 4n²).
+    *
+    * Scale shape: slim 3-column projection before any exchange; ranks
+    * are per-source windows (group-parallel; a mega-source serializes
+    * its own sort — the q97 two-pass offsets pattern is the escape
+    * hatch documented there), then ONE shuffle-agg on source. The
+    * degenerate all-ties group (zero rank variance) yields NULL via an
+    * explicit guard in both engines rather than engine-specific
+    * 0/0 NaN semantics. */
+  def q236Spearman(s: SparkSession, d: String): DataFrame =
+    spearmanByGroup(documents(s, d).select(col("source"),
+      col("n_chars").cast("long").as("x"),
+      call_function("ws_token_count", col("text")).cast("long").as("y")))
+
+  /** Core of [[q236Spearman]] over any (source, x: long, y: long) frame
+    * (spec entry point). */
+  def spearmanByGroup(base: DataFrame): DataFrame = {
+    def r2(c: String): Column =
+      (lit(2L) * rank().over(Window.partitionBy(col("source")).orderBy(col(c))) +
+        count(lit(1)).over(Window.partitionBy(col("source"), col(c))) - 1L)
+        .cast("long")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = base
+      .select(col("source"), r2("x").as("rx"), r2("y").as("ry"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx").cast(dec)).cast("double").as("sx"),
+        sum(col("ry").cast(dec)).cast("double").as("sy"),
+        sum((col("rx") * col("ry")).cast(dec)).cast("double").as("sxy"),
+        sum((col("rx") * col("rx")).cast(dec)).cast("double").as("sxx"),
+        sum((col("ry") * col("ry")).cast(dec)).cast("double").as("syy"))
+    val varProd = (col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy"))
+    m.select(col("source"), col("n"),
+      when(varProd > 0,
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(varProd), 6)).as("spearman"))
+  }
+
+  val q236Sql: String =
+    """WITH base AS (
+      |  SELECT source, n_chars AS x,
+      |    len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+      |      AS y
+      |  FROM documents),
+      |r AS (
+      |  SELECT source,
+      |    2*rank() OVER (PARTITION BY source ORDER BY x)
+      |      + count(*) OVER (PARTITION BY source, x) - 1 AS rx,
+      |    2*rank() OVER (PARTITION BY source ORDER BY y)
+      |      + count(*) OVER (PARTITION BY source, y) - 1 AS ry
+      |  FROM base),
+      |m AS (
+      |  SELECT source, count(*) AS n,
+      |    CAST(sum(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(rx*ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(rx*rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(ry*ry AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM r GROUP BY 1)
+      |SELECT source, n,
+      |  CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0 THEN
+      |    round((n*sxy - sx*sy) /
+      |      sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) END AS spearman
+      |FROM m""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q66_funnel"    -> (q66Funnel _, q66Sql),
     "q67_retention" -> (q67Retention _, q67Sql),
@@ -2455,5 +2532,6 @@ object Analytics {
     "q194_rate_limit" -> (q194RateLimit _, q194Sql),
     "q195_hll_setops" -> (q195HllSetops _, q195Sql),
     "q204_join_cardinality" -> (q204JoinCardinality _, q204Sql),
+    "q236_spearman" -> (q236Spearman _, q236Sql),
   )
 }

@@ -291,6 +291,81 @@ object Curation {
       |    AS chunk_hash
       |FROM st""".stripMargin
 
+  /** Sub-document (chunk-level) exact deduplication with reassembly
+    * accounting — the RefinedWeb/CCNet "paragraph dedup" stage adapted
+    * to this corpus's newline-free text: documents split into
+    * NON-overlapping 20-token chunks (the [[docChunks]] kernel at
+    * width == stride), each chunk hash deduplicated GLOBALLY keeping
+    * the canonical first occurrence (smallest (doc_id, chunk_idx)),
+    * and per-document retention reported — how many chunks and tokens
+    * a reassembled document keeps after boilerplate removal. Doc-level
+    * dedup (q20) misses this entirely: two distinct documents sharing
+    * a boilerplate paragraph both survive doc dedup, but the shared
+    * paragraph should be emitted once.
+    *
+    * Scale shape: chunking is the q76 zero-shuffle expand; the global
+    * first-occurrence flag is ONE hash shuffle on chunk_hash (window
+    * row_number, partition size == duplication multiplicity of that
+    * exact chunk — bounded by corpus duplication, not corpus size),
+    * then ONE shuffle back to doc grain for the retention rollup.
+    * No joins, no driver state. */
+  def q234ChunkDedup(s: SparkSession, d: String): DataFrame =
+    chunkDedup(documents(s, d), width = 20)
+
+  /** Core of [[q234ChunkDedup]] over an explicit docs frame (spec entry
+    * point): non-overlapping `width`-token chunks, global
+    * first-occurrence dedup, per-doc retention. */
+  def chunkDedup(docs: DataFrame, width: Int): DataFrame = {
+    val chunks = docChunks(docs, width = width, stride = width)
+    val firstSeen = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"),
+        sum(when(col("rn") === 1, col("n_chunk_tokens")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("kept_chunks"),
+        col("n_tokens"), col("kept_tokens"),
+        round(col("kept_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("retained_ratio"))
+  }
+
+  val q234Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, tk,
+      |    unnest(generate_series(0, len(tk) - 1, 20)) AS start
+      |  FROM toks WHERE len(tk) > 0),
+      |ch AS (
+      |  SELECT doc_id,
+      |    CAST(start // 20 AS BIGINT) AS chunk_idx,
+      |    CAST(len(list_slice(tk, start + 1, start + 20)) AS BIGINT)
+      |      AS n_chunk_tokens,
+      |    md5(array_to_string(list_slice(tk, start + 1, start + 20), ' '))
+      |      AS chunk_hash
+      |  FROM st),
+      |fl AS (
+      |  SELECT doc_id, n_chunk_tokens,
+      |    row_number() OVER (PARTITION BY chunk_hash
+      |                       ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM ch)
+      |SELECT doc_id,
+      |  count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS kept_chunks,
+      |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN rn = 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens,
+      |  round(CAST(sum(CASE WHEN rn = 1 THEN n_chunk_tokens ELSE 0 END)
+      |             AS DOUBLE) / sum(n_chunk_tokens), 6) AS retained_ratio
+      |FROM fl GROUP BY 1""".stripMargin
+
   /** Rank-based winsorization — outlier clamping before training-data
     * statistics: per group, clamp values below the k-th smallest (or
     * above the k-th largest) to that boundary, k = 1 + n/100 (≈ the 1st
@@ -1163,5 +1238,6 @@ object Curation {
     "q218_ppl_filter"   -> (q218PplFilter _, q218Sql),
     "q220_pack_sweep"   -> (q220PackSweep _, q220Sql),
     "q222_curation_funnel" -> (q222CurationFunnel _, q222Sql),
+    "q234_chunk_dedup"  -> (q234ChunkDedup _, q234Sql),
   )
 }

@@ -608,6 +608,203 @@ object Relational {
       |  ON o_orderkey = big.l_orderkey
       |JOIN customer ON o_custkey = c_custkey""".stripMargin
 
+  /** TPC-H Q7 analog (volume shipping): revenue flowing between an
+    * ordered nation pair — supplier in one, customer in the other — by
+    * ship year. The classic two-fact-join shape where BOTH fact sides
+    * carry a dimension attribute: lineitem brings the supplier nation,
+    * orders brings the customer nation, and the pair predicate can only
+    * be evaluated after both joins.
+    *
+    * Scale shape: each side's nation filter is applied INSIDE the
+    * dimension join (nation pre-filtered to the two names, 25-row
+    * broadcast), so supplier and customer shrink to ~2/25 before
+    * touching the facts — AQE sees the reduced runtime stats and
+    * broadcasts them at any SF where they fit; at 100 TB they
+    * shuffle-join, which is the correct fallback. The ship-date range
+    * is a pushed parquet filter on the big fact. The final pair
+    * inequality (supp != cust) is a cheap post-join filter on two
+    * already-bounded string columns. One shuffle-agg on
+    * (supp_nation, cust_nation, year): ≤ 2 × years groups. */
+  def q230VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val pairNations = Seq("NATION_1", "NATION_2")
+    val sn = supplier(s, d)
+      .join(broadcast(nation(s, d)
+        .filter(col("n_name").isin(pairNations: _*))
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cn = customer(s, d)
+      .join(broadcast(nation(s, d)
+        .filter(col("n_name").isin(pairNations: _*))
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    lineitem(s, d)
+      .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev_d"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        col("rev_d").cast("double").as("revenue"))
+  }
+
+  val q230Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(volume) AS DOUBLE) AS revenue FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         year(l_shipdate) AS l_year,
+      |         CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) AS volume
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+      |                       AND TIMESTAMP '1997-12-31') v
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q9 analog (product-type profit): profit attributed to the
+    * supplier's nation by order year, restricted to parts whose name
+    * matches a substring (the testdata has no partsupp/supplycost, so
+    * profit is the discounted revenue — the join topology is the point).
+    *
+    * Scale shape: the part filter reduces to a key set consumed as a
+    * LEFT SEMI join on l_partkey — no part payload is carried through
+    * the pipeline, and AQE broadcasts the filtered key set when it
+    * fits. Supplier joins on l_suppkey (AQE-sized), nation is an
+    * explicit 25-row broadcast. One final shuffle-agg on
+    * (nation, year): ≤ 25 × years groups. */
+  def q231NationProfit(s: SparkSession, d: String): DataFrame = {
+    val matched = part(s, d)
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"))
+    lineitem(s, d)
+      .join(matched, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("amount_d"))
+      .select(col("nation"), col("o_year"),
+        col("amount_d").cast("double").as("profit"))
+  }
+
+  val q231Sql: String =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS profit FROM (
+      |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |         CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) AS amount
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                      WHERE p_name LIKE '%widget%')) v
+      |GROUP BY 1, 2""".stripMargin
+
+  /** TPC-H Q10 analog (returned-item report): top 20 customers by
+    * revenue lost to returns in a half-year order window. The
+    * filter-both-facts-then-enrich shape: returnflag prunes lineitem
+    * and the date range prunes orders BEFORE their join (both pushed
+    * to the parquet scans), then the surviving ~1/6 × 1/13 of the join
+    * output is enriched with customer attributes and top-k'd.
+    *
+    * Scale shape: grouping key includes the customer attributes
+    * (c_custkey is the true key; the rest are functionally dependent,
+    * the classic Q10 trick that avoids a post-agg join back to
+    * customer). Exact-decimal revenue makes the ORDER BY + LIMIT
+    * deterministic across engines, with c_custkey as the tiebreak.
+    * The top-20 itself is a TakeOrderedAndProject — no global sort is
+    * materialized. */
+  def q232ReturnedItems(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(orders(s, d)
+        .filter(col("o_orderdate").between("1996-01-01", "1996-06-30"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev_d"))
+      .orderBy(col("rev_d").desc, col("c_custkey"))
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"),
+        col("rev_d").cast("double").as("revenue"))
+
+  val q232Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(sum(rev) AS DOUBLE) AS revenue FROM (
+      |  SELECT c_custkey, c_name, c_acctbal, n_name,
+      |         CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+      |                        AND TIMESTAMP '1996-06-30') v
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY sum(rev) DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q19 analog (discounted revenue, disjunctive predicate): a
+    * single scalar over lineitem ⋈ part under an OR of three branches,
+    * each mixing part-side (brand, size) and lineitem-side (quantity)
+    * conjuncts. The optimizer stress here is disjunction handling:
+    * Catalyst's extract-common/convertible-filter rules derive the
+    * single-table disjuncts — `p_brand IN (…) AND p_size BETWEEN 1 AND
+    * 15` on part, `l_quantity BETWEEN 1 AND 30` on lineitem — and push
+    * them into BOTH parquet scans (PushedFilters carries the Or), so
+    * only candidate rows reach the join; the full three-way OR is
+    * re-applied post-join for exactness. PlanAuditSpec pins the
+    * part-side pushdown. Emits n_items alongside revenue so the gate
+    * is sensitive to the match set, not just the sum. */
+  def q233DisjunctiveScan(s: SparkSession, d: String): DataFrame = {
+    val j = lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+    val branch = (b: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === b &&
+        col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    j.filter(branch("Brand#12", 5, 1, 11) ||
+        branch("Brand#23", 10, 10, 20) ||
+        branch("Brand#34", 15, 20, 30))
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
+  val q233Sql: String =
+    """SELECT count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4)))
+      |       AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** TPC-H Q17 analog: revenue from small-quantity lines relative to the
     * per-part average — expressed as a window aggregate over l_partkey
     * instead of self-join-on-aggregate: ONE shuffle of lineitem on
@@ -2439,6 +2636,10 @@ object Relational {
     "q223_hopping_window" -> (q223HoppingWindow _, q223Sql),
     "q224_custdist" -> (q224Custdist _, q224Sql),
     "q225_large_orders" -> (q225LargeOrders _, q225Sql),
+    "q230_volume_shipping" -> (q230VolumeShipping _, q230Sql),
+    "q231_nation_profit" -> (q231NationProfit _, q231Sql),
+    "q232_returned_items" -> (q232ReturnedItems _, q232Sql),
+    "q233_disjunctive_scan" -> (q233DisjunctiveScan _, q233Sql),
     "q102_unpivot"        -> (q102Unpivot _, q102Sql),
     "q147_waiting_supplier" -> (q147WaitingSupplier _, q147Sql),
     "q153_gini"             -> (q153Gini _, q153Sql),

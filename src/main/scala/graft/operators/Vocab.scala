@@ -808,6 +808,83 @@ object Vocab {
        |FROM fin""".stripMargin
   }
 
+  /** Vocabulary-coverage curve — the "what vocab size do we need"
+    * decision table a tokenizer-training run produces before committing
+    * to a vocabulary: for each candidate size K, the fraction of corpus
+    * token occurrences covered by the K most frequent types (here
+    * word-bigram types — the unigram vocabulary of this corpus is ~31
+    * types, saturated by K=10; bigrams give a real curve). Rank ties
+    * break lexicographically so the curve is engine-deterministic.
+    *
+    * Scale shape: bigram extraction is the q25 posexplode pattern (no
+    * per-row lambda), counts fold map-side into ONE shuffle on the
+    * type key. The ranking deliberately does NOT window over the full
+    * type table (bigram types ~ |V|² — unbounded at corpus scale):
+    * [[graft.plans.GroupTopK]] cuts to the top max(K)=1000 types with
+    * per-partition heaps FIRST, and only that bounded frame gets the
+    * unpartitioned row_number (the sanctioned two-pass pattern). The
+    * denominator is a 1-row broadcast total over the untruncated
+    * counts; the K-grid joins the ranked types with a ≤ 5×1000-row
+    * broadcast nested loop. */
+  def q235VocabCoverage(s: SparkSession, d: String): DataFrame =
+    vocabCoverage(documents(s, d), Seq(10, 30, 100, 300, 1000))
+
+  /** Core of [[q235VocabCoverage]] over an explicit docs frame and K
+    * grid (spec entry point). */
+  def vocabCoverage(docs: DataFrame, kGrid: Seq[Int]): DataFrame = {
+    val s = docs.sparkSession
+    val cnt = docs
+      .withColumn("ws", Dedup.tokensCodegen(col("text")))
+      .filter(size(col("ws")) >= 2) // letterless docs tokenize to [""], size 1
+      .select(col("ws"), posexplode(col("ws")))
+      .filter(col("pos") <= size(col("ws")) - 2)
+      .select(concat(col("col"), lit(" "),
+        element_at(col("ws"), col("pos") + 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c"))
+    val top = graft.plans.GroupTopKExtension.topKPerGroup(
+      cnt.withColumn("g", lit(1)), groupCols = Seq("g"),
+      order = Seq(("c", false), ("bigram", true)), k = kGrid.max)
+    val ranked = top.withColumn("rn",
+      row_number().over(Window.orderBy(col("c").desc, col("bigram"))))
+    val total = cnt.agg(sum(col("c")).as("total_tokens"))
+    val grid = {
+      import s.implicits._
+      kGrid.toDF("vocab_k")
+    }
+    ranked
+      .join(broadcast(grid), col("rn") <= col("vocab_k"))
+      .groupBy(col("vocab_k"))
+      .agg(max(col("rn")).cast("long").as("n_types"),
+        sum(col("c")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_k"), col("n_types"), col("covered"),
+        round(col("covered").cast("double") /
+          col("total_tokens").cast("double"), 6).as("coverage"))
+  }
+
+  val q235Sql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |                     t -> t <> '') AS ws
+      |  FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(ws)),
+      |           i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |  FROM toks WHERE len(ws) >= 2),
+      |cnt AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+      |ranked AS (
+      |  SELECT bigram, c,
+      |    row_number() OVER (ORDER BY c DESC, bigram) AS rn FROM cnt),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens FROM cnt),
+      |grid AS (SELECT unnest([10, 30, 100, 300, 1000]) AS vocab_k)
+      |SELECT vocab_k,
+      |  CAST(max(rn) AS BIGINT) AS n_types,
+      |  CAST(sum(c) AS BIGINT) AS covered,
+      |  round(CAST(sum(c) AS DOUBLE) / max(total_tokens), 6) AS coverage
+      |FROM grid JOIN ranked ON rn <= vocab_k CROSS JOIN tot
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q68_heavy_hitters" -> (q68HeavyHitters _, q68Sql),
     "q69_lm_score"      -> (q69LmScore _, q69Sql),
@@ -819,5 +896,6 @@ object Vocab {
     "q203_bpe_train"    -> (q203BpeTrain _, q203Sql),
     "q212_kn_bigram"    -> (q212KnBigram _, q212Sql),
     "q214_bpe_encode"   -> (q214BpeEncode _, q214Sql),
+    "q235_vocab_coverage" -> (q235VocabCoverage _, q235Sql),
   )
 }

@@ -91,6 +91,37 @@ object NeardupStream {
   def mediaClaims(media: DataFrame, watermarkDelay: String): Dataset[Claim] =
     claimsFromRows(mediaBandRows(media), watermarkDelay)
 
+  /** (doc_id, ts, band, bkey) rows for SUB-DOCUMENT chunk dedup at
+    * ingest — the streaming face of the batch q234
+    * (graft.operators.Curation.chunkDedup): each document splits into
+    * non-overlapping `width`-token chunks and every chunk hashes into
+    * ONE exact bucket (band 0, xxhash64 of the space-joined tokens —
+    * exact dedup needs no banding; the multi-band machinery degrades
+    * gracefully to a single table). A chunk's first-ever claimant owns
+    * it; later documents carrying the same boilerplate paragraph fail
+    * that chunk's claim and a downstream reassembler drops it. Token
+    * arrays come from the same native alpha_tokens kernel as the batch
+    * operator, so stream and batch agree on chunk boundaries; letterless
+    * docs (the [""] singleton) pass through unbanded like sub-gram media
+    * payloads. */
+  def chunkBandRows(docs: DataFrame, width: Int): DataFrame =
+    docs
+      .withColumn("tk", graft.operators.Dedup.tokensCodegen(col("text")))
+      .where(size(col("tk")) > 0 && element_at(col("tk"), 1) =!= "")
+      .select(col("doc_id"), col("ts"), col("tk"),
+        explode(expr(s"sequence(0, size(tk) - 1, $width)")).as("start"))
+      .select(col("doc_id"), col("ts"), lit(0).as("band"),
+        xxhash64(concat_ws(" ",
+          slice(col("tk"), col("start") + 1, lit(width)))).as("bkey"))
+
+  /** First-wins chunk claims for a document ingest stream — paragraph-
+    * level dedup at ingest. Same state contract as every other claims
+    * path: one owner long per observed chunk bucket, event-time
+    * eviction after `watermarkDelay`. */
+  def chunkClaims(docs: DataFrame, watermarkDelay: String,
+                  width: Int = 20): Dataset[Claim] =
+    claimsFromRows(chunkBandRows(docs, width), watermarkDelay)
+
   /** First-wins bucket claims for an embedding ingest stream — the
     * semantic-dedup-at-ingest form. Same state contract as the text
     * path: one owner long per observed bucket, event-time eviction. */

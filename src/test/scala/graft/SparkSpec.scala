@@ -22,6 +22,13 @@ object SharedSpark {
     graft.functions.ZorderBits.register(s)
     graft.functions.BloomFilterFns.register(s)
     graft.functions.PayloadSimhash.register(s)
+    // Mirror GraftSession.getOrCreate: the driver-run session always has
+    // the plan extensions installed, so pins must assert the plans users
+    // actually get. Installing here (not lazily inside whichever suite
+    // first touches topKPerGroup) also makes plan shapes independent of
+    // suite execution order. ChainReorder stays conf-gated (default off).
+    graft.plans.GroupTopKExtension.install(s)
+    graft.plans.ChainReorderExtension.install(s)
     s
   }
 

@@ -749,4 +749,35 @@ class AnalyticsSpec extends SparkSpec {
     // and they genuinely vary (non-degenerate weights)
     assert(means.distinct.length > 5)
   }
+
+  test("spearman: monotone ±1 exactly, ties average-ranked to a hand value, constant group guarded to null") {
+    val base = Seq(
+      // g1: strictly increasing y with x → rho = 1 exactly
+      ("g1", 1L, 10L), ("g1", 2L, 20L), ("g1", 3L, 30L), ("g1", 4L, 41L),
+      // g2: strictly decreasing → rho = -1 exactly
+      ("g2", 1L, 9L), ("g2", 2L, 7L), ("g2", 3L, 4L),
+      // g3: ties in both columns; referee value below
+      ("g3", 1L, 10L), ("g3", 2L, 20L), ("g3", 2L, 20L), ("g3", 3L, 5L),
+      // g4: constant x → zero rank variance → guarded NULL, not NaN
+      ("g4", 7L, 1L), ("g4", 7L, 2L), ("g4", 7L, 3L)
+    ).toDF("source", "x", "y")
+    val got = Analytics.spearmanByGroup(base)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("g1") === ((4L, Some(1.0))))
+    assert(got("g2") === ((3L, Some(-1.0))))
+    assert(got("g4") === ((3L, None)))
+    // g3 referee (average ranks): x = [1,2,2,3] -> [1, 2.5, 2.5, 4];
+    // y = [10,20,20,5] -> [2, 3.5, 3.5, 1] (5 ranks 1, 10 ranks 2, the
+    // tied 20s average ranks 3 and 4); pearson by the same closed form
+    val rx = Seq(1.0, 2.5, 2.5, 4.0); val ry = Seq(2.0, 3.5, 3.5, 1.0)
+    val n = 4.0
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (rx.map(a => a * a).sum, ry.map(b => b * b).sum)
+    val want = BigDecimal((n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("g3")._2.contains(want), s"${got("g3")._2} vs $want")
+  }
 }

@@ -592,4 +592,29 @@ class CurationSpec extends SparkSpec {
     // tercile ranges are disjoint and ascending in score
     assert(h._5.get <= m._4.get && m._5.get <= t._4.get)
   }
+
+  test("chunk dedup: shared chunks kept once at the smallest (doc_id, chunk_idx), retention hand-derived") {
+    // 4-token chunks over all-letter words; w(i) yields distinct
+    // lowercase tokens the [^a-z]+ tokenizer passes through intact
+    def w(i: Int): String = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val a = (0 until 4).map(w)   // chunk A
+    val b = (4 until 8).map(w)   // chunk B
+    val c = (8 until 10).map(w)  // short unique tail chunk C (2 tokens)
+    val docs = Seq(
+      (1L, (a ++ b).mkString(" ")), // A@idx0, B@idx1 — canonical owners
+      (2L, a.mkString(" ")),        // A again — fully deduplicated away
+      (3L, (b ++ c).mkString(" ")), // B dup + unique short tail C
+      (4L, "12345 !!!")             // letterless — no chunks, no row
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDedup(docs, width = 4)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) === ((2L, 2L, 8L, 8L, 1.0)))
+    assert(got(2L) === ((1L, 0L, 4L, 0L, 0.0)))
+    assert(got(3L) === ((2L, 1L, 6L, 2L, 0.333333)))
+    assert(!got.contains(4L))
+    // global invariant: kept chunks across docs == distinct chunk hashes
+    val keptTotal = got.values.map(_._2).sum
+    assert(keptTotal === 3L) // A, B, C each exactly once
+  }
 }

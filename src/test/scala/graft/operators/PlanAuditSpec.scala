@@ -594,10 +594,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 1, s"lineitem scanned $scans times\n${p170.take(2000)}")
   }
 
-  test("q173 keyness: token scan once, WindowGroupLimit bounds the per-source rank") {
+  test("q173 keyness: token scan once, a bounded heap prunes the per-source rank") {
     val plan = planOf(Vocab.q173Keyness(spark, d))
       .split("== Initial Plan ==").head
-    assert(plan.contains("WindowGroupLimit"), plan.take(2500))
+    // with the session extensions installed (production config) the
+    // row_number-filter plans as GroupTopK; the property is the same
+    // either way: rank input bounded before the exchange
+    assert(plan.contains("GroupTopK") || plan.contains("WindowGroupLimit"),
+      plan.take(2500))
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
     // 0 visible scans = the tokenize ran ONCE into the checkpointed
     // (source, word) grain all three aggregates read; >1 means a
@@ -663,11 +667,13 @@ class PlanAuditSpec extends SparkSpec {
     // the rank input is the FILTERED subset: docs broadcast-semi-join the
     // over-cap source list before any window touches them
     assert(plan.contains("BroadcastHashJoin"), plan.take(2500))
-    // the filtered rank plans as partial+final WindowGroupLimit — each
-    // map partition prunes to cap rows per source BEFORE the exchange,
-    // so a mega-domain never funnels unbounded rows into one sort
-    assert(plan.contains("WindowGroupLimit") &&
-      plan.contains("Partial"), plan.take(2500))
+    // the filtered rank prunes map-side — each partition keeps at most
+    // cap rows per source BEFORE the exchange, so a mega-domain never
+    // funnels unbounded rows into one sort: GroupTopKPartial under the
+    // production extensions, partial WindowGroupLimit without them
+    assert(plan.contains("GroupTopKPartial") ||
+      (plan.contains("WindowGroupLimit") && plan.contains("Partial")),
+      plan.take(2500))
     // small sources bypass the window entirely through the Union's
     // pre-aggregated branch
     assert(plan.contains("Union"), plan.take(2500))
@@ -1054,5 +1060,45 @@ class PlanAuditSpec extends SparkSpec {
         }
     }
     assert(offending.isEmpty, offending.mkString("\n"))
+  }
+
+  test("q233: single-table residuals of the three-way OR are pushed to BOTH parquet scans") {
+    val plan = planOf(Relational.q233DisjunctiveScan(spark, d))
+    // lineitem side: the derived quantity-range disjunction reaches the scan
+    assert(plan.contains("Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"),
+      plan.take(3000))
+    // part side: the derived brand/size disjunction reaches the scan
+    assert(plan.contains("Or(Or(And(EqualTo(p_brand"), plan.take(3000))
+    // the exact three-way OR survives as the join's non-equi condition
+    assert(plan.contains("p_brand#") && plan.contains("l_quantity#"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q232: top-20 is TakeOrderedAndProject (no materialized global sort); both fact filters pushed") {
+    val plan = planOf(Relational.q232ReturnedItems(spark, d))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan.take(3000))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan.take(3000))
+  }
+
+  test("q230: ship-date range pushed to the lineitem scan; no cartesian from the pair predicate") {
+    val plan = planOf(Relational.q230VolumeShipping(spark, d))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(3000))
+    // the PushedFilters render truncates mid-list; the untruncated
+    // Filter node carries the upper bound
+    assert(plan.contains("<= 1997-12-31 00:00:00"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("q235: type ranking is GroupTopK-bounded before the unpartitioned window") {
+    val plan = planOf(Vocab.q235VocabCoverage(spark, d))
+    // the heap-bounded cut runs BEFORE the global row_number: types
+    // reaching the single-partition window are <= max(K), not |V|^2
+    assert(plan.contains("GroupTopK"), plan.take(3000))
+    // the K-grid join is a broadcast nested loop over <= 5 x 1000 rows
+    // (bounded), and the total is a broadcast 1-row aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 }

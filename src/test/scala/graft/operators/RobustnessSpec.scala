@@ -40,7 +40,11 @@ class RobustnessSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     val liSchema = StructType(Seq(
       StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
-      StructField("l_quantity", DoubleType)))
+      StructField("l_suppkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_shipdate", TimestampType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], liSchema)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val ordSchema = StructType(Seq(
@@ -52,9 +56,22 @@ class RobustnessSpec extends SparkSpec {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ordSchema)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val ptSchema = StructType(Seq(
-      StructField("p_partkey", LongType), StructField("p_brand", StringType)))
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_size", IntegerType)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ptSchema)
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val supSchema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], supSchema)
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val natSchema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], natSchema)
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
     dir
   }
 
@@ -107,6 +124,16 @@ class RobustnessSpec extends SparkSpec {
     // with customers present must yield one (0, n_customers) row, and
     // a fully empty corpus yields none
     assert(Relational.q224Custdist(spark, emptyDir).count() === 0L)
+    // round-14 second wave: empty facts flow through the multi-join
+    // topologies; the grouped shapes emit nothing, the global scalar
+    // (q233) emits its single zero-count row
+    assert(Relational.q230VolumeShipping(spark, emptyDir).count() === 0L)
+    assert(Relational.q231NationProfit(spark, emptyDir).count() === 0L)
+    assert(Relational.q232ReturnedItems(spark, emptyDir).count() === 0L)
+    val q233 = Relational.q233DisjunctiveScan(spark, emptyDir).collect()
+    assert(q233.length === 1 && q233.head.getLong(0) === 0L)
+    assert(Curation.q234ChunkDedup(spark, emptyDir).count() === 0L)
+    assert(Vocab.q235VocabCoverage(spark, emptyDir).count() === 0L)
   }
 
   test("pathological documents: letterless, whitespace-only, huge-token, unicode") {

@@ -330,4 +330,22 @@ class VocabSpec extends SparkSpec {
       }
     }
   }
+
+  test("vocab coverage: hand-derived curve, ties broken lexicographically, K past the type count saturates at 1.0") {
+    // bigram counts by construction: "a b"x2, "b a"x2, "a c"x1 from doc 1,
+    // "b c"x1 from doc 2 — total 6 occurrences, 4 types.
+    // rank order (count desc, bigram asc): a b, b a, a c, b c
+    val docs = Seq(
+      (1L, "a b a b a c"),
+      (2L, "b c"),
+      (3L, "solo") // single-token doc: no bigrams, must not contribute
+    ).toDF("doc_id", "text")
+    val got = Vocab.vocabCoverage(docs, Seq(1, 2, 3, 9))
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1) === ((1L, 2L, 0.333333))) // {a b}
+    assert(got(2) === ((2L, 4L, 0.666667))) // + {b a}: the tie broke a-first
+    assert(got(3) === ((3L, 5L, 0.833333))) // + {a c}
+    assert(got(9) === ((4L, 6L, 1.0)))      // K past 4 types: all covered
+  }
 }

@@ -177,6 +177,62 @@ class StreamingNeardupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming chunk claims: shared boilerplate chunk in a later batch fails its claim") {
+    implicit val sqlCtx = spark.sqlContext
+    def w(i: Int): String = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val a = (0 until 4).map(w).mkString(" ")  // chunk A (width 4)
+    val b = (4 until 8).map(w).mkString(" ")  // chunk B
+    val c = (8 until 12).map(w).mkString(" ") // chunk C
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = NeardupStream.chunkClaims(df, "1 hour", width = 4)
+      .writeStream.format("memory").queryName("chunk_claims_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, ts(0), s"$a $b"))
+      q.processAllAvailable()
+      // doc 2 re-ingests chunk A (owned by doc 1, via state across
+      // micro-batches) next to fresh chunk C; doc 3 is letterless and
+      // must pass through unbanded (no claims, not blocked)
+      mem.addData((2L, ts(5), s"$a $c"), (3L, ts(6), "12345 !!!"))
+      q.processAllAvailable()
+      val claims = spark.table("chunk_claims_out")
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("claimed"), 1).otherwise(0)).as("won"),
+          count(lit(1)).as("total"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(claims(1L) === ((2L, 2L))) // owns A and B
+      assert(claims(2L) === ((1L, 2L))) // loses A, wins C
+      assert(!claims.contains(3L))      // letterless: no chunk rows at all
+    } finally q.stop()
+  }
+
+  test("batch chunk claims agree with q234's canonical per-chunk winner (kept counts per doc)") {
+    // ts ascending with doc_id so the claims order (ts, doc_id) and the
+    // batch canonical order (doc_id, chunk_idx) pick the same winner;
+    // no intra-doc duplicate chunks so kept_chunks == claims won
+    def w(i: Int): String = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val a = (0 until 4).map(w)
+    val b = (4 until 8).map(w)
+    val c = (8 until 10).map(w) // short tail chunk
+    val docs = Seq(
+      (1L, ts(0), (a ++ b).mkString(" ")),
+      (2L, ts(1), a.mkString(" ")),
+      (3L, ts(2), (b ++ c).mkString(" ")))
+      .toDF("doc_id", "ts", "text")
+    val viaState = NeardupStream.chunkClaims(docs, "1 hour", width = 4)
+      .toDF()
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("claimed"), 1L).otherwise(0L)).as("won"))
+      .as[(Long, Long)].collect().toMap
+    val viaBatch = graft.operators.Curation.chunkDedup(
+        docs.select("doc_id", "text"), width = 4)
+      .select(col("doc_id"), col("kept_chunks"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaState === viaBatch)
+    assert(viaState === Map(1L -> 2L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("media claims band arithmetic equals the batch fingerprintPairs banding") {
     // a pair the BATCH operator verifies within radius 3 must collide in
     // >=1 streaming bucket (the pigeonhole guarantee shared verbatim)
