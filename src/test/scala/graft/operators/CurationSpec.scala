@@ -617,4 +617,62 @@ class CurationSpec extends SparkSpec {
     val keptTotal = got.values.map(_._2).sum
     assert(keptTotal === 3L) // A, B, C each exactly once
   }
+
+  test("chunk sweep: narrow widths catch a straddling duplicate that wide widths miss") {
+    def w(i: Int): String = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val a = (0 until 4).map(w) // doc1 = A(4 tokens) ++ B(4 tokens)
+    val b = (4 until 8).map(w)
+    val docs = Seq(
+      (1L, (a ++ b).mkString(" ")),
+      // doc2 = the SECOND half of A: at width 2 it aligns with doc1's
+      // second width-2 chunk (duplicate found); at width 4 it is a
+      // 2-token tail chunk unlike any of doc1's 4-token chunks (missed)
+      (2L, a.drop(2).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkSweep(docs, Seq(2, 4))
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // width 2: 4+1 chunks, the aligned pair is a dup (2 tokens removed)
+    assert(got(2) === ((5L, 1L, 10L, 2L, 0.2)))
+    // width 4: 2+1 chunks, no duplicate at this granularity
+    assert(got(4) === ((3L, 0L, 10L, 0L, 0.0)))
+  }
+
+  test("split leakage: a planted train chunk inside an eval doc flags exactly that doc") {
+    import org.apache.spark.sql.SparkSession
+    // recover the hash-split assignment for candidate ids through the
+    // PUBLIC withSplit (same buckets the operator uses)
+    val probe = (1L to 60L).map(i => (i, "x")).toDF("doc_id", "text")
+    val splitOf = Curation.withSplit(probe)
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val trainId = splitOf.collectFirst { case (id, "train") => id }.get
+    val evalIds = splitOf.collect { case (id, s) if s != "train" => id }.toSeq.sorted
+    val (evalLeaky, evalClean) = (evalIds.head, evalIds(1))
+    def w(i: Int): String = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    val shared = (0 until 20).map(w)   // one full 20-token chunk
+    val fresh1 = (20 until 40).map(w)
+    val fresh2 = (40 until 60).map(w)
+    val fresh3 = (60 until 80).map(w)
+    val dir = java.nio.file.Files.createTempDirectory("leak").toString
+    Seq(
+      (trainId, (shared ++ fresh1).mkString(" ")),
+      (evalLeaky, (fresh2 ++ shared).mkString(" ")), // chunk-aligned copy
+      (evalClean, fresh3.mkString(" "))
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q238SplitLeakage(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val leakySplit = splitOf(evalLeaky)
+    val cleanSplit = splitOf(evalClean)
+    if (leakySplit == cleanSplit) {
+      assert(got(leakySplit) === ((2L, 1L)))
+    } else {
+      assert(got(leakySplit) === ((1L, 1L)))
+      assert(got(cleanSplit) === ((1L, 0L)))
+    }
+  }
 }

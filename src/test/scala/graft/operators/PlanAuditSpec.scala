@@ -1092,6 +1092,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("q237 chunk sweep: tokenize runs once — the per-width passes read the checkpoint, not the corpus") {
+    val plan = planOf(Curation.q237ChunkSweep(spark, d))
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 1, s"documents scanned $scans times\n${plan.take(2000)}")
+    // 5 checkpoint consumers (one per width) must be visible instead
+    assert(plan.contains("Scan ExistingRDD"), plan.take(2000))
+  }
+
+  test("q238 split leakage: chunk-hash equi join, never a cartesian; verdict aggregates partially") {
+    val plan = planOf(Curation.q238SplitLeakage(spark, d))
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
+    assert(plan.contains("partial_"), plan.take(2500))
+  }
+
   test("q235: type ranking is GroupTopK-bounded before the unpartitioned window") {
     val plan = planOf(Vocab.q235VocabCoverage(spark, d))
     // the heap-bounded cut runs BEFORE the global row_number: types

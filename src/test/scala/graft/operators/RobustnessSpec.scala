@@ -134,6 +134,11 @@ class RobustnessSpec extends SparkSpec {
     assert(q233.length === 1 && q233.head.getLong(0) === 0L)
     assert(Curation.q234ChunkDedup(spark, emptyDir).count() === 0L)
     assert(Vocab.q235VocabCoverage(spark, emptyDir).count() === 0L)
+    // q237's global aggregates emit zero rows via the n_chunks guard
+    // (mirroring the oracle's GROUP BY); q236/q238 group away to none
+    assert(Curation.q237ChunkSweep(spark, emptyDir).count() === 0L)
+    assert(Curation.q238SplitLeakage(spark, emptyDir).count() === 0L)
+    assert(Analytics.q236Spearman(spark, emptyDir).count() === 0L)
   }
 
   test("pathological documents: letterless, whitespace-only, huge-token, unicode") {
