@@ -262,7 +262,7 @@ object Curation {
   /** (doc_id, tk) token arrays for chunking — [[docChunks]]' tokenize
     * step, factored out so a sweep ([[q237ChunkSweep]]) pays it once.
     * Extra input columns (e.g. a split label) are carried through. */
-  private[operators] def docTokens(docs: DataFrame): DataFrame = {
+  private[graft] def docTokens(docs: DataFrame): DataFrame = {
     val cleaned = regexp_replace(lower(col("text")), "(^[^a-z]+)|([^a-z]+$)", "")
     docs
       .withColumn("tk",
@@ -274,7 +274,7 @@ object Curation {
 
   /** [[docChunks]]' window step over a pre-tokenized (doc_id, tk[, …])
     * frame; carries any extra columns alongside the chunk rows. */
-  private[operators] def chunksOfTokens(toks: DataFrame, width: Int,
+  private[graft] def chunksOfTokens(toks: DataFrame, width: Int,
       stride: Int): DataFrame = {
     require(stride > 0 && width >= stride,
       s"need width >= stride > 0, got width=$width stride=$stride")

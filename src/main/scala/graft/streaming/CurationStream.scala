@@ -235,4 +235,35 @@ object CurationStream {
       .select(col("doc_id"), col("source"), col("keep1"), col("keep2"),
         col("keep3"), col("keep4"))
   }
+
+  /** Decontamination-at-ingest: per-chunk leak flags for a document
+    * ingest stream checked against a STATIC train-chunk table — the
+    * streaming face of q238's split-leakage audit, and the repo's
+    * exemplar of Spark's third reference-data idiom: a stream-STATIC
+    * equi join. Unlike the funnel's broadcast Sets (driver-sized
+    * snapshot baked into the plan) or the claims paths' keyed state
+    * (stream-mutable), the static side here is a DataFrame the engine
+    * re-plans per micro-batch — so a train set too big to broadcast
+    * still works (shuffled join at scale) and a replaced underlying
+    * table is picked up without restarting the query. Stateless by
+    * construction: chunking is per-row, the left join needs no
+    * watermark or state store, and the per-doc verdict is the
+    * consumer's batch rollup (q238's max() shape — same division of
+    * labor as claims → keptDocs). */
+  def leakFlags(docs: DataFrame, trainChunks: DataFrame,
+      width: Int = 20): DataFrame =
+    Curation.chunksOfTokens(Curation.docTokens(docs), width, width)
+      .join(trainChunks.select(col("chunk_hash")).distinct()
+        .withColumn("in_train", lit(1)), Seq("chunk_hash"), "left")
+      .select(col("doc_id"), col("ts"), col("chunk_idx"),
+        (coalesce(col("in_train"), lit(0)) === 1).as("leaked"))
+
+  /** The static reference side for [[leakFlags]]: distinct chunk hashes
+    * of the train split of a batch corpus. */
+  def trainChunkSet(docs: DataFrame, width: Int = 20): DataFrame =
+    Curation.chunksOfTokens(
+      Curation.docTokens(Curation.withSplit(docs)
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("text"))), width, width)
+      .select(col("chunk_hash")).distinct()
 }

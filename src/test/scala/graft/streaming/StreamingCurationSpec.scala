@@ -89,4 +89,49 @@ class StreamingCurationSpec extends SparkSpec {
         want.count(row => row(5).asInstanceOf[Boolean]).toLong)
     }
   }
+
+  test("stream-static leak flags over 2 micro-batches equal the batch q238 chunk verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.operators.Tables.documents(spark, d)
+    val trainSet = CurationStream.trainChunkSet(docs) // static reference
+    // the eval stream: every non-train doc, ts following doc_id order
+    val evalRows = graft.operators.Curation.withSplit(docs)
+      .filter(col("split") =!= "train")
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .as[(Long, String)].collect()
+      .map { case (id, txt) =>
+        (id, new Timestamp(1000000000000L + id * 1000L), txt)
+      }
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = CurationStream.leakFlags(df, trainSet)
+      .writeStream.format("memory").queryName("leak_flags_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      val (b1, b2) = evalRows.splitAt(evalRows.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("leak_flags_out")
+        .select(col("doc_id"), col("chunk_idx"), col("leaked"))
+        .as[(Long, Long, Boolean)].collect().toSet
+      // batch referee: same chunks, same static train set, left join
+      val batch = graft.operators.Curation.chunksOfTokens(
+          graft.operators.Curation.docTokens(
+            graft.operators.Curation.withSplit(docs)
+              .filter(col("split") =!= "train")
+              .select(col("doc_id"), col("text"))), 20, 20)
+        .join(trainSet.withColumn("in_train", lit(1)), Seq("chunk_hash"), "left")
+        .select(col("doc_id"), col("chunk_idx"),
+          (coalesce(col("in_train"), lit(0)) === 1).as("leaked"))
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(got === batch)
+      // the audit genuinely bites on this corpus (q238's measured rates)
+      assert(got.exists(_._3) && got.exists(!_._3))
+      // and rolls up to q238's per-split doc counts
+      val leakedDocs = got.filter(_._3).map(_._1)
+      val q238Total = graft.operators.Curation.q238SplitLeakage(spark, d)
+        .agg(sum(col("n_leaked"))).as[Long].collect().head
+      assert(leakedDocs.size.toLong === q238Total)
+    } finally q.stop()
+  }
 }
