@@ -460,6 +460,147 @@ object Curation {
       |             AS DOUBLE) / sum(n_chunk_tokens), 6) AS removal_rate
       |FROM fl GROUP BY 1""".stripMargin
 
+  /** Corpus novelty-decay curve — the "is more crawl still worth it"
+    * table: documents bucketed into ingest-order deciles (by doc_id,
+    * the monotone ingest sequence), and for each decile the fraction of
+    * its 20-token chunks never seen in ANY earlier document. A healthy
+    * growing corpus stays near 1.0; the measured sf0.01 curve decays
+    * 1.0 → ~0.93 as the planted duplicates accumulate. cum_distinct is
+    * the running distinct-chunk count — the marginal-data value curve.
+    *
+    * Scale shape: the decile is a TWO-PASS global rank
+    * ([[Relational.globalRank]] — range partition + per-partition
+    * row_number + broadcast offsets; doc_id order never funnels into
+    * one partition) on a SLIM (doc_id) projection, joined back to the
+    * token frame; ntile's remainder-spreading is replicated as closed
+    * integer arithmetic against a broadcast 1-row count, so Spark's
+    * two-pass bucket equals the oracle's native ntile(10) exactly.
+    * First-occurrence credit is the one q234 hash shuffle; the decile
+    * rollup and its 10-row cumulative window are bounded. */
+  def q239NoveltyCurve(s: SparkSession, d: String): DataFrame = {
+    val toks = docTokens(documents(s, d).select(col("doc_id"), col("text")))
+      .localCheckpoint(false) // consumers: rank input + chunk pass
+    val ranked = Relational.globalRank(
+      toks.select(col("doc_id")), col("doc_id"), col("doc_id"), parts = 32)
+    val n1 = ranked.agg(count(lit(1)).as("n_docs"))
+    // ntile(b) closed form: k = n div b, r = n mod b; the first r
+    // buckets take k+1 rows (integer `div`, exact past 2^53)
+    val deciles = ranked.crossJoin(broadcast(n1))
+      .withColumn("decile", expr(
+        "CAST(CASE WHEN rnk <= (n_docs % 10) * (n_docs div 10 + 1) " +
+          "THEN (rnk - 1) div (n_docs div 10 + 1) + 1 " +
+          "ELSE (n_docs % 10) + " +
+          "(rnk - (n_docs % 10) * (n_docs div 10 + 1) - 1) div " +
+          "(n_docs div 10) + 1 END AS BIGINT)")) // DuckDB ntile emits BIGINT
+      .select(col("doc_id"), col("decile"))
+    val ch = chunksOfTokens(toks.join(deciles, Seq("doc_id")), 20, 20)
+    val firstSeen = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    ch.withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_new"))
+      .select(col("decile"), col("n_chunks"), col("n_new"),
+        round(col("n_new").cast("double") /
+          col("n_chunks").cast("double"), 6).as("novelty"),
+        // bounded: exactly 10 rows reach this window
+        sum(col("n_new")).over(Window.orderBy(col("decile")))
+          .as("cum_distinct"))
+  }
+
+  val q239Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |dec AS (
+      |  SELECT doc_id, tk, ntile(10) OVER (ORDER BY doc_id) AS decile
+      |  FROM toks WHERE len(tk) > 0),
+      |st AS (
+      |  SELECT doc_id, decile, tk,
+      |    unnest(generate_series(0, len(tk) - 1, 20)) AS start
+      |  FROM dec),
+      |ch AS (
+      |  SELECT doc_id, decile, CAST(start // 20 AS BIGINT) AS chunk_idx,
+      |    md5(array_to_string(list_slice(tk, start + 1, start + 20), ' '))
+      |      AS chunk_hash
+      |  FROM st),
+      |fl AS (
+      |  SELECT decile,
+      |    row_number() OVER (PARTITION BY chunk_hash
+      |                       ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM ch),
+      |per AS (
+      |  SELECT decile, count(*) AS n_chunks,
+      |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM fl GROUP BY 1)
+      |SELECT decile, n_chunks, n_new,
+      |  round(CAST(n_new AS DOUBLE) / n_chunks, 6) AS novelty,
+      |  CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) AS cum_distinct
+      |FROM per""".stripMargin
+
+  /** Exact cross-source chunk-overlap matrix — the exact counterpart to
+    * q198's MinHash ESTIMATE of pairwise source similarity: for every
+    * source pair, how many distinct 20-token chunks they share, and the
+    * exact Jaccard over their distinct chunk sets. The estimate tells
+    * you where to look; this is the audit you run on the pairs it
+    * flags (measured sf0.01: 32 overlapping pairs, max shared = 6).
+    *
+    * Scale shape: the (source, chunk_hash) distinct projection is ONE
+    * hash shuffle, checkpointed once for its three consumers (totals +
+    * both self-join sides); the self-join fans out per chunk only to
+    * the sources containing it — bounded by |sources|² per hash, a
+    * metadata cardinality, never corpus-sized; source totals broadcast
+    * at |sources| rows. */
+  def q240SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val cr = chunksOfTokens(
+      docTokens(documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))), 20, 20)
+      .select(col("source"), col("chunk_hash")).distinct()
+      .localCheckpoint(false) // consumers: totals + two join sides
+    val tot = cr.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    cr.select(col("source").as("src_a"), col("chunk_hash"))
+      .join(cr.select(col("source").as("src_b"), col("chunk_hash")),
+        Seq("chunk_hash"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("n").as("na"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("n").as("nb"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  val q240Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |st AS (
+      |  SELECT source, tk,
+      |    unnest(generate_series(0, len(tk) - 1, 20)) AS start
+      |  FROM toks WHERE len(tk) > 0),
+      |cr AS (
+      |  SELECT DISTINCT source,
+      |    md5(array_to_string(list_slice(tk, start + 1, start + 20), ' '))
+      |      AS chunk_hash
+      |  FROM st),
+      |tot AS (SELECT source, count(*) AS n FROM cr GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      |  FROM cr a JOIN cr b
+      |    ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, shared,
+      |  round(CAST(shared AS DOUBLE) / (ta.n + tb.n - shared), 6)
+      |    AS jaccard
+      |FROM pairs JOIN tot ta ON src_a = ta.source
+      |JOIN tot tb ON src_b = tb.source""".stripMargin
+
   /** Train/eval split leakage audit — the contamination check a
     * pipeline runs BEFORE shipping a split assignment: a val/test
     * document is LEAKED if any of its 20-token chunks also occurs in
@@ -1407,5 +1548,7 @@ object Curation {
     "q234_chunk_dedup"  -> (q234ChunkDedup _, q234Sql),
     "q237_chunk_sweep"  -> (q237ChunkSweep _, q237Sql),
     "q238_split_leakage" -> (q238SplitLeakage _, q238Sql),
+    "q239_novelty_curve" -> (q239NoveltyCurve _, q239Sql),
+    "q240_source_overlap" -> (q240SourceOverlap _, q240Sql),
   )
 }

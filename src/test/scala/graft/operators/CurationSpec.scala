@@ -638,6 +638,49 @@ class CurationSpec extends SparkSpec {
     assert(got(4) === ((3L, 0L, 10L, 0L, 0.0)))
   }
 
+  test("novelty curve: alternating new/dup docs give a 1,0 sawtooth and a stepped distinct count") {
+    def w(i: Int): String = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    // 10 docs of exactly one 20-token chunk each -> 1 doc per decile
+    // (n=10: ntile assigns k=1 per bucket); odd docs introduce a fresh
+    // chunk, even docs repeat the previous doc's chunk
+    def chunkText(c: Int): String = (c * 20 until (c + 1) * 20).map(w).mkString(" ")
+    val docs = (1L to 10L).map { id =>
+      (id, chunkText(((id - 1) / 2).toInt))
+    }.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("novelty").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q239NoveltyCurve(spark, dir)
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    (1L to 10L).foreach { dec =>
+      val fresh = dec % 2 == 1
+      assert(got(dec) === ((1L, if (fresh) 1L else 0L,
+        if (fresh) 1.0 else 0.0, (dec + 1) / 2)), s"decile $dec")
+    }
+  }
+
+  test("source overlap: shared distinct chunks exact, within-source repeats counted once, disjoint pairs absent") {
+    def w(i: Int): String = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    def c(k: Int): String = (k * 20 until (k + 1) * 20).map(w).mkString(" ")
+    val docs = Seq(
+      (1L, "A", c(1)), (2L, "A", c(2)), (3L, "A", c(1)), // C1 twice in A
+      (4L, "B", c(2)), (5L, "B", c(3)),
+      (6L, "C", c(4))
+    ).toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("overlap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q240SourceOverlap(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // A={C1,C2} (C1's repeat deduplicated), B={C2,C3}: share C2,
+    // jaccard 1/(2+2-1); C is disjoint from both -> no rows at all
+    assert(got === Map(("A", "B") -> ((1L, 0.333333))))
+  }
+
   test("split leakage: a planted train chunk inside an eval doc flags exactly that doc") {
     import org.apache.spark.sql.SparkSession
     // recover the hash-split assignment for candidate ids through the

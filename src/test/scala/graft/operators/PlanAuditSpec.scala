@@ -1101,6 +1101,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Scan ExistingRDD"), plan.take(2000))
   }
 
+  test("q239 novelty curve: decile assignment never windows the corpus — no ntile, one documents scan") {
+    val plan = planOf(Curation.q239NoveltyCurve(spark, d))
+    // the two-pass globalRank replaces a global ntile window; a plan
+    // containing `ntile` would mean the corpus funneled one partition
+    assert(!plan.contains("ntile"), plan.take(2500))
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 1, s"documents scanned $scans times\n${plan.take(2000)}")
+  }
+
+  test("q240 source overlap: checkpointed chunk set feeds all three consumers — one documents scan") {
+    val plan = planOf(Curation.q240SourceOverlap(spark, d))
+    val scans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("documents"))
+    assert(scans <= 1, s"documents scanned $scans times\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2500))
+  }
+
   test("q238 split leakage: chunk-hash equi join, never a cartesian; verdict aggregates partially") {
     val plan = planOf(Curation.q238SplitLeakage(spark, d))
     assert(!plan.contains("CartesianProduct"), plan.take(2500))

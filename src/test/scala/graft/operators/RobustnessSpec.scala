@@ -139,6 +139,8 @@ class RobustnessSpec extends SparkSpec {
     assert(Curation.q237ChunkSweep(spark, emptyDir).count() === 0L)
     assert(Curation.q238SplitLeakage(spark, emptyDir).count() === 0L)
     assert(Analytics.q236Spearman(spark, emptyDir).count() === 0L)
+    assert(Curation.q239NoveltyCurve(spark, emptyDir).count() === 0L)
+    assert(Curation.q240SourceOverlap(spark, emptyDir).count() === 0L)
   }
 
   test("pathological documents: letterless, whitespace-only, huge-token, unicode") {
