@@ -131,4 +131,47 @@ class AnalyticsPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("spearman (q236 machinery): matches an average-rank Pearson referee on random tied data") {
+    val groupGen = for {
+      n <- Gen.choose(2, 40)
+      xs <- Gen.listOfN(n, Gen.choose(0L, 8L)) // narrow range → many ties
+      ys <- Gen.listOfN(n, Gen.choose(0L, 8L))
+    } yield xs.zip(ys)
+    def avgRanks(vs: Seq[Long]): Seq[Double] = {
+      val order = vs.indices.sortBy(vs)
+      val ranks = Array.ofDim[Double](vs.length)
+      var i = 0
+      while (i < order.length) {
+        var j = i
+        while (j + 1 < order.length && vs(order(j + 1)) == vs(order(i))) j += 1
+        val r = (i + j) / 2.0 + 1
+        (i to j).foreach(k => ranks(order(k)) = r)
+        i = j + 1
+      }
+      ranks.toSeq
+    }
+    samples(groupGen, 12).zipWithIndex.foreach { case (pts, k) =>
+      val df = pts.zipWithIndex
+        .map { case ((x, y), _) => ("g", x, y) }.toDF("source", "x", "y")
+      val got = Analytics.spearmanByGroup(df)
+        .as[(String, Long, Option[Double])].collect().head
+      assert(got._2 === pts.length.toLong, s"case $k")
+      val (rx, ry) = (avgRanks(pts.map(_._1)), avgRanks(pts.map(_._2)))
+      val n = pts.length.toDouble
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (rx.map(a => a * a).sum, ry.map(b => b * b).sum)
+      val varProd = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      if (varProd <= 0) assert(got._3.isEmpty, s"case $k: degenerate")
+      else {
+        val want = BigDecimal((n * sxy - sx * sy) / math.sqrt(varProd))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got._3.isDefined, s"case $k")
+        // doubled-rank integer moments vs half-rank doubles: identical
+        // up to the last ulp before rounding; allow exactly that
+        assert(math.abs(got._3.get - want) <= 1e-6, s"case $k: ${got._3.get} vs $want")
+      }
+    }
+  }
 }

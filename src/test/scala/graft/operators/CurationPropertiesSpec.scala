@@ -87,4 +87,35 @@ class CurationPropertiesSpec extends SparkSpec {
       assert(pr.getLong(0) > 0L, s"case $k: probe window must select rows")
     }
   }
+
+  test("chunk dedup (q234 machinery): retention equals a first-principles referee on random corpora") {
+    // small vocabulary forces genuine cross- and intra-doc chunk
+    // collisions; letterless docs check the drop path
+    val corpusGen = for {
+      n <- Gen.choose(1, 20)
+      docs <- Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.listOf(Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" ")),
+        1 -> Gen.const("123 !!!")))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    Seq(3, 7).foreach { width =>
+      samples(corpusGen, 8).zipWithIndex.foreach { case (docs, k) =>
+        val got = Curation.chunkDedup(docs.toDF("doc_id", "text"), width)
+          .as[(Long, Long, Long, Long, Long, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+        // referee: plain Scala first-occurrence scan in (doc_id,
+        // chunk_idx) order over width-grouped token windows
+        val chunksByDoc = docs.map { case (id, t) =>
+          id -> t.split("[^a-z]+").filter(_.nonEmpty).grouped(width)
+            .map(_.toSeq).toSeq
+        }.filter(_._2.nonEmpty).sortBy(_._1)
+        val seen = scala.collection.mutable.Set.empty[Seq[String]]
+        val want = chunksByDoc.map { case (id, chs) =>
+          val kept = chs.filter(c => seen.add(c))
+          id -> ((chs.size.toLong, kept.size.toLong,
+            chs.map(_.size.toLong).sum, kept.map(_.size.toLong).sum))
+        }.toMap
+        assert(got === want, s"width $width case $k")
+      }
+    }
+  }
 }
