@@ -665,6 +665,169 @@ object Storage {
       }
   }
 
+  // ─────────────────────── string zone maps ───────────────────────
+
+  /** One file's STRING zone: [lo, hi] of a string column folded across
+    * the file's row groups. The date zones above cover the time axis;
+    * real 100 TB tables also prune on low-cardinality STRING columns
+    * (source, lang, tenant) without paying physical partitioning —
+    * cluster on the column at write time and persist per-file min/max.
+    * `None` bounds mean the footer carried no stats for the column:
+    * the file is unskippable, never incorrectly skipped. */
+  case class StrFileZone(path: String, lo: Option[String], hi: Option[String])
+
+  private def strManifestDir(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_szonemap")
+
+  // manifest values are base64-encoded: arbitrary UTF-8 min/max
+  // (quotes, newlines, backslashes) can never corrupt the JSON-lines
+  // commit format, and decode is exact byte round-trip
+  private def b64e(v: String): String =
+    java.util.Base64.getEncoder.encodeToString(v.getBytes("UTF-8"))
+  private def b64d(v: String): String =
+    new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
+
+  /** Write `df` as `nFiles` parquet files range-clustered and sorted on
+    * `strCol`, then persist the string zone manifest
+    * (`_szonemap/zones-00000.json`) from the fresh footers — the
+    * [[zonemapClusteredWrite]] discipline for a categorical axis. */
+  def strZonemapClusteredWrite(df: DataFrame, strCol: String, nFiles: Int,
+      path: String): Unit = {
+    df.repartitionByRange(nFiles, col(strCol))
+      .sortWithinPartitions(col(strCol))
+      .write.mode("overwrite").parquet(path)
+    val s = df.sparkSession
+    val md = strManifestDir(path)
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(md)
+    val man = strFooterZones(s, path, strCol)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(md, "zones-00000.json"), true)
+    try out.write(man.map { z =>
+      val name = new org.apache.hadoop.fs.Path(z.path).getName
+      (z.lo, z.hi) match {
+        case (Some(lo), Some(hi)) =>
+          s"""{"file":"$name","lo64":"${b64e(lo)}","hi64":"${b64e(hi)}"}"""
+        case _ => s"""{"file":"$name","unbounded":true}"""
+      }
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read a persisted string zone manifest; None when the layout has no
+    * `_szonemap/` directory. */
+  def readStrManifest(s: SparkSession, dir: String): Option[Seq[StrFileZone]] = {
+    val md = strManifestDir(dir)
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(md)) None
+    else {
+      val bounded =
+        """\{"file":"([^"]+)","lo64":"([A-Za-z0-9+/=]*)","hi64":"([A-Za-z0-9+/=]*)"\}""".r
+      val unbounded = """\{"file":"([^"]+)","unbounded":true\}""".r
+      val zones = fs.listStatus(md).toSeq
+        .filter(_.getPath.getName.endsWith(".json"))
+        .sortBy(_.getPath.getName)
+        .flatMap { f =>
+          val in = fs.open(f.getPath)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          text.linesIterator.filter(_.nonEmpty).map {
+            case bounded(name, lo, hi) =>
+              StrFileZone(fs.makeQualified(
+                new org.apache.hadoop.fs.Path(dir, name)).toString,
+                Some(b64d(lo)), Some(b64d(hi)))
+            case unbounded(name) =>
+              StrFileZone(fs.makeQualified(
+                new org.apache.hadoop.fs.Path(dir, name)).toString,
+                None, None)
+            case bad => throw new IllegalStateException(
+              s"bad string manifest line: $bad")
+          }.toSeq
+        }
+      Some(zones.sortBy(_.path))
+    }
+  }
+
+  /** Footer-derived STRING zones for every data file in `dir` —
+    * parquet BINARY(UTF8) statistics decode to exact strings, and
+    * unsigned-lexicographic parquet ordering equals Spark's UTF8String
+    * binary comparison, so [lo, hi] intersection is sound. */
+  private def strFooterZones(s: SparkSession, dir: String,
+      strCol: String): Seq[StrFileZone] = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val zones = rd.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == strCol).flatMap { c =>
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) None
+              else Some((
+                st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8,
+                st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8))
+            }
+          }
+          val qual = fs.makeQualified(f.getPath).toString
+          if (zones.isEmpty) StrFileZone(qual, None, None)
+          else StrFileZone(qual, Some(zones.map(_._1).min), Some(zones.map(_._2).max))
+        } finally rd.close()
+      }
+  }
+
+  /** STRING-ZONE PRUNED READ — answer an equality probe on the
+    * clustering column reading only files whose [lo, hi] zone contains
+    * the value (the partition-prune effect without physical partition
+    * directories). The predicate is re-applied on survivors — pruning
+    * is an optimization, never a filter — so results equal a full scan
+    * by construction (gated: q241 vs the plain-filter oracle;
+    * StorageSpec pins files actually skipped via inputFiles). Returns
+    * (frame, total files, skipped files). */
+  def strPrunedRead(s: SparkSession, dir: String, strCol: String,
+      value: String): (DataFrame, Int, Int) = {
+    val man = readStrManifest(s, dir)
+      .getOrElse(strFooterZones(s, dir, strCol))
+    val survivors = man.filterNot(z =>
+      z.hi.exists(_ < value) || z.lo.exists(_ > value))
+    val base =
+      if (survivors.isEmpty) s.read.parquet(dir).where(lit(false))
+      else s.read.parquet(survivors.map(_.path): _*)
+    (base.filter(col(strCol) === value), man.size, man.size - survivors.size)
+  }
+
+  /** [[strPrunedRead]] under the gate: documents range-clustered on
+    * `source` into 16 files, probed for one source — the categorical
+    * sibling of q216's date window. The layout build is cached per
+    * (session, sf) like every layout query; the probe aggregate must
+    * hash-match DuckDB's plain filter over the raw table. */
+  def q241StringPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q241_docs_by_source", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(strManifestDir(dir)))
+      strZonemapClusteredWrite(
+        documents(s, d).select(col("source"), col("lang"), col("n_chars")),
+        "source", 16, dir)
+    val (probe, _, _) = strPrunedRead(s, dir, "source", "src12")
+    probe.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val q241Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE source = 'src12'
+      |GROUP BY 1""".stripMargin
+
   /** ZONE-MAP PRUNED READ — answer a date-range probe over a
     * [[zonemapClusteredWrite]] layout reading ONLY the files whose zone
     * intersects [lo, hi]: skipped files are absent from the returned
@@ -862,5 +1025,6 @@ object Storage {
     "q216_pruned_read"     -> (q216PrunedRead _, q216Sql),
     "q219_append_prune"    -> (q219AppendPrune _, q219Sql),
     "q227_scaled_prune"    -> (q227ScaledPrune _, q227Sql),
+    "q241_string_prune"    -> (q241StringPrune _, q241Sql),
   )
 }

@@ -425,6 +425,38 @@ class StorageSpec extends SparkSpec {
     assert(pRow.getLong(0) > 0L)
   }
 
+  test("string zonemap: equality probe skips non-matching files, survives quotes/newlines in values, equals the full scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-szmprune").toString
+    // 20 sources incl. values that would corrupt a naive JSON manifest
+    val nasty = Seq("src\"q\"", "src\nnl", "src\\bs")
+    val sources = (0 until 17).map(i => f"src$i%02d") ++ nasty
+    val docs = (0 until 400).map { i =>
+      (i.toLong, sources(i % sources.length), i % 7)
+    }.toDF("doc_id", "source", "v")
+    Storage.strZonemapClusteredWrite(docs, "source", 16, dir)
+    val man = Storage.readStrManifest(spark, dir)
+    assert(man.isDefined && man.get.size === 16)
+    man.get.foreach(z => assert(z.lo.get <= z.hi.get))
+    // base64 round-trip: the persisted manifest equals footer truth
+    // even for quote/newline/backslash values
+    val probeVals = Seq("src07", "src\nnl")
+    probeVals.foreach { v =>
+      val (pruned, total, skipped) = Storage.strPrunedRead(spark, dir, "source", v)
+      assert(total === 16)
+      assert(skipped >= 8, s"probe $v skipped only $skipped of $total")
+      assert(pruned.inputFiles.length === total - skipped)
+      val got = pruned.agg(count(lit(1)).as("n"), sum(col("v")).as("s")).collect()(0)
+      val want = spark.read.parquet(dir).filter(col("source") === v)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s")).collect()(0)
+      assert(got === want, s"probe $v")
+      assert(got.getLong(0) > 0L, s"probe $v selected no rows")
+    }
+    // a value outside every zone prunes everything and returns empty
+    val (none, _, allSkipped) = Storage.strPrunedRead(spark, dir, "source", "zzz")
+    assert(allSkipped === 16 && none.count() === 0L)
+  }
+
   test("scaled pruned read: distributed zone filter over a 4000-entry manifest, driver holds only survivors") {
     val dir = Files.createTempDirectory("graft-zmscaled").toString
     Storage.zonemapClusteredWrite(
