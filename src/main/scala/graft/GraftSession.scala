@@ -42,6 +42,7 @@ object GraftSession {
     graft.functions.ZorderBits.register(spark)
     graft.functions.BloomFilterFns.register(spark)
     graft.functions.PayloadSimhash.register(spark)
+    graft.functions.ChunkStats.register(spark)
     graft.plans.GroupTopKExtension.install(spark)
     graft.plans.ChainReorderExtension.install(spark)
     registerCapListener(spark)

@@ -256,8 +256,28 @@ object Curation {
     docChunks(documents(s, d), width = 50, stride = 40)
 
   def docChunks(docs: DataFrame, width: Int, stride: Int): DataFrame =
-    chunksOfTokens(docTokens(docs.select(col("doc_id"), col("text"))),
+    // the non-overlapping case runs the fused native kernel; overlap
+    // (q76's width 50 / stride 40) keeps the token-array window path
+    if (width == stride) chunkRows(docs.select(col("doc_id"), col("text")), width)
+    else chunksOfTokens(docTokens(docs.select(col("doc_id"), col("text"))),
       width, stride)
+
+  /** Non-overlapping chunk rows via the native `chunk_stats` expression
+    * (graft.functions.ChunkStats — tokenize + window + md5 fused into
+    * one per-row pass; bit-parity with the token-array path pinned in
+    * ChunkStatsSpec and corpus-wide by the q234/q237–q240 oracles).
+    * Extra input columns besides `text` are carried through; letterless
+    * documents produce zero rows (posexplode of the empty array). Runs
+    * identically batch or streaming — pure per-row expressions. */
+  private[graft] def chunkRows(docs: DataFrame, width: Int): DataFrame = {
+    val carried = docs.columns.filter(_ != "text").map(col).toSeq
+    docs
+      .withColumn("cs", call_function("chunk_stats", col("text"), lit(width)))
+      .select(carried :+ posexplode(col("cs")).as(Seq("pos", "c")): _*)
+      .select(carried ++ Seq(col("pos").cast("long").as("chunk_idx"),
+        col("c.n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+        col("c.chunk_hash").as("chunk_hash")): _*)
+  }
 
   /** (doc_id, tk) token arrays for chunking — [[docChunks]]' tokenize
     * step, factored out so a sweep ([[q237ChunkSweep]]) pays it once.
@@ -404,12 +424,12 @@ object Curation {
 
   /** Core of [[q237ChunkSweep]] (spec entry point). */
   def chunkSweep(docs: DataFrame, widths: Seq[Int]): DataFrame = {
-    val toks = docTokens(docs.select(col("doc_id"), col("text")))
-      .localCheckpoint(false) // consumers: one chunk pass per width
+    val slim = docs.select(col("doc_id"), col("text"))
+      .localCheckpoint(false) // consumers: one native chunk pass per width
     widths.map { w =>
       val firstSeen = Window.partitionBy(col("chunk_hash"))
         .orderBy(col("doc_id"), col("chunk_idx"))
-      chunksOfTokens(toks, width = w, stride = w)
+      chunkRows(slim, width = w)
         .withColumn("rn", row_number().over(firstSeen))
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
@@ -478,10 +498,14 @@ object Curation {
     * First-occurrence credit is the one q234 hash shuffle; the decile
     * rollup and its 10-row cumulative window are bounded. */
   def q239NoveltyCurve(s: SparkSession, d: String): DataFrame = {
-    val toks = docTokens(documents(s, d).select(col("doc_id"), col("text")))
+    val slim = documents(s, d).select(col("doc_id"), col("text"))
+      // the tokenizer's letterless-drop applies at chunk time; rank
+      // over docs WITH tokens only (= the old docTokens filter)
+      .where(size(graft.operators.Dedup.tokensCodegen(col("text"))) > 0 &&
+        element_at(graft.operators.Dedup.tokensCodegen(col("text")), 1) =!= "")
       .localCheckpoint(false) // consumers: rank input + chunk pass
     val ranked = Relational.globalRank(
-      toks.select(col("doc_id")), col("doc_id"), col("doc_id"), parts = 32)
+      slim.select(col("doc_id")), col("doc_id"), col("doc_id"), parts = 32)
     val n1 = ranked.agg(count(lit(1)).as("n_docs"))
     // ntile(b) closed form: k = n div b, r = n mod b; the first r
     // buckets take k+1 rows (integer `div`, exact past 2^53)
@@ -493,7 +517,7 @@ object Curation {
           "(rnk - (n_docs % 10) * (n_docs div 10 + 1) - 1) div " +
           "(n_docs div 10) + 1 END AS BIGINT)")) // DuckDB ntile emits BIGINT
       .select(col("doc_id"), col("decile"))
-    val ch = chunksOfTokens(toks.join(deciles, Seq("doc_id")), 20, 20)
+    val ch = chunkRows(slim.join(deciles, Seq("doc_id")), 20)
     val firstSeen = Window.partitionBy(col("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
     ch.withColumn("rn", row_number().over(firstSeen))
@@ -553,9 +577,8 @@ object Curation {
     * metadata cardinality, never corpus-sized; source totals broadcast
     * at |sources| rows. */
   def q240SourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val cr = chunksOfTokens(
-      docTokens(documents(s, d)
-        .select(col("doc_id"), col("text"), col("source"))), 20, 20)
+    val cr = chunkRows(documents(s, d)
+        .select(col("doc_id"), col("text"), col("source")), width = 20)
       .select(col("source"), col("chunk_hash")).distinct()
       .localCheckpoint(false) // consumers: totals + two join sides
     val tot = cr.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -618,10 +641,8 @@ object Curation {
     * corpus-sized state; the per-doc verdict is a max() rollup, one
     * more shuffle at doc grain. */
   def q238SplitLeakage(s: SparkSession, d: String): DataFrame = {
-    val ch = chunksOfTokens(
-      docTokens(withSplit(documents(s, d))
-        .select(col("doc_id"), col("text"), col("split"))),
-      width = 20, stride = 20)
+    val ch = chunkRows(withSplit(documents(s, d))
+        .select(col("doc_id"), col("text"), col("split")), width = 20)
       .select(col("doc_id"), col("split"), col("chunk_hash"))
     val train = ch.filter(col("split") === "train")
       .select(col("chunk_hash")).distinct()

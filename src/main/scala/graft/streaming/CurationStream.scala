@@ -252,7 +252,7 @@ object CurationStream {
     * labor as claims → keptDocs). */
   def leakFlags(docs: DataFrame, trainChunks: DataFrame,
       width: Int = 20): DataFrame =
-    Curation.chunksOfTokens(Curation.docTokens(docs), width, width)
+    Curation.chunkRows(docs, width)
       .join(trainChunks.select(col("chunk_hash")).distinct()
         .withColumn("in_train", lit(1)), Seq("chunk_hash"), "left")
       .select(col("doc_id"), col("ts"), col("chunk_idx"),
@@ -261,9 +261,8 @@ object CurationStream {
   /** The static reference side for [[leakFlags]]: distinct chunk hashes
     * of the train split of a batch corpus. */
   def trainChunkSet(docs: DataFrame, width: Int = 20): DataFrame =
-    Curation.chunksOfTokens(
-      Curation.docTokens(Curation.withSplit(docs)
+    Curation.chunkRows(Curation.withSplit(docs)
         .filter(col("split") === "train")
-        .select(col("doc_id"), col("text"))), width, width)
+        .select(col("doc_id"), col("text")), width)
       .select(col("chunk_hash")).distinct()
 }

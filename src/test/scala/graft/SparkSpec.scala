@@ -22,6 +22,7 @@ object SharedSpark {
     graft.functions.ZorderBits.register(s)
     graft.functions.BloomFilterFns.register(s)
     graft.functions.PayloadSimhash.register(s)
+    graft.functions.ChunkStats.register(s)
     // Mirror GraftSession.getOrCreate: the driver-run session always has
     // the plan extensions installed, so pins must assert the plans users
     // actually get. Installing here (not lazily inside whichever suite
