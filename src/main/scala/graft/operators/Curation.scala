@@ -624,6 +624,135 @@ object Curation {
       |FROM pairs JOIN tot ta ON src_a = ta.source
       |JOIN tot tb ON src_b = tb.source""".stripMargin
 
+  /** Template-family detection — connected components over the
+    * docs-share-chunks graph: an edge joins two documents sharing ≥ 2
+    * distinct 20-token chunks (one shared chunk is quotation; two is a
+    * template), and each component is a boilerplate FAMILY — the
+    * form-letter/mirror-site structure chunk dedup (q234) removes
+    * text from but cannot SHOW. Output is the q50/q228 cluster shape:
+    * (doc_id, cluster_rep, cluster_size) per family member.
+    *
+    * Scale shape: candidate pairs come only from shared chunk hashes
+    * (one self-join of the distinct (doc, chunk) projection,
+    * checkpointed once for both sides; fan-out per hash bounded by
+    * that chunk's duplication multiplicity — never all-pairs), the
+    * ≥ 2 filter prunes quotation noise BEFORE clustering, and the
+    * component closure is [[Dedup.dedupClusters]]' iterative min-label
+    * propagation (bounded iterations, distributed convergence test). */
+  def q242TemplateFamilies(s: SparkSession, d: String): DataFrame = {
+    val ch = chunkRows(documents(s, d).select(col("doc_id"), col("text")),
+        width = 20)
+      .select(col("doc_id"), col("chunk_hash")).distinct()
+      .localCheckpoint(false) // consumers: both self-join sides
+    val pairs = ch.select(col("doc_id").as("id_a"), col("chunk_hash"))
+      .join(ch.select(col("doc_id").as("id_b"), col("chunk_hash")),
+        Seq("chunk_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b")))
+  }
+
+  val q242Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, tk,
+      |    unnest(generate_series(0, len(tk) - 1, 20)) AS start
+      |  FROM toks WHERE len(tk) > 0),
+      |ch AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(array_to_string(list_slice(tk, start + 1, start + 20), ' '))
+      |      AS chunk_hash
+      |  FROM st),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM ch a JOIN ch b
+      |    ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |cc AS (
+      |  SELECT id, id AS lbl FROM nodes
+      |  UNION
+      |  SELECT e.a AS id, cc.lbl FROM edges e JOIN cc ON e.b = cc.id),
+      |reps AS (SELECT id, min(lbl) AS cluster_rep FROM cc GROUP BY id)
+      |SELECT id AS doc_id, cluster_rep,
+      |  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+      |FROM reps""".stripMargin
+
+  /** Duplication-burden attribution — q234 tells each document how
+    * much of it is duplicated; this tells each SOURCE who it is
+    * duplicating: for every non-canonical chunk occurrence, is the
+    * canonical owner (first occurrence) in the SAME source
+    * (self-duplication — templated content within a crawl) or ANOTHER
+    * (cross-source — mirrors/syndication, the q240 overlap made
+    * causal by ingest order)? Measured at sf0.01 cross-source dominates
+    * 5–10× — the dedup burden here is mirroring, not templating.
+    *
+    * Scale shape: the q234 hash shuffle computes BOTH the occurrence
+    * rank and the owner source in one window pass (first_value over
+    * the same frame); the rollup is one shuffle at source grain. */
+  def q243DupAttribution(s: SparkSession, d: String): DataFrame = {
+    val ch = chunkRows(documents(s, d)
+      .select(col("doc_id"), col("text"), col("source")), width = 20)
+    val w = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    ch.withColumn("rn", row_number().over(w))
+      .withColumn("owner_source", first(col("source")).over(w))
+      .groupBy(col("source"))
+      .agg(sum(col("n_chunk_tokens")).as("n_tokens"),
+        sum(when(col("rn") > 1 && col("owner_source") === col("source"),
+          col("n_chunk_tokens")).otherwise(0L)).as("self_dup_tokens"),
+        sum(when(col("rn") > 1 && col("owner_source") =!= col("source"),
+          col("n_chunk_tokens")).otherwise(0L)).as("cross_dup_tokens"))
+      .select(col("source"), col("n_tokens"), col("self_dup_tokens"),
+        col("cross_dup_tokens"),
+        round((col("self_dup_tokens") + col("cross_dup_tokens"))
+          .cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_ratio"))
+  }
+
+  val q243Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, source, tk,
+      |    unnest(generate_series(0, len(tk) - 1, 20)) AS start
+      |  FROM toks WHERE len(tk) > 0),
+      |ch AS (
+      |  SELECT doc_id, source,
+      |    CAST(start // 20 AS BIGINT) AS chunk_idx,
+      |    CAST(len(list_slice(tk, start + 1, start + 20)) AS BIGINT)
+      |      AS n_chunk_tokens,
+      |    md5(array_to_string(list_slice(tk, start + 1, start + 20), ' '))
+      |      AS chunk_hash
+      |  FROM st),
+      |own AS (
+      |  SELECT source, n_chunk_tokens,
+      |    row_number() OVER (PARTITION BY chunk_hash
+      |                       ORDER BY doc_id, chunk_idx) AS rn,
+      |    first_value(source) OVER (PARTITION BY chunk_hash
+      |                              ORDER BY doc_id, chunk_idx)
+      |      AS owner_source
+      |  FROM ch)
+      |SELECT source,
+      |  CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN rn > 1 AND owner_source = source
+      |      THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS self_dup_tokens,
+      |  CAST(sum(CASE WHEN rn > 1 AND owner_source <> source
+      |      THEN n_chunk_tokens ELSE 0 END) AS BIGINT) AS cross_dup_tokens,
+      |  round(CAST(sum(CASE WHEN rn > 1 THEN n_chunk_tokens ELSE 0 END)
+      |        AS DOUBLE) / sum(n_chunk_tokens), 6) AS dup_ratio
+      |FROM own GROUP BY 1""".stripMargin
+
   /** Train/eval split leakage audit — the contamination check a
     * pipeline runs BEFORE shipping a split assignment: a val/test
     * document is LEAKED if any of its 20-token chunks also occurs in
@@ -1571,5 +1700,7 @@ object Curation {
     "q238_split_leakage" -> (q238SplitLeakage _, q238Sql),
     "q239_novelty_curve" -> (q239NoveltyCurve _, q239Sql),
     "q240_source_overlap" -> (q240SourceOverlap _, q240Sql),
+    "q242_template_families" -> (q242TemplateFamilies _, q242Sql),
+    "q243_dup_attribution" -> (q243DupAttribution _, q243Sql),
   )
 }

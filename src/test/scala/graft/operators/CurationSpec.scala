@@ -681,6 +681,50 @@ class CurationSpec extends SparkSpec {
     assert(got === Map(("A", "B") -> ((1L, 0.333333))))
   }
 
+  test("template families: >=2 shared chunks edges a family, one shared chunk is quotation, singletons absent") {
+    def w(i: Int): String = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    def c(k: Int): String = (k * 20 until (k + 1) * 20).map(w).mkString(" ")
+    val docs = Seq(
+      // family {1,2,3}: 1-2 share C1+C2 directly; 3 joins transitively
+      // through 2 (shares C2+C3 with it, only C2 with 1)
+      (1L, s"${c(1)} ${c(2)}"),
+      (2L, s"${c(1)} ${c(2)} ${c(3)}"),
+      (3L, s"${c(2)} ${c(3)}"),
+      // quotation pair: 4-5 share ONLY C4 — no edge
+      (4L, s"${c(4)} ${c(5)}"),
+      (5L, s"${c(4)} ${c(6)}"),
+      (6L, c(7)) // singleton: no shared chunks at all
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("families").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q242TemplateFamilies(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L))))
+  }
+
+  test("dup attribution: self vs cross ownership hand-derived; owner is the first (doc_id, chunk_idx)") {
+    def w(i: Int): String = s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    def c(k: Int): String = (k * 20 until (k + 1) * 20).map(w).mkString(" ")
+    val docs = Seq(
+      (1L, "A", c(1)),             // owns C1
+      (2L, "A", c(1)),             // self-dup: A repeating its own C1
+      (3L, "B", s"${c(1)} ${c(2)}"), // cross-dup C1 (owner in A) + owns C2
+      (4L, "B", c(3))              // unique
+    ).toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("attrib").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q243DupAttribution(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("A") === ((40L, 20L, 0L, 0.5)))
+    assert(got("B") === ((60L, 0L, 20L, 0.333333)))
+  }
+
   test("split leakage: a planted train chunk inside an eval doc flags exactly that doc") {
     import org.apache.spark.sql.SparkSession
     // recover the hash-split assignment for candidate ids through the

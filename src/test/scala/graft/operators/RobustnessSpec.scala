@@ -141,6 +141,8 @@ class RobustnessSpec extends SparkSpec {
     assert(Analytics.q236Spearman(spark, emptyDir).count() === 0L)
     assert(Curation.q239NoveltyCurve(spark, emptyDir).count() === 0L)
     assert(Curation.q240SourceOverlap(spark, emptyDir).count() === 0L)
+    assert(Curation.q242TemplateFamilies(spark, emptyDir).count() === 0L)
+    assert(Curation.q243DupAttribution(spark, emptyDir).count() === 0L)
   }
 
   test("pathological documents: letterless, whitespace-only, huge-token, unicode") {
