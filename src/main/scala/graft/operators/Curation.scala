@@ -498,9 +498,31 @@ object Curation {
     * First-occurrence credit is the one q234 hash shuffle; the decile
     * rollup and its 10-row cumulative window are bounded. */
   def q239NoveltyCurve(s: SparkSession, d: String): DataFrame = {
+    val ch = chunkDeciles(s, d)
+    val firstSeen = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    ch.withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_new"))
+      .select(col("decile"), col("n_chunks"), col("n_new"),
+        round(col("n_new").cast("double") /
+          col("n_chunks").cast("double"), 6).as("novelty"),
+        // bounded: exactly 10 rows reach this window
+        sum(col("n_new")).over(Window.orderBy(col("decile")))
+          .as("cum_distinct"))
+  }
+
+  /** (doc_id, decile, chunk_idx, n_chunk_tokens, chunk_hash) rows with
+    * the ingest-order decile attached — q239/q244's shared front half.
+    * The decile is a TWO-PASS global rank (never a corpus-wide window)
+    * on a slim doc_id projection, with ntile's remainder-spreading
+    * replicated as closed integer arithmetic against a broadcast 1-row
+    * count (validated against native ntile for every remainder case). */
+  private def chunkDeciles(s: SparkSession, d: String): DataFrame = {
     val slim = documents(s, d).select(col("doc_id"), col("text"))
       // the tokenizer's letterless-drop applies at chunk time; rank
-      // over docs WITH tokens only (= the old docTokens filter)
+      // over docs WITH tokens only (= the oracle's len(tk) > 0 filter)
       .where(size(graft.operators.Dedup.tokensCodegen(col("text"))) > 0 &&
         element_at(graft.operators.Dedup.tokensCodegen(col("text")), 1) =!= "")
       .localCheckpoint(false) // consumers: rank input + chunk pass
@@ -517,19 +539,7 @@ object Curation {
           "(rnk - (n_docs % 10) * (n_docs div 10 + 1) - 1) div " +
           "(n_docs div 10) + 1 END AS BIGINT)")) // DuckDB ntile emits BIGINT
       .select(col("doc_id"), col("decile"))
-    val ch = chunkRows(slim.join(deciles, Seq("doc_id")), 20)
-    val firstSeen = Window.partitionBy(col("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-    ch.withColumn("rn", row_number().over(firstSeen))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_new"))
-      .select(col("decile"), col("n_chunks"), col("n_new"),
-        round(col("n_new").cast("double") /
-          col("n_chunks").cast("double"), 6).as("novelty"),
-        // bounded: exactly 10 rows reach this window
-        sum(col("n_new")).over(Window.orderBy(col("decile")))
-          .as("cum_distinct"))
+    chunkRows(slim.join(deciles, Seq("doc_id")), 20)
   }
 
   val q239Sql: String =
@@ -562,6 +572,132 @@ object Curation {
       |  round(CAST(n_new AS DOUBLE) / n_chunks, 6) AS novelty,
       |  CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) AS cum_distinct
       |FROM per""".stripMargin
+
+  /** HLL novelty estimate vs exact — the estimator-vs-truth arc for
+    * q239: at 100 TB the exact cumulative distinct-chunk count (a
+    * corpus-sized first-occurrence shuffle) is what you pay for
+    * PRECISION; a 256-register HyperLogLog folded cumulatively over
+    * ingest deciles costs 256 rows per map task and answers the same
+    * "is more crawl still worth it" question within a few percent.
+    * This query runs BOTH and gates the estimate, its exact referee,
+    * and the relative error per decile (measured ≤ 7.5% at sf0.01,
+    * linear-counting branch live on the early deciles).
+    *
+    * Engine-determinism: registers come from the chunk md5 ITSELF
+    * (first 2 hex chars → register, next 10 → rank, the q140
+    * convention — no second hash); 2^-rank sums are exact dyadics
+    * (≤ 49 mantissa bits for 256 registers), the bias constant and
+    * corrections are the same literal arithmetic in both engines, and
+    * the only transcendental (linear-counting ln) follows the
+    * round-6/round-4 convention q26/q212 established. */
+  def q244NoveltyHll(s: SparkSession, d: String): DataFrame = {
+    val ch = chunkDeciles(s, d)
+      .localCheckpoint(false) // consumers: exact referee + registers
+    val firstSeen = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val exact = ch.withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("decile"))
+      .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_new"))
+      .select(col("decile"),
+        // bounded: exactly 10 rows reach this window
+        sum(col("n_new")).over(Window.orderBy(col("decile")))
+          .as("cum_distinct"))
+    val regs = ch.select(col("decile"),
+        conv(substring(col("chunk_hash"), 1, 2), 16, 10).cast("long").as("reg"),
+        conv(substring(col("chunk_hash"), 3, 10), 16, 10).cast("long").as("w"))
+      .select(col("decile"), col("reg"),
+        when(col("w") === 0, lit(41L))
+          .otherwise(lit(41L) - length(bin(col("w")))).as("rank"))
+      .groupBy(col("decile"), col("reg"))
+      .agg(max(col("rank")).as("mr"))
+    val grid = {
+      import s.implicits._
+      (1L to 10L).toDF("g")
+    }
+    val cum = regs.join(broadcast(grid), col("decile") <= col("g"))
+      .groupBy(col("g"), col("reg"))
+      .agg(max(col("mr")).as("mr"))
+    val est = cum.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_set"),
+        sum(pow(lit(0.5), col("mr"))).as("s_set"))
+    val v = lit(256) - col("n_set")
+    val eRaw = (lit(0.7213) / (lit(1) + lit(1.079) / lit(256))) *
+      lit(256 * 256) / (col("s_set") + v)
+    val hll = when(eRaw <= lit(2.5 * 256) && v > 0,
+      lit(256) * log(lit(256.0) / v)).otherwise(eRaw)
+    est.select(col("g").as("decile"), hll.as("e"))
+      .join(exact, Seq("decile"))
+      .select(col("decile"), col("cum_distinct"),
+        round(col("e"), 4).as("hll_est"),
+        round(abs(col("e") - col("cum_distinct")) /
+          col("cum_distinct"), 4).as("rel_err"))
+  }
+
+  val q244Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |dec AS (
+      |  SELECT doc_id, tk, ntile(10) OVER (ORDER BY doc_id) AS decile
+      |  FROM toks WHERE len(tk) > 0),
+      |st AS (
+      |  SELECT doc_id, decile, tk,
+      |    unnest(generate_series(0, len(tk) - 1, 20)) AS start
+      |  FROM dec),
+      |ch AS (
+      |  SELECT doc_id, decile, CAST(start // 20 AS BIGINT) AS chunk_idx,
+      |    md5(array_to_string(list_slice(tk, start + 1, start + 20), ' '))
+      |      AS chunk_hash
+      |  FROM st),
+      |fl AS (
+      |  SELECT decile,
+      |    row_number() OVER (PARTITION BY chunk_hash
+      |                       ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM ch),
+      |per AS (
+      |  SELECT decile,
+      |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM fl GROUP BY 1),
+      |exact AS (
+      |  SELECT decile,
+      |    CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) AS cum_distinct
+      |  FROM per),
+      |p AS (
+      |  SELECT decile,
+      |    16 * (strpos('0123456789abcdef', substr(chunk_hash, 1, 1)) - 1)
+      |       + (strpos('0123456789abcdef', substr(chunk_hash, 2, 1)) - 1)
+      |      AS reg,
+      |    list_reduce(list_transform(range(10),
+      |      i -> CAST(strpos('0123456789abcdef', substr(chunk_hash, 3 + i, 1))
+      |           - 1 AS BIGINT)),
+      |      (a, b) -> a * 16 + b) AS w
+      |  FROM ch),
+      |r AS (
+      |  SELECT decile, reg,
+      |    max(CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END) AS mr
+      |  FROM p GROUP BY 1, 2),
+      |grid AS (SELECT unnest(generate_series(1, 10)) AS g),
+      |cum AS (
+      |  SELECT g, reg, max(mr) AS mr
+      |  FROM grid JOIN r ON decile <= g GROUP BY 1, 2),
+      |est AS (
+      |  SELECT g AS decile, count(*) AS n_set,
+      |    sum(power(0.5, mr)) AS s_set
+      |  FROM cum GROUP BY 1),
+      |ee AS (
+      |  SELECT decile,
+      |    (0.7213 / (1 + 1.079 / 256)) * 256 * 256 /
+      |      (s_set + (256 - n_set)) AS e_raw,
+      |    256 - n_set AS v
+      |  FROM est)
+      |SELECT e.decile, x.cum_distinct,
+      |  round(CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+      |    THEN 256 * ln(256.0 / v) ELSE e_raw END, 4) AS hll_est,
+      |  round(abs(CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+      |    THEN 256 * ln(256.0 / v) ELSE e_raw END - x.cum_distinct)
+      |    / x.cum_distinct, 4) AS rel_err
+      |FROM ee e JOIN exact x ON e.decile = x.decile""".stripMargin
 
   /** Exact cross-source chunk-overlap matrix — the exact counterpart to
     * q198's MinHash ESTIMATE of pairwise source similarity: for every
@@ -1702,5 +1838,6 @@ object Curation {
     "q240_source_overlap" -> (q240SourceOverlap _, q240Sql),
     "q242_template_families" -> (q242TemplateFamilies _, q242Sql),
     "q243_dup_attribution" -> (q243DupAttribution _, q243Sql),
+    "q244_novelty_hll"  -> (q244NoveltyHll _, q244Sql),
   )
 }

@@ -143,6 +143,7 @@ class RobustnessSpec extends SparkSpec {
     assert(Curation.q240SourceOverlap(spark, emptyDir).count() === 0L)
     assert(Curation.q242TemplateFamilies(spark, emptyDir).count() === 0L)
     assert(Curation.q243DupAttribution(spark, emptyDir).count() === 0L)
+    assert(Curation.q244NoveltyHll(spark, emptyDir).count() === 0L)
   }
 
   test("pathological documents: letterless, whitespace-only, huge-token, unicode") {
