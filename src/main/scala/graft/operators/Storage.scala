@@ -697,10 +697,14 @@ object Storage {
       .sortWithinPartitions(col(strCol))
       .write.mode("overwrite").parquet(path)
     val s = df.sparkSession
+    writeStrManifest(s, path, strFooterZones(s, path, strCol))
+  }
+
+  private def writeStrManifest(s: SparkSession, path: String,
+      man: Seq[StrFileZone]): Unit = {
     val md = strManifestDir(path)
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
     fs.mkdirs(md)
-    val man = strFooterZones(s, path, strCol)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(md, "zones-00000.json"), true)
     try out.write(man.map { z =>
@@ -713,6 +717,78 @@ object Storage {
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
+
+  /** COMPOUND clustered write — ONE physical layout carrying BOTH zone
+    * manifests: files range-clustered on (strCol, dateCol) get tight
+    * string zones AND, within each string range, tight date zones, so
+    * the common two-axis probe (tenant + time window) prunes on the
+    * INTERSECTION of both survivor sets — the multi-column data-skipping
+    * shape Delta/Iceberg stats give every column, built here from the
+    * same footers in one metadata pass. */
+  def compoundZonemapWrite(df: DataFrame, strCol: String, dateCol: String,
+      nFiles: Int, path: String): Unit = {
+    df.repartitionByRange(nFiles, col(strCol), col(dateCol))
+      .sortWithinPartitions(col(strCol), col(dateCol))
+      .write.mode("overwrite").parquet(path)
+    val s = df.sparkSession
+    writeManifest(s, path, zonemapManifest(s, path, dateCol))
+    writeStrManifest(s, path, strFooterZones(s, path, strCol))
+  }
+
+  /** Two-axis pruned read over a [[compoundZonemapWrite]] layout: a
+    * file is opened only if its STRING zone contains `value` AND its
+    * date zone intersects [lo, hi] — survivor sets intersect by path.
+    * Both predicates re-apply on the survivors (pruning is an
+    * optimization, never a filter). Returns (frame, total, skipped). */
+  def compoundPrunedRead(s: SparkSession, dir: String, strCol: String,
+      value: String, dateCol: String, lo: String, hi: String)
+      : (DataFrame, Int, Int) = {
+    val loD = java.time.LocalDate.parse(lo).toEpochDay.toInt
+    val hiD = java.time.LocalDate.parse(hi).toEpochDay.toInt
+    val dateMan = readManifest(s, dir)
+      .getOrElse(zonemapManifest(s, dir, dateCol))
+    val strMan = readStrManifest(s, dir)
+      .getOrElse(strFooterZones(s, dir, strCol))
+    val dateOk = dateMan.filterNot(z => z.hi < loD || z.lo > hiD)
+      .map(_.path).toSet
+    val survivors = strMan
+      .filterNot(z => z.hi.exists(_ < value) || z.lo.exists(_ > value))
+      .map(_.path).filter(dateOk)
+    val base =
+      if (survivors.isEmpty) s.read.parquet(dir).where(lit(false))
+      else s.read.parquet(survivors: _*)
+    (base.filter(col(strCol) === value &&
+        col(dateCol).between(lit(lo).cast("date"), lit(hi).cast("date"))),
+      dateMan.size, dateMan.size - survivors.size)
+  }
+
+  /** [[compoundPrunedRead]] under the gate: events clustered on
+    * (event_type, day) into 20 files, probed for one type in a 6-day
+    * window — the tenant+time shape. The aggregate must hash-match
+    * DuckDB's plain filter over the raw table. */
+  def q245CompoundPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q245_events_compound", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(strManifestDir(dir)))
+      compoundZonemapWrite(
+        events(s, d).select(col("event_type"),
+          to_date(col("ts")).as("ev_date"), col("value")),
+        "event_type", "ev_date", 20, dir)
+    val (probe, _, _) = compoundPrunedRead(s, dir, "event_type", "purchase",
+      "ev_date", "2024-01-10", "2024-01-15")
+    probe.groupBy(col("ev_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  val q245Sql: String =
+    """SELECT CAST(ts AS DATE) AS ev_date, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-15'
+      |GROUP BY 1""".stripMargin
 
   /** Read a persisted string zone manifest; None when the layout has no
     * `_szonemap/` directory. */
@@ -1026,5 +1102,6 @@ object Storage {
     "q219_append_prune"    -> (q219AppendPrune _, q219Sql),
     "q227_scaled_prune"    -> (q227ScaledPrune _, q227Sql),
     "q241_string_prune"    -> (q241StringPrune _, q241Sql),
+    "q245_compound_prune"  -> (q245CompoundPrune _, q245Sql),
   )
 }

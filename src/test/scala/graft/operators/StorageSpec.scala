@@ -457,6 +457,36 @@ class StorageSpec extends SparkSpec {
     assert(allSkipped === 16 && none.count() === 0L)
   }
 
+  test("compound zonemap: the two-axis intersection skips at least as much as either axis, equals the full scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compound").toString
+    val rows = for {
+      t <- Seq("alpha", "beta", "gamma", "delta")
+      d <- 1 to 20
+      r <- 1 to 5
+    } yield (t, java.sql.Date.valueOf(f"2024-01-$d%02d"), (d * r).toLong)
+    Storage.compoundZonemapWrite(
+      rows.toDF("tenant", "day", "v"), "tenant", "day", 20, dir)
+    val (probe, total, skipped) = Storage.compoundPrunedRead(
+      spark, dir, "tenant", "beta", "day", "2024-01-05", "2024-01-08")
+    assert(total === 20)
+    val (_, _, strSkip) = Storage.strPrunedRead(spark, dir, "tenant", "beta")
+    val (_, _, dateSkip) = Storage.prunedRead(
+      spark, dir, "day", "2024-01-05", "2024-01-08")
+    assert(skipped >= math.max(strSkip, dateSkip),
+      s"compound $skipped vs str $strSkip / date $dateSkip")
+    assert(strSkip > 0 && dateSkip > 0, "both axes must bite on this layout")
+    assert(probe.inputFiles.length === total - skipped)
+    val got = probe.agg(count(lit(1)), sum(col("v"))).collect()(0)
+    val want = spark.read.parquet(dir)
+      .filter(col("tenant") === "beta" &&
+        col("day").between(lit("2024-01-05").cast("date"),
+          lit("2024-01-08").cast("date")))
+      .agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(got === want)
+    assert(got.getLong(0) > 0L)
+  }
+
   test("scaled pruned read: distributed zone filter over a 4000-entry manifest, driver holds only survivors") {
     val dir = Files.createTempDirectory("graft-zmscaled").toString
     Storage.zonemapClusteredWrite(
