@@ -267,7 +267,12 @@ class SketchPlannerSpec extends SparkSpec {
   }
 
   test("sketch catalog: a warm second decideChain runs ZERO jobs and returns the same steps") {
-    def jobCount = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // max job ID, not .length: the status tracker RETAINS a bounded
+    // number of jobs (spark.ui.retainedJobs), so in a long suite run
+    // the count can DECREASE as old jobs evict mid-test; IDs are
+    // monotonic, so the max is eviction-proof
+    def jobCount = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
     SketchPlanner.SketchCatalog.clear()
     val (tables, keys) = chainFixture
     val before = jobCount
@@ -286,7 +291,12 @@ class SketchPlannerSpec extends SparkSpec {
   }
 
   test("sketch catalog: decideThreeWay warms too, and shares edge keys with decideChain") {
-    def jobCount = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // max job ID, not .length: the status tracker RETAINS a bounded
+    // number of jobs (spark.ui.retainedJobs), so in a long suite run
+    // the count can DECREASE as old jobs evict mid-test; IDs are
+    // monotonic, so the max is eviction-proof
+    def jobCount = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
     SketchPlanner.SketchCatalog.clear()
     val a = spark.range(3000).select(col("id").as("k1"), lit(1L).as("av"))
     val b = spark.range(3000).select(col("id").as("k1"),
@@ -307,7 +317,12 @@ class SketchPlannerSpec extends SparkSpec {
   }
 
   test("sketch catalog: spark.graft.planner.sketchCache=false re-prices every call") {
-    def jobCount = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // max job ID, not .length: the status tracker RETAINS a bounded
+    // number of jobs (spark.ui.retainedJobs), so in a long suite run
+    // the count can DECREASE as old jobs evict mid-test; IDs are
+    // monotonic, so the max is eviction-proof
+    def jobCount = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
     spark.conf.set("spark.graft.planner.sketchCache", "false")
     try {
       val (tables, keys) = chainFixture
