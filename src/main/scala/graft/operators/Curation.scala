@@ -255,12 +255,18 @@ object Curation {
   def q76DocChunks(s: SparkSession, d: String): DataFrame =
     docChunks(documents(s, d), width = 50, stride = 40)
 
-  def docChunks(docs: DataFrame, width: Int, stride: Int): DataFrame =
+  def docChunks(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    // validate at PLAN time on both branches: the native-kernel path
+    // would otherwise surface a bad width per-row at execution, deep
+    // inside ChunkStats, instead of at the call site
+    require(stride > 0 && width >= stride,
+      s"docChunks needs 0 < stride <= width, got width=$width stride=$stride")
     // the non-overlapping case runs the fused native kernel; overlap
     // (q76's width 50 / stride 40) keeps the token-array window path
     if (width == stride) chunkRows(docs.select(col("doc_id"), col("text")), width)
     else chunksOfTokens(docTokens(docs.select(col("doc_id"), col("text"))),
       width, stride)
+  }
 
   /** Non-overlapping chunk rows via the native `chunk_stats` expression
     * (graft.functions.ChunkStats — tokenize + window + md5 fused into

@@ -687,6 +687,30 @@ object Storage {
   private def b64d(v: String): String =
     new String(java.util.Base64.getDecoder.decode(v), "UTF-8")
 
+  /** Unsigned UTF-8 byte comparison — the ONE string order every layer
+    * of this path already uses: parquet BINARY footer stats, Spark's
+    * UTF8String.compareTo (so repartitionByRange boundaries), and
+    * DuckDB's VARCHAR collation. Java's String.compareTo orders by
+    * UTF-16 code units instead, which DIVERGES for supplementary
+    * characters vs U+E000–U+FFFF (e.g. "￿" < "😀" in UTF-8 bytes
+    * but > in UTF-16 units): folding or intersecting zones under the
+    * Java order can declare an interval empty and silently skip a file
+    * that contains the probed value. All zone folds and [lo, hi]
+    * intersections below therefore go through this comparator. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+  private def utf8Min(a: String, b: String): String = if (utf8Lt(b, a)) b else a
+  private def utf8Max(a: String, b: String): String = if (utf8Lt(a, b)) b else a
+
   /** Write `df` as `nFiles` parquet files range-clustered and sorted on
     * `strCol`, then persist the string zone manifest
     * (`_szonemap/zones-00000.json`) from the fresh footers — the
@@ -739,7 +763,14 @@ object Storage {
     * file is opened only if its STRING zone contains `value` AND its
     * date zone intersects [lo, hi] — survivor sets intersect by path.
     * Both predicates re-apply on the survivors (pruning is an
-    * optimization, never a filter). Returns (frame, total, skipped). */
+    * optimization, never a filter). Returns (frame, total, skipped).
+    *
+    * The two manifests are persisted independently, so a file present
+    * in one but missing from the other (a crash between the two write
+    * calls, or an append that updated only one) must be UNSKIPPABLE on
+    * the missing axis, never silently dropped: survivors come from the
+    * UNION of both file sets, with an absent zone read as unbounded,
+    * and `total` counts the union. */
   def compoundPrunedRead(s: SparkSession, dir: String, strCol: String,
       value: String, dateCol: String, lo: String, hi: String)
       : (DataFrame, Int, Int) = {
@@ -749,17 +780,21 @@ object Storage {
       .getOrElse(zonemapManifest(s, dir, dateCol))
     val strMan = readStrManifest(s, dir)
       .getOrElse(strFooterZones(s, dir, strCol))
-    val dateOk = dateMan.filterNot(z => z.hi < loD || z.lo > hiD)
-      .map(_.path).toSet
-    val survivors = strMan
-      .filterNot(z => z.hi.exists(_ < value) || z.lo.exists(_ > value))
-      .map(_.path).filter(dateOk)
+    val dateByPath = dateMan.map(z => z.path -> z).toMap
+    val strByPath = strMan.map(z => z.path -> z).toMap
+    val allPaths = (dateByPath.keySet ++ strByPath.keySet).toSeq.sorted
+    val survivors = allPaths.filter { p =>
+      val dateOk = dateByPath.get(p).forall(z => !(z.hi < loD || z.lo > hiD))
+      val strOk = strByPath.get(p).forall(z =>
+        !(z.hi.exists(utf8Lt(_, value)) || z.lo.exists(utf8Lt(value, _))))
+      dateOk && strOk
+    }
     val base =
       if (survivors.isEmpty) s.read.parquet(dir).where(lit(false))
       else s.read.parquet(survivors: _*)
     (base.filter(col(strCol) === value &&
         col(dateCol).between(lit(lo).cast("date"), lit(hi).cast("date"))),
-      dateMan.size, dateMan.size - survivors.size)
+      allPaths.size, allPaths.size - survivors.size)
   }
 
   /** [[compoundPrunedRead]] under the gate: events clustered on
@@ -853,8 +888,11 @@ object Storage {
             }
           }
           val qual = fs.makeQualified(f.getPath).toString
+          // fold row-group bounds under the UTF-8 byte order the stats
+          // were computed in — Seq.min would fold under UTF-16 units
           if (zones.isEmpty) StrFileZone(qual, None, None)
-          else StrFileZone(qual, Some(zones.map(_._1).min), Some(zones.map(_._2).max))
+          else StrFileZone(qual, Some(zones.map(_._1).reduce(utf8Min)),
+            Some(zones.map(_._2).reduce(utf8Max)))
         } finally rd.close()
       }
   }
@@ -872,7 +910,7 @@ object Storage {
     val man = readStrManifest(s, dir)
       .getOrElse(strFooterZones(s, dir, strCol))
     val survivors = man.filterNot(z =>
-      z.hi.exists(_ < value) || z.lo.exists(_ > value))
+      z.hi.exists(utf8Lt(_, value)) || z.lo.exists(utf8Lt(value, _)))
     val base =
       if (survivors.isEmpty) s.read.parquet(dir).where(lit(false))
       else s.read.parquet(survivors.map(_.path): _*)

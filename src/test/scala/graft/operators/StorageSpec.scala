@@ -487,6 +487,78 @@ class StorageSpec extends SparkSpec {
     assert(got.getLong(0) > 0L)
   }
 
+  test("string zonemap: supplementary-plane values prune under UTF-8 byte order, not UTF-16 units") {
+    import spark.implicits._
+    // "￿" and "😀" (U+1F600) order OPPOSITELY in UTF-16
+    // code units (surrogate 0xD83D < 0xFFFF) vs UTF-8 bytes (EF BF BF <
+    // F0 9F 98 80) — the order parquet footer stats, UTF8String and
+    // repartitionByRange all use. A Java-String-ordered intersection
+    // reads the zone holding both as EMPTY and silently skips the file.
+    val dir1 = Files.createTempDirectory("graft-szm-utf8a").toString
+    val pair = Seq("￿", "😀")
+    (0 until 80).map(i => (i.toLong, pair(i % 2), 1))
+      .toDF("doc_id", "source", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir1)
+    pair.foreach { v =>
+      val (pruned, total, _) = Storage.strPrunedRead(spark, dir1, "source", v)
+      assert(total === 1)
+      assert(pruned.count() === 40L,
+        s"probe U+${v.codePointAt(0).toHexString} lost rows to a UTF-16-ordered zone")
+    }
+    // and across a clustered multi-file layout, every probe (BMP,
+    // private-use, U+FFFF, supplementary) equals the full scan
+    val dir2 = Files.createTempDirectory("graft-szm-utf8b").toString
+    val sources = Seq("alpha", "beta", "zz", "￿", "😀")
+    val docs = (0 until 200)
+      .map(i => (i.toLong, sources(i % sources.length), i % 5))
+      .toDF("doc_id", "source", "v")
+    Storage.strZonemapClusteredWrite(docs, "source", 2, dir2)
+    sources.foreach { v =>
+      val (pruned, _, _) = Storage.strPrunedRead(spark, dir2, "source", v)
+      val got = pruned.agg(count(lit(1)), sum(col("v"))).collect()(0)
+      val want = spark.read.parquet(dir2).filter(col("source") === v)
+        .agg(count(lit(1)), sum(col("v"))).collect()(0)
+      assert(got === want, s"probe U+${v.codePointAt(0).toHexString}")
+      assert(got.getLong(0) === 40L)
+    }
+  }
+
+  test("compound zonemap: a file absent from one manifest is unskippable, never dropped") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compound-drift").toString
+    val rows = for {
+      t <- Seq("alpha", "beta", "gamma", "delta")
+      d <- 1 to 20
+      r <- 1 to 5
+    } yield (t, java.sql.Date.valueOf(f"2024-01-$d%02d"), (d * r).toLong)
+    Storage.compoundZonemapWrite(
+      rows.toDF("tenant", "day", "v"), "tenant", "day", 12, dir)
+    def probe() = Storage.compoundPrunedRead(
+      spark, dir, "tenant", "beta", "day", "2024-01-05", "2024-01-08")
+    val (probe0, total0, _) = probe()
+    val want = probe0.agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(want.getLong(0) > 0L)
+    // simulate a crash between the two manifest writes: the string
+    // manifest loses the entry for a file the probe actually reads
+    val survName = new org.apache.hadoop.fs.Path(probe0.inputFiles.head).getName
+    val manPath = java.nio.file.Paths.get(dir, "_szonemap", "zones-00000.json")
+    val kept = java.nio.file.Files.readString(manPath).linesIterator
+      .filterNot(_.contains("\"" + survName + "\"")).mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(manPath, kept)
+    // the out-of-band rewrite invalidates Hadoop LocalFS's sidecar
+    // checksum — drop it (a real crash would simply not have written it)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "_szonemap", ".zones-00000.json.crc"))
+    val (probe1, total1, skipped1) = probe()
+    // the union still counts the file, the read still includes it
+    // (unskippable on the missing axis), and the answer is unchanged
+    assert(total1 === total0)
+    assert(probe1.inputFiles.length === total1 - skipped1)
+    assert(probe1.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).contains(survName))
+    assert(probe1.agg(count(lit(1)), sum(col("v"))).collect()(0) === want)
+  }
+
   test("scaled pruned read: distributed zone filter over a 4000-entry manifest, driver holds only survivors") {
     val dir = Files.createTempDirectory("graft-zmscaled").toString
     Storage.zonemapClusteredWrite(
