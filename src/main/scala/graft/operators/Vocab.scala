@@ -657,7 +657,15 @@ object Vocab {
     * bigram stream — q212's model half, hoisted so the streaming
     * funnel can FREEZE it (collect + broadcast) and score new docs with
     * the exact arithmetic the gate pins. */
-  private[graft] def knProbTable(big: DataFrame): DataFrame = {
+  private[graft] def knProbTable(big: DataFrame): DataFrame =
+    knProbTableCounted(big).select(col("v"), col("w"), col("nll"))
+
+  /** [[knProbTable]] carrying each bigram's raw count `cvw` — the
+    * ranking key the streaming funnel's frozen-model compiler caps on
+    * (top-K by count: the head of a Zipfian bigram distribution covers
+    * almost all scored positions, so count order is the right eviction
+    * order for a bounded broadcast table). */
+  private[graft] def knProbTableCounted(big: DataFrame): DataFrame = {
     val cvw = big.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
     val cv = cvw.groupBy(col("v"))
       .agg(sum(col("cvw")).as("cv"), count(lit(1)).as("n1v"))
@@ -670,7 +678,8 @@ object Vocab {
           expr("CAST(greatest(4 * CAST(cvw AS DECIMAL(38,0)) - 3, 0) * npp" +
             " + CAST(3 AS DECIMAL(38,0)) * n1v * n1w AS DOUBLE)") /
           expr("CAST(CAST(4 AS DECIMAL(38,0)) * cv * npp AS DOUBLE)")),
-          8).as("nll"))
+          8).as("nll"),
+        col("cvw"))
   }
 
   def q212KnBigram(s: SparkSession, d: String): DataFrame = {

@@ -50,22 +50,34 @@ import graft.operators.{Curation, Dedup, Vocab}
   *     none: the standard frozen-LM scoring convention.
   *
   * Scale shape: the stateless stages are one codegen'd tokenize +
-  * per-row Scala over broadcast model-sized tables (prob table =
-  * bigram-type-sized, eval grams = held-out-set-sized — reference data,
-  * never corpus-sized); the stateful stage keeps ONE long per observed
-  * text-hash bucket, hash-partitioned, event-time-evicted past the
-  * watermark. Nothing is corpus×corpus. */
+  * per-row Scala over broadcast tables that are BOUNDED BY CONSTRUCTION
+  * (prob table capped at `probCap` entries via distributed top-K by
+  * count with an eviction floor; the decontam reference must be a
+  * bounded eval suite, checked before collect — see [[buildRefs]]);
+  * the stateful stage keeps ONE long per observed text-hash bucket,
+  * hash-partitioned, event-time-evicted past the watermark. Nothing is
+  * corpus×corpus and nothing driver-side grows with the corpus. */
 object CurationStream {
 
   /** Frozen references the funnel scores against. `cutS`/`cutD` encode
     * the batch tercile boundary as a lexicographic (s_fp, doc_id)
     * threshold — keep4 ⇔ (s_fp, doc_id) ≤ (cutS, cutD) — which is what
     * "rank (rnk−1)·3 div n < 2 over (s_fp, doc_id) order" freezes to.
-    * `anyKept` false ⇔ the batch population had no scored survivors. */
+    * `anyKept` false ⇔ the batch population had no scored survivors.
+    *
+    * `prob` is BOUNDED: at most `probCap` entries (top-K bigrams by
+    * corpus count). `floorNll` is `Some(max nll over the FULL table)`
+    * exactly when the cap evicted anything — scorers then charge every
+    * absent bigram the floor (pessimistic: evicted ⇒ rare ⇒ at least
+    * as surprising as the hardest retained bigram). When the whole
+    * table fit (`floorNll == None`), absent means genuinely unseen and
+    * is SKIPPED — bit-identical to the uncapped round-14 semantics, so
+    * the gate differentials are unchanged. */
   case class FunnelRefs(
       evalGrams: Set[Long],
       prob: Map[(String, String), Double],
-      cutS: Long, cutD: Long, anyKept: Boolean)
+      cutS: Long, cutD: Long, anyKept: Boolean,
+      floorNll: Option[Double] = None)
 
   /** One enriched row entering the stateful stage: every stateless
     * verdict ingredient precomputed so the claim processor's output
@@ -77,19 +89,64 @@ object CurationStream {
   case class FunnelOut(doc_id: Long, source: String, keep1: Boolean,
       keep2: Boolean, contaminated: Boolean, scored: Boolean, s_fp: Long)
 
-  /** Compile the frozen references from the batch corpus — three
-    * bounded, model-sized driver materializations (the "train the
-    * model, ship it to scorers" step every frozen-reference pipeline
-    * has; sizes are bigram-type / eval-gram / 1-row, never corpus). */
-  def buildRefs(s: SparkSession, d: String): FunnelRefs = {
+  /** Driver-budget defaults for [[buildRefs]]: ~2M prob entries (a few
+    * hundred MB as a broadcast Map) and ~4M eval grams. Generous for a
+    * frozen scoring model — CCNet ships LMs of this order — and small
+    * enough that compiling refs can never OOM the driver, whatever the
+    * corpus size. */
+  val DefaultProbCap: Int = 2 * 1000 * 1000
+  val DefaultEvalGramCap: Int = 4 * 1000 * 1000
+
+  /** Compile the frozen references from the batch corpus — the "train
+    * the model, ship it to scorers" step every frozen-reference
+    * pipeline has. Every driver materialization here is BOUNDED BY
+    * CONSTRUCTION, whatever the corpus size (the round-14 form
+    * collected the full bigram-type-sized prob table and a
+    * corpus-fraction gram set — a driver OOM at 100 TB):
+    *
+    *   - the prob table collects at most `probCap` rows via a
+    *     distributed exact top-K by count (TakeOrderedAndProject:
+    *     per-partition heaps, merged on the driver — never the full
+    *     table), tie-broken (v, w) for determinism. If anything was
+    *     evicted, `floorNll` (the FULL table's max nll, a 1-row
+    *     distributed aggregate) prices absent bigrams pessimistically.
+    *   - the decontam reference must be a bounded EVAL SUITE: its
+    *     distinct-gram count is checked against `evalGramCap` BEFORE
+    *     collecting and the build fails fast when over — truncating a
+    *     decontamination reference would silently let contamination
+    *     through, which is worse than refusing. The default reference
+    *     (the held-out split, gate parity) fits at gate scale; a
+    *     production caller passes its benchmark suite via `evalDocs`.
+    *   - the tercile cut stays a 1-row collect of a distributed rank. */
+  def buildRefs(s: SparkSession, d: String,
+      probCap: Int = DefaultProbCap,
+      evalGramCap: Int = DefaultEvalGramCap,
+      evalDocs: Option[DataFrame] = None): FunnelRefs = {
+    require(probCap > 0 && evalGramCap > 0,
+      s"caps must be positive, got probCap=$probCap evalGramCap=$evalGramCap")
     val docs = graft.operators.Tables.documents(s, d)
-    val prob = Vocab.knProbTable(Vocab.bigramRows(docs))
+    val probAll = Vocab.knProbTableCounted(Vocab.bigramRows(docs))
+    // (total types, global max nll): one 1-row aggregate — the floor is
+    // computed over the FULL table even though only top-K is collected
+    val probStats = probAll
+      .agg(count(lit(1)).as("n"), max(col("nll")).as("max_nll")).collect()(0)
+    val capBit = probStats.getLong(0) > probCap
+    val prob = probAll
+      .orderBy(col("cvw").desc, col("v"), col("w")).limit(probCap)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
       .toMap
-    val evalGrams = Curation.decontamGrams(
-        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text")))
+    val floorNll = if (capBit) Some(probStats.getDouble(1)) else None
+    val evalGramsDf = Curation.decontamGrams(
+        evalDocs.getOrElse(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"), col("text"))))
       .select(col("gram")).distinct()
-      .collect().map(_.getLong(0)).toSet
+    val nGrams = evalGramsDf.count()
+    require(nGrams <= evalGramCap,
+      s"decontam reference has $nGrams distinct grams > cap $evalGramCap — " +
+        "pass a bounded eval suite via evalDocs (truncating a " +
+        "decontamination reference would silently admit contamination)")
+    val evalGrams = evalGramsDf.collect().map(_.getLong(0)).toSet
     // the frozen tercile cut: K-th smallest (s_fp, doc_id) among the
     // batch stage-3 survivors, K = (2n−1) div 3 + 1 (= the rank count
     // with (rnk−1)·3 div n < 2)
@@ -100,13 +157,14 @@ object CurationStream {
     val surv = Curation.funnelVerdicts(s, d).filter(col("keep3"))
       .select(col("doc_id")).join(scored, Seq("doc_id"))
     val n = surv.count()
-    if (n == 0) FunnelRefs(evalGrams, prob, 0L, 0L, anyKept = false)
+    if (n == 0) FunnelRefs(evalGrams, prob, 0L, 0L, anyKept = false, floorNll)
     else {
       val k = ((2 * n - 1) / 3 + 1).toInt
       val cut = surv.orderBy(col("s_fp"), col("doc_id")).limit(k)
         .orderBy(col("s_fp").desc, col("doc_id").desc).limit(1)
         .collect()(0)
-      FunnelRefs(evalGrams, prob, cut.getLong(1), cut.getLong(0), anyKept = true)
+      FunnelRefs(evalGrams, prob, cut.getLong(1), cut.getLong(0),
+        anyKept = true, floorNll)
     }
   }
 
@@ -142,9 +200,13 @@ object CurationStream {
             .map(j => gramHash(toks.slice(j, j + 8).mkString(" "))).toSet
         val hits = grams.count(r.evalGrams.contains).toLong
         val contaminated = grams.nonEmpty && hits * 10 >= grams.size.toLong
-        // stage 4 ingredient — frozen-KN score, q212's exact arithmetic
+        // stage 4 ingredient — frozen-KN score, q212's exact arithmetic;
+        // a bigram absent from a CAPPED table charges the eviction
+        // floor (see FunnelRefs), absent from a COMPLETE table is
+        // skipped (unseen — the round-14 semantics, gate-differentialed)
         val nlls = (0 until toks.length - 1).iterator
-          .flatMap(i => r.prob.get((toks(i), toks(i + 1)))).toArray
+          .flatMap(i => r.prob.get((toks(i), toks(i + 1)))
+            .orElse(r.floorNll)).toArray
         val scored = nlls.nonEmpty
         val sFp = if (!scored) 0L else {
           var sum = JBigDecimal.ZERO

@@ -90,6 +90,77 @@ class StreamingCurationSpec extends SparkSpec {
     }
   }
 
+  test("frozen refs are bounded by construction: prob cap bites, floor set, stream still equals batch") {
+    // a synthetic corpus whose bigram-type count far exceeds the cap:
+    // 30 docs × ~26 mostly-unique words, every doc opening with the
+    // same "alpha beta" so top-K-by-count has a clear head
+    def word(i: Int, j: Int): String =
+      "" + ('a' + i % 26).toChar + ('a' + i / 26).toChar +
+        ('a' + j % 26).toChar + ('a' + j / 26).toChar
+    val docsRows = (0 until 30).map { i =>
+      val text = "alpha beta " + (0 until 25).map(j => word(i, j)).mkString(" ")
+      (i.toLong, s"s${i % 3}", text)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-refs-cap").toString
+    docsRows.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cap = 50
+    val capped = CurationStream.buildRefs(spark, dir, probCap = cap)
+    // the size bound holds REGARDLESS of corpus size…
+    assert(capped.prob.size === cap)
+    // …the cap genuinely bit (the corpus carries far more bigram types)…
+    val fullProb = graft.operators.Vocab.knProbTable(
+      graft.operators.Vocab.bigramRows(
+        spark.read.parquet(s"$dir/documents.parquet")))
+    val nTypes = fullProb.count()
+    assert(nTypes > 10L * cap, s"fixture too small: $nTypes bigram types")
+    // …the eviction floor is the FULL table's max nll, not the capped…
+    val wantFloor = fullProb.agg(max(col("nll"))).collect()(0).getDouble(0)
+    assert(capped.floorNll === Some(wantFloor))
+    // …the head of the count order survives (every doc's opener)…
+    assert(capped.prob.contains(("alpha", "beta")))
+    // …and micro-batched streaming under the capped refs still equals
+    // the batch-mode run of the same operator (the floor path is live:
+    // most bigrams of every arriving doc are absent from the 50-entry
+    // table, so the differential exercises eviction-floor scoring)
+    val bRefs = spark.sparkContext.broadcast(capped)
+    val rows = docsRows.filter(_._1 % 7 != 0).map { case (id, src, txt) =>
+      (id, new Timestamp(1000000000000L + id * 1000L), src, txt)
+    }
+    val wantBatch = CurationStream.verdicts(
+        rows.toDF("doc_id", "ts", "source", "text"), bRefs, "1 hour")
+      .collect().map(_.toSeq).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val q = CurationStream.verdicts(
+        mem.toDF().toDF("doc_id", "ts", "source", "text"), bRefs, "1 hour")
+      .writeStream.format("memory").queryName("funnel_capped_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("funnel_capped_out").collect().map(_.toSeq).toSet
+      assert(got.size === rows.length)
+      assert(got === wantBatch)
+    } finally q.stop()
+    // a COMPLETE table (cap not biting) must carry no floor — absent
+    // means unseen and is skipped, the exact round-14 gate semantics
+    val uncapped = CurationStream.buildRefs(spark, dir)
+    assert(uncapped.floorNll.isEmpty)
+    assert(uncapped.prob.size.toLong === nTypes)
+  }
+
+  test("an over-cap decontam reference fails fast instead of truncating or collecting") {
+    // truncating a decontamination reference would silently admit
+    // contamination, so the build must refuse BEFORE collecting
+    val e = intercept[IllegalArgumentException] {
+      CurationStream.buildRefs(spark, d, evalGramCap = 1)
+    }
+    assert(e.getMessage.contains("decontam reference"))
+    assert(e.getMessage.contains("bounded eval suite"))
+  }
+
   test("stream-static leak flags over 2 micro-batches equal the batch q238 chunk verdicts") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.operators.Tables.documents(spark, d)
