@@ -181,6 +181,42 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("doulion: p=1 degenerates to exact, p=1/4 matches a brute-force referee on K12") {
+    // p = 1 (keepHex 16): no sampling, scale 1 — the estimator MUST
+    // reproduce the exact count with rel_err 0 (pins the 1/p^3 wiring)
+    val k12 = (for (a <- 1L to 12L; b <- a + 1 to 12L) yield (a, b)).toIndexedSeq
+    val exactRow = Graph.triangleDoulion(k12.toDF("u", "v"), 16)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(exactRow === ((66L, 66L, 220L, 220L, 220L, Some(0.0))))
+    // p = 1/4 (keepHex 4): the kept edge set is a pure function of the
+    // md5 convention — recompute it and its triangles brute-force
+    def kept(u: Long, v: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"${u}_$v".getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) < 4
+    }
+    val sampledEdges = k12.filter(e => kept(e._1, e._2))
+    val es = sampledEdges.toSet
+    val nTriS = (for {
+      a <- 1L to 12L; b <- a + 1 to 12L if es((a, b))
+      c <- b + 1 to 12L if es((b, c)) && es((a, c))
+    } yield 1).size.toLong
+    val row = Graph.triangleDoulion(k12.toDF("u", "v"), 4)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(row._1 === 66L)
+    assert(row._2 === sampledEdges.size.toLong, "md5 coin disagrees")
+    assert(row._3 === 220L)
+    assert(row._4 === nTriS, "sampled triangle count disagrees with brute force")
+    assert(row._5 === nTriS * 64L, "estimate must be sampled count x (1/p)^3")
+    assert(row._6 === Some(BigDecimal(math.abs(nTriS * 64L - 220L).toDouble / 220L)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // and an empty exact count yields a NULL error, not a crash
+    val empty = Graph.triangleDoulion(
+      Seq((1L, 2L), (3L, 4L)).toDF("u", "v"), 4)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect().head
+    assert(empty._3 === 0L && empty._6.isEmpty)
+  }
+
   test("sssp: weighted relaxation beats hop-count path, round bound binds") {
     import spark.implicits._
     // 1→2 direct costs 10; 1→3→2 costs 2+3=5 (more hops, cheaper);
