@@ -172,6 +172,79 @@ object BenchPlanAB {
       f"manual ${med(chainResults.map(_._4))}%.3f s, " +
       f"auto-rule ${med(chainResults.map(_._6))}%.3f s, " +
       f"left-to-right ${med(chainResults.map(_._5))}%.3f s")
+
+    // ── STAR (round-14 verdict task 3): one fact, two dims on distinct
+    // fact keys, written WORST-FIRST. dAll is FACT-SIZED (1:1 on ba,
+    // 64-byte payload — far over both the planner's row budget and
+    // AQE's broadcast bytes, so its join genuinely shuffles); dSel
+    // keeps 1% of the fact and fits the budget. The literal order
+    // exchanges all `rows` fact rows against dAll and then exchanges
+    // the payload-bearing intermediate again for dSel; the decided
+    // order (selective-first, broadcast) cuts the fact to 1% BEFORE
+    // the unavoidable dAll exchange — the saved work is two fact-sized
+    // shuffles of wide rows.
+    spark.range(rows.toLong)
+      .select(col("id").as("sa"), col("id").as("ba"), col("id").as("fv"))
+      .write.mode("overwrite").parquet(s"$dir/sf.parquet")
+    spark.range(rows.toLong)
+      .select(col("id").as("da_b"),
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string"))).as("dpad"),
+        (col("id") * 7).as("dallv"))
+      .write.mode("overwrite").parquet(s"$dir/dall.parquet")
+    spark.range(rows.toLong / 100)
+      .select(col("id").as("ds_a"), (col("id") * 3).as("dselv"))
+      .write.mode("overwrite").parquet(s"$dir/dsel.parquet")
+    // stable instances: Column-addressed edges must reference the SAME
+    // resolved attributes as the frames they join
+    val sf: DataFrame = spark.read.parquet(s"$dir/sf.parquet")
+    val dAll: DataFrame = spark.read.parquet(s"$dir/dall.parquet")
+    val dSel: DataFrame = spark.read.parquet(s"$dir/dsel.parquet")
+    val starEdges = Seq(
+      (sf("ba"), dAll("da_b")), (sf("sa"), dSel("ds_a")))
+    val starDims = Seq(dAll, dSel)
+    val starSteps = SketchPlanner.decideStar(sf, starDims, starEdges)
+    require(starSteps.map(_.edge) == Seq(1, 0) && starSteps.head.bcastDim &&
+      !starSteps(1).bcastDim, s"unexpected star decision $starSteps")
+    def starDecided = SketchPlanner.buildStar(sf, starDims, starEdges, starSteps)
+    def starLiteral = SketchPlanner.starLiteralOrder(sf, starDims, starEdges)
+    def starAgg(df: DataFrame) =
+      df.agg(count(lit(1)), sum(col("fv")), sum(col("dallv")), sum(col("dselv")))
+        .collect()(0)
+    val sg = starAgg(starDecided)
+    require(sg == starAgg(starLiteral), "star arm mismatch")
+    // the AUTOMATIC rule must land on buildStar's plan
+    spark.conf.set(graft.plans.RewriteChainJoin.FLAG, "true")
+    val starAuto = starLiteral
+    require(starAuto.queryExecution.optimizedPlan.canonicalized ==
+      starDecided.select(starAuto.columns.toSeq.map(col): _*)
+        .queryExecution.optimizedPlan.canonicalized,
+      "automatic star rewrite differs from the manual buildStar order")
+    spark.conf.unset(graft.plans.RewriteChainJoin.FLAG)
+    val starResults = (1 to reps).map { i =>
+      SketchPlanner.SketchCatalog.clear()
+      val planCold = time(() => SketchPlanner.decideStar(sf, starDims, starEdges))
+      val planWarm = time(() => SketchPlanner.decideStar(sf, starDims, starEdges))
+      def decidedArm() = time(() => sink(starDecided))
+      def literalArm() = time(() => sink(starLiteral))
+      def autoArm() = time { () =>
+        spark.conf.set(graft.plans.RewriteChainJoin.FLAG, "true")
+        try sink(starLiteral)
+        finally spark.conf.unset(graft.plans.RewriteChainJoin.FLAG)
+      }
+      val (dec, lito, auto) =
+        if (i % 2 == 0) { val l0 = literalArm(); (decidedArm(), l0, autoArm()) }
+        else { val d0 = decidedArm(); (d0, literalArm(), autoArm()) }
+      println(f"[plan-ab] star rep $i: plan-cold $planCold%.3f s, " +
+        f"plan-warm $planWarm%.3f s, decided $dec%.3f s, " +
+        f"auto-rule $auto%.3f s, literal $lito%.3f s")
+      (planCold, planWarm, dec, lito, auto)
+    }
+    println(f"[plan-ab] star rows=$rows MEDIAN plan-cold ${med(starResults.map(_._1))}%.3f s, " +
+      f"plan-warm ${med(starResults.map(_._2))}%.3f s, " +
+      f"decided ${med(starResults.map(_._3))}%.3f s, " +
+      f"auto-rule ${med(starResults.map(_._5))}%.3f s, " +
+      f"literal ${med(starResults.map(_._4))}%.3f s")
     spark.stop()
   }
 }

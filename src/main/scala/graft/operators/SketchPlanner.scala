@@ -479,20 +479,7 @@ object SketchPlanner {
         (s"n$i", countKey(t), () =>
           t.agg(count(lit(1)).as("est")).select(lit(s"n$i").as("id"), col("est")))
       }
-    val cached: Map[String, Long] =
-      if (!useCatalog) Map.empty
-      else wanted.flatMap { case (id, ck, _) =>
-        SketchCatalog.lookup(s, ck).map(id -> _)
-      }.toMap
-    val missing = wanted.filterNot { case (id, _, _) => cached.contains(id) }
-    val fresh: Map[String, Long] =
-      if (missing.isEmpty) Map.empty
-      else missing.map(_._3()).reduce(_ unionByName _)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (useCatalog) missing.foreach { case (id, ck, _) =>
-      SketchCatalog.store(s, ck, fresh(id))
-    }
-    val stats = cached ++ fresh
+    val stats = gatherStats(s, useCatalog, wanted)
     val n = tables.indices.map(i => stats(s"n$i").toDouble)
     val sel = edgeCols.indices.map(i =>
       stats(s"e$i").toDouble / math.max(1.0, n(i) * n(i + 1)))
@@ -543,6 +530,90 @@ object SketchPlanner {
   def chainLeftToRight(tables: Seq[DataFrame], keys: Seq[String]): DataFrame =
     buildChain(tables, keys,
       keys.indices.map(i => ChainStep(i, bcastLeft = false, bcastRight = false)))
+
+  /** Resolve the wanted statistics through [[SketchCatalog]]: cached ids
+    * cost nothing, the missing ones union into ONE bounded frame and one
+    * driver collect (the decideChain/decideStar budget), and a fully
+    * warm catalog means zero jobs. Shared by the chain and star
+    * deciders so both amortize identically. */
+  private def gatherStats(s: SparkSession, useCatalog: Boolean,
+      wanted: Seq[(String, AnyRef, () => DataFrame)]): Map[String, Long] = {
+    val cached: Map[String, Long] =
+      if (!useCatalog) Map.empty
+      else wanted.flatMap { case (id, ck, _) =>
+        SketchCatalog.lookup(s, ck).map(id -> _)
+      }.toMap
+    val missing = wanted.filterNot { case (id, _, _) => cached.contains(id) }
+    val fresh: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else missing.map(_._3()).reduce(_ unionByName _)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (useCatalog) missing.foreach { case (id, ck, _) =>
+      SketchCatalog.store(s, ck, fresh(id))
+    }
+    cached ++ fresh
+  }
+
+  // ───────────────────────── star planning ─────────────────────────
+
+  /** One decided star join: `edge` indexes the dim to join next;
+    * `bcastDim` hints a broadcast of that dim under the row budget. */
+  case class StarStep(edge: Int, bcastDim: Boolean)
+
+  /** Decide the dim order for a STAR — one fact joined by N independent
+    * dims, `edges(i)` = (fact key, dim key) — most-selective dim FIRST:
+    * dims are ordered by the sketch-estimated join output |fact ⋈ dim_i|
+    * (for a fixed fact this IS the fact-retention order est_i / n_fact,
+    * so no fact count is needed), ties on the lower edge index. Joining
+    * the most selective dim first shrinks the fact stream every later
+    * join has to carry — the classic star heuristic, here priced from
+    * the same CMS sketches as the chain. A dim whose row count fits
+    * `bcastRows` gets a broadcast hint. Budget identical to
+    * [[decideChain]]: at most ONE bounded (≤2n-row) collect through
+    * [[SketchCatalog]], zero jobs when warm. */
+  def decideStar(fact: DataFrame, dims: Seq[DataFrame],
+      edges: Seq[(Column, Column)],
+      bcastRows: Long = broadcastRowThreshold): Seq[StarStep] = {
+    require(dims.nonEmpty && edges.size == dims.size,
+      s"star needs n dims and n edges, got ${dims.size}/${edges.size}")
+    val s = fact.sparkSession
+    val useCatalog = s.conf.getOption("spark.graft.planner.sketchCache")
+      .forall(_.toBoolean)
+    val wanted: Seq[(String, AnyRef, () => DataFrame)] =
+      edges.zipWithIndex.map { case ((fk, dk), i) =>
+        (s"e$i", edgeKey(fact, fk, dims(i), dk), () =>
+          estPair(fact, fk, dims(i), dk, fast = true)
+            .select(lit(s"e$i").as("id"), col("est")))
+      } ++ dims.zipWithIndex.map { case (t, i) =>
+        (s"n$i", countKey(t), () =>
+          t.agg(count(lit(1)).as("est")).select(lit(s"n$i").as("id"), col("est")))
+      }
+    val stats = gatherStats(s, useCatalog, wanted)
+    edges.indices.sortBy(i => (stats(s"e$i"), i))
+      .map(i => StarStep(i, bcastDim = stats(s"n$i") <= bcastRows))
+  }
+
+  /** Execute a decided star order — no sketching, decisions replay free. */
+  def buildStar(fact: DataFrame, dims: Seq[DataFrame],
+      edges: Seq[(Column, Column)], steps: Seq[StarStep]): DataFrame =
+    steps.foldLeft(fact) { (acc, st) =>
+      val d = if (st.bcastDim) broadcast(dims(st.edge)) else dims(st.edge)
+      acc.join(d, edges(st.edge)._1 === edges(st.edge)._2)
+    }
+
+  /** Decide + build in one call. */
+  def planStar(fact: DataFrame, dims: Seq[DataFrame],
+      edges: Seq[(Column, Column)],
+      bcastRows: Long = broadcastRowThreshold): (Seq[StarStep], DataFrame) = {
+    val d = decideStar(fact, dims, edges, bcastRows)
+    (d, buildStar(fact, dims, edges, d))
+  }
+
+  /** The literal written order with no hints — the A/B comparison arm. */
+  def starLiteralOrder(fact: DataFrame, dims: Seq[DataFrame],
+      edges: Seq[(Column, Column)]): DataFrame =
+    buildStar(fact, dims, edges,
+      edges.indices.map(i => StarStep(i, bcastDim = false)))
 
   /** Greedy-rank arithmetic for a 3-EDGE chain (4 tables), shared
     * verbatim by the Spark plan and the DuckDB oracle: given edge

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 
 import graft.operators.SketchPlanner
-import graft.operators.SketchPlanner.ChainStep
+import graft.operators.SketchPlanner.{ChainStep, StarStep}
 
 /** AUTOMATIC sketch-driven join-chain reorder — the round-13 verdict's
   * "engine-behavior" close of the planner arc: `SketchPlanner.planChain`
@@ -38,9 +38,13 @@ import graft.operators.SketchPlanner.ChainStep
   *   - every chain side must be a base relation — a leaf, optionally
   *     under deterministic Project/Filter (the subtrees are re-executed
   *     for sketching, so they must be cheap scans and deterministic);
-  *   - the chain must be LINEAR: join i's chain-side key comes from
-  *     table i, not an earlier one (a star/snowflake fact joining many
-  *     dims is a different search space than decideChain's greedy);
+  *   - LINEAR chains (join i's chain-side key comes from table i) price
+  *     through `decideChainCols`' greedy segment merge; STAR shapes
+  *     (every key from the spine-bottom fact, each dim on a DISTINCT
+  *     fact key — the q48 market-share tree) price through
+  *     [[SketchPlanner.decideStar]]: most-selective dim first,
+  *     broadcast under the budget (round-14 verdict task 3). A mixed
+  *     shape (snowflake branch off a dim) matches neither — untouched;
   *   - ≥ 3 tables (a 2-table "chain" has nothing to reorder).
   *
   * Safety: inner-join reorder with unchanged conditions is semantics-
@@ -101,9 +105,14 @@ object RewriteChainJoin extends Rule[LogicalPlan] {
           case Some(ch) if ch.tables.size >= 3 =>
             reorder(s, j, ch, AttributeSet(pl.flatMap(_.references)))
               .map(Project(pl, _)).getOrElse(p)
-          case _ =>
-            j.setTagValue(PRICED, true)
-            p.mapChildren(rewrite(s, _))
+          case _ => extractStar(j) match {
+            case Some(st) =>
+              reorderStar(s, j, st, AttributeSet(pl.flatMap(_.references)))
+                .map(Project(pl, _)).getOrElse(p)
+            case None =>
+              j.setTagValue(PRICED, true)
+              p.mapChildren(rewrite(s, _))
+          }
         }
       case j: Join if j.getTagValue(PRICED).isEmpty =>
         extract(j) match {
@@ -111,9 +120,14 @@ object RewriteChainJoin extends Rule[LogicalPlan] {
             reorder(s, j, ch, j.outputSet)
               // restore the original attribute order for positional parents
               .map(Project(j.output, _)).getOrElse(j)
-          case _ =>
-            j.setTagValue(PRICED, true) // not a chain now, not one later
-            j.mapChildren(rewrite(s, _))
+          case _ => extractStar(j) match {
+            case Some(st) =>
+              reorderStar(s, j, st, j.outputSet)
+                .map(Project(j.output, _)).getOrElse(j)
+            case None =>
+              j.setTagValue(PRICED, true) // not a chain now, not one later
+              j.mapChildren(rewrite(s, _))
+          }
         }
       case other => other.mapChildren(rewrite(s, _))
     }
@@ -193,6 +207,115 @@ object RewriteChainJoin extends Rule[LogicalPlan] {
       }
       SketchPlanner.decideChainCols(frames, edgeCols)
     } finally pricing.set(false)
+  }
+
+  // ───────────────────────── star shapes ─────────────────────────
+
+  /** One fact (the spine's bottom-left base relation) joined by N ≥ 2
+    * dims, every equi-key on the FACT side — the TPC-H shape q48's
+    * market-share tree takes (round-14 verdict task 3). conds(i) =
+    * (fact attr, dim attr) for dims(i). */
+  private case class Star(fact: LogicalPlan, dims: Vector[LogicalPlan],
+                          conds: Vector[(Attribute, Attribute)])
+
+  /** Match a left-deep spine of hint-free inner EqualTo joins whose
+    * right sides are base relations and whose every condition pairs a
+    * FACT attribute with the new dim — each on a DISTINCT fact key
+    * (two dims sharing one fact key are closer to a chain through that
+    * key; stay conservative). A condition referencing an earlier DIM
+    * (a snowflake branch) is a different search space — no match. */
+  private def extractStar(plan: LogicalPlan): Option[Star] = {
+    def spine(p: LogicalPlan)
+        : Option[(LogicalPlan, Vector[(LogicalPlan, Expression)])] = p match {
+      case Join(l, r, Inner, Some(cond), hint) if hint == JoinHint.NONE &&
+          isBaseRelation(r) =>
+        stripSpineProjects(l) match {
+          case inner: Join =>
+            spine(inner).map { case (f, ds) => (f, ds :+ ((r, cond))) }
+          // the fact keeps its OWN subtree verbatim (projection included
+          // — stripping it would widen every intermediate row); the
+          // strip is only for seeing through spine projects to the Join
+          case _ if isBaseRelation(l) => Some((l, Vector((r, cond))))
+          case _ => None
+        }
+      case _ => None
+    }
+    for {
+      (fact, ds) <- spine(plan)
+      if ds.size >= 2
+      conds <- ds.foldLeft(Option(Vector.empty[(Attribute, Attribute)])) {
+        case (acc, (r, cond)) => for {
+          cs <- acc
+          fd <- cond match {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              if (fact.outputSet.contains(a) && r.outputSet.contains(b))
+                Some((a: Attribute, b: Attribute))
+              else if (fact.outputSet.contains(b) && r.outputSet.contains(a))
+                Some((b: Attribute, a: Attribute))
+              else None
+            case _ => None
+          }
+        } yield cs :+ fd
+      }
+      if conds.map(_._1.exprId).distinct.size == conds.size
+    } yield Star(fact, ds.map(_._1), conds)
+  }
+
+  /** Price and rebuild a star; None when the decision is the literal
+    * order with no broadcast hints — the plan as written. */
+  private def reorderStar(s: SparkSession, j: Join, st: Star,
+      needed: AttributeSet): Option[LogicalPlan] = {
+    j.setTagValue(PRICED, true)
+    val steps = priceStar(s, st)
+    val literal = st.conds.indices.map(i => StarStep(i, bcastDim = false))
+    if (steps == literal) None
+    else {
+      val rebuilt = buildStar(st, steps, needed)
+      rebuilt.foreach {
+        case nj: Join => nj.setTagValue(PRICED, true)
+        case _ =>
+      }
+      Some(rebuilt)
+    }
+  }
+
+  private def priceStar(s: SparkSession, st: Star): Seq[StarStep] = {
+    pricing.set(true)
+    try SketchPlanner.decideStar(
+      GraftSqlBridge.ofRows(s, st.fact),
+      st.dims.map(d => GraftSqlBridge.ofRows(s, d)),
+      st.conds.map { case (fa, da) =>
+        (GraftSqlBridge.column(fa), GraftSqlBridge.column(da))
+      })
+    finally pricing.set(false)
+  }
+
+  /** Fold the fact through the dims in decided order with the original
+    * EqualTo conditions; broadcast hints land on the dim side. Every
+    * non-final join is topped with a Project pruned to what the world
+    * above plus the not-yet-joined conditions still need, in child
+    * output order — the plan ColumnPruning produces for the manual
+    * [[SketchPlanner.buildStar]] fold, which keeps the rewrite
+    * canonically comparable and intermediate rows narrow. */
+  private def buildStar(st: Star, steps: Seq[StarStep],
+      needed: AttributeSet): LogicalPlan = {
+    var acc: LogicalPlan = st.fact
+    steps.zipWithIndex.foreach { case (sp, k) =>
+      val (fa, da) = st.conds(sp.edge)
+      val hint = JoinHint(None,
+        if (sp.bcastDim) Some(HintInfo(strategy = Some(BROADCAST))) else None)
+      val joined = Join(acc, st.dims(sp.edge), Inner,
+        Some(EqualTo(fa, da)), hint)
+      acc =
+        if (k == steps.size - 1) joined
+        else {
+          val keep = needed ++ AttributeSet(steps.drop(k + 1)
+            .flatMap(s2 => Seq(st.conds(s2.edge)._1, st.conds(s2.edge)._2)))
+          val out = joined.output.filter(keep.contains)
+          if (out == joined.output) joined else Project(out, joined)
+        }
+    }
+    acc
   }
 
   /** buildChain's segment-patching merge, emitting logical Joins with

@@ -85,12 +85,74 @@ class ChainReorderSpec extends SparkSpec {
     }
   }
 
-  test("star shape (both keys from the fact table) is not a linear chain — untouched") {
+  test("star shape: most-selective dim joins first, broadcast hints land, results unchanged") {
+    // fact 2000 rows; dSel keeps 1/20 of it (ids 0..99 of a 0..1999 key
+    // space), dAll matches every row — written WRONG order (dAll first)
+    val fact = spark.range(2000).select(col("id").as("a"),
+      pmod(col("id"), lit(10)).as("b"), col("id").as("fv"))
+    val dSel = spark.range(100).select(col("id").as("sa"), lit(1L).as("dselv"))
+    val dAll = spark.range(10).select(col("id").as("ab"), lit(2L).as("dallv"))
+    def star = fact.join(dAll, col("b") === col("ab"))
+      .join(dSel, col("a") === col("sa"))
+    val cols = star.columns.toSeq
+    val off = multiset(star, cols)
+    withFlag {
+      val on = star
+      assert(multiset(on, cols) === off)
+      val joins = on.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.size === 2)
+      // the INNERMOST join (last collected) must take the selective dim
+      // — the rule reversed the written order
+      assert(joins.last.right.output.map(_.name).contains("dselv"),
+        s"selective dim must join first:\n${on.queryExecution.optimizedPlan}")
+      assert(joins.forall(_.hint != JoinHint.NONE),
+        "both 100-/10-row dims are under the broadcast budget")
+    }
+  }
+
+  test("q48-shaped TPC-H star (lineitem fact, three dims on distinct fact keys): rule == manual buildStar") {
+    val d = sf("sf0.001")
+    val l = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_partkey", "l_quantity")
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val su = spark.read.parquet(s"$d/supplier.parquet")
+      .select("s_suppkey", "s_nationkey")
+    val p = spark.read.parquet(s"$d/part.parquet")
+      .select("p_partkey", "p_size")
+    def star = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey"))
+      .join(p, l("l_partkey") === p("p_partkey"))
+    val cols = star.columns.toSeq
+    val off = multiset(star, cols)
+    val opt = star.queryExecution.optimizedPlan
+    val rewritten = withFlag { RewriteChainJoin(opt) }
+    val edges = Seq((l("l_orderkey"), o("o_orderkey")),
+      (l("l_suppkey"), su("s_suppkey")), (l("l_partkey"), p("p_partkey")))
+    val steps = SketchPlanner.decideStar(l, Seq(o, su, p), edges)
+    assert(steps.exists(_.bcastDim), "sf0.001 dims are broadcastable")
+    val manual = SketchPlanner.buildStar(l, Seq(o, su, p), edges, steps)
+      .select(cols.map(col): _*)
+    // bare-Join anchor, nothing prunes: the rule's direct output must
+    // BE the manual fold's optimized plan
+    assert(rewritten.canonicalized ===
+      manual.queryExecution.optimizedPlan.canonicalized,
+      s"\nrule:\n$rewritten\nmanual:\n${manual.queryExecution.optimizedPlan}")
+    assert(multiset(GraftSqlBridge.ofRows(spark, rewritten), cols) === off)
+    // end-to-end under the flag: same answer
+    withFlag { assert(multiset(star, cols) === off) }
+  }
+
+  test("snowflake branch (a key from a DIM, not the fact) matches neither shape — untouched") {
     val fact = spark.range(1000).select(col("id").as("a"),
       pmod(col("id"), lit(10)).as("b"), col("id").as("fv"))
-    val d1 = spark.range(100).select(col("id").as("a"), lit(1L).as("d1v"))
+    val d1 = spark.range(100).select(col("id").as("a"),
+      pmod(col("id"), lit(7)).as("sub"), lit(1L).as("d1v"))
     val d2 = spark.range(10).select(col("id").as("b"), lit(2L).as("d2v"))
-    val opt = fact.join(d1, "a").join(d2, "b").queryExecution.optimizedPlan
+    val snow = spark.range(7).select(col("id").as("sub"), lit(3L).as("d3v"))
+    // d2 hangs off the fact, snow hangs off d1 — mixed shape
+    val opt = fact.join(d1, "a").join(d2, "b").join(snow, "sub")
+      .queryExecution.optimizedPlan
     val rw = withFlag { RewriteChainJoin(opt) }
     assert(rw.canonicalized === opt.canonicalized)
   }
@@ -145,7 +207,8 @@ class ChainReorderSpec extends SparkSpec {
 
   test("gated queries are output-invariant under the flag") {
     val d = sf("sf0.001")
-    for (name <- Seq("q05_local_supplier", "q03_top_revenue")) {
+    for (name <- Seq("q05_local_supplier", "q03_top_revenue",
+        "q48_market_share")) {
       val q = graft.SparkEntry.queries(name)
       val off = q(spark, d).collect().map(_.toSeq)
         .groupBy(identity).view.mapValues(_.length).toMap
