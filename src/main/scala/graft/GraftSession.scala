@@ -45,6 +45,7 @@ object GraftSession {
     graft.functions.ChunkStats.register(spark)
     graft.plans.GroupTopKExtension.install(spark)
     graft.plans.ChainReorderExtension.install(spark)
+    graft.plans.ZonemapPruneExtension.install(spark)
     registerCapListener(spark)
     spark
   }

@@ -537,6 +537,7 @@ object Storage {
       .write.mode("overwrite").parquet(path)
     val s = df.sparkSession
     writeManifest(s, path, zonemapManifest(s, path, dateCol))
+    writeAxisColumn(s, manifestDir(path), dateCol)
   }
 
   /** APPEND a new batch of `nFiles` clustered files to an existing
@@ -559,6 +560,7 @@ object Storage {
       .write.mode("append").parquet(path)
     val fresh = footerZones(s, path, dateCol, prior.map(_.path).toSet)
     writeManifest(s, path, fresh.sortBy(_.path))
+    writeAxisColumn(s, manifestDir(path), dateCol)
   }
 
   /** The manifest lives as a DIRECTORY of per-commit JSON-lines files
@@ -587,6 +589,72 @@ object Storage {
       s"""{"file":"${new org.apache.hadoop.fs.Path(z.path).getName}","lo":${z.lo},"hi":${z.hi}}""")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Persist the clustering column's NAME as `_column` inside a
+    * manifest directory — what lets the automatic pruning rule
+    * (graft.plans.ZonemapPruneRule) route a plain `read.filter(...)`
+    * through the manifest without being told which column the layout
+    * is clustered on. A sidecar, not a manifest-format change: legacy
+    * readers list only `zones-*.json` and never see it; a layout
+    * without it simply stays manual-pruning-only. */
+  private def writeAxisColumn(s: SparkSession,
+      md: org.apache.hadoop.fs.Path, colName: String): Unit = {
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(md)
+    val out = fs.create(new org.apache.hadoop.fs.Path(md, "_column"), true)
+    try out.write(colName.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readAxisColumn(s: SparkSession,
+      md: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    val f = new org.apache.hadoop.fs.Path(md, "_column")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** The date-axis clustering column a layout advertises, if any. */
+  def zonemapColumn(s: SparkSession, dir: String): Option[String] =
+    readAxisColumn(s, manifestDir(dir))
+
+  /** The string-axis clustering column a layout advertises, if any. */
+  def strZonemapColumn(s: SparkSession, dir: String): Option[String] =
+    readAxisColumn(s, strManifestDir(dir))
+
+  /** Survivor paths for the automatic pruning rule: PERSISTED manifests
+    * only (the rule must never silently pay O(files) footer reads at
+    * plan time — manifest-less layouts stay unpruned), union-of-file-
+    * sets semantics identical to [[compoundPrunedRead]] (a file missing
+    * from one manifest is unskippable on that axis). Returns
+    * (survivors sorted, total) or None when no requested axis has a
+    * persisted manifest. */
+  def survivingFiles(s: SparkSession, dir: String,
+      dateBounds: Option[(Int, Int)], strEq: Option[String])
+      : Option[(Seq[String], Int)] = {
+    val dateMan = dateBounds.flatMap(_ => readManifest(s, dir))
+    val strMan = strEq.flatMap(_ => readStrManifest(s, dir))
+    if (dateMan.isEmpty && strMan.isEmpty) None
+    else {
+      val dateByPath = dateMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
+      val strByPath = strMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
+      val allPaths = (dateByPath.keySet ++ strByPath.keySet).toSeq.sorted
+      val survivors = allPaths.filter { p =>
+        val dateOk = dateBounds.forall { case (lo, hi) =>
+          dateByPath.get(p).forall(z => !(z.hi < lo || z.lo > hi))
+        }
+        val strOk = strEq.forall { v =>
+          strByPath.get(p).forall(z =>
+            !(z.hi.exists(utf8Lt(_, v)) || z.lo.exists(utf8Lt(v, _))))
+        }
+        dateOk && strOk
+      }
+      Some((survivors, allPaths.size))
+    }
   }
 
   /** Read a persisted manifest — every commit file merged, sorted by
@@ -722,6 +790,7 @@ object Storage {
       .write.mode("overwrite").parquet(path)
     val s = df.sparkSession
     writeStrManifest(s, path, strFooterZones(s, path, strCol))
+    writeAxisColumn(s, strManifestDir(path), strCol)
   }
 
   private def writeStrManifest(s: SparkSession, path: String,
@@ -756,7 +825,9 @@ object Storage {
       .write.mode("overwrite").parquet(path)
     val s = df.sparkSession
     writeManifest(s, path, zonemapManifest(s, path, dateCol))
+    writeAxisColumn(s, manifestDir(path), dateCol)
     writeStrManifest(s, path, strFooterZones(s, path, strCol))
+    writeAxisColumn(s, strManifestDir(path), strCol)
   }
 
   /** Two-axis pruned read over a [[compoundZonemapWrite]] layout: a

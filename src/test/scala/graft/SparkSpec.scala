@@ -30,6 +30,7 @@ object SharedSpark {
     // suite execution order. ChainReorder stays conf-gated (default off).
     graft.plans.GroupTopKExtension.install(s)
     graft.plans.ChainReorderExtension.install(s)
+    graft.plans.ZonemapPruneExtension.install(s)
     s
   }
 

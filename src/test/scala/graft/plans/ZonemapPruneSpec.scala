@@ -1,0 +1,180 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Storage, Tables}
+
+/** The automatic zone-map pruning rule: a plain
+  * `spark.read.parquet(dir).filter(...)` over a manifest-bearing layout
+  * must open only the surviving files with the flag on, answer exactly
+  * like the unpruned scan, and leave every non-qualifying shape (flag
+  * off, foreign dirs, disjunctions, other columns) untouched. */
+class ZonemapPruneSpec extends SparkSpec {
+
+  ZonemapPruneExtension.install(spark)
+
+  private def withFlag[T](body: => T): T = {
+    spark.conf.set(ZonemapPruneRule.FLAG, "true")
+    try body finally spark.conf.unset(ZonemapPruneRule.FLAG)
+  }
+
+  /** Files actually opened by the executed plan's parquet scans. */
+  private def scanFiles(df: DataFrame): Long = {
+    val materialized = df.groupBy().count()
+    materialized.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val ss = scans(materialized.queryExecution.executedPlan)
+    assert(ss.nonEmpty,
+      materialized.queryExecution.executedPlan.toString.take(800))
+    ss.map(_.metrics("numFiles").value).sum
+  }
+
+  private def agg(df: DataFrame): org.apache.spark.sql.Row =
+    df.agg(count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect()(0)
+
+  private lazy val dateDir: String = {
+    val dir = Files.createTempDirectory("graft-autoprune").toString
+    Storage.zonemapClusteredWrite(
+      Tables.lineitem(spark, sf("sf0.001"))
+        .select(to_date(col("l_shipdate")).as("ship_date"), col("l_quantity")),
+      "ship_date", 16, dir)
+    dir
+  }
+
+  test("a plain read.filter over a date-clustered layout opens only the surviving files") {
+    def probe = spark.read.parquet(dateDir)
+      .filter(col("ship_date").between(lit("1997-01-01").cast("date"),
+        lit("1997-03-31").cast("date")))
+    // the facade path is the referee for WHICH files should survive
+    val (_, total, skipped) =
+      Storage.prunedRead(spark, dateDir, "ship_date", "1997-01-01", "1997-03-31")
+    assert(total === 16 && skipped > 0)
+    val off = agg(probe)
+    assert(scanFiles(probe) === 16L, "flag off: every file listed")
+    withFlag {
+      assert(scanFiles(probe) === (total - skipped).toLong,
+        "flag on: only manifest survivors opened")
+      assert(agg(probe) === off, "pruning must never change the answer")
+      assert(off.getLong(0) > 0L)
+    }
+  }
+
+  test("one-sided and strict bounds prune too; equality collapses to a point zone") {
+    withFlag {
+      val ge = spark.read.parquet(dateDir)
+        .filter(col("ship_date") >= lit("1998-06-01").cast("date"))
+      assert(scanFiles(ge) < 16L, ">= alone must prune the early files")
+      val lt = spark.read.parquet(dateDir)
+        .filter(col("ship_date") < lit("1993-06-01").cast("date"))
+      assert(scanFiles(lt) < 16L, "< alone must prune the late files")
+      val eq = spark.read.parquet(dateDir)
+        .filter(col("ship_date") === lit("1996-03-13").cast("date"))
+      assert(scanFiles(eq) <= 2L, "a point probe should open ~one file")
+      assert(eq.count() ===
+        spark.read.parquet(dateDir)
+          .filter(col("ship_date") === lit("1996-03-13").cast("date"))
+          .collect().length.toLong)
+    }
+  }
+
+  test("string-clustered layout: automatic equality probe, re-applied predicate on a zone-interior miss") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-autoprune-str").toString
+    val docs = (0 until 400).map { i =>
+      (i.toLong, f"src${i % 20}%02d", (i % 7).toLong)
+    }.toDF("doc_id", "source", "l_quantity")
+    Storage.strZonemapClusteredWrite(docs, "source", 8, dir)
+    def probe(v: String) =
+      spark.read.parquet(dir).filter(col("source") === v)
+    val off = agg(probe("src07"))
+    withFlag {
+      assert(scanFiles(probe("src07")) < 8L)
+      assert(agg(probe("src07")) === off)
+      assert(off.getLong(0) === 20L)
+      // "src07x" sorts INSIDE a zone that survives, but no row matches:
+      // the re-applied filter (never the pruning) must return empty
+      assert(probe("src07x").count() === 0L)
+      // a value beyond every zone prunes everything — zero files, no rows
+      assert(probe("zzz").count() === 0L)
+      assert(scanFiles(probe("zzz")) === 0L)
+    }
+  }
+
+  test("compound layout: both axes prune through one plain filter") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-autoprune-comp").toString
+    val rows = for {
+      t <- Seq("alpha", "beta", "gamma", "delta")
+      d <- 1 to 20
+      r <- 1 to 5
+    } yield (t, java.sql.Date.valueOf(f"2024-01-$d%02d"), (d * r).toLong)
+    Storage.compoundZonemapWrite(
+      rows.toDF("tenant", "day", "l_quantity"), "tenant", "day", 20, dir)
+    def probe = spark.read.parquet(dir)
+      .filter(col("tenant") === "beta" &&
+        col("day").between(lit("2024-01-05").cast("date"),
+          lit("2024-01-08").cast("date")))
+    val (_, total, skipped) = Storage.compoundPrunedRead(
+      spark, dir, "tenant", "beta", "day", "2024-01-05", "2024-01-08")
+    assert(total === 20 && skipped > 0)
+    val off = agg(probe)
+    withFlag {
+      assert(scanFiles(probe) === (total - skipped).toLong,
+        "the automatic path must intersect both manifests like the facade")
+      assert(agg(probe) === off)
+      assert(off.getLong(0) > 0L)
+    }
+  }
+
+  test("conservative non-matches stay untouched: flag off, disjunction, other columns, foreign dirs") {
+    import spark.implicits._
+    withFlag {
+      // disjunction: no top-level conjunct constrains the column
+      val or = spark.read.parquet(dateDir)
+        .filter(col("ship_date") < lit("1993-06-01").cast("date") ||
+          col("l_quantity") > 49)
+      assert(scanFiles(or) === 16L)
+      // a filter on a NON-clustered column
+      val other = spark.read.parquet(dateDir).filter(col("l_quantity") === 1)
+      assert(scanFiles(other) === 16L)
+      // a manifest-less directory
+      val foreign = Files.createTempDirectory("graft-autoprune-foreign").toString
+      (1 to 100).map(i => (java.sql.Date.valueOf("2024-01-01"), i.toLong))
+        .toDF("ship_date", "l_quantity")
+        .repartition(4).write.mode("overwrite").parquet(foreign)
+      val f = spark.read.parquet(foreign)
+        .filter(col("ship_date") === lit("2024-01-01").cast("date"))
+      assert(scanFiles(f) === 4L)
+      assert(f.count() === 100L)
+    }
+  }
+
+  test("the gated facade queries are output-invariant under the flag") {
+    val d = sf("sf0.001")
+    for (name <- Seq("q216_pruned_read", "q241_string_prune",
+        "q245_compound_prune")) {
+      val q = graft.SparkEntry.queries(name)
+      val off = q(spark, d).collect().map(_.toSeq)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val on = withFlag {
+        q(spark, d).collect().map(_.toSeq)
+          .groupBy(identity).view.mapValues(_.length).toMap
+      }
+      assert(on === off, name)
+    }
+  }
+}
