@@ -532,12 +532,21 @@ object Curation {
       .where(size(graft.operators.Dedup.tokensCodegen(col("text"))) > 0 &&
         element_at(graft.operators.Dedup.tokensCodegen(col("text")), 1) =!= "")
       .localCheckpoint(false) // consumers: rank input + chunk pass
+    chunkRows(slim.join(docDeciles(slim), Seq("doc_id")), 20)
+  }
+
+  /** Ingest-order doc deciles for any (doc_id, …) frame — the q239
+    * machinery hoisted for q252's word-grain growth curve: a TWO-PASS
+    * global rank on a slim doc_id projection with ntile's remainder-
+    * spreading as closed integer arithmetic (validated against native
+    * ntile for every remainder case in CurationSpec). */
+  private[operators] def docDeciles(slim: DataFrame): DataFrame = {
     val ranked = Relational.globalRank(
       slim.select(col("doc_id")), col("doc_id"), col("doc_id"), parts = 32)
     val n1 = ranked.agg(count(lit(1)).as("n_docs"))
     // ntile(b) closed form: k = n div b, r = n mod b; the first r
     // buckets take k+1 rows (integer `div`, exact past 2^53)
-    val deciles = ranked.crossJoin(broadcast(n1))
+    ranked.crossJoin(broadcast(n1))
       .withColumn("decile", expr(
         "CAST(CASE WHEN rnk <= (n_docs % 10) * (n_docs div 10 + 1) " +
           "THEN (rnk - 1) div (n_docs div 10 + 1) + 1 " +
@@ -545,7 +554,6 @@ object Curation {
           "(rnk - (n_docs % 10) * (n_docs div 10 + 1) - 1) div " +
           "(n_docs div 10) + 1 END AS BIGINT)")) // DuckDB ntile emits BIGINT
       .select(col("doc_id"), col("decile"))
-    chunkRows(slim.join(deciles, Seq("doc_id")), 20)
   }
 
   val q239Sql: String =
@@ -1817,6 +1825,162 @@ object Curation {
        |FROM f LEFT JOIN k4 USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  /** LENGTH-BUCKET PACKING ECONOMICS (round-15): a training loader pads
+    * every sequence in a batch to a common length, so the standard
+    * move is power-of-2 LENGTH BUCKETS — batch only within a bucket
+    * and the pad waste is bounded by the bucket's halving. This query
+    * is the decision table: per bucket (smallest power of two ≥ the
+    * doc's whitespace-token count — q24's token convention), how many
+    * docs land there, the real tokens, the padded tokens if every doc
+    * pads to the bucket top, and the waste ratio. The q220 pack-sweep
+    * answers "which max length"; this answers "what does bucketing
+    * save" — together they are the batching design page.
+    *
+    * Engine-determinism: the bucket is INTEGER arithmetic on both
+    * sides — `1 << length(bin(n-1))` (ceil-log2 via binary-string
+    * length, no floating log2 whose exact-power behavior differs);
+    * the only division is the final rounded ratio. Scale shape: one
+    * codegen'd per-row expression + one bucket-sized aggregation —
+    * map-side partial, ~60 groups, zero joins. */
+  def q249LengthBuckets(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(Dedup.nTokensCol(col("text")).cast("long").as("n"))
+      .withColumn("bucket", expr(
+        "CAST(CASE WHEN n <= 1 THEN n " +
+          "ELSE shiftleft(1, length(bin(n - 1))) END AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("sum_tokens"),
+        sum(col("bucket")).as("sum_padded"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("sum_padded"),
+        when(col("sum_padded") > 0,
+          round(lit(1.0) - col("sum_tokens").cast("double") /
+            col("sum_padded"), 6)).as("waste_ratio"))
+
+  val q249Sql: String =
+    """WITH n AS (
+      |  SELECT CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |    t -> t <> '')) AS BIGINT) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT n, CAST(CASE WHEN n <= 1 THEN n
+      |    ELSE 1 << length(bin(n - 1)) END AS BIGINT) AS bucket
+      |  FROM n)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(bucket) AS BIGINT) AS sum_padded,
+      |  CASE WHEN sum(bucket) > 0 THEN
+      |    round(1.0 - CAST(sum(n) AS DOUBLE) / sum(bucket), 6) END
+      |    AS waste_ratio
+      |FROM b GROUP BY 1""".stripMargin
+
+  /** HEAPS-LAW GROWTH FIT over the chunk novelty curve (round-15):
+    * q239 measures how many never-before-seen chunks each ingest decile
+    * adds; this attaches the PREDICTION — Heaps' law V(n) ≈ k·n^β says
+    * distinct content grows as a power of content seen, so the log-log
+    * OLS fit over the cumulative (chunks seen, distinct chunks) curve
+    * extrapolates what the next 10× of crawl buys (β near 1 = still
+    * novel, β near 0 = saturated). The fit runs at CHUNK grain, not
+    * word grain: a fixed-vocabulary corpus saturates its word types in
+    * the first decile (measured here — the word curve degenerates to
+    * one point), while chunk identity keeps growing, which is exactly
+    * why the chunk is this repo's novelty unit.
+    *
+    * Determinism: deciles are q239's closed-form ntile; both cumulative
+    * series are integer; the fit is q128's OLS convention (round(ln, 8)
+    * points, DECIMAL(38,18) sums, double divisions, round 6), with β
+    * and ln k emitted on every decile row so one frame carries curve
+    * and fit. Both series strictly increase (every decile adds chunks,
+    * and first-occurrence rows exist in every decile on any corpus with
+    * novel content), so the OLS denominator cannot vanish.
+    *
+    * Scale shape: q239's one first-occurrence shuffle, then 10-row
+    * arithmetic. Nothing new at scale beyond the curve it fits. */
+  def q252HeapsFit(s: SparkSession, d: String): DataFrame = {
+    val ch = chunkDeciles(s, d)
+    val firstSeen = Window.partitionBy(col("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    val per = ch.withColumn("rn", row_number().over(firstSeen))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_new"))
+    // bounded: exactly 10 rows reach these windows (the q244 shape)
+    val w10 = Window.orderBy(col("decile"))
+    val curve = per.select(col("decile"),
+      sum(col("n_chunks")).over(w10).as("cum_chunks"),
+      sum(col("n_new")).over(w10).as("cum_distinct"))
+    val pts = curve.select(col("decile"), col("cum_chunks"),
+      col("cum_distinct"),
+      round(log(col("cum_chunks").cast("double")), 8).as("x"),
+      round(log(col("cum_distinct").cast("double")), 8).as("y"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val fit = pts.agg(count(lit(1)).cast("double").as("k"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("x") * col("x")).as("sxx"))
+      .select(((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx"))).as("braw"),
+        col("k"), col("sx"), col("sy"))
+      .select(round(col("braw"), 6).as("heaps_beta"),
+        round((col("sy") - col("braw") * col("sx")) / col("k"), 6)
+          .as("heaps_lnk"))
+    pts.select(col("decile"), col("cum_chunks"), col("cum_distinct"))
+      .crossJoin(broadcast(fit))
+  }
+
+  val q252Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |dec AS (
+      |  SELECT doc_id, tk, ntile(10) OVER (ORDER BY doc_id) AS decile
+      |  FROM toks WHERE len(tk) > 0),
+      |st AS (
+      |  SELECT doc_id, decile, tk,
+      |    unnest(generate_series(0, len(tk) - 1, 20)) AS start
+      |  FROM dec),
+      |ch AS (
+      |  SELECT doc_id, decile, CAST(start // 20 AS BIGINT) AS chunk_idx,
+      |    md5(array_to_string(list_slice(tk, start + 1, start + 20), ' '))
+      |      AS chunk_hash
+      |  FROM st),
+      |fl AS (
+      |  SELECT decile,
+      |    row_number() OVER (PARTITION BY chunk_hash
+      |                       ORDER BY doc_id, chunk_idx) AS rn
+      |  FROM ch),
+      |per AS (
+      |  SELECT decile, count(*) AS n_chunks,
+      |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM fl GROUP BY 1),
+      |curve AS (
+      |  SELECT decile,
+      |    CAST(sum(n_chunks) OVER (ORDER BY decile) AS BIGINT) AS cum_chunks,
+      |    CAST(sum(n_new) OVER (ORDER BY decile) AS BIGINT) AS cum_distinct
+      |  FROM per),
+      |pts AS (
+      |  SELECT decile, cum_chunks, cum_distinct,
+      |    round(ln(CAST(cum_chunks AS DOUBLE)), 8) AS x,
+      |    round(ln(CAST(cum_distinct AS DOUBLE)), 8) AS y
+      |  FROM curve),
+      |m AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS k,
+      |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+      |  FROM pts),
+      |fit AS (
+      |  SELECT (k * sxy - sx * sy) / (k * sxx - sx * sx) AS braw, k, sx, sy
+      |  FROM m)
+      |SELECT decile, cum_chunks, cum_distinct,
+      |  round(braw, 6) AS heaps_beta,
+      |  round((sy - braw * sx) / k, 6) AS heaps_lnk
+      |FROM pts, fit""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -1845,5 +2009,7 @@ object Curation {
     "q242_template_families" -> (q242TemplateFamilies _, q242Sql),
     "q243_dup_attribution" -> (q243DupAttribution _, q243Sql),
     "q244_novelty_hll"  -> (q244NoveltyHll _, q244Sql),
+    "q249_length_buckets" -> (q249LengthBuckets _, q249Sql),
+    "q252_heaps_fit"    -> (q252HeapsFit _, q252Sql),
   )
 }

@@ -1666,8 +1666,96 @@ object Dedup {
       |WHERE t.doc_id % 7 <> 0
       |GROUP BY 1""".stripMargin
 
+  /** WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * — the MOSS algorithm; round-15): q28's single min-hash fingerprint
+    * answers "same document?"; winnowing selects a SET of fingerprints
+    * with a POSITIONAL GUARANTEE — in every window of `w` consecutive
+    * 5-gram hashes at least one is selected (the window minimum,
+    * rightmost on ties) — so any shared substring of ≥ w+4 tokens
+    * between two documents shares at least one fingerprint: the
+    * guarantee that makes fingerprint-index plagiarism/overlap lookup
+    * sound where uniform sampling can miss arbitrarily long matches.
+    * Output per document: window count, fingerprints selected, distinct
+    * hashes, the min hash (content witness), and the selection density
+    * (theory: ≈ 2/(w+1) = 0.4 for w = 4 on random hashes).
+    *
+    * Scale shape: per-row gram hashing, a ≤w-fan-out window-membership
+    * explode, and two (doc, window)-grain aggregations — all map-side
+    * partial, nothing corpus×corpus; the fingerprint SET (not built
+    * here) is what a downstream index would join on. Documents under
+    * w+4 tokens yield no windows and are absent — the document-grain
+    * q28/minhash paths cover short docs. 60-bit md5-prefix hashes (the
+    * q210 convention) keep both engines bit-identical. */
+  def q251Winnowing(s: SparkSession, d: String): DataFrame = {
+    val g = documents(s, d)
+      .select(col("doc_id"), tokensCodegen(col("text")).as("tk"))
+      .where(size(col("tk")) >= 8 && element_at(col("tk"), 1) =!= "")
+      .select(col("doc_id"), (size(col("tk")) - 7).cast("long").as("n_windows"),
+        posexplode(expr(
+          "transform(sequence(1, size(tk) - 4), q -> " +
+            "conv(substring(md5(concat_ws(' ', slice(tk, q, 5))), 1, 15), " +
+            "16, 10))")).as(Seq("pos", "hs")))
+      .select(col("doc_id"), col("n_windows"),
+        (col("pos") + 1).cast("long").as("p"), col("hs").cast("long").as("h"))
+      .localCheckpoint(false) // consumers: membership ×2 + hash lookup
+    val memb = g.select(col("doc_id"), col("n_windows"), col("p"), col("h"),
+        explode(expr("sequence(greatest(p - 3, 1L), least(p, n_windows))"))
+          .as("i"))
+      .localCheckpoint(false) // consumers: window minima + rightmost pick
+    val mins = memb.groupBy(col("doc_id"), col("i"))
+      .agg(min(col("h")).as("mn"))
+    val sel = memb.join(mins, Seq("doc_id", "i"))
+      .where(col("h") === col("mn"))
+      .groupBy(col("doc_id"), col("i")).agg(max(col("p")).as("sp"))
+      .select(col("doc_id"), col("sp")).distinct()
+    sel.join(g.select(col("doc_id"), col("n_windows"),
+        col("p").as("sp"), col("h")), Seq("doc_id", "sp"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_windows")).as("n_windows"),
+        count(lit(1)).as("n_fp"),
+        countDistinct(col("h")).as("n_fp_distinct"),
+        min(col("h")).as("min_fp"))
+      .select(col("doc_id"), col("n_windows"), col("n_fp"),
+        col("n_fp_distinct"), col("min_fp"),
+        round(col("n_fp").cast("double") / col("n_windows"), 6).as("density"))
+  }
+
+  val q251Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+      |    '[^a-z]+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(tk) - 7 AS BIGINT) AS n_windows,
+      |    CAST(p AS BIGINT) AS p,
+      |    CAST('0x' || substr(md5(array_to_string(
+      |      list_slice(tk, p, p + 4), ' ')), 1, 15) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 4)) AS p
+      |        FROM tk WHERE len(tk) >= 8)),
+      |memb AS (
+      |  SELECT doc_id, n_windows, p, h,
+      |    unnest(generate_series(greatest(p - 3, 1), least(p, n_windows)))
+      |      AS i
+      |  FROM g),
+      |mins AS (SELECT doc_id, i, min(h) AS mn FROM memb GROUP BY 1, 2),
+      |sel AS (
+      |  SELECT DISTINCT m.doc_id, sp FROM (
+      |    SELECT m2.doc_id, m2.i, max(m2.p) AS sp
+      |    FROM memb m2 JOIN mins
+      |      ON m2.doc_id = mins.doc_id AND m2.i = mins.i AND m2.h = mins.mn
+      |    GROUP BY 1, 2) m),
+      |fph AS (
+      |  SELECT g.doc_id, g.h, g.n_windows
+      |  FROM sel JOIN g ON g.doc_id = sel.doc_id AND g.p = sel.sp)
+      |SELECT doc_id, max(n_windows) AS n_windows,
+      |  count(*) AS n_fp, count(DISTINCT h) AS n_fp_distinct,
+      |  min(h) AS min_fp,
+      |  round(CAST(count(*) AS DOUBLE) / max(n_windows), 6) AS density
+      |FROM fph GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
+    "q251_winnowing"      -> (q251Winnowing _, q251Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
     "q22_ngram_jaccard"   -> (q22NgramJaccard _, q22Sql),
     "q31_simhash"         -> (q31Simhash _, q31Sql),

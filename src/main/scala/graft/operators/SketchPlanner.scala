@@ -744,8 +744,65 @@ object SketchPlanner {
                      "e0_c_o", "e1_o_l", "e2_l_p")} AS exact_rank
        |FROM r CROSS JOIN wide CROSS JOIN ns""".stripMargin
 
+  /** The STAR REWRITE under the gate (round-15: rule-executed answers,
+    * not just decisions): a plain literal-order star — lineitem fact
+    * joined by orders, supplier, part on its three distinct keys — is
+    * optimized with `spark.graft.chainReorder.enabled` on, so
+    * [[graft.plans.RewriteChainJoin]]'s star path picks the dim order
+    * and broadcast hints, and the EXECUTED answer must hash-match
+    * DuckDB's plain four-table join. The flag is scoped to optimization
+    * (frozen via ofRows, restored after) so no other gated query's
+    * planning sees it; a `require` pins that hints actually landed —
+    * an inert rule must fail the gate, not coast on Spark's default
+    * plan. Pricing pays the bounded sketch scans once per session
+    * (SketchCatalog). */
+  def q248StarReorder(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+    val su = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val p = part(s, d).select(col("p_partkey"), col("p_size"))
+    val star = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(col("p_size") <= 25)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    val flag = graft.plans.RewriteChainJoin.FLAG
+    val prior = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    val optimized =
+      try star.queryExecution.optimizedPlan
+      finally prior match {
+        case Some(v) => s.conf.set(flag, v)
+        case None => s.conf.unset(flag)
+      }
+    val hinted = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint != org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE => j
+    }
+    require(hinted.nonEmpty,
+      "the star rewrite did not fire: no broadcast hints in the plan")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, optimized)
+  }
+
+  val q248Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 25
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q205_join_planner" -> (q205JoinPlanner _, q205Sql),
     "q211_selectivity_compare" -> (q211SelectivityCompare _, q211Sql),
-    "q217_join_reorder" -> (q217JoinReorder _, q217Sql))
+    "q217_join_reorder" -> (q217JoinReorder _, q217Sql),
+    "q248_star_reorder" -> (q248StarReorder _, q248Sql))
 }

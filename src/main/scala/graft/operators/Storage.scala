@@ -1132,6 +1132,52 @@ object Storage {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
   }
 
+  /** The AUTOMATIC pruning rule under the gate (round-15: the task-4
+    * engine-behavior close): the SAME clustered layout q216 probes, but
+    * through a PLAIN `spark.read.parquet(dir).filter(...)` — no facade
+    * call — optimized with `spark.graft.zonemapPrune.enabled` on, so
+    * the manifest routing is the optimizer's work. The flag is scoped
+    * to OPTIMIZATION here (the plan is frozen via ofRows and the flag
+    * restored) so no other gated query's planning sees it; a `require`
+    * pins that the rewrite actually fired (pruned file index smaller
+    * than the layout) — a silently-inert rule must fail the gate, not
+    * pass it by answering through a full scan. The probe window differs
+    * from q216's so the two queries gate independent answers. */
+  def q247AutoPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = q216Layout(s, d)
+    val probe = s.read.parquet(dir)
+      .filter(col("ship_date").between(lit("1996-07-01").cast("date"),
+        lit("1996-09-30").cast("date")))
+      .groupBy(month(col("ship_date")).as("mth"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    val prior = s.conf.getOption(graft.plans.ZonemapPruneRule.FLAG)
+    s.conf.set(graft.plans.ZonemapPruneRule.FLAG, "true")
+    val optimized =
+      try probe.queryExecution.optimizedPlan
+      finally prior match {
+        case Some(v) => s.conf.set(graft.plans.ZonemapPruneRule.FLAG, v)
+        case None => s.conf.unset(graft.plans.ZonemapPruneRule.FLAG)
+      }
+    val scannedFiles = optimized.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }.sum
+    require(scannedFiles > 0 && scannedFiles < 64,
+      s"automatic zone-map pruning did not fire: $scannedFiles of 64 files")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, optimized)
+  }
+
+  val q247Sql: String =
+    """SELECT CAST(month(l_shipdate) AS INT) AS mth, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-07-01'
+      |  AND DATE '1996-09-30'
+      |GROUP BY 1""".stripMargin
+
   val q216Sql: String =
     """SELECT CAST(month(l_shipdate) AS INT) AS mth, count(*) AS n_rows,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -1208,6 +1254,7 @@ object Storage {
     "q155_table_digest"    -> (q155TableDigest _, q155Sql),
     "q213_zonemap_prune"   -> (q213ZonemapPrune _, q213Sql),
     "q216_pruned_read"     -> (q216PrunedRead _, q216Sql),
+    "q247_auto_prune"      -> (q247AutoPrune _, q247Sql),
     "q219_append_prune"    -> (q219AppendPrune _, q219Sql),
     "q227_scaled_prune"    -> (q227ScaledPrune _, q227Sql),
     "q241_string_prune"    -> (q241StringPrune _, q241Sql),

@@ -833,8 +833,46 @@ object TextAnalysis {
        |ORDER BY rank_e12 DESC, word LIMIT 20""".stripMargin
   }
 
+  /** CORPUS-SPECIFIC STOPWORD DISCOVERY (round-15): the stopword lists
+    * this repo's quality rules use (q24/q175/q222) are fixed English
+    * priors; a pipeline ingesting a new domain derives its own from
+    * DOCUMENT FREQUENCY — a token present in most documents carries no
+    * topical signal and is what IDF would zero anyway. Output: every
+    * token whose document frequency reaches 30% of the corpus, with
+    * its df and ratio — the list a curation config would paste in.
+    * Integer threshold (df·10 ≥ 3·n_docs: no float compare); the only
+    * division is the final rounded ratio.
+    *
+    * Scale shape: one (doc, word)-distinct shuffle (map-side partial
+    * via the distinct) + a word-grain count — the q26 DF machinery
+    * without the per-doc join back; output is vocabulary-bounded and
+    * in practice tiny (function words). */
+  def q250StopwordDiscovery(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    wordRows(docs).select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10 >= col("n_docs") * 3)
+      .select(col("w").as("token"), col("df"),
+        round(col("df").cast("double") / col("n_docs"), 6).as("df_ratio"))
+  }
+
+  val q250Sql: String =
+    """WITH dw AS (
+      |  SELECT DISTINCT doc_id, w FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |             x -> x <> '')) AS w FROM documents)),
+      |df AS (SELECT w, count(*) AS df FROM dw GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT w AS token, df,
+      |  round(CAST(df AS DOUBLE) / n_docs, 6) AS df_ratio
+      |FROM df, n WHERE df * 10 >= n_docs * 3""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q24_token_stats"   -> (q24TokenStats _, q24Sql),
+    "q250_stopword_discovery" -> (q250StopwordDiscovery _, q250Sql),
     "q25_bigram_counts" -> (q25BigramCounts _, q25Sql),
     "q26_tfidf_top"     -> (q26TfidfTop _, q26Sql),
     "q27_lang_id"       -> (q27LangId _, q27Sql),
