@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-training-data pipelines over the
@@ -1753,9 +1754,68 @@ object Dedup {
       |  round(CAST(count(*) AS DOUBLE) / max(n_windows), 6) AS density
       |FROM fph GROUP BY 1""".stripMargin
 
+  /** QUALITY-AWARE CANONICAL SELECTION (round-15): q20 keeps the
+    * min-doc_id copy of every exact-dup cluster — arbitrary. A curation
+    * pipeline keeps the BEST copy: here the member with the lowest
+    * unigram-LM surprisal (q69's avg_nll — near-duplicate crawls differ
+    * in boilerplate/OCR noise, and the cleaner copy scores lower),
+    * unscored members losing to scored ones, final tie on doc_id. The
+    * media family already does this shape with largest-payload (q229);
+    * this is the text-side twin with a LEARNED quality key.
+    *
+    * Scale shape: q69's scoring joins (one vocab shuffle + one doc agg)
+    * plus ONE hash-partitioned window at content-hash grain — dedup
+    * cluster sizes bound the window partitions, never corpus-wide.
+    * avg_nll is round-4 fixed on both engines, so the winner is
+    * deterministic cross-engine. */
+  def q254QualityKeep(s: SparkSession, d: String): DataFrame = {
+    val scored = Vocab.q69LmScore(s, d).select(col("doc_id"), col("avg_nll"))
+    val buckets = documents(s, d)
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+      .join(scored, Seq("doc_id"))
+    val w = Window.partitionBy(col("content_hash"))
+      .orderBy(col("avg_nll").asc_nulls_last, col("doc_id"))
+    buckets
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+        max(when(col("rn") === 1, col("avg_nll"))).as("kept_nll"))
+      .select(col("content_hash"), col("n_members"),
+        col("kept_doc"), col("kept_nll"))
+  }
+
+  val q254Sql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '[^a-z]+'), t -> t <> '')) AS w
+      |  FROM documents),
+      |freq AS (SELECT w, count(*) AS wf FROM ws GROUP BY 1),
+      |tot AS (SELECT CAST(sum(wf) AS BIGINT) AS tot FROM freq),
+      |per AS (
+      |  SELECT doc_id,
+      |    round(CAST(sum(CAST(round(-ln(CAST(wf AS DOUBLE) / tot), 8)
+      |        AS DECIMAL(38,18))) AS DOUBLE) / count(*), 4) AS avg_nll
+      |  FROM ws JOIN freq USING (w), tot
+      |  GROUP BY doc_id),
+      |b AS (
+      |  SELECT d.doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |      AS content_hash,
+      |    p.avg_nll,
+      |    row_number() OVER (
+      |      PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |      ORDER BY p.avg_nll ASC NULLS LAST, d.doc_id) AS rn
+      |  FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id)
+      |SELECT content_hash, count(*) AS n_members,
+      |  max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+      |  max(CASE WHEN rn = 1 THEN avg_nll END) AS kept_nll
+      |FROM b GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q251_winnowing"      -> (q251Winnowing _, q251Sql),
+    "q254_quality_keep"   -> (q254QualityKeep _, q254Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
     "q22_ngram_jaccard"   -> (q22NgramJaccard _, q22Sql),
     "q31_simhash"         -> (q31Simhash _, q31Sql),

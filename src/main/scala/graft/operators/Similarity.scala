@@ -1241,8 +1241,104 @@ object Similarity {
        |FROM q LEFT JOIN ov ON q.qid = ov.qid""".stripMargin
   }
 
+  /** MMR DIVERSIFIED SELECTION (Carbonell & Goldstein, SIGIR 1998;
+    * round-15): pure cosine top-k (q23) returns near-duplicates of each
+    * other — for training-data selection and RAG context packing the
+    * standard fix is Maximal Marginal Relevance: greedily pick the
+    * candidate maximizing λ·sim(query, d) − (1−λ)·max_{s∈S} sim(d, s),
+    * trading relevance against redundancy with what's already chosen.
+    * λ = 0.7, k = 5 rounds, query = vec_id 0, candidates vec_id ≥ 10.
+    *
+    * Determinism: every cosine rounds to 1e-6 before use (the q23
+    * convention), the MMR score re-rounds after the λ-blend, ties break
+    * on vec_id — so both engines walk the identical greedy path.
+    *
+    * Scale shape: the greedy is INHERENTLY sequential in k, so each of
+    * the k rounds is one distributed pass — candidates × (≤k broadcast
+    * selected vectors) scored via the codegen'd dot product, then a
+    * TakeOrdered(1) argmax; the driver holds only the k winners (the
+    * bounded planner-scalar shape prunedRead established). Nothing is
+    * candidates × candidates: redundancy is only ever computed against
+    * the ≤k selected set. */
+  def q253MmrDiversify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lambda = 0.7
+    val v = vectors(s, d)
+    val q = v.filter(col("vec_id") === 0)
+      .select(col("e").as("qe"), col("norm").as("qn"))
+    val cand = v.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("e"), col("norm"),
+        round(vdot(col("e"), col("qe")) / (col("norm") * col("qn")), 6)
+          .as("simq"))
+      .localCheckpoint(false) // consumers: k rounds of score + argmax
+    var selected = Vector.empty[(Int, Long, Double, Double)]
+    for (t <- 1 to 5) {
+      val chosen = selected.map(_._2)
+      val rest =
+        if (chosen.isEmpty) cand else cand.filter(!col("vec_id").isin(chosen: _*))
+      val scored =
+        if (chosen.isEmpty)
+          rest.select(col("vec_id"), col("simq"),
+            round(col("simq") * lambda, 6).as("mmr"))
+        else {
+          val selVecs = cand.filter(col("vec_id").isin(chosen: _*))
+            .select(col("e").as("se"), col("norm").as("sn"))
+          rest.crossJoin(broadcast(selVecs))
+            .withColumn("simsel",
+              round(vdot(col("e"), col("se")) / (col("norm") * col("sn")), 6))
+            .groupBy(col("vec_id"), col("simq"))
+            .agg(max(col("simsel")).as("red"))
+            .select(col("vec_id"), col("simq"),
+              // 0.3 as a LITERAL: `1 - 0.7` in binary floating point is
+              // 0.30000000000000004, which the oracle's literal is not
+              round(col("simq") * lambda - col("red") * 0.3, 6).as("mmr"))
+        }
+      val top = scored.orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .collect()(0) // 1-row argmax per round — k bounded driver rows
+      selected :+= ((t, top.getLong(0), top.getDouble(1), top.getDouble(2)))
+    }
+    selected.toDF("rnk", "vec_id", "simq", "mmr")
+      .select(col("rnk").cast("long").as("rnk"), col("vec_id"),
+        col("simq"), col("mmr"))
+  }
+
+  /** Rounds 2..k of the greedy, unrolled: candidates not yet selected,
+    * redundancy = max round-6 cosine against every prior winner. */
+  private def mmrRoundSql(t: Int): String = {
+    val prev = (1 until t).map(u => s"SELECT vec_id FROM s$u")
+      .mkString(" UNION ALL ")
+    s"""s$t AS (
+       |  SELECT $t AS rnk, vec_id, simq,
+       |    round(simq * 0.7 - red * 0.3, 6) AS mmr
+       |  FROM (
+       |    SELECT c.vec_id, c.simq,
+       |      max(round(list_cosine_similarity(c.e, sv.e), 6)) AS red
+       |    FROM cand c,
+       |      (SELECT v.e FROM v JOIN ($prev) p ON v.vec_id = p.vec_id) sv
+       |    WHERE c.vec_id NOT IN ($prev)
+       |    GROUP BY c.vec_id, c.simq)
+       |  ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+  }
+
+  val q253Sql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT vec_id, e,
+       |    round(list_cosine_similarity(e, qe), 6) AS simq
+       |  FROM v, q WHERE vec_id >= 10),
+       |s1 AS (
+       |  SELECT 1 AS rnk, vec_id, simq, round(simq * 0.7, 6) AS mmr
+       |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1),
+       |${(2 to 5).map(mmrRoundSql).mkString(",\n")}
+       |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, simq, mmr FROM s1
+       |${(2 to 5).map(t => s"UNION ALL SELECT CAST(rnk AS BIGINT), vec_id, simq, mmr FROM s$t").mkString("\n")}""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
+    "q253_mmr_diversify"    -> (q253MmrDiversify _, q253Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
     "q42_embedding_neardup" -> (q42EmbeddingNeardup _, q42Sql),
     "q54_ivf_full_probe"    -> (q54IvfFullProbe _, q23Sql),

@@ -1039,13 +1039,19 @@ class PlanAuditSpec extends SparkSpec {
     //     only the pruned set — the files the scan must list at plan
     //     time anyway (the Delta/Iceberg planning contract; StorageSpec
     //     pins bounded materialization on a 4000-entry manifest).
-    //   CurationStream.scala: 3 — buildRefs' frozen-model compile: the
-    //     KN prob table (bigram-type-sized), the eval-gram set
-    //     (held-out-reference-sized), and the 1-row tercile cut — the
-    //     "train the model, broadcast it to scorers" step; model-sized
-    //     reference data, never corpus rows.
+    //   CurationStream.scala: 4 — buildRefs' frozen-model compile, every
+    //     read BOUNDED BY CONSTRUCTION since round 15: the 1-row prob
+    //     stats aggregate (type count + eviction floor), the top-probCap
+    //     prob rows (distributed exact top-K), the eval-gram set
+    //     (require-checked against its cap BEFORE collecting), and the
+    //     1-row tercile cut — the "train the model, broadcast it to
+    //     scorers" step; capped reference data, never corpus rows.
+    //   Similarity.scala: 1 — q253's MMR greedy argmax: one 1-row
+    //     TakeOrdered read per round (k = 5 bounded rounds; the greedy
+    //     is inherently sequential in k) — the planner-scalar shape.
     val collectBudget = Map("MRJob.scala" -> 1, "SketchPlanner.scala" -> 2,
-      "Storage.scala" -> 2, "CurationStream.scala" -> 3)
+      "Storage.scala" -> 2, "CurationStream.scala" -> 4,
+      "Similarity.scala" -> 1)
     val markers = Seq(".collect()", ".toLocalIterator", ".collectAsList")
     val offending = roots.flatMap { r =>
       java.nio.file.Files.walk(java.nio.file.Paths.get(r)).iterator().asScala
