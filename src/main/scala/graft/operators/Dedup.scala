@@ -1754,6 +1754,73 @@ object Dedup {
       |  round(CAST(count(*) AS DOUBLE) / max(n_windows), 6) AS density
       |FROM fph GROUP BY 1""".stripMargin
 
+  /** NEAR-DUP THRESHOLD SWEEP (round-15): the q237/q220 design-table
+    * discipline applied to THE near-dup knob — the Jaccard cutoff. One
+    * pass builds q22's exact pair frame (inverted-index intersections
+    * over df-capped trigrams, never all-pairs); a broadcast 5-row
+    * threshold grid then reads off, per cutoff t ∈ {0.5..0.9}: how many
+    * pairs qualify and how many documents the q40 drop-higher-id policy
+    * would remove. The comparison is integer cross-multiplied
+    * (ninter·100 ≥ t·union — no float threshold), and zero-qualifying
+    * cutoffs still emit rows, so the table is complete.
+    *
+    * Scale shape: exactly q22's candidate-bounded self-join plus a
+    * ×5 broadcast expansion of the PAIR frame (pairs ≪ corpus) — the
+    * sweep costs one near-dup pass, not five. */
+  def q255JaccardSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gh = gramHashRows(documents(s, d).select(col("doc_id"), col("text")))
+    val bounded = capGramDf(gh, maxDf = 1000)
+    val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = bounded.select(col("doc_id").as("id_a"), col("gh"))
+      .join(bounded.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("ninter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("ninter"),
+        (col("sz_a") + col("sz_b") - col("ninter")).as("uni"))
+    val grid = (50L to 90L by 10L).toDF("t")
+    val hit = col("ninter") * 100 >= col("t") * col("uni")
+    pairs.crossJoin(broadcast(grid))
+      .groupBy(col("t"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("n_pairs"),
+        countDistinct(when(hit, col("id_b"))).as("n_dropped"))
+  }
+
+  val q255Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |glists AS (
+      |  SELECT doc_id, CASE WHEN len(ws) >= 3
+      |    THEN list_distinct(list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+      |    ELSE [array_to_string(ws, ' ')] END AS gs
+      |  FROM toks),
+      |grams AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM glists),
+      |capped AS (
+      |  SELECT doc_id, g FROM grams
+      |  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) <= 1000)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b, ninter, sa.sz + sb.sz - ninter AS uni
+      |  FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+      |    FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) i
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b),
+      |grid AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT) AS t)
+      |SELECT t,
+      |  CAST(count(*) FILTER (WHERE ninter * 100 >= t * uni) AS BIGINT)
+      |    AS n_pairs,
+      |  CAST(count(DISTINCT CASE WHEN ninter * 100 >= t * uni THEN id_b END)
+      |    AS BIGINT) AS n_dropped
+      |FROM grid, pairs GROUP BY 1""".stripMargin
+
   /** QUALITY-AWARE CANONICAL SELECTION (round-15): q20 keeps the
     * min-doc_id copy of every exact-dup cluster — arbitrary. A curation
     * pipeline keeps the BEST copy: here the member with the lowest
@@ -1816,6 +1883,7 @@ object Dedup {
     "q20_exact_dedup"     -> (q20ExactDedup _, q20Sql),
     "q251_winnowing"      -> (q251Winnowing _, q251Sql),
     "q254_quality_keep"   -> (q254QualityKeep _, q254Sql),
+    "q255_jaccard_sweep"  -> (q255JaccardSweep _, q255Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
     "q22_ngram_jaccard"   -> (q22NgramJaccard _, q22Sql),
     "q31_simhash"         -> (q31Simhash _, q31Sql),

@@ -1336,9 +1336,85 @@ object Similarity {
        |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, simq, mmr FROM s1
        |${(2 to 5).map(t => s"UNION ALL SELECT CAST(rnk AS BIGINT), vec_id, simq, mmr FROM s$t").mkString("\n")}""".stripMargin
 
+  /** RAG CONTEXT PACKING (round-15): retrieval hands a ranked neighbor
+    * list; the context window is a TOKEN budget — so the serving-side
+    * operator is "take neighbors in similarity order until the budget
+    * is spent". Per query (vec_id < 5, candidates vec_id ≥ 10, vec_id
+    * ≡ doc_id in this corpus): neighbors ordered by (round-6 cosine
+    * desc, vec_id), each carrying its document's whitespace-token count
+    * (q24's convention), packed while the RUNNING SUM stays ≤ 1000.
+    * Output per query: docs packed, tokens spent, and the similarity
+    * floor the budget forced (the number a retrieval SLO would track).
+    * Prefix-truncation (no skip-ahead) is the standard, deterministic
+    * policy. A query whose best neighbor alone busts the budget packs
+    * zero docs and still emits its row.
+    *
+    * Scale shape: the q23 broadcast-query scoring pass, one per-query
+    * window cumsum (partitions = queries), one 5-row rollup. */
+  def q257RagPack(s: SparkSession, d: String): DataFrame = {
+    val budget = 1000L
+    val v = vectors(s, d)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id").as("vec_id"),
+        graft.operators.Dedup.nTokensCol(col("text")).cast("long").as("ntok"))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qn"))
+    val scored = v.filter(col("vec_id") >= 10)
+      .join(toks, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), col("ntok"),
+        round(vdot(col("e"), col("qe")) / (col("norm") * col("qn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = scored.withColumn("cum", sum(col("ntok")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_packed"), sum(col("ntok")).as("sum_tokens"),
+        min(col("sim")).as("sim_floor"))
+    q.select(col("qid")).join(packed, Seq("qid"), "left")
+      .select(col("qid").as("query_id"),
+        coalesce(col("n_packed"), lit(0L)).as("n_packed"),
+        coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"),
+        col("sim_floor"))
+  }
+
+  val q257Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |tk AS (
+      |  SELECT doc_id AS vec_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT qid, v.vec_id, ntok,
+      |    round(list_cosine_similarity(e, qe), 6) AS sim
+      |  FROM q, v JOIN tk ON tk.vec_id = v.vec_id
+      |  WHERE v.vec_id >= 10),
+      |packed AS (
+      |  SELECT qid, count(*) AS n_packed,
+      |    CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+      |    min(sim) AS sim_floor
+      |  FROM (
+      |    SELECT qid, vec_id, ntok, sim,
+      |      sum(ntok) OVER (PARTITION BY qid ORDER BY sim DESC, vec_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum
+      |    FROM scored)
+      |  WHERE cum <= 1000
+      |  GROUP BY 1)
+      |SELECT q.qid AS query_id,
+      |  COALESCE(n_packed, 0) AS n_packed,
+      |  COALESCE(sum_tokens, 0) AS sum_tokens,
+      |  sim_floor
+      |FROM q LEFT JOIN packed ON q.qid = packed.qid""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q23_knn_exact"         -> (q23KnnExact _, q23Sql),
     "q253_mmr_diversify"    -> (q253MmrDiversify _, q253Sql),
+    "q257_rag_pack"         -> (q257RagPack _, q257Sql),
     "q41_label_cohesion"    -> (q41LabelCohesion _, q41Sql),
     "q42_embedding_neardup" -> (q42EmbeddingNeardup _, q42Sql),
     "q54_ivf_full_probe"    -> (q54IvfFullProbe _, q23Sql),

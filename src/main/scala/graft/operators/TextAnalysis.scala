@@ -870,9 +870,56 @@ object TextAnalysis {
       |  round(CAST(df AS DOUBLE) / n_docs, 6) AS df_ratio
       |FROM df, n WHERE df * 10 >= n_docs * 3""".stripMargin
 
+  /** TOKENIZER FERTILITY REPORT (round-15): per source, how many
+    * subword tokens the BPE-ish segmentation (q24's regex convention)
+    * spends per whitespace word, and how many characters ride in each
+    * token — THE standard tokenizer-efficiency metrics (fertility ≈ 1
+    * = efficient segmentation; high fertility sources cost more
+    * compute per word of content and flag scripts/domains the
+    * tokenizer serves badly). Pure per-row expressions + one
+    * source-grain aggregation; divisions guarded and rounded (6). */
+  def q256TokenizerFertility(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"),
+        Dedup.nTokensCol(col("text")).cast("long").as("nw"),
+        size(expr("regexp_extract_all(text, " +
+          "'[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\\\s]', 0)")).cast("long").as("nb"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpeish"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_bpeish"),
+        when(col("n_words") > 0,
+          round(col("n_bpeish").cast("double") / col("n_words"), 6))
+          .as("fertility"),
+        when(col("n_bpeish") > 0,
+          round(col("n_chars").cast("double") / col("n_bpeish"), 6))
+          .as("chars_per_token"))
+
+  val q256Sql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS nw,
+      |    CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS nb,
+      |    CAST(length(text) AS BIGINT) AS nc
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(nw) AS BIGINT) AS n_words,
+      |  CAST(sum(nb) AS BIGINT) AS n_bpeish,
+      |  CASE WHEN sum(nw) > 0 THEN
+      |    round(CAST(sum(nb) AS DOUBLE) / sum(nw), 6) END AS fertility,
+      |  CASE WHEN sum(nb) > 0 THEN
+      |    round(CAST(sum(nc) AS DOUBLE) / sum(nb), 6) END AS chars_per_token
+      |FROM per GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q24_token_stats"   -> (q24TokenStats _, q24Sql),
     "q250_stopword_discovery" -> (q250StopwordDiscovery _, q250Sql),
+    "q256_tokenizer_fertility" -> (q256TokenizerFertility _, q256Sql),
     "q25_bigram_counts" -> (q25BigramCounts _, q25Sql),
     "q26_tfidf_top"     -> (q26TfidfTop _, q26Sql),
     "q27_lang_id"       -> (q27LangId _, q27Sql),
