@@ -1526,13 +1526,31 @@ object Relational {
     * over a range-partitioned global sort (q07's shape), both already
     * gated — this query pins the exact-window semantics they
     * approximate. */
+  /** Per-returnflag price deciles. Round-15 plan fix: the old form
+    * windowed `ntile(10) OVER (PARTITION BY l_returnflag ...)` — a
+    * THREE-value partition key, so three tasks each sorted a third of
+    * the fact table (at 100 TB: one executor sorting ~33 TB — the
+    * single-partition-window hazard in group clothing; 6.2 s at
+    * sf1-equivalent). Now ranks come from [[groupedRank]]'s range-
+    * partitioned two-pass (32-way parallel whatever the group
+    * cardinality) and the decile is ntile's closed-form remainder
+    * arithmetic against broadcast 3-row group counts — the exact
+    * integer replica CurationSpec validates against native ntile for
+    * every remainder case, so the gate hash is unchanged. */
   def q94NtileDeciles(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
-    lineitem(s, d)
+    val li = lineitem(s, d)
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("x"))
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val ranked = groupedRank(li, col("l_returnflag"), col("x"),
+      struct(col("l_orderkey"), col("l_linenumber")), parts = 32)
+    val ng = ranked.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_g"))
+    ranked.join(broadcast(ng), Seq("l_returnflag"))
+      .withColumn("decile", expr(
+        "CAST(CASE WHEN rnk <= (n_g % 10) * (n_g div 10 + 1) " +
+          "THEN (rnk - 1) div (n_g div 10 + 1) + 1 " +
+          "ELSE (n_g % 10) + " +
+          "(rnk - (n_g % 10) * (n_g div 10 + 1) - 1) div " +
+          "(n_g div 10) + 1 END AS BIGINT)"))
       .groupBy(col("l_returnflag"), col("decile"))
       .agg(count(lit(1)).as("n"), min(col("x")).as("lo"),
         max(col("x")).as("hi"), dsum(col("x"), 2).as("total"))
@@ -1591,6 +1609,41 @@ object Relational {
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("rnk", col("offset") + col("lrn"))
       .drop("pid", "lrn", "offset")
+  }
+
+  /** PER-GROUP global rank — [[globalRank]] with a group column, for
+    * the `PARTITION BY low_cardinality_key ORDER BY …` windows that
+    * look parallel but are not: Spark plans ONE sort task per distinct
+    * group value, so a 3-value key sorts the table in 3 tasks however
+    * many cores exist. Here the table range-partitions on the COMPOSITE
+    * (group, value, tiebreak) order — `parts`-way parallel whatever the
+    * group cardinality — each task ranks its (pid, group) slice
+    * locally, and each slice's starting offset (count of the same
+    * group in earlier partitions) comes from a ≤ parts·|groups|-row
+    * broadcast. Contiguous ranges make offset + local rank exactly the
+    * per-group row_number whatever boundaries the partitioner samples;
+    * the checkpoint pins ONE boundary sample for both consumers (the
+    * globalRank rationale). GlobalRankSpec pins equality against the
+    * per-group window form across group counts and `parts`. */
+  def groupedRank(df: DataFrame, group: Column, value: Column,
+      tiebreak: Column, parts: Int): DataFrame = {
+    val parted = df.repartitionByRange(parts, group, value, tiebreak)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parted.groupBy(col("pid"), group.as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset",
+        coalesce(sum(col("cnt")).over(
+          Window.partitionBy(col("g")).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid").as("opid"), col("g"), col("offset"))
+    parted
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy(col("pid"), group).orderBy(value, tiebreak)))
+      .join(broadcast(offsets),
+        col("pid") === col("opid") && group === col("g"))
+      .withColumn("rnk", col("offset") + col("lrn"))
+      .drop("pid", "opid", "g", "lrn", "offset")
   }
 
   /** [[globalRank]] under the gate: every 1000th rank of the global

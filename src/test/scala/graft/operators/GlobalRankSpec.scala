@@ -43,6 +43,35 @@ class GlobalRankSpec extends SparkSpec {
     assert(r4 === want)
   }
 
+  test("grouped rank equals the per-group window form across group counts and parts") {
+    // 3 groups (the q94 shape: a low-cardinality partition key whose
+    // window would sort in 3 tasks), heavy ties inside each group
+    val df = (1L to 3000L).map(i => (s"g${i % 3}", i % 7, i))
+      .toDF("grp", "v", "id")
+    def toMap2(rows: Array[(String, Long, Long)]) =
+      rows.map(r => (r._1, r._2) -> r._3).toMap
+    val naive = toMap2(df.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("id")))
+        .cast("long"))
+      .select(col("grp"), col("id"), col("rnk"))
+      .as[(String, Long, Long)].collect())
+    for (parts <- Seq(4, 16)) {
+      val got = toMap2(
+        Relational.groupedRank(df, col("grp"), col("v"), col("id"), parts)
+          .select(col("grp"), col("id"), col("rnk"))
+          .as[(String, Long, Long)].collect())
+      assert(got === naive, s"parts=$parts")
+    }
+    // a group smaller than any partition slice still ranks correctly
+    val tiny = df.unionByName(Seq(("solo", 0L, 9999L)).toDF("grp", "v", "id"))
+    val got = toMap2(
+      Relational.groupedRank(tiny, col("grp"), col("v"), col("id"), 8)
+        .select(col("grp"), col("id"), col("rnk"))
+        .as[(String, Long, Long)].collect())
+    assert(got(("solo", 9999L)) === 1L)
+    assert(got.size === 3001)
+  }
+
   test("skyline: closed form with ties and duplicates; matches brute-force dominance") {
     import spark.implicits._
     // (10,5) frontier; (10,5) duplicate → BOTH stay (neither strictly
