@@ -1981,6 +1981,71 @@ object Curation {
       |  round((sy - braw * sx) / k, 6) AS heaps_lnk
       |FROM pts, fit""".stripMargin
 
+  /** LARGEST-REMAINDER QUOTA SAMPLING (round-15): draw exactly N docs
+    * with per-source quotas PROPORTIONAL to source size, apportioned by
+    * the Hare largest-remainder method — base_s = N·n_s div total, and
+    * the N − Σbase leftover seats go to the largest remainders
+    * (N·n_s mod total, ties by source name). q52's mixture sampler
+    * hits RATES; a training-set builder that must ship exactly N rows
+    * with exact proportionality needs apportionment, and largest
+    * remainder is the standard integer-exact scheme (no float shares).
+    * Within each source the quota is filled in md5(doc_id) order — the
+    * q148/q174 deterministic-dice convention.
+    *
+    * Scale shape: source-grain apportionment is ≤|sources| rows
+    * (broadcast); the per-source take uses [[Relational.groupedRank]]
+    * (range-partitioned — no one-task-per-source window, the q94
+    * fix applied at birth) and quotas join broadcast. N = 97 (prime)
+    * so the remainder seats genuinely contend on a near-uniform
+    * corpus. */
+  def q259QuotaSample(s: SparkSession, d: String): DataFrame = {
+    val n = 97L
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val per = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    // sources-grain arithmetic: base, remainder, leftover rank — all
+    // integer, over ≤|sources| rows (the bounded-window shape)
+    val appor = per.crossJoin(broadcast(
+        per.agg(sum(col("n_s")).as("total"))))
+      .withColumn("base", expr(s"($n * n_s) div total"))
+      .withColumn("rem", expr(s"($n * n_s) % total"))
+    val leftover = appor.agg((lit(n) - sum(col("base"))).as("l"))
+    val quotas = appor.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L))
+      .select(col("source"), col("quota"))
+    Relational.groupedRank(
+        docs.withColumn("h", md5(col("doc_id").cast("string"))),
+        col("source"), col("h"), col("doc_id"), parts = 32)
+      .join(broadcast(quotas), Seq("source"))
+      .filter(col("rnk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rnk").as("rk"))
+  }
+
+  val q259Sql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS total FROM per),
+      |appor AS (
+      |  SELECT source, n_s,
+      |    (97 * n_s) // total AS base, (97 * n_s) % total AS rem
+      |  FROM per, tot),
+      |lo AS (SELECT 97 - CAST(sum(base) AS BIGINT) AS l FROM appor),
+      |quotas AS (
+      |  SELECT source,
+      |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+      |      <= l THEN 1 ELSE 0 END AS quota
+      |  FROM appor, lo),
+      |ranked AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.source, doc_id, CAST(rk AS BIGINT) AS rk
+      |FROM ranked r JOIN quotas q ON r.source = q.source
+      |WHERE rk <= quota""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -2011,5 +2076,6 @@ object Curation {
     "q244_novelty_hll"  -> (q244NoveltyHll _, q244Sql),
     "q249_length_buckets" -> (q249LengthBuckets _, q249Sql),
     "q252_heaps_fit"    -> (q252HeapsFit _, q252Sql),
+    "q259_quota_sample" -> (q259QuotaSample _, q259Sql),
   )
 }

@@ -1754,6 +1754,115 @@ object Dedup {
       |  round(CAST(count(*) AS DOUBLE) / max(n_windows), 6) AS density
       |FROM fph GROUP BY 1""".stripMargin
 
+  /** MINHASH SIMILARITY ESTIMATE vs EXACT REFEREE (round-15, the
+    * q244/q246 estimator-vs-truth pattern for THE dedup estimator):
+    * E[fraction of agreeing minhash components] = the true Jaccard
+    * (Broder 1997), which is the entire soundness argument behind the
+    * LSH pipeline (q21) — but the gate never measured it. Here every
+    * q22 candidate pair (exact trigram Jaccard ≥ 0.2, df-capped) gets
+    * a 16-component MD5 minhash signature per side and the gate pins
+    * exact, estimate (= matches/16, an exact dyadic), and |error| —
+    * cross-engine, so the hashing convention, the min fold, and the
+    * agreement count are all gated. Production signatures use the
+    * native `minhash_bands` kernel; this referee recomputes them in
+    * portable md5 ("i:gram", 60-bit prefix — the q210 convention)
+    * because the gate needs DuckDB to derive the identical signature.
+    *
+    * Scale shape: grams × 16 seeds (linear, the referee's cost) →
+    * per-(doc, seed) min fold (map-side partial) → signatures join
+    * only the BOUNDED candidate-pair set. Never all-pairs. */
+  def q258MinhashEstimate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    // trigram STRINGS with q22's short-doc fallback (the exactJaccardSql
+    // gram universe — the estimator must hash the same set the exact
+    // Jaccard measures)
+    val t = docs.withColumn("toks", tokensCodegen(col("text")))
+    val grams = t.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', " +
+          "element_at(toks, i), element_at(toks, i + 1), " +
+          "element_at(toks, i + 2)))")).as("g"))
+      .unionAll(t.filter(size(col("toks")) < 3)
+        .select(col("doc_id"), concat_ws(" ", col("toks")).as("g")))
+      .distinct()
+    // the q22 stop-gram df cap — dead at gate scale (df ≤ |docs| < 1000)
+    // but the Σ|bucket|² guard the pair join needs at 100 TB; estimator
+    // and exact measure the SAME capped universe
+    val stop = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1000).select(col("g"))
+    val capped = grams.join(broadcast(stop), Seq("g"), "left_anti")
+      .localCheckpoint(false) // consumers: sizes, inter, 16-seed fold
+    val seeds = (0 until 16).toDF("i")
+    val sig = capped.crossJoin(broadcast(seeds))
+      .select(col("doc_id"), col("i"),
+        expr("CAST(conv(substring(md5(concat(i, ':', g)), 1, 15), 16, 10) " +
+          "AS BIGINT)").as("h"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = capped.select(col("doc_id").as("id_a"), col("g"))
+      .join(capped.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("ninter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("ninter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("ninter")).cast("double"))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    pairs
+      .join(sig.select(col("doc_id").as("id_a"), col("i"), col("mh").as("ma")), Seq("id_a"))
+      .join(sig.select(col("doc_id").as("id_b"), col("i"), col("mh").as("mb")),
+        Seq("id_b", "i"))
+      .groupBy(col("id_a"), col("id_b"), col("jaccard"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("matches"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("matches"),
+        (col("matches").cast("double") / 16).as("est"),
+        round(abs(col("matches").cast("double") / 16 - col("jaccard")), 6)
+          .as("abs_err"))
+  }
+
+  val q258Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, unnest(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE [array_to_string(ws, ' ')] END) AS g
+      |  FROM toks),
+      |capped AS (
+      |  SELECT doc_id, g FROM grams
+      |  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) <= 1000)),
+      |sig AS (
+      |  SELECT doc_id, i,
+      |    min(CAST('0x' || substr(md5(i || ':' || g), 1, 15) AS BIGINT)) AS mh
+      |  FROM capped, (SELECT CAST(unnest(range(16)) AS INT) AS i)
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+      |pairs AS (
+      |  SELECT id_a, id_b,
+      |    round(CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter), 6) AS jaccard
+      |  FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ninter
+      |    FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2) i
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(ninter AS DOUBLE) / (sa.sz + sb.sz - ninter) >= 0.2)
+      |SELECT id_a, id_b, jaccard,
+      |  CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS matches,
+      |  sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0 AS est,
+      |  round(abs(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0
+      |    - jaccard), 6) AS abs_err
+      |FROM pairs
+      |JOIN sig x ON x.doc_id = id_a
+      |JOIN sig y ON y.doc_id = id_b AND y.i = x.i
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** NEAR-DUP THRESHOLD SWEEP (round-15): the q237/q220 design-table
     * discipline applied to THE near-dup knob — the Jaccard cutoff. One
     * pass builds q22's exact pair frame (inverted-index intersections
@@ -1884,6 +1993,7 @@ object Dedup {
     "q251_winnowing"      -> (q251Winnowing _, q251Sql),
     "q254_quality_keep"   -> (q254QualityKeep _, q254Sql),
     "q255_jaccard_sweep"  -> (q255JaccardSweep _, q255Sql),
+    "q258_minhash_estimate" -> (q258MinhashEstimate _, q258Sql),
     "q21_minhash_neardup" -> (q21MinhashNeardup _, q21Sql),
     "q22_ngram_jaccard"   -> (q22NgramJaccard _, q22Sql),
     "q31_simhash"         -> (q31Simhash _, q31Sql),
