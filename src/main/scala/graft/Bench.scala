@@ -6,15 +6,17 @@ package graft
   * excluded from the total) and the process exits nonzero — a failure must
   * never masquerade as a fast timing.
   *
-  * The stdout line is kept COMPACT — numeric query keys ("q216_…" →
-  * "216") with INTEGER-ms values, flagged by `"queries_key":"qnum",
-  * "queries_unit":"ms"` (name-keyed second-valued lines overflowed the
-  * driver's ~2.5 KB output capture window: every BENCH_r*.json through
-  * r13 arrived truncated, 61–77 of 215–225 timings, `"parsed": null`).
-  * The FULL-NAME + seconds form of the same record is written to
-  * `BENCH_full.json` in the working directory (override with
-  * SPARK_GRAFT_BENCH_OUT) so a complete readable record always exists
-  * on disk.
+  * Stdout protocol (r16): TWO tail-adjacent lines. Line 1 is the
+  * per-query dict — numeric keys ("q216_…" → "216"), INTEGER
+  * centisecond values, cheapest-first, with sub-0.1 s entries floored
+  * into `n_floored` (a single ~2.4 KB line clipped from the HEAD of
+  * the driver's ~2.5 KB capture window lost `"metric":"total"` at 259
+  * queries — `"parsed": null` from r13 through r15). Line 2, the LAST
+  * stdout line a tail-anchored capture always holds whole, is a short
+  * `{"metric":"total",...,"nq":N}` summary. The FULL-NAME + seconds
+  * form of the complete record is written to `BENCH_full.json` in the
+  * working directory (override with SPARK_GRAFT_BENCH_OUT) so a
+  * complete readable record always exists on disk.
   *
   * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
   * the MEDIAN: this VM shows ±2-3× transient contention, and one-shot
@@ -81,56 +83,58 @@ object Bench {
       val r = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       r.underlying.stripTrailingZeros.toPlainString
     }
-    // The driver's capture window clips from the HEAD of the line:
-    // BENCH_r14.json kept only the trailing 208 of 245 entries even at
-    // ~2.3 KB. Order the stdout dict CHEAPEST-FIRST so any clipped
-    // prefix loses sub-second timings while the tail — the heavy
-    // queries a judge actually bands, and every `err` entry (placed
-    // last) — always survives. BENCH_full.json stays name-sorted for
-    // stable diffs.
-    def qmap(short: Boolean): String = (if (short) results.sortBy {
-      case (_, Right(v)) => (0, v)
-      case (_, Left(_)) => (1, 0.0)
-    } else results).map {
-      case (k, entry) =>
-        // stdout keys are the bare query NUMBER ("q216_pruned_read" →
-        // "216") and values INTEGER ms: ~9 B/query keeps the full
-        // 225-query line near 2 KB, inside the driver's ~2.5 KB stdout
-        // capture window (r13 still clipped at 77 timings with
-        // name-keyed seconds); BENCH_full.json keeps full names +
-        // seconds, and `queries_key`/`queries_unit` on the stdout line
-        // say how to read it
-        val key = if (short) k.drop(1).takeWhile(_.isDigit).toInt.toString else k
-        entry match {
-          case Right(v) =>
-            // stdout carries CENTISECONDS (1/100 s — plenty for per-query
-            // timings that the driver bands, and one byte shorter than ms
-            // on almost every value): at 245 queries the ms form crossed
-            // ~2.55 KB, the edge of the driver's stdout capture window;
-            // cs keeps the full line near 2.3 KB. BENCH_full.json keeps
-            // full names + seconds.
-            if (short) s"${jstr(key)}:${math.round(v * 100)}"
-            else s"${jstr(key)}:${ms(v)}"
-          case Left(e) => s"${jstr(key)}:{${jstr("err")}:${jstr(e)}}"
-        }
+    // BENCH_full.json: full names + second values, name-sorted for
+    // stable diffs — the complete readable record.
+    def qmapFull: String = results.map {
+      case (k, Right(v)) => s"${jstr(k)}:${ms(v)}"
+      case (k, Left(e)) => s"${jstr(k)}:{${jstr("err")}:${jstr(e)}}"
     }.mkString("{", ",", "}")
     val shortKeys = results.map(_._1.drop(1).takeWhile(_.isDigit).toInt)
     require(shortKeys.distinct.size == shortKeys.size,
       "duplicate numeric query keys — compact stdout encoding would lose timings")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    def line(short: Boolean): String = {
-      val extra = if (short) s""","queries_key":"qnum","queries_unit":"cs"""" else ""
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qmap(short)}$extra,"sf":${jstr(sfDir)},"reps":$reps,"failed":${failed.size}}"""
-    }
+    def fullLine: String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qmapFull,"sf":${jstr(sfDir)},"reps":$reps,"failed":${failed.size}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line(short = false) + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
-    // stop the session BEFORE printing: the compact line must be the
-    // LAST stdout line so a tail-anchored capture window always holds it
+    // TWO tail-adjacent stdout lines (round-15 verdict task 2: a single
+    // ~2.4 KB line clipped from the HEAD lost `"metric":"total"` at 259
+    // queries — `"parsed": null` every round since the registry passed
+    // ~225). Line 1 carries the per-query dict: cheapest-first, and
+    // sub-0.1 s entries FLOORED into a count (they are the first to be
+    // clipped anyway and carry no banding signal; `n_floored` keeps the
+    // record explicit). Line 2 — the LAST line, which a tail-anchored
+    // capture always holds whole — is a short parseable summary with the
+    // total. BENCH_full.json keeps every entry at full precision.
+    val floorCs = 10L
+    val flooredOut = results.filter {
+      case (_, Right(v)) => math.round(v * 100) >= floorCs
+      case (_, Left(_)) => true // err entries always survive
+    }
+    val nFloored = results.size - flooredOut.size
+    def qline: String = {
+      val dict = flooredOut.sortBy {
+        case (_, Right(v)) => (0, v)
+        case (_, Left(_)) => (1, 0.0)
+      }.map {
+        case (k, Right(v)) =>
+          s"${jstr(k.drop(1).takeWhile(_.isDigit).toInt.toString)}:${math.round(v * 100)}"
+        case (k, Left(e)) =>
+          s"${jstr(k.drop(1).takeWhile(_.isDigit).toInt.toString)}:{${jstr("err")}:${jstr(e)}}"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"queries","queries_key":"qnum","queries_unit":"cs","floor_cs":$floorCs,"n_floored":$nFloored,"queries":$dict}"""
+    }
+    def summaryLine: String =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":${jstr(sfDir)},"reps":$reps,"nq":${results.size},"n_floored":$nFloored,"failed":${failed.size}}"""
+    // stop the session BEFORE printing: both lines must be the LAST
+    // stdout lines so a tail-anchored capture window holds the summary
+    // whole and as much of the dict as fits
     spark.stop()
-    println(line(short = true))
+    println(qline)
+    println(summaryLine)
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.sorted.mkString(", ")}")
       sys.exit(1)

@@ -245,6 +245,73 @@ object BenchPlanAB {
       f"decided ${med(starResults.map(_._3))}%.3f s, " +
       f"auto-rule ${med(starResults.map(_._5))}%.3f s, " +
       f"literal ${med(starResults.map(_._4))}%.3f s")
+
+    // ── SNOWFLAKE (round-15 verdict task 6): the selective dim is now a
+    // BRANCH — a dim joined by a subdim whose filter does the cutting
+    // (region→nation→customer in miniature). Written worst-first AND
+    // linearly (the subdim joins the dim's key, not the fact's), the
+    // shape extractStar used to concede. The rule must collapse the
+    // branch, see its 1% retention, and join it first broadcast —
+    // same two saved fact-sized shuffles as the star arm.
+    spark.range(rows.toLong / 100)
+      .select(col("id").as("ds_a"), pmod(col("id"), lit(50)).as("sub"),
+        (col("id") * 3).as("dselv"))
+      .write.mode("overwrite").parquet(s"$dir/dsel2.parquet")
+    spark.range(50)
+      .select(col("id").as("sub_k"), (col("id") * 11).as("dsubv"))
+      .write.mode("overwrite").parquet(s"$dir/dsub.parquet")
+    val dSel2: DataFrame = spark.read.parquet(s"$dir/dsel2.parquet")
+    val dSub: DataFrame = spark.read.parquet(s"$dir/dsub.parquet")
+    val branch: DataFrame =
+      dSel2.join(dSub, dSel2("sub") === dSub("sub_k"))
+    val snowEdges = Seq((sf("ba"), dAll("da_b")), (sf("sa"), dSel2("ds_a")))
+    val snowDims = Seq(dAll, branch)
+    val snowSteps = SketchPlanner.decideStar(sf, snowDims, snowEdges)
+    require(snowSteps.map(_.edge) == Seq(1, 0) && snowSteps.head.bcastDim,
+      s"unexpected snowflake decision $snowSteps")
+    def snowDecided = SketchPlanner.buildStar(sf, snowDims, snowEdges, snowSteps)
+    // literal linear fold — the user's written order
+    def snowLiteral = sf.join(dAll, sf("ba") === dAll("da_b"))
+      .join(dSel2, sf("sa") === dSel2("ds_a"))
+      .join(dSub, dSel2("sub") === dSub("sub_k"))
+    def snowAgg(df: DataFrame) =
+      df.agg(count(lit(1)), sum(col("fv")), sum(col("dallv")),
+        sum(col("dselv")), sum(col("dsubv"))).collect()(0)
+    require(snowAgg(snowDecided) == snowAgg(snowLiteral), "snowflake arm mismatch")
+    // the AUTOMATIC rule on the LINEAR fold must land on the collapsed
+    // decided order
+    spark.conf.set(graft.plans.RewriteChainJoin.FLAG, "true")
+    val snowHinted = snowLiteral.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint != org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE => j
+    }
+    spark.conf.unset(graft.plans.RewriteChainJoin.FLAG)
+    require(snowHinted.nonEmpty,
+      "snowflake rewrite did not fire on the linear fold")
+    val snowResults = (1 to reps).map { i =>
+      SketchPlanner.SketchCatalog.clear()
+      val planCold = time(() => SketchPlanner.decideStar(sf, snowDims, snowEdges))
+      val planWarm = time(() => SketchPlanner.decideStar(sf, snowDims, snowEdges))
+      def decidedArm() = time(() => sink(snowDecided))
+      def literalArm() = time(() => sink(snowLiteral))
+      def autoArm() = time { () =>
+        spark.conf.set(graft.plans.RewriteChainJoin.FLAG, "true")
+        try sink(snowLiteral)
+        finally spark.conf.unset(graft.plans.RewriteChainJoin.FLAG)
+      }
+      val (dec, lito, auto) =
+        if (i % 2 == 0) { val l0 = literalArm(); (decidedArm(), l0, autoArm()) }
+        else { val d0 = decidedArm(); (d0, literalArm(), autoArm()) }
+      println(f"[plan-ab] snowflake rep $i: plan-cold $planCold%.3f s, " +
+        f"plan-warm $planWarm%.3f s, decided $dec%.3f s, " +
+        f"auto-rule $auto%.3f s, literal $lito%.3f s")
+      (planCold, planWarm, dec, lito, auto)
+    }
+    println(f"[plan-ab] snowflake rows=$rows MEDIAN plan-cold ${med(snowResults.map(_._1))}%.3f s, " +
+      f"plan-warm ${med(snowResults.map(_._2))}%.3f s, " +
+      f"decided ${med(snowResults.map(_._3))}%.3f s, " +
+      f"auto-rule ${med(snowResults.map(_._5))}%.3f s, " +
+      f"literal ${med(snowResults.map(_._4))}%.3f s")
     spark.stop()
   }
 }

@@ -983,24 +983,34 @@ object Curation {
     * specifically (the q84 lesson); and n_chars is integral, so every
     * number in the gate is exact integer arithmetic end to end.
     *
-    * Scale shape: both row_numbers, both boundary picks, and the final
-    * collapse share the ONE lang partitioning — a single Exchange,
-    * stacked Windows, then partial-agg'd groupBy (same plan discipline
-    * as q66/q80). The two window sorts (asc + desc) are per-partition
-    * sorts, not extra shuffles. */
+    * Scale shape: rank assignment is the q97/q94 two-pass pattern
+    * ([[Relational.groupedRank]] — range-partition on (group, value,
+    * tiebreak), per-partition row_numbers, broadcast offsets), NOT a
+    * `Window.partitionBy(group)`: group here is low-cardinality (langs),
+    * and a per-group window sort funnels each language's entire corpus
+    * into ONE task. With the global rank in hand, the descending rank is
+    * closed-form (rd = n + 1 − ra, because the desc order is the exact
+    * reverse of the asc total order), so the boundary picks are two
+    * filters on a groups-sized frame that broadcast-joins back. Max
+    * parallelism is `parts`, independent of group cardinality. */
   def winsorize(df: DataFrame, group: String, value: String,
       tiebreak: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(group))
-    val wa = w.orderBy(col(value), col(tiebreak))
-    val wd = w.orderBy(col(value).desc, col(tiebreak).desc)
-    df.select(col(group), col(value), col(tiebreak))
-      .withColumn("n", count(lit(1)).over(w))
+    val slim = df.select(col(group), col(value), col(tiebreak))
+    val ranked = Relational.groupedRank(
+      slim, col(group), col(value), col(tiebreak), parts = 32)
+    val counts = ranked.groupBy(col(group)).agg(count(lit(1)).as("n"))
       .withColumn("k", expr("1L + n div 100"))
-      .withColumn("ra", row_number().over(wa))
-      .withColumn("rd", row_number().over(wd))
-      .withColumn("lo", max(when(col("ra") === col("k"), col(value))).over(w))
-      .withColumn("hi", max(when(col("rd") === col("k"), col(value))).over(w))
+    val bounds = ranked
+      .join(broadcast(counts), Seq(group))
+      .filter(col("rnk") === col("k") ||
+        col("rnk") === col("n") + 1L - col("k"))
+      .groupBy(col(group))
+      .agg(min(col("n")).as("n"), min(col("k")).as("k"),
+        max(when(col("rnk") === col("k"), col(value))).as("lo"),
+        max(when(col("rnk") === col("n") + 1L - col("k"), col(value)))
+          .as("hi"))
+    ranked.drop("rnk")
+      .join(broadcast(bounds), Seq(group))
       .withColumn("clamped", least(greatest(col(value), col("lo")), col("hi")))
   }
 

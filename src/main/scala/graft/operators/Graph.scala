@@ -330,6 +330,10 @@ object Graph {
 
   def triangleTotalEstimate(s: SparkSession, d: String,
       keepHex: Int = DoulionKeepHex): DataFrame = {
+    // same domain check as triangleDoulion: a keepHex that does not
+    // divide 16 (e.g. 5 → inv = 3) would silently mis-scale 1/p³
+    require(keepHex >= 1 && keepHex <= 16 && 16 % keepHex == 0,
+      s"keepHex must divide 16, got $keepHex")
     val inv = 16 / keepHex
     val scale = inv.toLong * inv * inv
     val e = basketEdges(s, d)

@@ -1349,8 +1349,14 @@ object Similarity {
     * policy. A query whose best neighbor alone busts the budget packs
     * zero docs and still emits its row.
     *
-    * Scale shape: the q23 broadcast-query scoring pass, one per-query
-    * window cumsum (partitions = queries), one 5-row rollup. */
+    * Scale shape: the q23 broadcast-query scoring pass, a bounded
+    * per-query top-k (GroupTopK, k = budget — `cum <= budget` with
+    * `ntok >= 1` means a row ranked past `budget` can never pack, so
+    * the prefilter is exact, not approximate), THEN the per-query
+    * window cumsum over at most `budget` rows per query, one 5-row
+    * rollup. Without the prefilter the cumsum window would sort a
+    * corpus-sized neighbor list inside one task per query — the
+    * low-cardinality-window hazard (see Relational.groupedRank). */
   def q257RagPack(s: SparkSession, d: String): DataFrame = {
     val budget = 1000L
     val v = vectors(s, d)
@@ -1365,10 +1371,13 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("ntok"),
         round(vdot(col("e"), col("qe")) / (col("norm") * col("qn")), 6)
           .as("sim"))
+    val bounded = graft.plans.GroupTopKExtension.topKPerGroup(
+      scored, Seq("qid"), Seq(("sim", false), ("vec_id", true)),
+      k = budget.toInt)
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("vec_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = scored.withColumn("cum", sum(col("ntok")).over(w))
+    val packed = bounded.withColumn("cum", sum(col("ntok")).over(w))
       .filter(col("cum") <= budget)
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_packed"), sum(col("ntok")).as("sum_tokens"),

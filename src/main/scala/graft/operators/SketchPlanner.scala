@@ -469,14 +469,15 @@ object SketchPlanner {
     val s = tables.head.sparkSession
     val useCatalog = s.conf.getOption("spark.graft.planner.sketchCache")
       .forall(_.toBoolean) // default ON — see SketchCatalog's contract
-    // (id, catalog key, estimator frame) per needed statistic
-    val wanted: Seq[(String, AnyRef, () => DataFrame)] =
+    // (id, catalog key, manifest loader, estimator frame) per statistic
+    val wanted: Seq[(String, AnyRef, () => Option[Long], () => DataFrame)] =
       edgeCols.zipWithIndex.map { case ((lk, rk), i) =>
-        (s"e$i", edgeKey(tables(i), lk, tables(i + 1), rk), () =>
+        (s"e$i", edgeKey(tables(i), lk, tables(i + 1), rk),
+          () => persistedEdgeEst(tables(i), lk, tables(i + 1), rk), () =>
           estPair(tables(i), lk, tables(i + 1), rk, fast = true)
             .select(lit(s"e$i").as("id"), col("est")))
       } ++ tables.zipWithIndex.map { case (t, i) =>
-        (s"n$i", countKey(t), () =>
+        (s"n$i", countKey(t), () => persistedCount(t), () =>
           t.agg(count(lit(1)).as("est")).select(lit(s"n$i").as("id"), col("est")))
       }
     val stats = gatherStats(s, useCatalog, wanted)
@@ -531,27 +532,38 @@ object SketchPlanner {
     buildChain(tables, keys,
       keys.indices.map(i => ChainStep(i, bcastLeft = false, bcastRight = false)))
 
-  /** Resolve the wanted statistics through [[SketchCatalog]]: cached ids
-    * cost nothing, the missing ones union into ONE bounded frame and one
-    * driver collect (the decideChain/decideStar budget), and a fully
-    * warm catalog means zero jobs. Shared by the chain and star
-    * deciders so both amortize identically. */
+  /** Resolve the wanted statistics: [[SketchCatalog]] hits cost
+    * nothing; misses try the PERSISTED `_sketch/` manifest next (small
+    * driver-side file reads, zero jobs — the cold-session path); only
+    * what neither holds unions into ONE bounded frame and one driver
+    * collect (the decideChain/decideStar budget). Manifest loads are
+    * stored back into the session catalog so later decisions skip even
+    * the file read. Shared by the chain and star deciders so both
+    * amortize identically. */
   private def gatherStats(s: SparkSession, useCatalog: Boolean,
-      wanted: Seq[(String, AnyRef, () => DataFrame)]): Map[String, Long] = {
+      wanted: Seq[(String, AnyRef, () => Option[Long], () => DataFrame)])
+      : Map[String, Long] = {
     val cached: Map[String, Long] =
       if (!useCatalog) Map.empty
-      else wanted.flatMap { case (id, ck, _) =>
+      else wanted.flatMap { case (id, ck, _, _) =>
         SketchCatalog.lookup(s, ck).map(id -> _)
       }.toMap
-    val missing = wanted.filterNot { case (id, _, _) => cached.contains(id) }
+    val manifested: Map[String, Long] = wanted.flatMap {
+      case (id, _, loader, _) if !cached.contains(id) =>
+        loader().map(id -> _)
+      case _ => None
+    }.toMap
+    val missing = wanted.filterNot { case (id, _, _, _) =>
+      cached.contains(id) || manifested.contains(id) }
     val fresh: Map[String, Long] =
       if (missing.isEmpty) Map.empty
-      else missing.map(_._3()).reduce(_ unionByName _)
+      else missing.map(_._4()).reduce(_ unionByName _)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (useCatalog) missing.foreach { case (id, ck, _) =>
-      SketchCatalog.store(s, ck, fresh(id))
+    if (useCatalog) wanted.foreach { case (id, ck, _, _) =>
+      (manifested.get(id) orElse fresh.get(id)).foreach(
+        SketchCatalog.store(s, ck, _))
     }
-    cached ++ fresh
+    cached ++ manifested ++ fresh
   }
 
   // ───────────────────────── star planning ─────────────────────────
@@ -579,13 +591,14 @@ object SketchPlanner {
     val s = fact.sparkSession
     val useCatalog = s.conf.getOption("spark.graft.planner.sketchCache")
       .forall(_.toBoolean)
-    val wanted: Seq[(String, AnyRef, () => DataFrame)] =
+    val wanted: Seq[(String, AnyRef, () => Option[Long], () => DataFrame)] =
       edges.zipWithIndex.map { case ((fk, dk), i) =>
-        (s"e$i", edgeKey(fact, fk, dims(i), dk), () =>
+        (s"e$i", edgeKey(fact, fk, dims(i), dk),
+          () => persistedEdgeEst(fact, fk, dims(i), dk), () =>
           estPair(fact, fk, dims(i), dk, fast = true)
             .select(lit(s"e$i").as("id"), col("est")))
       } ++ dims.zipWithIndex.map { case (t, i) =>
-        (s"n$i", countKey(t), () =>
+        (s"n$i", countKey(t), () => persistedCount(t), () =>
           t.agg(count(lit(1)).as("est")).select(lit(s"n$i").as("id"), col("est")))
       }
     val stats = gatherStats(s, useCatalog, wanted)
@@ -800,9 +813,219 @@ object SketchPlanner {
       |WHERE p_size <= 25
       |GROUP BY 1""".stripMargin
 
+  /** The SNOWFLAKE REWRITE under the gate (round-15 verdict task 6):
+    * the TPC-H q5 shape — lineitem fact, an orders dim, and a
+    * supplier→nation→region BRANCH (region filtered) — written
+    * LINEARLY, the way a user folds it: nation joins supplier's key
+    * and region joins nation's, so no key after the second references
+    * the fact and the r15 star extractor conceded the whole tree.
+    * r16's `assembleBranches` collapses the chain hanging off supplier
+    * into one dim, prices the collapsed branch's retention (ASIA only
+    * — the selective side), and reorders. Flag scoped to THIS
+    * optimization; the `require` pins that hints landed (an inert rule
+    * fails the gate). Results hash-match DuckDB's plain 5-way join. */
+  def q262SnowflakeReorder(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+    val su = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val n = nation(s, d)
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+    val re = region(s, d).select(col("r_regionkey"), col("r_name"))
+      .filter(col("r_name") === "ASIA")
+    val q = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(re, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    val flag = graft.plans.RewriteChainJoin.FLAG
+    val prior = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    val optimized =
+      try q.queryExecution.optimizedPlan
+      finally prior match {
+        case Some(v) => s.conf.set(flag, v)
+        case None => s.conf.unset(flag)
+      }
+    val hinted = optimized.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint != org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE => j
+    }
+    require(hinted.nonEmpty,
+      "the snowflake rewrite did not fire: no broadcast hints in the plan")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, optimized)
+  }
+
+  val q262Sql: String =
+    """SELECT n_name, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1""".stripMargin
+
+  // ───────────────── persisted sketch manifests ─────────────────
+
+  /** PERSISTED SKETCH CATALOG (round-15 verdict task 3):
+    * [[SketchCatalog]] amortizes pricing to ~0 s but is session-scoped —
+    * a fresh session re-scans every table (and at 100 TB the sketch
+    * scan is a real job). [[SketchManifest.write]] persists the SAME
+    * statistics the planner derives by scanning — the table count and
+    * one 4×16384 xxhash64 CMS per join-key column (the exact
+    * [[cmsSketchFast]] counters, so estimates are bit-identical) — as a
+    * `_sketch/` manifest beside the data, the `_zonemap/` commit-file
+    * shape (Delta/Iceberg's stats-in-metadata discipline). At decide
+    * time, [[gatherStats]] resolves a missing statistic from the
+    * manifest whenever the priced side is a BARE single-root parquet
+    * scan of a manifest-bearing directory and the key is a plain data
+    * column — loading two small driver-side files and folding the
+    * inner product in Scala: ZERO Spark jobs in a cold session
+    * (SketchPlannerSpec pins the job count via the monotonic max job
+    * id). Filtered/derived sides never match the bare-scan shape and
+    * fall back to scanning — a persisted sketch describes the whole
+    * table, not a subquery.
+    *
+    * Staleness contract: identical to [[SketchCatalog]] (and to every
+    * stats-in-metadata store) — the manifest describes the data as of
+    * `write`; rewriting the directory without re-running `write` prices
+    * the old distribution. Advisory only: plan shape, never results. */
+  object SketchManifest {
+    private[operators] val ROWS = 4
+
+    private def sketchDir(dataDir: String) =
+      new org.apache.hadoop.fs.Path(dataDir, "_sketch")
+
+    /** Compute and persist count + per-key CMS counters for the parquet
+      * table at `dataDir`. One counting job per statistic, write-time
+      * only. */
+    def write(s: SparkSession, dataDir: String, keyCols: Seq[String]): Unit = {
+      val df = s.read.parquet(dataDir)
+      val md = sketchDir(dataDir)
+      val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+      fs.mkdirs(md)
+      val n = df.count()
+      val out = fs.create(new org.apache.hadoop.fs.Path(md, "count.json"), true)
+      try out.write(s"""{"count":$n}""".getBytes("UTF-8")) finally out.close()
+      keyCols.foreach { c =>
+        // EXACTLY the estimator's counters: same hash, same width, so a
+        // manifest-priced decision equals a scan-priced one bit-for-bit
+        val cells = cmsSketchFast(df.select(col(c).as("key")))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._2))
+        val f = fs.create(
+          new org.apache.hadoop.fs.Path(md, s"cms-$c.txt"), true)
+        try f.write(cells.map { case (r, cc, v) => s"$r $cc $v" }
+          .mkString(s"w $W\n", "\n", "\n").getBytes("UTF-8"))
+        finally f.close()
+      }
+    }
+
+    def readCount(s: SparkSession, dataDir: String): Option[Long] = {
+      val p = new org.apache.hadoop.fs.Path(sketchDir(dataDir), "count.json")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        """"count":(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      }
+    }
+
+    /** Sparse (row → col → cnt) counters for `colName`, None when the
+      * manifest is absent or was written at a different width. */
+    def readCms(s: SparkSession, dataDir: String, colName: String)
+        : Option[Array[scala.collection.immutable.Map[Long, Long]]] = {
+      val p = new org.apache.hadoop.fs.Path(sketchDir(dataDir), s"cms-$colName.txt")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toVector finally in.close()
+        lines.headOption match {
+          case Some(h) if h == s"w $W" =>
+            val rows = Array.fill(ROWS)(Map.newBuilder[Long, Long])
+            lines.drop(1).filter(_.nonEmpty).foreach { l =>
+              val Array(r, c, v) = l.split(' ')
+              rows(r.toInt) += (c.toLong -> v.toLong)
+            }
+            Some(rows.map(_.result()))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** (directory, column name) when `df.select(k)` is a bare projection
+    * of a plain data column over a single-root, unpartitioned,
+    * unfiltered parquet scan — the only shape a whole-table persisted
+    * sketch is allowed to answer for. */
+  private def persistTarget(df: DataFrame, k: Column): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.select(k).queryExecution.analyzed match {
+      case Project(Seq(a: AttributeReference), lr: LogicalRelation)
+          if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+        if (rel.location.rootPaths.size == 1 && rel.partitionSchema.isEmpty)
+          Some((rel.location.rootPaths.head.toString, a.name))
+        else None
+      case _ => None
+    }
+  }
+
+  /** The table directory when `df` is the bare scan itself. */
+  private def countTarget(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed match {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        val rel = lr.relation.asInstanceOf[HadoopFsRelation]
+        if (rel.location.rootPaths.size == 1 && rel.partitionSchema.isEmpty)
+          Some(rel.location.rootPaths.head.toString)
+        else None
+      case _ => None
+    }
+  }
+
+  /** Manifest-resolved |A ⋈ B| estimate — [[estPair]]'s min-over-rows
+    * inner product folded driver-side from two persisted counter
+    * tables. Zero Spark jobs. */
+  private def persistedEdgeEst(a: DataFrame, ka: Column,
+      b: DataFrame, kb: Column): Option[Long] = {
+    val s = a.sparkSession
+    for {
+      (da, ca) <- persistTarget(a, ka)
+      (db, cb) <- persistTarget(b, kb)
+      ma <- SketchManifest.readCms(s, da, ca)
+      mb <- SketchManifest.readCms(s, db, cb)
+    } yield {
+      val ips = (0 until SketchManifest.ROWS).map { r =>
+        ma(r).iterator.map { case (c, va) =>
+          BigInt(va) * BigInt(mb(r).getOrElse(c, 0L))
+        }.sum
+      }
+      val est = ips.min
+      if (est > BigInt(Long.MaxValue)) Long.MaxValue else est.toLong
+    }
+  }
+
+  private def persistedCount(t: DataFrame): Option[Long] =
+    countTarget(t).flatMap(SketchManifest.readCount(t.sparkSession, _))
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q205_join_planner" -> (q205JoinPlanner _, q205Sql),
     "q211_selectivity_compare" -> (q211SelectivityCompare _, q211Sql),
     "q217_join_reorder" -> (q217JoinReorder _, q217Sql),
-    "q248_star_reorder" -> (q248StarReorder _, q248Sql))
+    "q248_star_reorder" -> (q248StarReorder _, q248Sql),
+    "q262_snowflake_reorder" -> (q262SnowflakeReorder _, q262Sql))
 }

@@ -635,25 +635,65 @@ object Storage {
     * persisted manifest. */
   def survivingFiles(s: SparkSession, dir: String,
       dateBounds: Option[(Int, Int)], strEq: Option[String])
+      : Option[(Seq[String], Int)] =
+    survivingFilesMulti(s, dir, dateBounds.map(Seq(_)),
+      strEq.map(v => Seq((Option(v), Option(v)))))
+
+  /** [[survivingFiles]] generalized to a UNION of closed intervals per
+    * axis (round-15 verdict task 4) — the desugared shape of IN-lists
+    * (point intervals), string ranges, and same-column OR disjunctions.
+    * A file survives an axis when ANY interval overlaps its zone; a
+    * file absent from a manifest is unskippable on that axis; both
+    * axes intersect — all as before. String interval ends are Option
+    * (None = unbounded) and compare through [[utf8Lt]]. An EMPTY
+    * interval union (an unsatisfiable predicate) skips every
+    * manifested file — the re-applied filter returns nothing either
+    * way. */
+  def survivingFilesMulti(s: SparkSession, dir: String,
+      dateIvs: Option[Seq[(Int, Int)]],
+      strIvs: Option[Seq[(Option[String], Option[String])]])
       : Option[(Seq[String], Int)] = {
-    val dateMan = dateBounds.flatMap(_ => readManifest(s, dir))
-    val strMan = strEq.flatMap(_ => readStrManifest(s, dir))
+    val dateMan = dateIvs.flatMap(_ => readManifest(s, dir))
+    val strMan = strIvs.flatMap(_ => readStrManifest(s, dir))
     if (dateMan.isEmpty && strMan.isEmpty) None
     else {
       val dateByPath = dateMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
       val strByPath = strMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
       val allPaths = (dateByPath.keySet ++ strByPath.keySet).toSeq.sorted
       val survivors = allPaths.filter { p =>
-        val dateOk = dateBounds.forall { case (lo, hi) =>
-          dateByPath.get(p).forall(z => !(z.hi < lo || z.lo > hi))
-        }
-        val strOk = strEq.forall { v =>
-          strByPath.get(p).forall(z =>
-            !(z.hi.exists(utf8Lt(_, v)) || z.lo.exists(utf8Lt(v, _))))
-        }
+        val dateOk = dateIvs.forall(ivs =>
+          dateByPath.get(p).forall(z => ivs.exists { case (lo, hi) =>
+            !(z.hi < lo || z.lo > hi)
+          }))
+        val strOk = strIvs.forall(ivs =>
+          strByPath.get(p).forall(z => ivs.exists { case (lo, hi) =>
+            !(hi.exists(h => z.lo.exists(zl => utf8Lt(h, zl))) ||
+              lo.exists(l => z.hi.exists(zh => utf8Lt(zh, l))))
+          }))
         dateOk && strOk
       }
       Some((survivors, allPaths.size))
+    }
+  }
+
+  /** utf8-ordered interval intersection support for the rule's
+    * conjunct folding: lo = max of lower ends, hi = min of upper ends,
+    * None = unbounded on that side; None result when empty. */
+  def strIntervalIntersect(
+      a: (Option[String], Option[String]),
+      b: (Option[String], Option[String]))
+      : Option[(Option[String], Option[String])] = {
+    val lo = (a._1, b._1) match {
+      case (Some(x), Some(y)) => Some(utf8Max(x, y))
+      case (x, y) => x.orElse(y)
+    }
+    val hi = (a._2, b._2) match {
+      case (Some(x), Some(y)) => Some(utf8Min(x, y))
+      case (x, y) => x.orElse(y)
+    }
+    (lo, hi) match {
+      case (Some(l), Some(h)) if utf8Lt(h, l) => None
+      case _ => Some((lo, hi))
     }
   }
 
@@ -1121,6 +1161,12 @@ object Storage {
         lineitem(s, d).select(to_date(col("l_shipdate")).as("ship_date"),
           col("l_quantity")),
         "ship_date", 64, dir)
+    // Backfill the `_column` sidecar on an otherwise-valid CACHED layout
+    // written before the sidecar existed (r15 advice): without it
+    // zonemapColumn returns None, the automatic rule never fires, and
+    // q247's require fails permanently until the scratch dir is wiped.
+    else if (zonemapColumn(s, dir).isEmpty)
+      writeAxisColumn(s, manifestDir(dir), "ship_date")
     dir
   }
 
@@ -1151,6 +1197,24 @@ object Storage {
       .groupBy(month(col("ship_date")).as("mth"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    autoPruned(s, probe, totalFiles = 64)
+  }
+
+  val q247Sql: String =
+    """SELECT CAST(month(l_shipdate) AS INT) AS mth, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-07-01'
+      |  AND DATE '1996-09-30'
+      |GROUP BY 1""".stripMargin
+
+  /** Shared q247-pattern harness: optimize `probe` with the automatic
+    * pruning rule scoped to THIS optimization (flag set, plan frozen,
+    * flag restored), `require` the pruned file index actually shrank
+    * below `totalFiles` (an inert rule must FAIL the gate), return the
+    * frozen plan as a DataFrame. */
+  private def autoPruned(s: SparkSession, probe: DataFrame,
+      totalFiles: Int): DataFrame = {
     val prior = s.conf.getOption(graft.plans.ZonemapPruneRule.FLAG)
     s.conf.set(graft.plans.ZonemapPruneRule.FLAG, "true")
     val optimized =
@@ -1165,17 +1229,64 @@ object Storage {
           org.apache.spark.sql.execution.datasources.HadoopFsRelation]
           .location.inputFiles.length
     }.sum
-    require(scannedFiles > 0 && scannedFiles < 64,
-      s"automatic zone-map pruning did not fire: $scannedFiles of 64 files")
+    require(scannedFiles > 0 && scannedFiles < totalFiles,
+      s"automatic zone-map pruning did not fire: $scannedFiles of $totalFiles files")
     org.apache.spark.sql.GraftSqlBridge.ofRows(s, optimized)
   }
 
-  val q247Sql: String =
-    """SELECT CAST(month(l_shipdate) AS INT) AS mth, count(*) AS n_rows,
+  /** The WIDENED extraction under the gate (round-15 verdict task 4):
+    * a date IN-LIST through a plain `read.filter(isin(...))` over the
+    * q216 layout — three scattered probe days desugar to point
+    * intervals whose survivor union the rule must price; the `require`
+    * pins that the file index shrank. Results hash-match DuckDB's
+    * plain IN over the raw table. */
+  def q260AutoPruneInList(s: SparkSession, d: String): DataFrame = {
+    val dir = q216Layout(s, d)
+    val days = Seq("1994-02-14", "1996-06-10", "1998-05-01")
+    val probe = s.read.parquet(dir)
+      .filter(col("ship_date").isin(days.map(java.sql.Date.valueOf): _*))
+      .groupBy(col("ship_date"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    autoPruned(s, probe, totalFiles = 64)
+  }
+
+  val q260Sql: String =
+    """SELECT CAST(l_shipdate AS DATE) AS ship_date, count(*) AS n_rows,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
-      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-07-01'
-      |  AND DATE '1996-09-30'
+      |WHERE CAST(l_shipdate AS DATE) IN (DATE '1994-02-14',
+      |  DATE '1996-06-10', DATE '1998-05-01')
+      |GROUP BY 1""".stripMargin
+
+  /** STRING-RANGE automatic pruning under the gate: the q241 layout
+    * (documents range-clustered on source) probed with a BETWEEN on
+    * the clustered string column through a plain read.filter — the
+    * manifests have carried string lo/hi zones since birth; r16's
+    * widened extraction finally consumes them for ranges, not just
+    * equality. */
+  def q261AutoPruneStrRange(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q241_docs_by_source", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(strManifestDir(dir)))
+      strZonemapClusteredWrite(
+        documents(s, d).select(col("source"), col("lang"), col("n_chars")),
+        "source", 16, dir)
+    else if (strZonemapColumn(s, dir).isEmpty) // legacy cached layout
+      writeAxisColumn(s, strManifestDir(dir), "source")
+    val probe = s.read.parquet(dir)
+      .filter(col("source") >= "src12" && col("source") <= "src14")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    autoPruned(s, probe, totalFiles = 16)
+  }
+
+  val q261Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE source >= 'src12' AND source <= 'src14'
       |GROUP BY 1""".stripMargin
 
   val q216Sql: String =
@@ -1259,5 +1370,7 @@ object Storage {
     "q227_scaled_prune"    -> (q227ScaledPrune _, q227Sql),
     "q241_string_prune"    -> (q241StringPrune _, q241Sql),
     "q245_compound_prune"  -> (q245CompoundPrune _, q245Sql),
+    "q260_autoprune_inlist"   -> (q260AutoPruneInList _, q260Sql),
+    "q261_autoprune_strrange" -> (q261AutoPruneStrRange _, q261Sql),
   )
 }

@@ -219,11 +219,18 @@ object RewriteChainJoin extends Rule[LogicalPlan] {
                           conds: Vector[(Attribute, Attribute)])
 
   /** Match a left-deep spine of hint-free inner EqualTo joins whose
-    * right sides are base relations and whose every condition pairs a
-    * FACT attribute with the new dim — each on a DISTINCT fact key
-    * (two dims sharing one fact key are closer to a chain through that
-    * key; stay conservative). A condition referencing an earlier DIM
-    * (a snowflake branch) is a different search space — no match. */
+    * right sides are base relations. Each spine entry attaches either
+    * to the FACT (opening a new branch) or to exactly one EARLIER
+    * branch (extending it — the SNOWFLAKE case, r15 verdict task 6:
+    * the TPC-H q5/q48 shape where region→nation chains hang off a
+    * customer/supplier dim). Branches collapse into single dim
+    * subtrees — the spine joins that built them fold back in their
+    * written order — and the star is (fact, collapsed branches), each
+    * branch anchored on a DISTINCT fact key (two branches sharing one
+    * fact key are closer to a chain through that key; stay
+    * conservative). The decider then prices each COLLAPSED branch as
+    * one dim: |fact ⋈ branch| retention orders the branches, the
+    * branch's own output count decides its broadcast. */
   private def extractStar(plan: LogicalPlan): Option[Star] = {
     def spine(p: LogicalPlan)
         : Option[(LogicalPlan, Vector[(LogicalPlan, Expression)])] = p match {
@@ -243,22 +250,45 @@ object RewriteChainJoin extends Rule[LogicalPlan] {
     for {
       (fact, ds) <- spine(plan)
       if ds.size >= 2
-      conds <- ds.foldLeft(Option(Vector.empty[(Attribute, Attribute)])) {
-        case (acc, (r, cond)) => for {
-          cs <- acc
-          fd <- cond match {
-            case EqualTo(a: AttributeReference, b: AttributeReference) =>
-              if (fact.outputSet.contains(a) && r.outputSet.contains(b))
+      star <- assembleBranches(fact, ds)
+    } yield star
+  }
+
+  /** Fold spine entries into fact-anchored branches: an entry whose key
+    * comes from the fact opens a branch; one whose key comes from an
+    * existing branch joins INTO that branch (in written order, original
+    * condition, hint-free). Declines on any other attachment. */
+  private def assembleBranches(fact: LogicalPlan,
+      ds: Vector[(LogicalPlan, Expression)]): Option[Star] = {
+    type B = (LogicalPlan, (Attribute, Attribute)) // (branch plan, fact cond)
+    val folded = ds.foldLeft(Option(Vector.empty[B])) {
+      case (accOpt, (r, cond)) => accOpt.flatMap { acc =>
+        cond match {
+          case EqualTo(a: AttributeReference, b: AttributeReference) =>
+            val oriented = // (anchor-side attr, attr in r)
+              if (r.outputSet.contains(b) && !r.outputSet.contains(a))
                 Some((a: Attribute, b: Attribute))
-              else if (fact.outputSet.contains(b) && r.outputSet.contains(a))
+              else if (r.outputSet.contains(a) && !r.outputSet.contains(b))
                 Some((b: Attribute, a: Attribute))
               else None
-            case _ => None
-          }
-        } yield cs :+ fd
+            oriented.flatMap { case (x, y) =>
+              if (fact.outputSet.contains(x))
+                Some(acc :+ ((r: LogicalPlan, (x, y))))
+              else acc.indexWhere(_._1.outputSet.contains(x)) match {
+                case -1 => None // attaches to nothing we track
+                case i =>
+                  val (bp, fc) = acc(i)
+                  Some(acc.updated(i,
+                    (Join(bp, r, Inner, Some(cond), JoinHint.NONE), fc)))
+              }
+            }
+          case _ => None
+        }
       }
-      if conds.map(_._1.exprId).distinct.size == conds.size
-    } yield Star(fact, ds.map(_._1), conds)
+    }
+    folded.filter(bs => bs.size >= 2 &&
+        bs.map(_._2._1.exprId).distinct.size == bs.size)
+      .map(bs => Star(fact, bs.map(_._1), bs.map(_._2)))
   }
 
   /** Price and rebuild a star; None when the decision is the literal

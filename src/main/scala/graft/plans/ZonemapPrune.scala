@@ -2,10 +2,9 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
 import org.apache.spark.sql.types.{DateType, StringType}
 
@@ -41,12 +40,19 @@ import graft.operators.Storage
   *     the scan needs anyway, but it reads the whole manifest —
   *     O(manifest) — to get there).
   *
-  * Predicate extraction is conservative: top-level conjuncts only,
-  *   date axis — <, <=, >, >=, = between the clustered DateType column
-  *   and a foldable literal (between desugars to >= AND <=);
-  *   string axis — equality with a StringType literal (the
-  *   strPrunedRead probe shape).
-  * Anything else (disjunctions, IN, casts around the column,
+  * Predicate extraction (widened in r16 to the probe shapes a real
+  * user hits next — IN-lists, string ranges, same-column ORs): each
+  * top-level conjunct is desugared to a UNION of closed intervals over
+  * the clustered column —
+  *   comparisons (<, <=, >, >=, =, either operand order) → one
+  *     interval (string strict bounds conservatively widen to
+  *     inclusive — a superset never skips a file it shouldn't);
+  *   IN (and its optimized InSet form) → point intervals;
+  *   OR / nested AND → interval-set union / intersection, provided
+  *     EVERY leaf constrains the same clustered column.
+  * Constraining conjuncts INTERSECT. A file survives an axis when any
+  * interval overlaps its zone ([[Storage.survivingFilesMulti]]).
+  * Anything else (casts around the column, mixed-column disjunctions,
   * partitioned tables, streaming relations, multi-root reads) leaves
   * the plan untouched. Zones cover every row WRITTEN, so dropping a
   * zone-dead file can never drop a row any filter could keep; the
@@ -54,15 +60,18 @@ import graft.operators.Storage
   * scan by construction (ZonemapPruneSpec pins that plus the files
   * actually opened; q216/q227/q245's gated facades are unchanged).
   *
-  * Fixpoint: pruned (or inspected-and-skipped) relations are tagged
-  * ([[ZonemapPruneRule.PRUNED]]) so the fixedPoint batch prices each
-  * relation once. */
+  * Fixpoint: NO tree tag (r15's one-shot tag sat on the original
+  * LogicalRelation, which Catalyst shares by reference across Datasets
+  * derived from one base DataFrame — after the first query optimized,
+  * every later query on the same relation silently skipped pruning).
+  * Termination is by natural idempotency instead: a pruned relation's
+  * listed files are exactly the survivors, so a re-inspection finds
+  * nothing further to skip (`finalFiles.size < listed.size` fails) and
+  * returns the plan unchanged. Cost: one extra manifest read per
+  * fixedPoint iteration — a single small file, plan-time only. */
 object ZonemapPruneRule extends Rule[LogicalPlan] {
 
   val FLAG = "spark.graft.zonemapPrune.enabled"
-
-  /** Set on a LogicalRelation this rule has inspected (pruned or not). */
-  private[plans] val PRUNED = TreeNodeTag[Boolean]("graft.zonemap.pruned")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val session = SparkSession.getActiveSession
@@ -70,9 +79,7 @@ object ZonemapPruneRule extends Rule[LogicalPlan] {
     if (session == null || !session.conf.get(FLAG, "false").toBoolean) plan
     else plan.transformDown {
       case f @ Filter(cond, lr: LogicalRelation)
-          if lr.getTagValue(PRUNED).isEmpty && !lr.isStreaming &&
-            lr.relation.isInstanceOf[HadoopFsRelation] =>
-        lr.setTagValue(PRUNED, true)
+          if !lr.isStreaming && lr.relation.isInstanceOf[HadoopFsRelation] =>
         prune(session, cond, lr).getOrElse(f)
     }
   }
@@ -92,88 +99,174 @@ object ZonemapPruneRule extends Rule[LogicalPlan] {
     val strCol = Storage.strZonemapColumn(s, dir)
     if (dateCol.isEmpty && strCol.isEmpty) return None
     val cs = conjuncts(cond)
-    val dateBounds = dateCol.flatMap(dc => extractDateBounds(cs, lr, dc))
-    val strEq = strCol.flatMap(sc => extractStrEq(cs, lr, sc))
+    val dateBounds = dateCol.flatMap(dc => extractDateIvs(cs, lr, dc))
+    val strEq = strCol.flatMap(sc => extractStrIvs(cs, lr, sc))
     if (dateBounds.isEmpty && strEq.isEmpty) return None
     survivingFilesOf(s, dir, dateBounds, strEq).flatMap {
-      case (survivors, total) if survivors.size < total =>
-        val pruned = new InMemoryFileIndex(s,
-          survivors.map(new Path(_)), Map.empty, Some(fsRel.dataSchema))
-        val newLr = lr.copy(relation =
-          fsRel.copy(location = pruned)(s))
-        newLr.setTagValue(PRUNED, true)
-        // the predicate re-applies in full on the survivors
-        Some(Filter(cond, newLr))
-      case _ => None // nothing skippable: keep the original scan
+      case (survivors, _) =>
+        // Coverage cross-check (r15 advice): the manifests only protect
+        // files they LIST. A data file present in the directory but
+        // absent from every persisted manifest (crash between the
+        // parquet append commit and the manifest write, or any
+        // out-of-band addition) must stay in the scan UNCONDITIONALLY —
+        // otherwise enabling the flag would change results vs the plain
+        // scan, breaking the rule's "results equal the unpruned scan by
+        // construction" contract. Likewise a manifest row whose data
+        // file no longer exists is dropped (the plain scan would not
+        // read it either). All of this uses the relation's ALREADY
+        // LISTED files — no extra filesystem calls.
+        def key(p: String): String = new Path(p).toUri.getPath
+        val listed = fsRel.location.inputFiles.toSeq
+        val listedKeys = listed.map(key).toSet
+        val manifested = manifestedPathsOf(s, dir).map(key)
+        val unmanifested = listed.filter(p => !manifested.contains(key(p)))
+        val finalFiles =
+          survivors.filter(p => listedKeys.contains(key(p))) ++ unmanifested
+        if (finalFiles.size < listed.size) {
+          val pruned = new InMemoryFileIndex(s,
+            finalFiles.map(new Path(_)), Map.empty, Some(fsRel.dataSchema))
+          val newLr = lr.copy(relation =
+            fsRel.copy(location = pruned)(s))
+          // the predicate re-applies in full on the survivors
+          Some(Filter(cond, newLr))
+        } else None // nothing skippable: keep the original scan
     }
   }
 
+  /** Union of every path any persisted manifest (date or string axis)
+    * lists for `dir` — the set the zone guarantees cover. */
+  private[plans] def manifestedPathsOf(s: SparkSession, dir: String)
+      : Set[String] =
+    (Storage.readManifest(s, dir).getOrElse(Seq.empty).map(_.path) ++
+      Storage.readStrManifest(s, dir).getOrElse(Seq.empty).map(_.path)).toSet
+
   /** Seam for ZonemapPruneSpec's never-a-filter fault drill. */
   private[plans] def survivingFilesOf(s: SparkSession, dir: String,
-      dateBounds: Option[(Int, Int)], strEq: Option[String])
+      dateIvs: Option[Seq[(Int, Int)]],
+      strIvs: Option[Seq[(Option[String], Option[String])]])
       : Option[(Seq[String], Int)] =
-    Storage.survivingFiles(s, dir, dateBounds, strEq)
+    Storage.survivingFilesMulti(s, dir, dateIvs, strIvs)
 
-  /** [lo, hi] epoch-day bounds from conjuncts over the clustered
-    * DateType column; None when no conjunct constrains it. */
-  private def extractDateBounds(cs: Seq[Expression], lr: LogicalRelation,
-      dateCol: String): Option[(Int, Int)] = {
+  /** Interval union over the clustered DateType column from the
+    * top-level conjuncts — None when no conjunct constrains it.
+    * Constraining conjuncts intersect; inside one conjunct, OR unions
+    * and nested AND intersects, each leaf a comparison/IN/InSet on the
+    * column (any leaf that is not kills that conjunct's extraction —
+    * conservative). */
+  private def extractDateIvs(cs: Seq[Expression], lr: LogicalRelation,
+      dateCol: String): Option[Seq[(Int, Int)]] = {
     def isCol(e: Expression): Boolean = e match {
       case a: Attribute =>
         a.dataType == DateType && lr.output.exists(o =>
           o.exprId == a.exprId && o.name == dateCol)
       case _ => false
     }
-    def lit(e: Expression): Option[Int] = e match {
+    def litV(e: Expression): Option[Int] = e match {
       case Literal(v: Int, DateType) => Some(v)
       case _ => None
     }
-    var lo = Int.MinValue
-    var hi = Int.MaxValue
-    var found = false
-    cs.foreach {
-      case EqualTo(a, l) if isCol(a) => lit(l).foreach { v =>
-        lo = math.max(lo, v); hi = math.min(hi, v); found = true }
-      case EqualTo(l, a) if isCol(a) => lit(l).foreach { v =>
-        lo = math.max(lo, v); hi = math.min(hi, v); found = true }
-      case GreaterThanOrEqual(a, l) if isCol(a) => lit(l).foreach { v =>
-        lo = math.max(lo, v); found = true }
-      case GreaterThan(a, l) if isCol(a) => lit(l).foreach { v =>
-        lo = math.max(lo, v + 1); found = true }
-      case LessThanOrEqual(a, l) if isCol(a) => lit(l).foreach { v =>
-        hi = math.min(hi, v); found = true }
-      case LessThan(a, l) if isCol(a) => lit(l).foreach { v =>
-        hi = math.min(hi, v - 1); found = true }
+    def intersect(a: Seq[(Int, Int)], b: Seq[(Int, Int)]): Seq[(Int, Int)] =
+      for {
+        (al, ah) <- a; (bl, bh) <- b
+        lo = math.max(al, bl); hi = math.min(ah, bh) if lo <= hi
+      } yield (lo, hi)
+    def ivs(e: Expression): Option[Seq[(Int, Int)]] = e match {
+      case Or(l, r) => for (a <- ivs(l); b <- ivs(r)) yield a ++ b
+      case And(l, r) => for (a <- ivs(l); b <- ivs(r)) yield intersect(a, b)
+      case In(a, ls) if isCol(a) && ls.nonEmpty =>
+        val vs = ls.map(litV)
+        if (vs.forall(_.isDefined)) Some(vs.flatten.map(v => (v, v))) else None
+      case InSet(a, hset) if isCol(a) && hset.nonEmpty =>
+        val vs = hset.toSeq.map {
+          case i: java.lang.Integer => Some(i.intValue)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) Some(vs.flatten.map(v => (v, v))) else None
+      case EqualTo(a, l) if isCol(a) => litV(l).map(v => Seq((v, v)))
+      case EqualTo(l, a) if isCol(a) => litV(l).map(v => Seq((v, v)))
+      case GreaterThanOrEqual(a, l) if isCol(a) =>
+        litV(l).map(v => Seq((v, Int.MaxValue)))
+      case GreaterThan(a, l) if isCol(a) =>
+        litV(l).map(v => Seq((v + 1, Int.MaxValue)))
+      case LessThanOrEqual(a, l) if isCol(a) =>
+        litV(l).map(v => Seq((Int.MinValue, v)))
+      case LessThan(a, l) if isCol(a) =>
+        litV(l).map(v => Seq((Int.MinValue, v - 1)))
       // literal-on-the-left forms, flipped
-      case GreaterThanOrEqual(l, a) if isCol(a) => lit(l).foreach { v =>
-        hi = math.min(hi, v); found = true }
-      case GreaterThan(l, a) if isCol(a) => lit(l).foreach { v =>
-        hi = math.min(hi, v - 1); found = true }
-      case LessThanOrEqual(l, a) if isCol(a) => lit(l).foreach { v =>
-        lo = math.max(lo, v); found = true }
-      case LessThan(l, a) if isCol(a) => lit(l).foreach { v =>
-        lo = math.max(lo, v + 1); found = true }
-      case _ =>
+      case GreaterThanOrEqual(l, a) if isCol(a) =>
+        litV(l).map(v => Seq((Int.MinValue, v)))
+      case GreaterThan(l, a) if isCol(a) =>
+        litV(l).map(v => Seq((Int.MinValue, v - 1)))
+      case LessThanOrEqual(l, a) if isCol(a) =>
+        litV(l).map(v => Seq((v, Int.MaxValue)))
+      case LessThan(l, a) if isCol(a) =>
+        litV(l).map(v => Seq((v + 1, Int.MaxValue)))
+      case _ => None
     }
-    if (found) Some((lo, hi)) else None
+    val per = cs.flatMap(ivs(_))
+    if (per.isEmpty) None else Some(per.reduce(intersect))
   }
 
-  /** The string equality probe value, when exactly the strPrunedRead
-    * shape appears among the conjuncts. */
-  private def extractStrEq(cs: Seq[Expression], lr: LogicalRelation,
-      strCol: String): Option[String] = {
+  /** Interval union over the clustered StringType column — equality,
+    * IN/InSet, ranges (strict bounds conservatively widen to
+    * inclusive: a superset interval never skips a file it shouldn't),
+    * OR/AND composition. Interval ends are Option (None = unbounded);
+    * intersection goes through [[Storage.strIntervalIntersect]]'s
+    * utf8 order. */
+  private def extractStrIvs(cs: Seq[Expression], lr: LogicalRelation,
+      strCol: String): Option[Seq[(Option[String], Option[String])]] = {
+    type Iv = (Option[String], Option[String])
     def isCol(e: Expression): Boolean = e match {
       case a: Attribute =>
         a.dataType == StringType && lr.output.exists(o =>
           o.exprId == a.exprId && o.name == strCol)
       case _ => false
     }
-    cs.collectFirst {
-      case EqualTo(a, Literal(v, StringType)) if isCol(a) && v != null =>
-        v.toString
-      case EqualTo(Literal(v, StringType), a) if isCol(a) && v != null =>
-        v.toString
+    def litV(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
     }
+    def intersect(a: Seq[Iv], b: Seq[Iv]): Seq[Iv] =
+      for (x <- a; y <- b; r <- Storage.strIntervalIntersect(x, y)) yield r
+    def ivs(e: Expression): Option[Seq[Iv]] = e match {
+      case Or(l, r) => for (a <- ivs(l); b <- ivs(r)) yield a ++ b
+      case And(l, r) => for (a <- ivs(l); b <- ivs(r)) yield intersect(a, b)
+      case In(a, ls) if isCol(a) && ls.nonEmpty =>
+        val vs = ls.map(litV)
+        if (vs.forall(_.isDefined))
+          Some(vs.flatten.map(v => (Option(v), Option(v)))) else None
+      case InSet(a, hset) if isCol(a) && hset.nonEmpty =>
+        val vs = hset.toSeq.map {
+          case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined))
+          Some(vs.flatten.map(v => (Option(v), Option(v)))) else None
+      case EqualTo(a, l) if isCol(a) =>
+        litV(l).map(v => Seq((Option(v), Option(v)): Iv))
+      case EqualTo(l, a) if isCol(a) =>
+        litV(l).map(v => Seq((Option(v), Option(v)): Iv))
+      case GreaterThanOrEqual(a, l) if isCol(a) =>
+        litV(l).map(v => Seq((Option(v), None): Iv))
+      case GreaterThan(a, l) if isCol(a) => // conservative: >= v
+        litV(l).map(v => Seq((Option(v), None): Iv))
+      case LessThanOrEqual(a, l) if isCol(a) =>
+        litV(l).map(v => Seq((None, Option(v)): Iv))
+      case LessThan(a, l) if isCol(a) => // conservative: <= v
+        litV(l).map(v => Seq((None, Option(v)): Iv))
+      // literal-on-the-left forms, flipped
+      case GreaterThanOrEqual(l, a) if isCol(a) =>
+        litV(l).map(v => Seq((None, Option(v)): Iv))
+      case GreaterThan(l, a) if isCol(a) =>
+        litV(l).map(v => Seq((None, Option(v)): Iv))
+      case LessThanOrEqual(l, a) if isCol(a) =>
+        litV(l).map(v => Seq((Option(v), None): Iv))
+      case LessThan(l, a) if isCol(a) =>
+        litV(l).map(v => Seq((Option(v), None): Iv))
+      case _ => None
+    }
+    val per = cs.flatMap(ivs(_))
+    if (per.isEmpty) None else Some(per.reduce(intersect))
   }
 }
 

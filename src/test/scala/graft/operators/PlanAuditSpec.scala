@@ -238,16 +238,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
-  test("q92 winsorize: the whole chain runs over ONE lang exchange") {
+  test("q92 winsorize: no per-lang window sort — every window partitions on pid") {
     val plan = planOf(Curation.q92Winsorize(spark, d))
     val finalPlan = plan.split("== Initial Plan ==").head
-    // both window sorts (asc+desc), the boundary window maxes, and the
-    // final collapse reuse the lang hash partitioning: exactly one
-    // Exchange hashpartitioning(lang) on the data path, no roundtrips
-    val exchanges = finalPlan.linesIterator
-      .count(l => l.contains("Exchange hashpartitioning"))
-    assert(exchanges === 1,
-      s"expected 1 lang exchange, got $exchanges\n${finalPlan.take(2500)}")
+    // lang is low-cardinality: a Window.partitionBy(lang) sort would
+    // funnel each language's corpus into one task. The two-pass
+    // groupedRank keeps every window keyed by the physical partition id
+    // (bounded rows per task regardless of group cardinality)
+    // (on the clamp path the rank column is dropped, so Catalyst prunes
+    // the window away entirely — zero windows is the best case)
+    val winLines = finalPlan.linesIterator
+      .filter(_.trim.startsWith("Window")).toVector
+    assert(winLines.forall(_.contains("pid")),
+      s"window not pid-keyed:\n${winLines.mkString("\n")}")
+    // boundary picks and clamping come back via broadcast, not reshuffles
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(2500))
+    assert(!finalPlan.contains("CartesianProduct"), finalPlan.take(2500))
   }
 
   test("q96 correlation: five exact moments merge map-side, one shuffle") {
@@ -1049,7 +1055,12 @@ class PlanAuditSpec extends SparkSpec {
     //   Similarity.scala: 1 — q253's MMR greedy argmax: one 1-row
     //     TakeOrdered read per round (k = 5 bounded rounds; the greedy
     //     is inherently sequential in k) — the planner-scalar shape.
-    val collectBudget = Map("MRJob.scala" -> 1, "SketchPlanner.scala" -> 2,
+    //   SketchPlanner.scala +1 (r16, total 3): SketchManifest.write's
+    //     CMS counter read — WRITE-TIME only (the stats-persist step,
+    //     Delta/Iceberg's ANALYZE analog), bounded at ≤4·16384 cells
+    //     by the sketch shape regardless of table size; the decide-time
+    //     manifest path reads FILES, zero jobs.
+    val collectBudget = Map("MRJob.scala" -> 1, "SketchPlanner.scala" -> 3,
       "Storage.scala" -> 2, "CurationStream.scala" -> 4,
       "Similarity.scala" -> 1)
     val markers = Seq(".collect()", ".toLocalIterator", ".collectAsList")
@@ -1130,6 +1141,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2500))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2500))
     assert(plan.contains("partial_"), plan.take(2500))
+  }
+
+  test("q257 rag pack: cumsum window input is GroupTopK-bounded — never a corpus-sized per-query sort") {
+    val plan = planOf(Similarity.q257RagPack(spark, d))
+    // budget <= 1000 and ntok >= 1 bound packable rows at 1000, so the
+    // per-qid cumsum window (5 qids — the low-cardinality hazard class)
+    // must see a heap-bounded top-k, not every scored candidate
+    assert(plan.contains("GroupTopKPartial"), plan.take(3000))
+    val lines = plan.split("== Initial Plan ==").head.linesIterator.toVector
+    val iWin = lines.indexWhere(_.contains("Window"))
+    val iTopK = lines.indexWhere(_.contains("GroupTopK"))
+    assert(iWin >= 0 && iTopK > iWin,
+      s"window (line $iWin) must consume the bounded top-k (line $iTopK)\n${plan.take(3000)}")
   }
 
   test("q235: type ranking is GroupTopK-bounded before the unpartitioned window") {

@@ -359,4 +359,56 @@ class SketchPlannerSpec extends SparkSpec {
     assert(cooled === Seq(0, 1),
       s"filtered: e0 deflates to ~0 matches and must merge first, got $cooled")
   }
+
+  test("persisted sketch manifest: a COLD session prices chain and star with ZERO jobs, decisions identical to scan-derived") {
+    import java.nio.file.Files
+    // three parquet tables: a fact and two dims of very different
+    // selectivity, so the decisions are non-trivial
+    val base = Files.createTempDirectory("graft-sketchman").toString
+    spark.range(20000).select(col("id").as("fk1"),
+      pmod(col("id"), lit(50)).as("fk2"))
+      .write.parquet(s"$base/fact")
+    spark.range(5000).select(col("id").as("fk1"), lit(1L).as("d1v"))
+      .write.parquet(s"$base/dim1")
+    spark.range(50).select(col("id").as("fk2"), lit(2L).as("d2v"))
+      .write.parquet(s"$base/dim2")
+    def frames(s: org.apache.spark.sql.SparkSession) = (
+      s.read.parquet(s"$base/fact"),
+      s.read.parquet(s"$base/dim1"),
+      s.read.parquet(s"$base/dim2"))
+
+    // scan-derived reference decisions (no manifests exist yet)
+    SketchPlanner.SketchCatalog.clear()
+    val (f0, d10, d20) = frames(spark)
+    val chainScan = SketchPlanner.decideChain(Seq(d10, f0, d20), Seq("fk1", "fk2"))
+    val starScan = SketchPlanner.decideStar(f0, Seq(d10, d20),
+      Seq((col("fk1"), col("fk1")), (col("fk2"), col("fk2"))))
+
+    // persist the manifests (write-time jobs — before the baseline)
+    for ((dir, k) <- Seq(("fact", Seq("fk1", "fk2")),
+        ("dim1", Seq("fk1")), ("dim2", Seq("fk2"))))
+      SketchPlanner.SketchManifest.write(spark, s"$base/$dir", k)
+
+    // a cold session: fresh SketchCatalog (keyed per session object),
+    // same SparkContext so the monotonic max job id counts its jobs
+    val s2 = spark.newSession()
+    val (f2, d12, d22) = frames(s2)
+    def jobCount = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
+    val before = jobCount
+    val chainMan = SketchPlanner.decideChain(Seq(d12, f2, d22), Seq("fk1", "fk2"))
+    val starMan = SketchPlanner.decideStar(f2, Seq(d12, d22),
+      Seq((col("fk1"), col("fk1")), (col("fk2"), col("fk2"))))
+    assert(jobCount === before,
+      "cold-session pricing over manifest-bearing tables must run ZERO jobs")
+    assert(chainMan === chainScan, "manifest chain decision diverged from scan")
+    assert(starMan === starScan, "manifest star decision diverged from scan")
+
+    // a FILTERED side no longer matches the bare-scan shape: the
+    // manifest must NOT answer for a subquery it does not describe
+    val filteredDecide = SketchPlanner.decideChain(
+      Seq(d12.filter(col("fk1") < 100), f2, d22), Seq("fk1", "fk2"))
+    assert(jobCount > before, "a filtered side must re-price by scanning")
+    assert(filteredDecide.nonEmpty)
+  }
 }

@@ -143,18 +143,64 @@ class ChainReorderSpec extends SparkSpec {
     withFlag { assert(multiset(star, cols) === off) }
   }
 
-  test("snowflake branch (a key from a DIM, not the fact) matches neither shape — untouched") {
+  test("snowflake branch collapses into its dim: results unchanged, branch stays intact") {
+    // r16: d2 hangs off the fact, snow hangs off d1 — the branch
+    // (d1 ⋈ snow) collapses into ONE dim and the star reorders the
+    // collapsed branches (this shape was conceded before)
     val fact = spark.range(1000).select(col("id").as("a"),
       pmod(col("id"), lit(10)).as("b"), col("id").as("fv"))
     val d1 = spark.range(100).select(col("id").as("a"),
       pmod(col("id"), lit(7)).as("sub"), lit(1L).as("d1v"))
     val d2 = spark.range(10).select(col("id").as("b"), lit(2L).as("d2v"))
     val snow = spark.range(7).select(col("id").as("sub"), lit(3L).as("d3v"))
-    // d2 hangs off the fact, snow hangs off d1 — mixed shape
-    val opt = fact.join(d1, "a").join(d2, "b").join(snow, "sub")
-      .queryExecution.optimizedPlan
+    def q = fact.join(d1, "a").join(d2, "b").join(snow, "sub")
+    val cols = q.columns.toSeq
+    val off = multiset(q, cols)
+    val opt = q.queryExecution.optimizedPlan
     val rw = withFlag { RewriteChainJoin(opt) }
-    assert(rw.canonicalized === opt.canonicalized)
+    // d1 keeps 100/1000 of the fact, d2 keeps all of it: the selective
+    // collapsed branch must join first — the rewrite fires
+    assert(rw.canonicalized !== opt.canonicalized, s"rewrite did not fire:\n$opt")
+    // the snow⋈d1 join must sit INSIDE the branch (below its fact join),
+    // never interleaved with the other branch's fact join
+    withFlag { assert(multiset(q, cols) === off) }
+  }
+
+  test("q5-shaped 5-table snowflake (lineitem fact, orders dim, supplier->nation->region branch): rule == manual collapsed star") {
+    val d = sf("sf0.001")
+    val l = spark.read.parquet(s"$d/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_quantity")
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val su = spark.read.parquet(s"$d/supplier.parquet")
+      .select("s_suppkey", "s_nationkey")
+    val n = spark.read.parquet(s"$d/nation.parquet")
+      .select("n_nationkey", "n_regionkey", "n_name")
+    val re = spark.read.parquet(s"$d/region.parquet")
+      .select("r_regionkey", "r_name")
+    // written LINEARLY, the way a user folds it: n joins su's key,
+    // re joins n's key — a branch growing off the su dim
+    def q = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey"))
+      .join(n, su("s_nationkey") === n("n_nationkey"))
+      .join(re, n("n_regionkey") === re("r_regionkey"))
+    val cols = q.columns.toSeq
+    val off = multiset(q, cols)
+    val opt = q.queryExecution.optimizedPlan
+    val rewritten = withFlag { RewriteChainJoin(opt) }
+    // manual referee: collapse the branch by hand, then star-decide
+    val branch = su.join(n, su("s_nationkey") === n("n_nationkey"))
+      .join(re, n("n_regionkey") === re("r_regionkey"))
+    val edges = Seq((l("l_orderkey"), o("o_orderkey")),
+      (l("l_suppkey"), su("s_suppkey")))
+    val steps = SketchPlanner.decideStar(l, Seq(o, branch), edges)
+    val manual = SketchPlanner.buildStar(l, Seq(o, branch), edges, steps)
+      .select(cols.map(col): _*)
+    assert(rewritten.canonicalized ===
+      manual.queryExecution.optimizedPlan.canonicalized,
+      s"\nrule:\n$rewritten\nmanual:\n${manual.queryExecution.optimizedPlan}")
+    assert(multiset(GraftSqlBridge.ofRows(spark, rewritten), cols) === off)
+    withFlag { assert(multiset(q, cols) === off) }
   }
 
   test("an existing user hint anywhere on the spine vetoes the rewrite") {

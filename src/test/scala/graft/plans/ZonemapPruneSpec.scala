@@ -163,6 +163,132 @@ class ZonemapPruneSpec extends SparkSpec {
     }
   }
 
+  test("widened extraction: date IN-list prunes to the manifest's own survivor union") {
+    import java.sql.Date
+    val days = Seq("1994-02-14", "1996-06-10", "1998-05-01")
+    def probe = spark.read.parquet(dateDir)
+      .filter(col("ship_date").isin(days.map(Date.valueOf): _*))
+    val off = agg(probe)
+    // manifest referee: a file survives iff any probed day falls in its zone
+    val man = Storage.readManifest(spark, dateDir).get
+    def epoch(d: String) = Date.valueOf(d).toLocalDate.toEpochDay.toInt
+    val expected = man.count(z =>
+      days.exists(d => z.lo <= epoch(d) && epoch(d) <= z.hi))
+    assert(expected < 16, "fixture must actually skip something")
+    withFlag {
+      assert(scanFiles(probe) === expected.toLong,
+        "IN-list survivors must equal the manifest union referee")
+      assert(agg(probe) === off)
+      assert(off.getLong(0) > 0L)
+    }
+  }
+
+  test("widened extraction: a >10-literal IN optimizes to InSet and still prunes") {
+    import java.sql.Date
+    val days = (1 to 12).map(m => f"1995-$m%02d-15")
+    def probe = spark.read.parquet(dateDir)
+      .filter(col("ship_date").isin(days.map(Date.valueOf): _*))
+    val off = agg(probe)
+    val man = Storage.readManifest(spark, dateDir).get
+    def epoch(d: String) = Date.valueOf(d).toLocalDate.toEpochDay.toInt
+    val expected = man.count(z =>
+      days.exists(d => z.lo <= epoch(d) && epoch(d) <= z.hi))
+    assert(expected < 16)
+    withFlag {
+      assert(scanFiles(probe) === expected.toLong)
+      assert(agg(probe) === off)
+    }
+  }
+
+  test("widened extraction: string RANGES and same-column ORs prune through the lo/hi zones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-autoprune-strrange").toString
+    val docs = (0 until 400).map { i =>
+      (i.toLong, f"src${i % 20}%02d", (i % 7).toLong)
+    }.toDF("doc_id", "source", "l_quantity")
+    Storage.strZonemapClusteredWrite(docs, "source", 8, dir)
+    val man = Storage.readStrManifest(spark, dir).get
+    // srcNN values are ASCII, so plain string order == utf8 order here
+    def overlaps(z: Storage.StrFileZone, lo: String, hi: String) =
+      !(z.hi.exists(_ < lo) || z.lo.exists(_ > hi))
+    def probeRange = spark.read.parquet(dir)
+      .filter(col("source") >= "src03" && col("source") <= "src05")
+    val offR = agg(probeRange)
+    val expectR = man.count(overlaps(_, "src03", "src05"))
+    assert(expectR < 8)
+    def probeOr = spark.read.parquet(dir)
+      .filter((col("source") >= "src03" && col("source") <= "src05") ||
+        (col("source") >= "src12" && col("source") <= "src13"))
+    val offO = agg(probeOr)
+    val expectO = man.count(z =>
+      overlaps(z, "src03", "src05") || overlaps(z, "src12", "src13"))
+    assert(expectO < 8)
+    withFlag {
+      assert(scanFiles(probeRange) === expectR.toLong,
+        "string range survivors must equal the manifest referee")
+      assert(agg(probeRange) === offR)
+      assert(offR.getLong(0) === 60L) // 3 sources x 20 docs
+      assert(scanFiles(probeOr) === expectO.toLong,
+        "same-column OR survivors must equal the union referee")
+      assert(agg(probeOr) === offO)
+      // strict bounds widen conservatively: results still exact
+      val strict = spark.read.parquet(dir)
+        .filter(col("source") > "src03" && col("source") < "src05")
+      assert(strict.count() === 20L) // only src04
+    }
+  }
+
+  test("an unmanifested file (crash between data commit and manifest write) is never pruned away") {
+    // build a private layout, then drop a data file into the directory
+    // OUT OF BAND — present on disk, absent from every manifest. The
+    // rule must treat it as an unconditional survivor: flag-on results
+    // equal the plain scan, which DOES read it.
+    val dir = Files.createTempDirectory("graft-autoprune-crash").toString
+    Storage.zonemapClusteredWrite(
+      Tables.lineitem(spark, sf("sf0.001"))
+        .select(to_date(col("l_shipdate")).as("ship_date"), col("l_quantity")),
+      "ship_date", 8, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val aDataFile = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, aDataFile, fs,
+      new org.apache.hadoop.fs.Path(dir, "part-unmanifested.parquet"),
+      false, spark.sessionState.newHadoopConf())
+    def probe = spark.read.parquet(dir)
+      .filter(col("ship_date").between(lit("1997-01-01").cast("date"),
+        lit("1997-03-31").cast("date")))
+    val off = agg(probe)
+    withFlag {
+      assert(agg(probe) === off,
+        "pruning dropped rows only the unmanifested file holds")
+      // the unmanifested file is opened even when zones skip others
+      val opened = scanFiles(probe)
+      assert(opened < 9L, "zone survivors should still prune")
+      assert(probe.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.exists(_.contains("part-unmanifested"))
+      }.exists(identity), "unmanifested file missing from the pruned index")
+    }
+  }
+
+  test("two probes derived from ONE shared base DataFrame both prune (no one-shot relation state)") {
+    // r15 tagged the original LogicalRelation instance, which Catalyst
+    // shares by reference across Datasets from the same base — the
+    // second query silently skipped pruning
+    val base = spark.read.parquet(dateDir)
+    def q(lo: String, hi: String) = base
+      .filter(col("ship_date").between(lit(lo).cast("date"),
+        lit(hi).cast("date")))
+    withFlag {
+      assert(scanFiles(q("1997-01-01", "1997-03-31")) < 16L)
+      assert(scanFiles(q("1994-06-01", "1994-08-31")) < 16L,
+        "second probe on the same shared relation must prune too")
+    }
+  }
+
   test("the gated facade queries are output-invariant under the flag") {
     val d = sf("sf0.001")
     for (name <- Seq("q216_pruned_read", "q241_string_prune",

@@ -237,4 +237,47 @@ class KVStoreSpec extends SparkSpec {
       assert(got === model(ops))
     }
   }
+
+  test("throughput: 1000 sustained appends clear the reference's declared >=30 ops/s floor") {
+    // The ONE number the reference DECLARES for its (unimplemented) KV
+    // surface: test_test.go:393-419 requires 1000 appends in <=33.3
+    // ms/op sustained — >=30 ops/s — against a 3-server group. The
+    // analog here drives 1000 appends to one hot key through the REAL
+    // streaming path (MemoryStream micro-batches -> transformWithState
+    // -> RocksDB state store), 50 ops per micro-batch with a full
+    // drain between batches — 20 sequential state-commit roundtrips,
+    // each a durable batch boundary (the engine's group-commit, like a
+    // raft leader pipelining client ops). Wall time spans first
+    // enqueue to last result visible. Measured value lands in
+    // BASELINE.md next to the declared floor.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[KvOp]
+    val q = KVStore.run(mem.toDS())
+      .writeStream.format("memory").queryName("kv_tput")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // warm the query machinery (codegen, state store open) untimed
+      mem.addData(KvOp(0, "put", "warm", "x"))
+      q.processAllAvailable()
+      val nOps = 1000
+      val perBatch = 50
+      val t0 = System.nanoTime()
+      (0 until nOps / perBatch).foreach { b =>
+        mem.addData((1 to perBatch).map(i =>
+          KvOp((b * perBatch + i).toLong, "append", "hot", "a")): _*)
+        q.processAllAvailable()
+      }
+      mem.addData(KvOp(9999, "get", "hot", ""))
+      q.processAllAvailable()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val got = spark.table("kv_tput").as[KvResult].collect()
+        .map(r => r.opId -> r.value).toMap
+      assert(got(9999) === "a" * nOps, "all 1000 appends must be applied in order")
+      val opsPerSec = nOps / wallSec
+      info(f"sustained append throughput: $opsPerSec%.0f ops/s " +
+        f"($nOps ops, ${nOps / perBatch} micro-batches, ${wallSec}%.2f s wall)")
+      assert(opsPerSec >= 30.0,
+        f"below the reference's declared floor: $opsPerSec%.1f ops/s")
+    } finally q.stop()
+  }
 }
