@@ -2056,6 +2056,71 @@ object Curation {
       |FROM ranked r JOIN quotas q ON r.source = q.source
       |WHERE rk <= quota""".stripMargin
 
+  /** QUALITY-BUDGETED MIX (round-16): the DoReMi-lite curation step —
+    * per source, admit documents in QUALITY order until a per-source
+    * token budget is spent (prefix packing, q257's serving-side policy
+    * applied at corpus-curation grain). Quality is an integer ppm score
+    * both engines compute bit-identically: alphabetic characters per
+    * n_chars (the C4 "mostly prose" signal without float division —
+    * ×10⁶ integer div). Output per source: docs admitted, tokens
+    * spent, and the quality floor the budget forced — the dial a
+    * data-mixing run reports per source.
+    *
+    * Scale shape: `source` is LOW-CARDINALITY, so the cumsum window is
+    * prefiltered by GroupTopK k = budget (ntok ≥ 1 ⇒ a doc ranked past
+    * the budget can never admit — exact, not approximate): the window
+    * sees ≤ budget rows per source no matter how many documents a
+    * source holds. The q257/q94 hazard-class fix applied at birth. */
+  def q263BudgetMix(s: SparkSession, d: String): DataFrame = {
+    val budget = 1500L
+    val scored = documents(s, d).select(col("source"), col("doc_id"),
+      graft.operators.Dedup.nTokensCol(col("text")).cast("long").as("ntok"),
+      expr("CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT)" +
+        " * 1000000 div greatest(1L, n_chars)").as("quality_ppm"))
+    val bounded = graft.plans.GroupTopKExtension.topKPerGroup(
+      scored, Seq("source"), Seq(("quality_ppm", false), ("doc_id", true)),
+      k = budget.toInt)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_ppm").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = bounded.withColumn("cum", sum(col("ntok")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("ntok")).as("sum_tokens"),
+        min(col("quality_ppm")).as("q_floor"))
+    documents(s, d).select(col("source")).distinct()
+      .join(packed, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"),
+        col("q_floor"))
+  }
+
+  val q263Sql: String =
+    """WITH sc AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS ntok,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+      |      * 1000000 // greatest(1, n_chars) AS quality_ppm
+      |  FROM documents),
+      |packed AS (
+      |  SELECT source, count(*) AS n_kept,
+      |    CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+      |    min(quality_ppm) AS q_floor
+      |  FROM (
+      |    SELECT source, ntok, quality_ppm,
+      |      sum(ntok) OVER (PARTITION BY source
+      |        ORDER BY quality_ppm DESC, doc_id
+      |        ROWS UNBOUNDED PRECEDING) AS cum
+      |    FROM sc)
+      |  WHERE cum <= 1500
+      |  GROUP BY 1)
+      |SELECT s.source, COALESCE(n_kept, 0) AS n_kept,
+      |  COALESCE(sum_tokens, 0) AS sum_tokens, q_floor
+      |FROM (SELECT DISTINCT source FROM documents) s
+      |LEFT JOIN packed USING (source)""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q43_split_assign"  -> (q43SplitAssign _, q43Sql),
     "q44_pii_redact"    -> (q44PiiRedact _, q44Sql),
@@ -2087,5 +2152,6 @@ object Curation {
     "q249_length_buckets" -> (q249LengthBuckets _, q249Sql),
     "q252_heaps_fit"    -> (q252HeapsFit _, q252Sql),
     "q259_quota_sample" -> (q259QuotaSample _, q259Sql),
+    "q263_budget_mix"   -> (q263BudgetMix _, q263Sql),
   )
 }

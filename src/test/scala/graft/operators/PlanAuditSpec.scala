@@ -1156,6 +1156,18 @@ class PlanAuditSpec extends SparkSpec {
       s"window (line $iWin) must consume the bounded top-k (line $iTopK)\n${plan.take(3000)}")
   }
 
+  test("q263 budget mix: per-source cumsum window input is GroupTopK-bounded") {
+    val plan = planOf(Curation.q263BudgetMix(spark, d))
+    // source is low-cardinality: without the k=budget prefilter one task
+    // would sort a source's entire corpus for the admission cumsum
+    assert(plan.contains("GroupTopKPartial"), plan.take(3000))
+    val lines = plan.split("== Initial Plan ==").head.linesIterator.toVector
+    val iWin = lines.indexWhere(_.contains("Window"))
+    val iTopK = lines.indexWhere(_.contains("GroupTopK"))
+    assert(iWin >= 0 && iTopK > iWin,
+      s"window (line $iWin) must consume the bounded top-k (line $iTopK)\n${plan.take(3000)}")
+  }
+
   test("q235: type ranking is GroupTopK-bounded before the unpartitioned window") {
     val plan = planOf(Vocab.q235VocabCoverage(spark, d))
     // the heap-bounded cut runs BEFORE the global row_number: types
