@@ -290,10 +290,12 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"unknown dedupClusters algo '$other' (label | star)")
     }
-    import org.apache.spark.sql.expressions.Window
-    labels
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("lbl"))))
+    // streamed agg + join, not an unordered window on lbl (r16): a
+    // boilerplate page duplicated 10^8 times is ONE label — the window
+    // would buffer that whole group in a single task; the partial-agg'd
+    // count streams it map-side and ships one row per cluster
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
       .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"),
         col("cluster_size"))
   }
@@ -1212,11 +1214,21 @@ object Dedup {
       .select(col("doc_id"), col("n_toks"), col("pos"),
         concat_ws(" ", (0 until k).map(j =>
           element_at(col("toks"), col("pos") + j + 1)): _*).as("sh"))
-    val wsh = Window.partitionBy(col("sh"))
+    // streamed agg + join, not an unordered window on sh (r16): a
+    // boilerplate k-gram shared by millions of documents is one window
+    // group buffered in one task; the groupBy streams min/max map-side
+    // and ships one row per distinct shingle. The explode feeds both
+    // join sides and is deliberately recomputed (2x map-side k-gram
+    // construction, embarrassingly parallel) rather than checkpointed —
+    // materializing the full k-gram set to save CPU would cost corpus-
+    // scale storage, and the old window's one-task group buffering is
+    // the failure mode this removes
+    val shSpan = pos.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("sh_min"), max(col("doc_id")).as("sh_max"))
+      .filter(col("sh_min") < col("sh_max"))
+      .select(col("sh"))
     val dup = pos
-      .withColumn("isdup",
-        min(col("doc_id")).over(wsh) < max(col("doc_id")).over(wsh))
-      .filter(col("isdup"))
+      .join(shSpan, Seq("sh"), "left_semi")
       .select(col("doc_id"), col("n_toks"), col("pos").as("s0"),
         (col("pos") + k - 1).as("e0"))
     // intervalMerge island pattern, inlined to carry n_toks

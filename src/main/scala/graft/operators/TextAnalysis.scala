@@ -103,16 +103,24 @@ object TextAnalysis {
       |GROUP BY bigram HAVING count(*) >= 10""".stripMargin
 
   /** Top-3 TF-IDF terms per document. tf = termcount/doclen,
-    * idf = ln(N/df); one shuffle of (doc, word) counts, then windows for
-    * doclen and df, and a broadcast 1-row corpus size — no rescan. */
+    * idf = ln(N/df); one shuffle of (doc, word) counts, then streamed
+    * AGGREGATES + joins for doclen and df, and a broadcast 1-row corpus
+    * size — no rescan. Aggs, not unordered windows (r16): a window
+    * partitioned on `word` BUFFERS each word's group in one task's
+    * memory — a stopword's group is corpus-sized at 100 TB and only
+    * survives by spilling; the partial-agg'd groupBy streams the same
+    * count map-side and ships one row per word. Same exchange count
+    * (doc_id + word), no mega-group buffering. */
   def q26TfidfTop(s: SparkSession, d: String): DataFrame = {
     val tf = wordRows(documents(s, d)).withColumnRenamed("w", "word")
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("c"))
     val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val doclen = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("doclen"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val withStats = tf
-      .withColumn("doclen", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .join(doclen, Seq("doc_id"))
+      .join(dfreq, Seq("word"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round((col("c").cast("double") / col("doclen").cast("double")) *
