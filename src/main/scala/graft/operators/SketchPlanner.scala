@@ -928,6 +928,50 @@ object SketchPlanner {
       }
     }
 
+    /** Incremental manifest maintenance — the zonemapAppend discipline
+      * for statistics: after appending `appended` rows to the table,
+      * sketch ONLY the appended slice and MERGE. CMS counters are
+      * LINEAR (each cell is a count of hash collisions), so
+      * cell-wise sum of the old manifest and the slice's counters is
+      * BIT-IDENTICAL to a from-scratch rebuild over the grown table —
+      * no full-table re-scan, the property that makes persisted stats
+      * viable on a table that grows by commits (SketchPlannerSpec pins
+      * append == rebuild). Keys absent from the existing manifest are
+      * skipped (a slice cannot seed a column's whole-table sketch). */
+    def append(s: SparkSession, dataDir: String, appended: DataFrame,
+        keyCols: Seq[String]): Unit = {
+      val md = sketchDir(dataDir)
+      val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+      require(fs.exists(md), s"no _sketch manifest at $dataDir to append to")
+      val slim = appended.localCheckpoint(false) // one pass per statistic
+      val nNew = slim.count()
+      val nOld = readCount(s, dataDir).getOrElse(
+        throw new IllegalStateException(s"missing count.json under $md"))
+      val out = fs.create(new org.apache.hadoop.fs.Path(md, "count.json"), true)
+      try out.write(s"""{"count":${nOld + nNew}}""".getBytes("UTF-8"))
+      finally out.close()
+      keyCols.foreach { c =>
+        readCms(s, dataDir, c).foreach { old =>
+          val fresh = cmsSketchFast(slim.select(col(c).as("key")))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          val merged = Array.tabulate(ROWS)(r =>
+            scala.collection.mutable.Map.empty[Long, Long] ++= old(r))
+          fresh.foreach { case (r, cc, v) =>
+            val m = merged(r.toInt)
+            m(cc) = m.getOrElse(cc, 0L) + v
+          }
+          val cells = for {
+            r <- 0 until ROWS
+            (cc, v) <- merged(r).toSeq.sortBy(_._1)
+          } yield s"$r $cc $v"
+          val f = fs.create(
+            new org.apache.hadoop.fs.Path(md, s"cms-$c.txt"), true)
+          try f.write(cells.mkString(s"w $W\n", "\n", "\n").getBytes("UTF-8"))
+          finally f.close()
+        }
+      }
+    }
+
     def readCount(s: SparkSession, dataDir: String): Option[Long] = {
       val p = new org.apache.hadoop.fs.Path(sketchDir(dataDir), "count.json")
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())

@@ -1065,12 +1065,13 @@ class PlanAuditSpec extends SparkSpec {
     //   Similarity.scala: 1 — q253's MMR greedy argmax: one 1-row
     //     TakeOrdered read per round (k = 5 bounded rounds; the greedy
     //     is inherently sequential in k) — the planner-scalar shape.
-    //   SketchPlanner.scala +1 (r16, total 3): SketchManifest.write's
-    //     CMS counter read — WRITE-TIME only (the stats-persist step,
-    //     Delta/Iceberg's ANALYZE analog), bounded at ≤4·16384 cells
-    //     by the sketch shape regardless of table size; the decide-time
-    //     manifest path reads FILES, zero jobs.
-    val collectBudget = Map("MRJob.scala" -> 1, "SketchPlanner.scala" -> 3,
+    //   SketchPlanner.scala +2 (r16, total 4): SketchManifest.write's
+    //     and .append's CMS counter reads — WRITE-TIME only (the
+    //     stats-persist step, Delta/Iceberg's ANALYZE analog), each
+    //     bounded at ≤4·16384 cells by the sketch shape regardless of
+    //     table size; the decide-time manifest path reads FILES, zero
+    //     jobs.
+    val collectBudget = Map("MRJob.scala" -> 1, "SketchPlanner.scala" -> 4,
       "Storage.scala" -> 2, "CurationStream.scala" -> 4,
       "Similarity.scala" -> 1)
     val markers = Seq(".collect()", ".toLocalIterator", ".collectAsList")

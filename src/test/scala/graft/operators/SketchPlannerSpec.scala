@@ -411,4 +411,36 @@ class SketchPlannerSpec extends SparkSpec {
     assert(jobCount > before, "a filtered side must re-price by scanning")
     assert(filteredDecide.nonEmpty)
   }
+
+  test("persisted sketch append: slice-merge equals a from-scratch rebuild (CMS linearity)") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-sketchappend").toString
+    spark.range(10000).select(col("id").as("k"),
+      pmod(col("id"), lit(97)).as("j"))
+      .write.parquet(s"$base/t")
+    SketchPlanner.SketchManifest.write(spark, s"$base/t", Seq("k", "j"))
+    // grow the table by an append commit, sketch ONLY the slice
+    val extra = spark.range(10000, 13000).select(col("id").as("k"),
+      pmod(col("id"), lit(97)).as("j"))
+    extra.write.mode("append").parquet(s"$base/t")
+    SketchPlanner.SketchManifest.append(spark, s"$base/t", extra, Seq("k", "j"))
+    val mergedCount = SketchPlanner.SketchManifest.readCount(spark, s"$base/t")
+    val mergedK = SketchPlanner.SketchManifest.readCms(spark, s"$base/t", "k").get
+    val mergedJ = SketchPlanner.SketchManifest.readCms(spark, s"$base/t", "j").get
+    // rebuild in place from the grown table — CMS linearity says the
+    // cell-wise sums must be BIT-identical
+    SketchPlanner.SketchManifest.write(spark, s"$base/t", Seq("k", "j"))
+    assert(SketchPlanner.SketchManifest.readCount(spark, s"$base/t") === mergedCount)
+    assert(mergedCount === Some(13000L))
+    assert(SketchPlanner.SketchManifest.readCms(spark, s"$base/t", "k").get.toSeq
+      === mergedK.toSeq)
+    assert(SketchPlanner.SketchManifest.readCms(spark, s"$base/t", "j").get.toSeq
+      === mergedJ.toSeq)
+    // a manifest-less target refuses the append loudly
+    spark.range(10).select(col("id").as("k")).write.parquet(s"$base/bare")
+    intercept[IllegalArgumentException] {
+      SketchPlanner.SketchManifest.append(spark, s"$base/bare",
+        spark.range(5).select(col("id").as("k")), Seq("k"))
+    }
+  }
 }
