@@ -1679,6 +1679,86 @@ object Dedup {
       |WHERE t.doc_id % 7 <> 0
       |GROUP BY 1""".stripMargin
 
+  /** DECONTAMINATION n-GRAM SWEEP (round-16): q210 gates one n (8);
+    * the pipeline decision is which n to RUN WITH — GPT-3's 13-gram
+    * standard barely fires on short prose, 4-grams flag everything.
+    * This query measures the contamination-rate curve at n ∈ {4, 8, 13}
+    * over the SAME eval/train split (doc_id % 7), all integers: per n,
+    * train docs carrying ≥1 n-gram, docs with ≥1 eval hit, total
+    * distinct grams and hits. The curve (hits collapsing as n grows)
+    * is the overlap-length distribution a decontam owner reads before
+    * picking the production threshold.
+    *
+    * Scale shape: the q237 sweep discipline — tokenize ONCE into a
+    * local checkpoint, one distinct-gram pass per n (3 passes, each the
+    * q210 shape: map-side gram hashing, distinct, broadcast-or-shuffle
+    * left join against the eval set), unioned 3-row output. */
+  def q264DecontamSweep(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+      .withColumn("toks", tokensCodegen(col("text")))
+      .select(col("doc_id"), col("toks"))
+      .localCheckpoint(false) // consumers: one gram pass per n
+    def grams(df: DataFrame, n: Int): DataFrame = df
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN " +
+          s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"j -> conv(substring(md5(concat_ws(' ', slice(toks, j, $n))), " +
+          "1, 15), 16, 10)) ELSE array() END")).as("g"))
+      .select(col("doc_id"), col("g").cast("long").as("gram"))
+      .distinct()
+    Seq(4, 8, 13).map { n =>
+      val ev = grams(docs.filter(col("doc_id") % 7 === 0), n)
+        .select(col("gram")).distinct()
+      val perDoc = grams(docs.filter(col("doc_id") % 7 =!= 0), n)
+        .join(ev.withColumn("hit", lit(1L)), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      perDoc.agg(
+        count(lit(1)).as("docs_with_grams"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("n_grams")).as("grams_total"),
+        sum(col("n_hit")).as("grams_hit"))
+        .select(lit(n.toLong).as("n"), col("docs_with_grams"),
+          col("docs_hit"), col("grams_total"), col("grams_hit"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def q264ArmSql(n: Int): String =
+    s"""a$n AS (
+       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(g), 1, 15)
+       |      AS BIGINT) AS gram
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      generate_series(1, greatest(len(toks) - ${n - 1}, 0)),
+       |      j -> array_to_string(toks[j:j+${n - 1}], ' '))) AS g
+       |    FROM tk)),
+       |e$n AS (SELECT DISTINCT gram FROM a$n WHERE doc_id % 7 = 0),
+       |p$n AS (
+       |  SELECT g.doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM a$n g LEFT JOIN e$n e ON g.gram = e.gram
+       |  WHERE g.doc_id % 7 <> 0
+       |  GROUP BY 1),
+       |r$n AS (
+       |  SELECT CAST($n AS BIGINT) AS n, count(*) AS docs_with_grams,
+       |    CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS docs_hit,
+       |    CAST(sum(n_grams) AS BIGINT) AS grams_total,
+       |    CAST(sum(n_hit) AS BIGINT) AS grams_hit
+       |  FROM p$n)""".stripMargin
+
+  val q264Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      t -> t <> '') AS toks
+       |  FROM documents),
+       |${Seq(4, 8, 13).map(q264ArmSql).mkString(",\n")}
+       |SELECT * FROM r4 UNION ALL SELECT * FROM r8
+       |UNION ALL SELECT * FROM r13""".stripMargin
+
   /** WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken, SIGMOD 2003
     * — the MOSS algorithm; round-15): q28's single min-hash fingerprint
     * answers "same document?"; winnowing selects a SET of fingerprints
@@ -2024,5 +2104,6 @@ object Dedup {
     "q198_source_minhash" -> (q198SourceMinhash _, q198Sql),
     "q200_neardup_decontam" -> (q200NeardupDecontam _, q200Sql),
     "q210_ngram_decontam" -> (q210NgramDecontam _, q210Sql),
+    "q264_decontam_sweep" -> (q264DecontamSweep _, q264Sql),
   )
 }
