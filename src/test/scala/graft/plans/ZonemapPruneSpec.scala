@@ -289,6 +289,43 @@ class ZonemapPruneSpec extends SparkSpec {
     }
   }
 
+  test("randomized predicate soak: 40 seeded probes — flag-on results always equal the plain scan") {
+    // property, not examples: random conjunctions/disjunctions of
+    // ranges, INs and equalities over the clustered column must NEVER
+    // change results (pruning is an optimization), and must never open
+    // more files than the full layout
+    val rnd = new scala.util.Random(1613)
+    def rndDate(): java.sql.Date = {
+      val y = 1992 + rnd.nextInt(8)
+      val m = 1 + rnd.nextInt(12)
+      val dd = 1 + rnd.nextInt(28)
+      java.sql.Date.valueOf(f"$y%04d-$m%02d-$dd%02d")
+    }
+    def rndLeaf(): org.apache.spark.sql.Column = rnd.nextInt(5) match {
+      case 0 => col("ship_date") >= lit(rndDate())
+      case 1 => col("ship_date") <= lit(rndDate())
+      case 2 => col("ship_date") === lit(rndDate())
+      case 3 => col("ship_date").isin(Seq.fill(2 + rnd.nextInt(12))(rndDate()): _*)
+      case _ => col("ship_date").between(lit(rndDate()), lit(rndDate()))
+    }
+    def rndPred(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) rndLeaf()
+      else if (rnd.nextBoolean()) rndPred(depth - 1) && rndPred(depth - 1)
+      else rndPred(depth - 1) || rndPred(depth - 1)
+    (1 to 40).foreach { i =>
+      val p = rndPred(2)
+      def probe = spark.read.parquet(dateDir).filter(p)
+      val off = probe.count()
+      withFlag {
+        assert(probe.count() === off, s"probe $i changed results: $p")
+        // an unsatisfiable predicate constant-folds to an empty
+        // LocalRelation — no parquet scan exists to count
+        if (probe.queryExecution.optimizedPlan.toString.contains("parquet"))
+          assert(scanFiles(probe) <= 16L, s"probe $i opened phantom files")
+      }
+    }
+  }
+
   test("the gated facade queries are output-invariant under the flag") {
     val d = sf("sf0.001")
     for (name <- Seq("q216_pruned_read", "q241_string_prune",
