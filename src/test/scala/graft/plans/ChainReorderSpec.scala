@@ -203,6 +203,44 @@ class ChainReorderSpec extends SparkSpec {
     withFlag { assert(multiset(q, cols) === off) }
   }
 
+  test("randomized snowflake soak: 8 seeded random trees — flag-on results always equal flag-off") {
+    // property over the new branch assembly: random sizes, random
+    // (valid) spine orders, optional dim filter — the rewrite may or
+    // may not fire per tree; results must NEVER change
+    val rnd = new scala.util.Random(987)
+    (1 to 8).foreach { t =>
+      val n = 500 + rnd.nextInt(1500)
+      val fact = spark.range(n).select(col("id").as("fa"),
+        pmod(col("id"), lit(1 + rnd.nextInt(50))).as("fb"),
+        col("id").as("fv"))
+      val d1n = 20 + rnd.nextInt(200)
+      val d1base = spark.range(d1n).select(col("id").as("da"),
+        pmod(col("id"), lit(11)).as("dsub"), lit(1L).as("d1v"))
+      val d1 = if (rnd.nextBoolean()) d1base.filter(col("da") < d1n / 2)
+               else d1base
+      val d2 = spark.range(1 + rnd.nextInt(60))
+        .select(col("id").as("db"), lit(2L).as("d2v"))
+      val s1 = spark.range(11).select(col("id").as("sk"),
+        (col("id") * 5).as("s1v"))
+      // deps: d1 and d2 attach to the fact, s1 attaches to d1 — any
+      // topological order of the spine is a tree a user could write
+      val orders = Seq(Seq("d1", "d2", "s1"), Seq("d1", "s1", "d2"),
+        Seq("d2", "d1", "s1"))
+      val ord = orders(rnd.nextInt(orders.size))
+      def join1(acc: DataFrame, e: String): DataFrame = e match {
+        case "d1" => acc.join(d1, col("fa") === col("da"))
+        case "d2" => acc.join(d2, col("fb") === col("db"))
+        case "s1" => acc.join(s1, col("dsub") === col("sk"))
+      }
+      def q = ord.foldLeft(fact: DataFrame)(join1)
+      val cols = q.columns.toSeq
+      val off = multiset(q, cols)
+      withFlag {
+        assert(multiset(q, cols) === off, s"tree $t order $ord changed results")
+      }
+    }
+  }
+
   test("an existing user hint anywhere on the spine vetoes the rewrite") {
     val (tables, keys) = chainFixture
     val hintedChain = tables.head.join(broadcast(tables(1)), keys.head)
