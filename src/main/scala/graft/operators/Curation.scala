@@ -2070,13 +2070,19 @@ object Curation {
     * prefiltered by GroupTopK k = budget (ntok ≥ 1 ⇒ a doc ranked past
     * the budget can never admit — exact, not approximate): the window
     * sees ≤ budget rows per source no matter how many documents a
-    * source holds. The q257/q94 hazard-class fix applied at birth. */
+    * source holds. The q257/q94 hazard-class fix applied at birth.
+    * The ntok ≥ 1 premise is ENFORCED identically on both engines (r16
+    * advice): a zero-token document past the top-k cut would otherwise
+    * admit in the unprefiltered oracle but not here; excluding it is
+    * also the right curation semantics — an empty document spends no
+    * budget and trains nothing. */
   def q263BudgetMix(s: SparkSession, d: String): DataFrame = {
     val budget = 1500L
     val scored = documents(s, d).select(col("source"), col("doc_id"),
       graft.operators.Dedup.nTokensCol(col("text")).cast("long").as("ntok"),
       expr("CAST(length(regexp_replace(text, '[^A-Za-z]', '')) AS BIGINT)" +
         " * 1000000 div greatest(1L, n_chars)").as("quality_ppm"))
+      .filter(col("ntok") >= 1)
     val bounded = graft.plans.GroupTopKExtension.topKPerGroup(
       scored, Seq("source"), Seq(("quality_ppm", false), ("doc_id", true)),
       k = budget.toInt)
@@ -2103,7 +2109,9 @@ object Curation {
       |      t -> t <> '')) AS BIGINT) AS ntok,
       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
       |      * 1000000 // greatest(1, n_chars) AS quality_ppm
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE len(list_filter(string_split_regex(text, '\s+'),
+      |    t -> t <> '')) >= 1),
       |packed AS (
       |  SELECT source, count(*) AS n_kept,
       |    CAST(sum(ntok) AS BIGINT) AS sum_tokens,

@@ -1356,13 +1356,22 @@ object Similarity {
     * window cumsum over at most `budget` rows per query, one 5-row
     * rollup. Without the prefilter the cumsum window would sort a
     * corpus-sized neighbor list inside one task per query — the
-    * low-cardinality-window hazard (see Relational.groupedRank). */
+    * low-cardinality-window hazard (see Relational.groupedRank).
+    *
+    * The `ntok >= 1` premise is ENFORCED, not assumed (r16 advice): a
+    * zero-token candidate (empty/whitespace-only text) ranked past the
+    * top-k cut could still satisfy `cum <= budget` in an unprefiltered
+    * evaluation, so both this plan and the oracle exclude zero-token
+    * candidates IDENTICALLY — packing an empty document spends no
+    * budget and serves no context, so the exclusion is also the right
+    * retrieval semantics. */
   def q257RagPack(s: SparkSession, d: String): DataFrame = {
     val budget = 1000L
     val v = vectors(s, d)
     val toks = Tables.documents(s, d)
       .select(col("doc_id").as("vec_id"),
         graft.operators.Dedup.nTokensCol(col("text")).cast("long").as("ntok"))
+      .filter(col("ntok") >= 1)
     val q = v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("e").as("qe"), col("norm").as("qn"))
     val scored = v.filter(col("vec_id") >= 10)
@@ -1402,7 +1411,7 @@ object Similarity {
       |  SELECT qid, v.vec_id, ntok,
       |    round(list_cosine_similarity(e, qe), 6) AS sim
       |  FROM q, v JOIN tk ON tk.vec_id = v.vec_id
-      |  WHERE v.vec_id >= 10),
+      |  WHERE v.vec_id >= 10 AND ntok >= 1),
       |packed AS (
       |  SELECT qid, count(*) AS n_packed,
       |    CAST(sum(ntok) AS BIGINT) AS sum_tokens,

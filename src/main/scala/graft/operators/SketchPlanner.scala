@@ -539,7 +539,15 @@ object SketchPlanner {
     * collect (the decideChain/decideStar budget). Manifest loads are
     * stored back into the session catalog so later decisions skip even
     * the file read. Shared by the chain and star deciders so both
-    * amortize identically. */
+    * amortize identically.
+    *
+    * OPT-OUT (r16 advice): the manifest path honors the SAME
+    * `spark.graft.planner.sketchCache` flag as the session catalog —
+    * a user who turns cached stats off to force fresh pricing gets a
+    * real scan, never silently-possibly-stale on-disk numbers — plus a
+    * dedicated `spark.graft.planner.sketchManifest` flag (default on)
+    * to disable only the persisted layer while keeping the in-session
+    * catalog. */
   private def gatherStats(s: SparkSession, useCatalog: Boolean,
       wanted: Seq[(String, AnyRef, () => Option[Long], () => DataFrame)])
       : Map[String, Long] = {
@@ -548,11 +556,15 @@ object SketchPlanner {
       else wanted.flatMap { case (id, ck, _, _) =>
         SketchCatalog.lookup(s, ck).map(id -> _)
       }.toMap
-    val manifested: Map[String, Long] = wanted.flatMap {
-      case (id, _, loader, _) if !cached.contains(id) =>
-        loader().map(id -> _)
-      case _ => None
-    }.toMap
+    val useManifest = useCatalog &&
+      s.conf.getOption("spark.graft.planner.sketchManifest").forall(_.toBoolean)
+    val manifested: Map[String, Long] =
+      if (!useManifest) Map.empty
+      else wanted.flatMap {
+        case (id, _, loader, _) if !cached.contains(id) =>
+          loader().map(id -> _)
+        case _ => None
+      }.toMap
     val missing = wanted.filterNot { case (id, _, _, _) =>
       cached.contains(id) || manifested.contains(id) }
     val fresh: Map[String, Long] =
@@ -903,14 +915,65 @@ object SketchPlanner {
     private def sketchDir(dataDir: String) =
       new org.apache.hadoop.fs.Path(dataDir, "_sketch")
 
+    /** `name size` per data file, sorted — the manifest's STALENESS
+      * STAMP (r16 verdict task 6). [[append]] keeps a manifest honest
+      * across commits it is told about; an out-of-band OVERWRITE of the
+      * data directory (a rewrite that preserves `_sketch/`) used to
+      * leave stale counters silently mis-pricing every cold session
+      * afterward. The stamp records the exact file-set (names + sizes,
+      * the `_zonemap` coverage pattern) the statistics describe;
+      * [[readCount]]/[[readCms]] compare it against the live directory
+      * (one driver `listStatus`, ZERO Spark jobs) and return None on
+      * mismatch, so the planner falls back to scan-derived stats
+      * instead of pricing a distribution that no longer exists. A
+      * manifest WITHOUT a stamp (written before this round) stays
+      * honored — legacy layouts keep their zero-job path until their
+      * next rewrite. */
+    private def dataFileStamp(s: SparkSession, dataDir: String): String = {
+      val root = new org.apache.hadoop.fs.Path(dataDir)
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      fs.listStatus(root).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => s"${f.getPath.getName} ${f.getLen}")
+        .sorted.mkString("", "\n", "\n")
+    }
+
+    private def writeStamp(s: SparkSession, dataDir: String): Unit = {
+      val md = sketchDir(dataDir)
+      val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+      val out = fs.create(new org.apache.hadoop.fs.Path(md, "files.txt"), true)
+      try out.write(dataFileStamp(s, dataDir).getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    /** True when the persisted stamp matches the live file-set (or the
+      * manifest predates stamping). Driver file IO only — no jobs. */
+    private[operators] def stampValid(s: SparkSession, dataDir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(sketchDir(dataDir), "files.txt")
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(p)) true // legacy manifest: no stamp to contradict
+      else {
+        val in = fs.open(p)
+        val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        stored == dataFileStamp(s, dataDir)
+      }
+    }
+
     /** Compute and persist count + per-key CMS counters for the parquet
       * table at `dataDir`. One counting job per statistic, write-time
-      * only. */
+      * only. Existing `cms-*.txt` sidecars are DELETED first (r16
+      * advice): a rewrite that sketches fewer columns than the previous
+      * write must not leave old-table counters being served alongside
+      * the new count — a manifest is always internally consistent. */
     def write(s: SparkSession, dataDir: String, keyCols: Seq[String]): Unit = {
       val df = s.read.parquet(dataDir)
       val md = sketchDir(dataDir)
       val fs = md.getFileSystem(s.sessionState.newHadoopConf())
       fs.mkdirs(md)
+      fs.listStatus(md).toSeq
+        .filter(_.getPath.getName.startsWith("cms-"))
+        .foreach(f => fs.delete(f.getPath, false))
       val n = df.count()
       val out = fs.create(new org.apache.hadoop.fs.Path(md, "count.json"), true)
       try out.write(s"""{"count":$n}""".getBytes("UTF-8")) finally out.close()
@@ -926,6 +989,7 @@ object SketchPlanner {
           .mkString(s"w $W\n", "\n", "\n").getBytes("UTF-8"))
         finally f.close()
       }
+      writeStamp(s, dataDir)
     }
 
     /** Incremental manifest maintenance — the zonemapAppend discipline
@@ -945,13 +1009,17 @@ object SketchPlanner {
       require(fs.exists(md), s"no _sketch manifest at $dataDir to append to")
       val slim = appended.localCheckpoint(false) // one pass per statistic
       val nNew = slim.count()
-      val nOld = readCount(s, dataDir).getOrElse(
+      // the appended files are already in the directory, so the stamp
+      // written at the PREVIOUS commit cannot match — append is the one
+      // caller that legitimately reads across that boundary (its whole
+      // contract is "the only change since the stamp is my slice")
+      val nOld = readCount(s, dataDir, checkStamp = false).getOrElse(
         throw new IllegalStateException(s"missing count.json under $md"))
       val out = fs.create(new org.apache.hadoop.fs.Path(md, "count.json"), true)
       try out.write(s"""{"count":${nOld + nNew}}""".getBytes("UTF-8"))
       finally out.close()
       keyCols.foreach { c =>
-        readCms(s, dataDir, c).foreach { old =>
+        readCms(s, dataDir, c, checkStamp = false).foreach { old =>
           val fresh = cmsSketchFast(slim.select(col(c).as("key")))
             .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
           val merged = Array.tabulate(ROWS)(r =>
@@ -970,9 +1038,12 @@ object SketchPlanner {
           finally f.close()
         }
       }
+      writeStamp(s, dataDir) // the merged stats describe the grown file-set
     }
 
-    def readCount(s: SparkSession, dataDir: String): Option[Long] = {
+    def readCount(s: SparkSession, dataDir: String,
+        checkStamp: Boolean = true): Option[Long] = {
+      if (checkStamp && !stampValid(s, dataDir)) return None
       val p = new org.apache.hadoop.fs.Path(sketchDir(dataDir), "count.json")
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(p)) None
@@ -985,9 +1056,13 @@ object SketchPlanner {
     }
 
     /** Sparse (row → col → cnt) counters for `colName`, None when the
-      * manifest is absent or was written at a different width. */
-    def readCms(s: SparkSession, dataDir: String, colName: String)
+      * manifest is absent, was written at a different width, or its
+      * file-set stamp no longer matches the directory (stale after an
+      * out-of-band rewrite — fall back to scan-derived stats). */
+    def readCms(s: SparkSession, dataDir: String, colName: String,
+        checkStamp: Boolean = true)
         : Option[Array[scala.collection.immutable.Map[Long, Long]]] = {
+      if (checkStamp && !stampValid(s, dataDir)) return None
       val p = new org.apache.hadoop.fs.Path(sketchDir(dataDir), s"cms-$colName.txt")
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       if (!fs.exists(p)) None

@@ -574,6 +574,38 @@ object Storage {
   private def manifestDir(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "_zonemap")
 
+  /** Every data file under `root`, RECURSIVELY (r16 verdict task 4:
+    * partition-dir + zone-map is exactly the Delta/Iceberg layering a
+    * real lake uses — `lang=en/part-…parquet` files carry zones worth
+    * skipping too). Hidden (`_…`/`.…`) directories and files are
+    * excluded, matching Spark's own listing filter, so the manifest
+    * directories never list themselves. Flat layouts degrade to the
+    * old single-level listing exactly. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      }
+    walk(root)
+  }
+
+  /** `file`'s path RELATIVE to `root` (`part-0.parquet`, or
+    * `lang=en/part-0.parquet` under a partitioned layout) — what the
+    * manifests persist, so a layout stays valid if the directory moves
+    * and partition subpaths round-trip through `new Path(dir, rel)`. */
+  private def relativize(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      file: org.apache.hadoop.fs.Path): String = {
+    val r = fs.makeQualified(root).toUri.getPath
+    val f = fs.makeQualified(file).toUri.getPath
+    if (f.startsWith(r + "/")) f.drop(r.length + 1) else file.getName
+  }
+
   /** Persist one manifest COMMIT as the next `zones-<k>.json` under
     * `_zonemap/` — only the zones passed in, never a restatement of
     * prior commits. Relative file names: the layout stays valid if the
@@ -582,11 +614,12 @@ object Storage {
       man: Seq[FileZone]): Unit = {
     val md = manifestDir(dir)
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(dir)
     fs.mkdirs(md)
     val k = fs.listStatus(md).count(_.getPath.getName.endsWith(".json"))
     val out = fs.create(new org.apache.hadoop.fs.Path(md, f"zones-$k%05d.json"), true)
     try out.write(man.map(z =>
-      s"""{"file":"${new org.apache.hadoop.fs.Path(z.path).getName}","lo":${z.lo},"hi":${z.hi}}""")
+      s"""{"file":"${relativize(fs, root, new org.apache.hadoop.fs.Path(z.path))}","lo":${z.lo},"hi":${z.hi}}""")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -651,15 +684,38 @@ object Storage {
     * way. */
   def survivingFilesMulti(s: SparkSession, dir: String,
       dateIvs: Option[Seq[(Int, Int)]],
-      strIvs: Option[Seq[(Option[String], Option[String])]])
+      strIvs: Option[Seq[(Option[String], Option[String])]],
+      numIvs: Option[Seq[(Option[BigDecimal], Option[BigDecimal])]] = None)
+      : Option[(Seq[String], Int)] =
+    survivorsFromManifests(
+      dateIvs.flatMap(_ => readManifest(s, dir)),
+      strIvs.flatMap(_ => readStrManifest(s, dir)),
+      numIvs.flatMap(_ => readNumManifest(s, dir)),
+      dateIvs, strIvs, numIvs)
+
+  /** The pure survivor computation over ALREADY-READ manifests — what
+    * the automatic rule calls through its per-apply manifest cache
+    * (r16 advice: fixedPoint iterations must not re-read manifest
+    * files from the filesystem for every Filter node). Semantics are
+    * [[survivingFilesMulti]]'s, three axes intersecting. */
+  def survivorsFromManifests(
+      dateMan: Option[Seq[FileZone]],
+      strMan: Option[Seq[StrFileZone]],
+      numMan: Option[Seq[NumFileZone]],
+      dateIvs: Option[Seq[(Int, Int)]],
+      strIvs: Option[Seq[(Option[String], Option[String])]],
+      numIvs: Option[Seq[(Option[BigDecimal], Option[BigDecimal])]])
       : Option[(Seq[String], Int)] = {
-    val dateMan = dateIvs.flatMap(_ => readManifest(s, dir))
-    val strMan = strIvs.flatMap(_ => readStrManifest(s, dir))
-    if (dateMan.isEmpty && strMan.isEmpty) None
+    val dMan = dateIvs.flatMap(_ => dateMan)
+    val sMan = strIvs.flatMap(_ => strMan)
+    val nMan = numIvs.flatMap(_ => numMan)
+    if (dMan.isEmpty && sMan.isEmpty && nMan.isEmpty) None
     else {
-      val dateByPath = dateMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
-      val strByPath = strMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
-      val allPaths = (dateByPath.keySet ++ strByPath.keySet).toSeq.sorted
+      val dateByPath = dMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
+      val strByPath = sMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
+      val numByPath = nMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
+      val allPaths =
+        (dateByPath.keySet ++ strByPath.keySet ++ numByPath.keySet).toSeq.sorted
       val survivors = allPaths.filter { p =>
         val dateOk = dateIvs.forall(ivs =>
           dateByPath.get(p).forall(z => ivs.exists { case (lo, hi) =>
@@ -670,7 +726,12 @@ object Storage {
             !(hi.exists(h => z.lo.exists(zl => utf8Lt(h, zl))) ||
               lo.exists(l => z.hi.exists(zh => utf8Lt(zh, l))))
           }))
-        dateOk && strOk
+        val numOk = numIvs.forall(ivs =>
+          numByPath.get(p).forall(z => ivs.exists { case (lo, hi) =>
+            !(hi.exists(h => z.lo.exists(zl => h < zl)) ||
+              lo.exists(l => z.hi.exists(zh => zh < l)))
+          }))
+        dateOk && strOk && numOk
       }
       Some((survivors, allPaths.size))
     }
@@ -743,10 +804,9 @@ object Storage {
     val conf = s.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
-    fs.listStatus(root).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
+    listDataFiles(fs, root)
       .filterNot(f => known.contains(fs.makeQualified(f.getPath).toString))
-      .sortBy(_.getPath.getName)
+      .sortBy(f => relativize(fs, root, f.getPath))
       .map { f =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
@@ -766,7 +826,10 @@ object Storage {
           // or s3a:// layouts the survivor paths handed to
           // spark.read.parquet still carry their filesystem
           val qual = fs.makeQualified(f.getPath).toString
-          if (zones.isEmpty)
+          // any row group without a usable stat makes the whole FILE
+          // unbounded — folding only the defined groups would narrow
+          // the zone below rows the file actually holds
+          if (zones.isEmpty || zones.size < rd.getFooter.getBlocks.size)
             FileZone(qual, Int.MinValue, Int.MaxValue)
           else FileZone(qual, zones.map(_._1).min, zones.map(_._2).max)
         } finally rd.close()
@@ -837,11 +900,12 @@ object Storage {
       man: Seq[StrFileZone]): Unit = {
     val md = strManifestDir(path)
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(path)
     fs.mkdirs(md)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(md, "zones-00000.json"), true)
     try out.write(man.map { z =>
-      val name = new org.apache.hadoop.fs.Path(z.path).getName
+      val name = relativize(fs, root, new org.apache.hadoop.fs.Path(z.path))
       (z.lo, z.hi) match {
         case (Some(lo), Some(hi)) =>
           s"""{"file":"$name","lo64":"${b64e(lo)}","hi64":"${b64e(hi)}"}"""
@@ -980,9 +1044,8 @@ object Storage {
     val conf = s.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
-    fs.listStatus(root).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+    listDataFiles(fs, root)
+      .sortBy(f => relativize(fs, root, f.getPath))
       .map { f =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
@@ -1000,8 +1063,11 @@ object Storage {
           }
           val qual = fs.makeQualified(f.getPath).toString
           // fold row-group bounds under the UTF-8 byte order the stats
-          // were computed in — Seq.min would fold under UTF-16 units
-          if (zones.isEmpty) StrFileZone(qual, None, None)
+          // were computed in — Seq.min would fold under UTF-16 units;
+          // any group without usable stats makes the whole file
+          // unbounded (see footerZones)
+          if (zones.isEmpty || zones.size < rd.getFooter.getBlocks.size)
+            StrFileZone(qual, None, None)
           else StrFileZone(qual, Some(zones.map(_._1).reduce(utf8Min)),
             Some(zones.map(_._2).reduce(utf8Max)))
         } finally rd.close()
@@ -1052,6 +1118,180 @@ object Storage {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents WHERE source = 'src12'
       |GROUP BY 1""".stripMargin
+
+  // ─────────────────────── numeric zone maps ───────────────────────
+
+  /** One file's NUMERIC zone: [lo, hi] of a numeric column folded
+    * across the file's row groups (r16 verdict task 3 — numeric range
+    * probes like `o_totalprice BETWEEN a AND b` are the most common
+    * real probe shape after dates). Bounds are EXACT decimal values
+    * ([[BigDecimal]]): integral stats convert losslessly, and
+    * float/double stats go through the shortest-round-trip decimal
+    * string, which PRESERVES the IEEE ordering of distinct doubles —
+    * so interval/zone comparisons can never invert across the codec.
+    * `None` bounds mean the footer carried no usable stats (absent
+    * column, or NaN-poisoned float/double min/max — parquet-mr folds
+    * NaN into Math.min/max, so a NaN-bearing file surfaces as NaN
+    * stats): the file is unskippable, never incorrectly skipped. */
+  case class NumFileZone(path: String,
+      lo: Option[BigDecimal], hi: Option[BigDecimal])
+
+  private def numManifestDir(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_nzonemap")
+
+  /** The numeric-axis clustering column a layout advertises, if any. */
+  def numZonemapColumn(s: SparkSession, dir: String): Option[String] =
+    readAxisColumn(s, numManifestDir(dir))
+
+  /** Write `df` as `nFiles` parquet files range-clustered and sorted on
+    * numeric `numCol`, then persist the numeric zone manifest
+    * (`_nzonemap/zones-00000.json`) from the fresh footers — the
+    * [[zonemapClusteredWrite]] discipline for a measure axis. */
+  def numZonemapClusteredWrite(df: DataFrame, numCol: String, nFiles: Int,
+      path: String): Unit = {
+    df.repartitionByRange(nFiles, col(numCol))
+      .sortWithinPartitions(col(numCol))
+      .write.mode("overwrite").parquet(path)
+    val s = df.sparkSession
+    writeNumManifest(s, path, numFooterZones(s, path, numCol))
+    writeAxisColumn(s, numManifestDir(path), numCol)
+  }
+
+  private def writeNumManifest(s: SparkSession, path: String,
+      man: Seq[NumFileZone]): Unit = {
+    val md = numManifestDir(path)
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.mkdirs(md)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(md, "zones-00000.json"), true)
+    try out.write(man.map { z =>
+      val name = relativize(fs, root, new org.apache.hadoop.fs.Path(z.path))
+      (z.lo, z.hi) match {
+        // toPlainString: no scientific notation in the manifest, and
+        // BigDecimal(str) round-trips it exactly
+        case (Some(lo), Some(hi)) =>
+          s"""{"file":"$name","lo":"${lo.underlying.toPlainString}","hi":"${hi.underlying.toPlainString}"}"""
+        case _ => s"""{"file":"$name","unbounded":true}"""
+      }
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read a persisted numeric zone manifest; None when the layout has
+    * no `_nzonemap/` directory. */
+  def readNumManifest(s: SparkSession, dir: String): Option[Seq[NumFileZone]] = {
+    val md = numManifestDir(dir)
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(md)) None
+    else {
+      val bounded =
+        """\{"file":"([^"]+)","lo":"(-?[0-9.]+)","hi":"(-?[0-9.]+)"\}""".r
+      val unbounded = """\{"file":"([^"]+)","unbounded":true\}""".r
+      val zones = fs.listStatus(md).toSeq
+        .filter(_.getPath.getName.endsWith(".json"))
+        .sortBy(_.getPath.getName)
+        .flatMap { f =>
+          val in = fs.open(f.getPath)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          text.linesIterator.filter(_.nonEmpty).map {
+            case bounded(name, lo, hi) =>
+              NumFileZone(fs.makeQualified(
+                new org.apache.hadoop.fs.Path(dir, name)).toString,
+                Some(BigDecimal(lo)), Some(BigDecimal(hi)))
+            case unbounded(name) =>
+              NumFileZone(fs.makeQualified(
+                new org.apache.hadoop.fs.Path(dir, name)).toString,
+                None, None)
+            case bad => throw new IllegalStateException(
+              s"bad numeric manifest line: $bad")
+          }.toSeq
+        }
+      Some(zones.sortBy(_.path))
+    }
+  }
+
+  /** Footer min/max of a numeric column chunk as exact decimals.
+    * INT32/INT64 convert losslessly (an int-backed DECIMAL logical type
+    * re-applies its scale); FLOAT/DOUBLE go through the shortest
+    * round-trip string; NaN or binary-backed stats yield None —
+    * unskippable, never wrong. */
+  private def numChunkStat(
+      c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[(BigDecimal, BigDecimal)] = {
+    val st = c.getStatistics
+    if (st == null || !st.hasNonNullValue) return None
+    val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+    def conv(v: Any): Option[BigDecimal] = (v, ann) match {
+      case (n: Number,
+          dec: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        n match {
+          case i: java.lang.Integer => Some(BigDecimal(BigInt(i.longValue), dec.getScale))
+          case l: java.lang.Long => Some(BigDecimal(BigInt(l.longValue), dec.getScale))
+          case _ => None // binary-backed decimal: conservative
+        }
+      case (d: java.lang.Double, _) =>
+        if (d.isNaN) None else Some(BigDecimal(d.toString))
+      case (f: java.lang.Float, _) =>
+        if (f.isNaN) None else Some(BigDecimal(f.toString))
+      case (i: java.lang.Integer, _) => Some(BigDecimal(i.intValue))
+      case (l: java.lang.Long, _) => Some(BigDecimal(l.longValue))
+      case _ => None
+    }
+    for (lo <- conv(st.genericGetMin); hi <- conv(st.genericGetMax))
+      yield (lo, hi)
+  }
+
+  /** Footer-derived NUMERIC zones for every data file in `dir`. */
+  private def numFooterZones(s: SparkSession, dir: String,
+      numCol: String): Seq[NumFileZone] = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    listDataFiles(fs, root)
+      .sortBy(f => relativize(fs, root, f.getPath))
+      .map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val zones = rd.getFooter.getBlocks.asScala.toSeq.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == numCol)
+              .flatMap(numChunkStat)
+          }
+          val qual = fs.makeQualified(f.getPath).toString
+          // a single NaN-poisoned (None) row group must make the whole
+          // FILE unbounded — folding only the defined groups would
+          // narrow the zone below rows the file actually holds
+          if (zones.isEmpty ||
+              zones.size < rd.getFooter.getBlocks.size)
+            NumFileZone(qual, None, None)
+          else NumFileZone(qual, Some(zones.map(_._1).min),
+            Some(zones.map(_._2).max))
+        } finally rd.close()
+      }
+  }
+
+  /** Decimal-ordered interval intersection for the rule's conjunct
+    * folding — the [[strIntervalIntersect]] shape on the numeric axis. */
+  def numIntervalIntersect(
+      a: (Option[BigDecimal], Option[BigDecimal]),
+      b: (Option[BigDecimal], Option[BigDecimal]))
+      : Option[(Option[BigDecimal], Option[BigDecimal])] = {
+    val lo = (a._1, b._1) match {
+      case (Some(x), Some(y)) => Some(x.max(y))
+      case (x, y) => x.orElse(y)
+    }
+    val hi = (a._2, b._2) match {
+      case (Some(x), Some(y)) => Some(x.min(y))
+      case (x, y) => x.orElse(y)
+    }
+    (lo, hi) match {
+      case (Some(l), Some(h)) if h < l => None
+      case _ => Some((lo, hi))
+    }
+  }
 
   /** ZONE-MAP PRUNED READ — answer a date-range probe over a
     * [[zonemapClusteredWrite]] layout reading ONLY the files whose zone
@@ -1355,6 +1595,93 @@ object Storage {
       |  AND DATE '1997-06-30'
       |GROUP BY 1""".stripMargin
 
+  /** PARTITION-DIR + ZONE-MAP layered write (r16 verdict task 4): data
+    * lands under `partCol=value/` directories (Spark's own partition
+    * pruning handles that axis) AND, within each partition, files are
+    * range-clustered on `dateCol` with per-file zones persisted in ONE
+    * root-level `_zonemap/` manifest holding partition-relative paths —
+    * the Delta/Iceberg layering where directory pruning and file-stat
+    * skipping compose. The range partitioning on (partCol, dateCol)
+    * makes each output task hold a contiguous (partition, date) slice,
+    * so within a partition directory the per-file date zones are tight. */
+  def partitionedZonemapClusteredWrite(df: DataFrame, partCol: String,
+      dateCol: String, nFiles: Int, path: String): Unit = {
+    df.repartitionByRange(nFiles, col(partCol), col(dateCol))
+      .sortWithinPartitions(col(partCol), col(dateCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(path)
+    val s = df.sparkSession
+    writeManifest(s, path, zonemapManifest(s, path, dateCol))
+    writeAxisColumn(s, manifestDir(path), dateCol)
+  }
+
+  /** NUMERIC-RANGE automatic pruning under the gate (r16 verdict
+    * task 3): orders range-clustered on `o_totalprice` into 32 files,
+    * probed with a BETWEEN on the clustered measure through a plain
+    * `read.filter` — the probe shape (`price BETWEEN a AND b`) real
+    * fact tables hit constantly and the date/string axes couldn't
+    * serve. The q247 `require` pattern pins that the rewrite fired. */
+  def q265AutoPruneNumRange(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q265_orders_by_price", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(numManifestDir(dir)))
+      numZonemapClusteredWrite(
+        orders(s, d).select(col("o_totalprice"), col("o_orderpriority")),
+        "o_totalprice", 32, dir)
+    val probe = s.read.parquet(dir)
+      .filter(col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 80000.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+    autoPruned(s, probe, totalFiles = 32)
+  }
+
+  val q265Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 80000.0
+      |GROUP BY 1""".stripMargin
+
+  /** PARTITIONED + ZONE-MAP automatic pruning under the gate (r16
+    * verdict task 4): events land partitioned by `event_type` AND
+    * date-clustered within each partition with one root-level
+    * manifest; the probe (one type, one week) is a plain read.filter.
+    * The rule prunes zone-dead files across ALL partitions, the
+    * re-built index keeps the partition column (basePath + schema), and
+    * Spark's own partition pruning then drops the other types' files at
+    * scan time — the two prunings INTERSECT per file. The `require`
+    * pins the zone half fired; ZonemapPruneSpec pins the partition
+    * half via the executed scan's file count. */
+  def q266PartitionedPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q266_events_part_zoned", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(manifestDir(dir)))
+      partitionedZonemapClusteredWrite(
+        events(s, d).select(col("event_type"),
+          to_date(col("ts")).as("ev_date"), col("value")),
+        "event_type", "ev_date", 40, dir)
+    val total = s.read.parquet(dir).inputFiles.length
+    val probe = s.read.parquet(dir)
+      .filter(col("event_type") === "click" &&
+        col("ev_date").between(lit("2024-01-16").cast("date"),
+          lit("2024-01-22").cast("date")))
+      .groupBy(col("ev_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    autoPruned(s, probe, totalFiles = total)
+  }
+
+  val q266Sql: String =
+    """SELECT CAST(ts AS DATE) AS ev_date, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_type = 'click'
+      |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-16' AND DATE '2024-01-22'
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
@@ -1372,5 +1699,7 @@ object Storage {
     "q245_compound_prune"  -> (q245CompoundPrune _, q245Sql),
     "q260_autoprune_inlist"   -> (q260AutoPruneInList _, q260Sql),
     "q261_autoprune_strrange" -> (q261AutoPruneStrRange _, q261Sql),
+    "q265_autoprune_numrange" -> (q265AutoPruneNumRange _, q265Sql),
+    "q266_partitioned_prune"  -> (q266PartitionedPrune _, q266Sql),
   )
 }

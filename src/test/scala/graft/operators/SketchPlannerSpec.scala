@@ -443,4 +443,103 @@ class SketchPlannerSpec extends SparkSpec {
         spark.range(5).select(col("id").as("k")), Seq("k"))
     }
   }
+
+  test("stale-stamp guard: an out-of-band rewrite invalidates persisted sketches; decisions reprice from scan (r16 task 6)") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-sketchstale").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    def jobCount = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
+    spark.range(8000).select(pmod(col("id"), lit(400)).as("k"),
+      col("id").as("v")).write.parquet(s"$base/t")
+    spark.range(400).select(col("id").as("k"), lit(1L).as("w"))
+      .write.parquet(s"$base/u")
+    for ((d, ks) <- Seq(("t", Seq("k")), ("u", Seq("k"))))
+      SketchPlanner.SketchManifest.write(spark, s"$base/$d", ks)
+    // the stamp's match path adds ZERO jobs (driver listStatus only)
+    val before = jobCount
+    assert(SketchPlanner.SketchManifest.readCount(spark, s"$base/t")
+      === Some(8000L))
+    assert(SketchPlanner.SketchManifest.readCms(spark, s"$base/t", "k").isDefined)
+    assert(jobCount === before, "stamp validation must run zero jobs")
+    // out-of-band OVERWRITE that preserves _sketch/: stash the manifest,
+    // rewrite the data with a different distribution, restore the stash
+    val stash = new org.apache.hadoop.fs.Path(base, "stash")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$base/t/_sketch"), fs, stash, false, conf)
+    spark.range(50).select(lit(13L).as("k"), col("id").as("v"))
+      .write.mode("overwrite").parquet(s"$base/t")
+    org.apache.hadoop.fs.FileUtil.copy(fs, stash, fs,
+      new org.apache.hadoop.fs.Path(s"$base/t/_sketch"), false, true, conf)
+    // the readers must refuse the stale stats outright...
+    assert(SketchPlanner.SketchManifest.readCount(spark, s"$base/t") === None,
+      "a mismatched file-set stamp must invalidate count.json")
+    assert(SketchPlanner.SketchManifest.readCms(spark, s"$base/t", "k") === None)
+    // ...so a cold session PRICES BY SCANNING (jobs run), and the
+    // decision equals one taken with no manifest at all
+    val s2 = spark.newSession()
+    def frames(s: org.apache.spark.sql.SparkSession) =
+      (s.read.parquet(s"$base/t"), s.read.parquet(s"$base/u"))
+    val (t2, u2) = frames(s2)
+    val b2 = jobCount
+    val staleDecision = SketchPlanner.decideChain(Seq(t2, u2), Seq("k"))
+    assert(jobCount > b2, "a stale manifest must force real pricing jobs")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/t/_sketch"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/u/_sketch"), true)
+    val s3 = spark.newSession()
+    val (t3, u3) = frames(s3)
+    val freshDecision = SketchPlanner.decideChain(Seq(t3, u3), Seq("k"))
+    assert(staleDecision === freshDecision,
+      "stale-manifest decision must equal the scan-derived one")
+  }
+
+  test("write() clears stale cms sidecars: a narrower re-sketch serves no old-column counters (r16 advice)") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-sketchnarrow").toString
+    spark.range(5000).select(col("id").as("k"), pmod(col("id"), lit(7)).as("j"))
+      .write.parquet(s"$base/t")
+    SketchPlanner.SketchManifest.write(spark, s"$base/t", Seq("k", "j"))
+    assert(SketchPlanner.SketchManifest.readCms(spark, s"$base/t", "j").isDefined)
+    // re-sketch only k: j's counters must be GONE, not served stale
+    SketchPlanner.SketchManifest.write(spark, s"$base/t", Seq("k"))
+    assert(SketchPlanner.SketchManifest.readCms(spark, s"$base/t", "j") === None,
+      "an omitted column's old counters must not survive a rewrite")
+    assert(SketchPlanner.SketchManifest.readCms(spark, s"$base/t", "k").isDefined)
+  }
+
+  test("disabling spark.graft.planner.sketchCache (or .sketchManifest) bypasses the persisted manifest (r16 advice)") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-sketchoptout").toString
+    spark.range(6000).select(pmod(col("id"), lit(300)).as("k"),
+      col("id").as("v")).write.parquet(s"$base/t")
+    spark.range(300).select(col("id").as("k"), lit(1L).as("w"))
+      .write.parquet(s"$base/u")
+    for (d <- Seq("t", "u"))
+      SketchPlanner.SketchManifest.write(spark, s"$base/$d", Seq("k"))
+    def jobCount = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
+    def decideUnder(flag: String): Unit = {
+      val s = spark.newSession()
+      s.conf.set(flag, "false")
+      val b = jobCount
+      SketchPlanner.decideChain(
+        Seq(s.read.parquet(s"$base/t"), s.read.parquet(s"$base/u")), Seq("k"))
+      assert(jobCount > b,
+        s"$flag=false must force fresh pricing jobs, not silent manifest reads")
+    }
+    // the cache opt-out covers the persisted layer too...
+    decideUnder("spark.graft.planner.sketchCache")
+    // ...and the dedicated flag disables only the persisted layer
+    decideUnder("spark.graft.planner.sketchManifest")
+    // control: default flags price from the manifest with zero jobs
+    // (frames built BEFORE the baseline — parquet schema inference may
+    // run a listing job of its own, which is not the decider's cost)
+    val s0 = spark.newSession()
+    val t0 = s0.read.parquet(s"$base/t")
+    val u0 = s0.read.parquet(s"$base/u")
+    val b0 = jobCount
+    SketchPlanner.decideChain(Seq(t0, u0), Seq("k"))
+    assert(jobCount === b0, "default flags must keep the zero-job cold path")
+  }
 }

@@ -289,6 +289,126 @@ class ChainReorderSpec extends SparkSpec {
     }
   }
 
+  test("bushy lemma: the segment-greedy chain decider emits a JOIN-OF-JOINS when the middle edge is explosive (r16 task 7)") {
+    // decideChain is NOT left-deep-only: its segment merge joins any
+    // adjacent pair, so when the two OUTER edges are cheap and the
+    // middle edge explodes, the greedy merges both outer pairs first
+    // and the final merge joins two JOINED segments — a bushy tree.
+    // Fixture: e0 (t0⋈t1) 1:1, e1 (t1⋈t2) 10-hot-key explosion, e2
+    // (t2⋈t3) 1:1.
+    val t0 = spark.range(1000).select(col("id").as("k0"), lit(1L).as("v0"))
+    val t1 = spark.range(1000).select(col("id").as("k0"),
+      pmod(col("id"), lit(10)).as("k1"), lit(2L).as("v1"))
+    val t2 = spark.range(1000).select(pmod(col("id"), lit(10)).as("k1"),
+      col("id").as("k2"), lit(3L).as("v2"))
+    val t3 = spark.range(1000).select(col("id").as("k2"), lit(4L).as("v3"))
+    val tables = Seq(t0, t1, t2, t3)
+    val keys = Seq("k0", "k1", "k2")
+    val steps = SketchPlanner.decideChain(tables, keys)
+    assert(steps.map(_.edge) === Seq(0, 2, 1),
+      s"greedy must merge both cheap outer edges before the explosive middle, got $steps")
+    // the built tree is LITERALLY bushy: the outermost join has a join
+    // under BOTH children
+    def hasJoin(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst { case j: Join => j }.isDefined
+    val built = SketchPlanner.buildChain(tables, keys, steps)
+    val top = built.queryExecution.analyzed.collectFirst { case j: Join => j }.get
+    assert(hasJoin(top.left) && hasJoin(top.right),
+      s"expected a bushy join-of-joins, got\n${built.queryExecution.analyzed}")
+    // ...and the RULE produces the same shape from the written chain
+    val cols = Seq("v0", "v1", "v2", "v3")
+    def q = leftToRight(tables, keys)
+    val off = multiset(q, cols)
+    withFlag {
+      val rw = RewriteChainJoin(q.queryExecution.optimizedPlan)
+      val rtop = rw.collectFirst { case j: Join => j }.get
+      assert(hasJoin(rtop.left) && hasJoin(rtop.right),
+        s"rule must rebuild the bushy shape, got\n$rw")
+      assert(multiset(q, cols) === off, "bushy rewrite changed results")
+    }
+    // the lemma's teeth: EVERY left-deep (one-table-at-a-time) order
+    // over this chain materializes a contiguous 3-table segment before
+    // the last join, and both such segments ({t0,t1,t2}, {t1,t2,t3})
+    // contain the explosive e1 — so the cheapest left-deep
+    // intermediate total is >= min(|t0⋈t1⋈t2|, |t1⋈t2⋈t3|), while the
+    // bushy tree's intermediates are the two cheap 1:1 joins.
+    val bushyInter = t0.join(t1, "k0").count() + t2.join(t3, "k2").count()
+    val abc = t0.join(t1, "k0").join(t2, "k1").count()
+    val bcd = t1.join(t2, "k1").join(t3, "k2").count()
+    assert(bushyInter * 10 < math.min(abc, bcd),
+      s"bushy intermediates $bushyInter must be far under left-deep's ${math.min(abc, bcd)}")
+  }
+
+  test("star lemma: exhaustive permutation referee — most-selective-first minimizes the intermediate-row total (r16 task 7)") {
+    // a fact-anchored star has NO bushy alternative: branches share no
+    // key, so any join between two dims without the fact is a cross
+    // product — every admissible tree is a fact-threaded sequence, and
+    // the only freedom is the ORDER. This pins decideStar's
+    // most-selective-first order against an exhaustive referee: all 3!
+    // dim permutations, summing ACTUAL intermediate row counts.
+    val fact = spark.range(2000).select(col("id").as("ka"),
+      col("id").as("kb"), col("id").as("kc"), lit(1L).as("fv"))
+    val dims = Seq(
+      spark.range(200).select(col("id").as("da"), lit(1L).as("wa")),   // keeps 10%
+      spark.range(1000).select(col("id").as("db"), lit(1L).as("wb")),  // keeps 50%
+      spark.range(2000).select(col("id").as("dc"), lit(1L).as("wc")))  // keeps all
+    val edges = Seq((col("ka"), col("da")), (col("kb"), col("db")),
+      (col("kc"), col("dc")))
+    val steps = SketchPlanner.decideStar(fact, dims, edges)
+    def interTotal(order: Seq[Int]): Long =
+      order.init.scanLeft(fact) { (acc, i) =>
+        acc.join(dims(i), edges(i)._1 === edges(i)._2)
+      }.tail.map(_.count()).sum
+    val deciderTotal = interTotal(steps.map(_.edge))
+    val allTotals = Seq(0, 1, 2).permutations.map(interTotal).toSeq
+    assert(deciderTotal === allTotals.min,
+      s"decider total $deciderTotal vs exhaustive min ${allTotals.min}")
+    assert(allTotals.max > deciderTotal,
+      "fixture must make order matter, or the lemma is vacuous")
+  }
+
+  test("snowflake lemma: the collapsed-branch rebuild IS the bushy plan and beats every fact-threaded order on intermediates (r16 task 7)") {
+    // the rule's snowflake rebuild joins a branch's tables together
+    // FIRST (dim grain) and only then touches the fact — the bushy
+    // alternative the r16 verdict asks to price. Left-deep threading
+    // drags the fact-sized stream through every branch link instead.
+    // BenchPlanAB's decided-vs-literal arm shows the wall-clock delta
+    // (1.25 s vs 1.58 s at 2M rows); this lemma pins the shape and the
+    // intermediate-row counts at spec scale.
+    val fact = spark.range(5000).select(pmod(col("id"), lit(100)).as("sk"),
+      col("id").as("ok"), lit(1L).as("fv"))
+    val supp = spark.range(100).select(col("id").as("sk"),
+      pmod(col("id"), lit(25)).as("nk"))
+    val nat = spark.range(25).select(col("id").as("nk"),
+      pmod(col("id"), lit(5)).as("rk"))
+    val reg = spark.range(1).select(col("id").as("rk")) // keeps 1/5 of nations
+    val dimO = spark.range(5000).select(col("id").as("ok"), lit(2L).as("ov"))
+    def q = fact.join(dimO, "ok").join(supp, "sk").join(nat, "nk").join(reg, "rk")
+    val cols = Seq("fv", "ov")
+    val off = multiset(q, cols)
+    withFlag {
+      val rw = RewriteChainJoin(q.queryExecution.optimizedPlan)
+      // bushy: some join's RIGHT child is itself a joined subtree (the
+      // collapsed supplier→nation→region branch) — the literal
+      // left-deep spine has join-free right children everywhere
+      val bushy = rw.collect {
+        case j: Join if j.right.collectFirst { case i: Join => i }.isDefined => j
+      }
+      assert(bushy.nonEmpty, s"expected a collapsed-branch join, got\n$rw")
+      assert(multiset(q, cols) === off, "snowflake rewrite changed results")
+    }
+    // intermediates: collapsing s⋈n⋈r costs dim-grain rows (≤100 each),
+    // then ONE fact join; threading costs fact-grain rows (~5000) at
+    // EVERY link. (reg keeps rk=0 → 5 of 25 nations → 20 suppliers →
+    // 1000 fact rows.)
+    val branchInter = supp.join(nat, "nk").count() +
+      supp.join(nat, "nk").join(reg, "rk").count()
+    val threadInter = fact.join(dimO, "ok").join(supp, "sk").count() +
+      fact.join(dimO, "ok").join(supp, "sk").join(nat, "nk").count()
+    assert(branchInter * 10 < threadInter,
+      s"branch-first intermediates $branchInter vs threaded $threadInter")
+  }
+
   test("gated queries are output-invariant under the flag") {
     val d = sf("sf0.001")
     for (name <- Seq("q05_local_supplier", "q03_top_revenue",

