@@ -884,6 +884,66 @@ object SketchPlanner {
       |WHERE r_name = 'ASIA'
       |GROUP BY 1""".stripMargin
 
+  /** The BUSHY REWRITE under the gate (round-16 verdict task 7): the
+    * chain decider's segment-merge greedy is not left-deep-only — when
+    * both OUTER edges of a 4-table chain are cheap and the middle edge
+    * explodes, it merges the outer pairs first and the final merge
+    * joins two JOINED segments. This gates that shape end-to-end on
+    * TPC-H-ish tables: customer ⋈ orders (15k) ⋈ lineitem (60k hot
+    * middle) ⋈ part filtered to ~half (est ≈ 30k), written left-to-
+    * right the way a user folds it. The greedy merges e0 (15k), then
+    * e2 (30k), then the explosive e1 — so (c⋈o) ⋈ (l⋈p), evaluating
+    * both cheap sides at their own grain before the expensive merge.
+    * The `require` pins the literal bushy SHAPE (a join with joins
+    * under BOTH children) — an inert or left-deep rewrite fails the
+    * gate. Estimate margins are 2× at every SF (counts scale
+    * proportionally), so the decision is SF-stable. Results hash-match
+    * DuckDB's plain 4-way join. */
+  def q267BushyChain(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val l = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val p = part(s, d).select(col("p_partkey"), col("p_retailprice"))
+      .filter(col("p_retailprice") < 950.0)
+    val q = c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    val flag = graft.plans.RewriteChainJoin.FLAG
+    val prior = s.conf.getOption(flag)
+    s.conf.set(flag, "true")
+    val optimized =
+      try q.queryExecution.optimizedPlan
+      finally prior match {
+        case Some(v) => s.conf.set(flag, v)
+        case None => s.conf.unset(flag)
+      }
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val bushy = optimized.collect {
+      case j: LJoin
+          if j.left.collectFirst { case i: LJoin => i }.isDefined &&
+             j.right.collectFirst { case i: LJoin => i }.isDefined => j
+    }
+    require(bushy.nonEmpty,
+      "the bushy rewrite did not fire: no join-of-joins in the plan")
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s, optimized)
+  }
+
+  val q267Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_retailprice < 950.0
+      |GROUP BY 1""".stripMargin
+
   // ───────────────── persisted sketch manifests ─────────────────
 
   /** PERSISTED SKETCH CATALOG (round-15 verdict task 3):
@@ -932,9 +992,13 @@ object SketchPlanner {
     private def dataFileStamp(s: SparkSession, dataDir: String): String = {
       val root = new org.apache.hadoop.fs.Path(dataDir)
       val fs = root.getFileSystem(s.sessionState.newHadoopConf())
-      fs.listStatus(root).toSeq
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .map(f => s"${f.getPath.getName} ${f.getLen}")
+      // RECURSIVE listing with root-relative names: a PARTITIONED lake
+      // table's data files live under partCol=v/ directories, and the
+      // stamp must cover them — a flat listing would stamp an empty
+      // set and never detect a rewrite. Flat layouts stamp exactly as
+      // before (relative name == file name).
+      Storage.listDataFiles(fs, root)
+        .map(f => s"${Storage.relativize(fs, root, f.getPath)} ${f.getLen}")
         .sorted.mkString("", "\n", "\n")
     }
 
@@ -1085,9 +1149,15 @@ object SketchPlanner {
   }
 
   /** (directory, column name) when `df.select(k)` is a bare projection
-    * of a plain data column over a single-root, unpartitioned,
-    * unfiltered parquet scan — the only shape a whole-table persisted
-    * sketch is allowed to answer for. */
+    * of a column over a single-root, unfiltered parquet scan — the only
+    * shape a whole-table persisted sketch is allowed to answer for.
+    * PARTITIONED layouts qualify too (r17): a bare scan with no
+    * partition filter still reads the whole table, which is exactly
+    * what the manifest describes — and the key may even be the
+    * partition column itself (its values come from the directory
+    * names, but [[SketchManifest.write]] sketches through the same
+    * whole-table read). Any Filter — partition or data — breaks the
+    * bare-scan match and falls back to scanning, as before. */
   private def persistTarget(df: DataFrame, k: Column): Option[(String, String)] = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.plans.logical.Project
@@ -1096,7 +1166,7 @@ object SketchPlanner {
       case Project(Seq(a: AttributeReference), lr: LogicalRelation)
           if lr.relation.isInstanceOf[HadoopFsRelation] =>
         val rel = lr.relation.asInstanceOf[HadoopFsRelation]
-        if (rel.location.rootPaths.size == 1 && rel.partitionSchema.isEmpty)
+        if (rel.location.rootPaths.size == 1)
           Some((rel.location.rootPaths.head.toString, a.name))
         else None
       case _ => None
@@ -1109,7 +1179,7 @@ object SketchPlanner {
     df.queryExecution.analyzed match {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
         val rel = lr.relation.asInstanceOf[HadoopFsRelation]
-        if (rel.location.rootPaths.size == 1 && rel.partitionSchema.isEmpty)
+        if (rel.location.rootPaths.size == 1)
           Some(rel.location.rootPaths.head.toString)
         else None
       case _ => None
@@ -1146,5 +1216,6 @@ object SketchPlanner {
     "q211_selectivity_compare" -> (q211SelectivityCompare _, q211Sql),
     "q217_join_reorder" -> (q217JoinReorder _, q217Sql),
     "q248_star_reorder" -> (q248StarReorder _, q248Sql),
-    "q262_snowflake_reorder" -> (q262SnowflakeReorder _, q262Sql))
+    "q262_snowflake_reorder" -> (q262SnowflakeReorder _, q262Sql),
+    "q267_bushy_chain" -> (q267BushyChain _, q267Sql))
 }

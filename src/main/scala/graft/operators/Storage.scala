@@ -581,7 +581,7 @@ object Storage {
     * excluded, matching Spark's own listing filter, so the manifest
     * directories never list themselves. Flat layouts degrade to the
     * old single-level listing exactly. */
-  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -598,7 +598,7 @@ object Storage {
     * `lang=en/part-0.parquet` under a partitioned layout) — what the
     * manifests persist, so a layout stays valid if the directory moves
     * and partition subpaths round-trip through `new Path(dir, rel)`. */
-  private def relativize(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def relativize(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       file: org.apache.hadoop.fs.Path): String = {
     val r = fs.makeQualified(root).toUri.getPath
@@ -615,9 +615,7 @@ object Storage {
     val md = manifestDir(dir)
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(dir)
-    fs.mkdirs(md)
-    val k = fs.listStatus(md).count(_.getPath.getName.endsWith(".json"))
-    val out = fs.create(new org.apache.hadoop.fs.Path(md, f"zones-$k%05d.json"), true)
+    val out = fs.create(nextCommitFile(fs, md), true)
     try out.write(man.map(z =>
       s"""{"file":"${relativize(fs, root, new org.apache.hadoop.fs.Path(z.path))}","lo":${z.lo},"hi":${z.hi}}""")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -896,14 +894,22 @@ object Storage {
     writeAxisColumn(s, strManifestDir(path), strCol)
   }
 
+  /** Next commit file under a manifest directory — `zones-00000.json`,
+    * `zones-00001.json`, … (the `_delta_log` numbering all three axes
+    * share; every reader merges all commits sorted by data-file path). */
+  private def nextCommitFile(fs: org.apache.hadoop.fs.FileSystem,
+      md: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+    fs.mkdirs(md)
+    val k = fs.listStatus(md).count(_.getPath.getName.endsWith(".json"))
+    new org.apache.hadoop.fs.Path(md, f"zones-$k%05d.json")
+  }
+
   private def writeStrManifest(s: SparkSession, path: String,
       man: Seq[StrFileZone]): Unit = {
     val md = strManifestDir(path)
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(path)
-    fs.mkdirs(md)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(md, "zones-00000.json"), true)
+    val out = fs.create(nextCommitFile(fs, md), true)
     try out.write(man.map { z =>
       val name = relativize(fs, root, new org.apache.hadoop.fs.Path(z.path))
       (z.lo, z.hi) match {
@@ -1039,12 +1045,13 @@ object Storage {
     * unsigned-lexicographic parquet ordering equals Spark's UTF8String
     * binary comparison, so [lo, hi] intersection is sound. */
   private def strFooterZones(s: SparkSession, dir: String,
-      strCol: String): Seq[StrFileZone] = {
+      strCol: String, known: Set[String] = Set.empty): Seq[StrFileZone] = {
     import scala.jdk.CollectionConverters._
     val conf = s.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
     listDataFiles(fs, root)
+      .filterNot(f => known.contains(fs.makeQualified(f.getPath).toString))
       .sortBy(f => relativize(fs, root, f.getPath))
       .map { f =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1162,9 +1169,7 @@ object Storage {
     val md = numManifestDir(path)
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(path)
-    fs.mkdirs(md)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(md, "zones-00000.json"), true)
+    val out = fs.create(nextCommitFile(fs, md), true)
     try out.write(man.map { z =>
       val name = relativize(fs, root, new org.apache.hadoop.fs.Path(z.path))
       (z.lo, z.hi) match {
@@ -1245,12 +1250,13 @@ object Storage {
 
   /** Footer-derived NUMERIC zones for every data file in `dir`. */
   private def numFooterZones(s: SparkSession, dir: String,
-      numCol: String): Seq[NumFileZone] = {
+      numCol: String, known: Set[String] = Set.empty): Seq[NumFileZone] = {
     import scala.jdk.CollectionConverters._
     val conf = s.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
     listDataFiles(fs, root)
+      .filterNot(f => known.contains(fs.makeQualified(f.getPath).toString))
       .sortBy(f => relativize(fs, root, f.getPath))
       .map { f =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1271,6 +1277,74 @@ object Storage {
             Some(zones.map(_._2).max))
         } finally rd.close()
       }
+  }
+
+  /** ATTACH a date-axis zone manifest to an EXISTING layout — the
+    * post-hoc stats step of Delta's OPTIMIZE ZORDER: any write path
+    * (z-order, a foreign writer) whose files happen to be clustered on
+    * a column can cash that in by persisting footer-derived zones +
+    * the `_column` sidecar, and the automatic rule serves probes from
+    * then on. One footer walk, zero data pages. Composable: attach the
+    * date, numeric and string axes independently over ONE layout and a
+    * multi-axis probe prunes on the survivor INTERSECTION (q269 gates
+    * the z-order 2-D case). */
+  def attachDateZonemap(s: SparkSession, dir: String, dateCol: String): Unit = {
+    writeManifest(s, dir, zonemapManifest(s, dir, dateCol))
+    writeAxisColumn(s, manifestDir(dir), dateCol)
+  }
+
+  /** [[attachDateZonemap]] on the numeric axis. */
+  def attachNumZonemap(s: SparkSession, dir: String, numCol: String): Unit = {
+    writeNumManifest(s, dir, numFooterZones(s, dir, numCol))
+    writeAxisColumn(s, numManifestDir(dir), numCol)
+  }
+
+  /** [[attachDateZonemap]] on the string axis. */
+  def attachStrZonemap(s: SparkSession, dir: String, strCol: String): Unit = {
+    writeStrManifest(s, dir, strFooterZones(s, dir, strCol))
+    writeAxisColumn(s, strManifestDir(dir), strCol)
+  }
+
+  /** Footer-walk rebuild of a numeric manifest — the referee
+    * [[zonemapManifest]] is for the date axis (O(files) metadata IO,
+    * zero data pages). */
+  def numZonemapManifest(s: SparkSession, dir: String,
+      numCol: String): Seq[NumFileZone] = numFooterZones(s, dir, numCol)
+
+  /** Footer-walk rebuild of a string manifest. */
+  def strZonemapManifest(s: SparkSession, dir: String,
+      strCol: String): Seq[StrFileZone] = strFooterZones(s, dir, strCol)
+
+  /** APPEND a clustered batch to a numeric layout and COMMIT only the
+    * new files' zones (the [[zonemapAppend]] discipline on the numeric
+    * axis): the append writes its own `zones-<k>.json` from only ITS
+    * OWN files' footers — manifest maintenance stays O(new files) —
+    * and [[readNumManifest]] merges commits sorted by path, identical
+    * to a from-scratch rebuild (StorageSpec pins the equality; q268
+    * gates a probe spanning both commits through the automatic rule). */
+  def numZonemapAppend(df: DataFrame, numCol: String, nFiles: Int,
+      path: String): Unit = {
+    val s = df.sparkSession
+    val prior = readNumManifest(s, path).getOrElse(Seq.empty)
+    df.repartitionByRange(nFiles, col(numCol))
+      .sortWithinPartitions(col(numCol))
+      .write.mode("append").parquet(path)
+    writeNumManifest(s, path,
+      numFooterZones(s, path, numCol, prior.map(_.path).toSet))
+    writeAxisColumn(s, numManifestDir(path), numCol)
+  }
+
+  /** [[numZonemapAppend]]'s sibling on the string axis. */
+  def strZonemapAppend(df: DataFrame, strCol: String, nFiles: Int,
+      path: String): Unit = {
+    val s = df.sparkSession
+    val prior = readStrManifest(s, path).getOrElse(Seq.empty)
+    df.repartitionByRange(nFiles, col(strCol))
+      .sortWithinPartitions(col(strCol))
+      .write.mode("append").parquet(path)
+    writeStrManifest(s, path,
+      strFooterZones(s, path, strCol, prior.map(_.path).toSet))
+    writeAxisColumn(s, strManifestDir(path), strCol)
   }
 
   /** Decimal-ordered interval intersection for the rule's conjunct
@@ -1682,6 +1756,86 @@ object Storage {
       |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-16' AND DATE '2024-01-22'
       |GROUP BY 1""".stripMargin
 
+  /** NUMERIC APPEND COMMIT under the gate (q219's shape on the numeric
+    * axis): the base write lands orders under 250k, [[numZonemapAppend]]
+    * adds the rest reading only its own footers, and the probe window
+    * (200k..300k) deliberately SPANS both commits — rows from base
+    * files, appended files, and the merged-manifest skip decision all
+    * have to be right for the hash to match, and the probe runs through
+    * the AUTOMATIC rule (plain read.filter, require pins the shrink). */
+  def q268NumAppendPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q268_orders_appended", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(numManifestDir(dir))) {
+      val o = orders(s, d).select(col("o_totalprice"), col("o_orderpriority"))
+      numZonemapClusteredWrite(
+        o.filter(col("o_totalprice") < 250000.0), "o_totalprice", 16, dir)
+      numZonemapAppend(
+        o.filter(col("o_totalprice") >= 250000.0), "o_totalprice", 16, dir)
+    }
+    val probe = s.read.parquet(dir)
+      .filter(col("o_totalprice") >= 200000.0 &&
+        col("o_totalprice") <= 300000.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+    autoPruned(s, probe, totalFiles = 32)
+  }
+
+  val q268Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_totalprice >= 200000.0 AND o_totalprice <= 300000.0
+      |GROUP BY 1""".stripMargin
+
+  /** Z-ORDER + MULTI-AXIS SKIPPING under the gate (the Databricks
+    * `OPTIMIZE ZORDER BY (a, b)` + stats-skipping composition, built
+    * from this engine's own pieces): events Morton-clustered on
+    * (day index, value cents) — so every file covers a 2-D block —
+    * then [[attachDateZonemap]] + [[attachNumZonemap]] persist
+    * footer zones for the ORIGINAL `ev_date` and `value` columns, and
+    * a plain `read.filter(date window AND value window)` through the
+    * automatic rule prunes on the INTERSECTION of both survivor sets.
+    * Neither linear clustering could serve this probe on both axes;
+    * the z-curve makes both zone sets tight at once (ZonemapPruneSpec
+    * pins the intersection strictly beating either axis alone). The
+    * `require` pins the shrink; results hash-match DuckDB's plain
+    * 2-predicate filter over the raw table. */
+  def q269ZorderAutoPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q269_events_zorder", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(numManifestDir(dir))) {
+      val df = events(s, d).select(
+        to_date(col("ts")).as("ev_date"), col("value"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("dayi"),
+        round(col("value") * 100).cast("long").as("centi"))
+      zorderWrite(df, "dayi", "centi", 1024, 32, dir)
+      attachDateZonemap(s, dir, "ev_date")
+      attachNumZonemap(s, dir, "value")
+    }
+    val probe = s.read.parquet(dir)
+      .filter(col("ev_date").between(lit("2024-01-20").cast("date"),
+          lit("2024-01-26").cast("date")) &&
+        col("value") >= 100.0 && col("value") <= 200.0)
+      .groupBy(col("ev_date"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    autoPruned(s, probe, totalFiles = 32)
+  }
+
+  val q269Sql: String =
+    """SELECT CAST(ts AS DATE) AS ev_date, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-20' AND DATE '2024-01-26'
+      |  AND value >= 100.0 AND value <= 200.0
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
@@ -1701,5 +1855,7 @@ object Storage {
     "q261_autoprune_strrange" -> (q261AutoPruneStrRange _, q261Sql),
     "q265_autoprune_numrange" -> (q265AutoPruneNumRange _, q265Sql),
     "q266_partitioned_prune"  -> (q266PartitionedPrune _, q266Sql),
+    "q268_num_append_prune"   -> (q268NumAppendPrune _, q268Sql),
+    "q269_zorder_autoprune"   -> (q269ZorderAutoPrune _, q269Sql),
   )
 }

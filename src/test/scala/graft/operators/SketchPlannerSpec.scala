@@ -444,6 +444,54 @@ class SketchPlannerSpec extends SparkSpec {
     }
   }
 
+  test("PARTITIONED lake tables price cold with zero jobs too; the recursive stamp detects a partition rewrite (r17)") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-sketchpart").toString
+    // a partitioned fact (the Delta/Iceberg layering) + a flat dim
+    spark.range(12000).select(pmod(col("id"), lit(4)).cast("string").as("tenant"),
+      pmod(col("id"), lit(500)).as("k"), col("id").as("v"))
+      .write.partitionBy("tenant").parquet(s"$base/fact")
+    spark.range(500).select(col("id").as("k"), lit(1L).as("w"))
+      .write.parquet(s"$base/dim")
+    for (d <- Seq("fact", "dim"))
+      SketchPlanner.SketchManifest.write(spark, s"$base/$d", Seq("k"))
+    def jobCount = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
+    // scan-derived reference decision (fresh session, manifests deleted)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+    def frames(s: org.apache.spark.sql.SparkSession) =
+      (s.read.parquet(s"$base/fact"), s.read.parquet(s"$base/dim"))
+    // cold manifest-priced decision: ZERO jobs even through partition dirs
+    val s2 = spark.newSession()
+    val (f2, d2) = frames(s2)
+    val b2 = jobCount
+    val manifestDecision = SketchPlanner.decideChain(Seq(f2, d2), Seq("k"))
+    assert(jobCount === b2,
+      "partitioned cold pricing must stay on the zero-job manifest path")
+    // ...and it equals the scan-derived decision
+    val stash = new org.apache.hadoop.fs.Path(base, "stash")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$base/fact/_sketch"), fs, stash, false, conf)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/fact/_sketch"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/dim/_sketch"), true)
+    val s3 = spark.newSession()
+    val (f3, d3) = frames(s3)
+    assert(SketchPlanner.decideChain(Seq(f3, d3), Seq("k")) === manifestDecision,
+      "partitioned manifest decision diverged from scan-derived")
+    // the RECURSIVE stamp: restore the manifest, then rewrite ONE
+    // partition's data out-of-band — the nested file-set changed, so
+    // the stamp must invalidate and readers refuse the stale stats
+    org.apache.hadoop.fs.FileUtil.copy(fs, stash, fs,
+      new org.apache.hadoop.fs.Path(s"$base/fact/_sketch"), false, true, conf)
+    assert(SketchPlanner.SketchManifest.readCount(spark, s"$base/fact")
+      === Some(12000L), "restored stamp must validate before the rewrite")
+    spark.range(5).select(lit(13L).as("k"), col("id").as("v"))
+      .write.mode("overwrite").parquet(s"$base/fact/tenant=2")
+    assert(SketchPlanner.SketchManifest.readCount(spark, s"$base/fact") === None,
+      "a rewritten partition must invalidate the whole-table stamp")
+  }
+
   test("stale-stamp guard: an out-of-band rewrite invalidates persisted sketches; decisions reprice from scan (r16 task 6)") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-sketchstale").toString

@@ -632,4 +632,54 @@ class StorageSpec extends SparkSpec {
     assert(probe.agg(count(lit(1)),
       sum(col("l_quantity").cast("decimal(18,2)"))).collect()(0) === fullAns)
   }
+
+  test("numeric and string zonemap append commits: incremental manifests equal from-scratch rebuilds (r17 axis parity)") {
+    import spark.implicits._
+    // numeric axis: exact quarter grid split at 500
+    val ndir = Files.createTempDirectory("graft-nzmappend").toString
+    val rows = (0 until 4000).map(i => (i.toLong, i * 0.25))
+      .toDF("id", "price")
+    Storage.numZonemapClusteredWrite(
+      rows.filter(col("price") < 500.0), "price", 8, ndir)
+    Storage.numZonemapAppend(
+      rows.filter(col("price") >= 500.0), "price", 8, ndir)
+    val nInc = Storage.readNumManifest(spark, ndir)
+    assert(nInc.isDefined && nInc.get.size === 16)
+    // the incremental merge (prior commit + only-new footers) must equal
+    // rebuilding the whole manifest from footers
+    assert(nInc === Some(Storage.numZonemapManifest(spark, ndir, "price")))
+    val probed = spark.read.parquet(ndir).filter(col("price").between(300.0, 700.0))
+    assert(probed.count() === rows.filter(col("price").between(300.0, 700.0)).count())
+    // every file the merged manifest lists exists and zones cover the data:
+    // a value in [zone.lo, zone.hi] of its own file — spot-check by
+    // joining input_file_name against the manifest bounds
+    val byFile = spark.read.parquet(ndir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("price")).as("lo"), max(col("price")).as("hi"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val man = nInc.get.map(z => new org.apache.hadoop.fs.Path(z.path).getName ->
+      (z.lo.get, z.hi.get)).toMap
+    byFile.foreach { case (f, lo, hi) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      val (zlo, zhi) = man(name)
+      assert(zlo <= BigDecimal(lo.toString) && BigDecimal(hi.toString) <= zhi,
+        s"zone [$zlo,$zhi] does not cover file extent [$lo,$hi]")
+    }
+    // string axis: append a second alphabet half
+    val sdir = Files.createTempDirectory("graft-szmappend").toString
+    val docs = (0 until 400).map(i => (i.toLong, f"src${i % 20}%02d"))
+      .toDF("doc_id", "source")
+    Storage.strZonemapClusteredWrite(
+      docs.filter(col("source") < "src10"), "source", 4, sdir)
+    Storage.strZonemapAppend(
+      docs.filter(col("source") >= "src10"), "source", 4, sdir)
+    val sInc = Storage.readStrManifest(spark, sdir)
+    assert(sInc.isDefined && sInc.get.size === 8)
+    assert(sInc === Some(Storage.strZonemapManifest(spark, sdir, "source")))
+    // probe spanning the commit boundary through the AUTOMATIC rule path:
+    // survivors from the merged manifest must answer exactly
+    val (probe, total, skipped) = Storage.strPrunedRead(spark, sdir, "source", "src10")
+    assert(total === 8 && skipped > 0)
+    assert(probe.count() === 20L)
+  }
 }

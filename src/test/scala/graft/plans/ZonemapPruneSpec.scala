@@ -486,6 +486,48 @@ class ZonemapPruneSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout + attached manifests: one 2-D probe prunes on BOTH axes and beats either axis alone (r17)") {
+    import spark.implicits._
+    // the Databricks OPTIMIZE-ZORDER + stats-skipping composition from
+    // our own pieces: Morton-cluster on (day index, value cents), then
+    // attach footer-derived manifests for the ORIGINAL date and double
+    // columns — z-order makes per-file zones tight on BOTH, so a 2-D
+    // probe's survivor set is the INTERSECTION and multiplies the skip
+    val dir = Files.createTempDirectory("graft-autoprune-zorder").toString
+    val rows = (0 until 8000).map { i =>
+      val day = i % 30 + 1
+      val value = (i % 400) + (i % 7) * 0.25
+      (java.sql.Date.valueOf(f"2024-01-$day%02d"), value,
+        (day - 1).toLong, math.round(value * 100), (i % 7).toLong)
+    }.toDF("ev_date", "value", "dayi", "centi", "l_quantity")
+    Storage.zorderWrite(rows, "dayi", "centi", 1024, 32, dir)
+    Storage.attachDateZonemap(spark, dir, "ev_date")
+    Storage.attachNumZonemap(spark, dir, "value")
+    val dman = Storage.readManifest(spark, dir).get
+    val nman = Storage.readNumManifest(spark, dir).get
+    assert(dman.size === 32 && nman.size === 32)
+    def epoch(d: String) = java.sql.Date.valueOf(d).toLocalDate.toEpochDay.toInt
+    val (dlo, dhi) = (epoch("2024-01-10"), epoch("2024-01-16"))
+    val (vlo, vhi) = (BigDecimal(100), BigDecimal(200))
+    val dateSurv = dman.filter(z => !(z.hi < dlo || z.lo > dhi)).map(_.path).toSet
+    val numSurv = nman.filter(z =>
+      !(z.hi.exists(_ < vlo) || z.lo.exists(_ > vhi))).map(_.path).toSet
+    val both = dateSurv & numSurv
+    assert(both.size < dateSurv.size && both.size < numSurv.size,
+      s"fixture must show the 2-D intersection winning: ${both.size} vs ${dateSurv.size}/${numSurv.size}")
+    def probe = spark.read.parquet(dir)
+      .filter(col("ev_date").between(lit("2024-01-10").cast("date"),
+          lit("2024-01-16").cast("date")) &&
+        col("value").between(100.0, 200.0))
+    val off = agg(probe)
+    withFlag {
+      assert(scanFiles(probe) === both.size.toLong,
+        "2-D survivors must equal the two-manifest intersection referee")
+      assert(agg(probe) === off, "z-order 2-D pruning changed results")
+      assert(off.getLong(0) > 0L)
+    }
+  }
+
   test("the gated facade queries are output-invariant under the flag") {
     val d = sf("sf0.001")
     for (name <- Seq("q216_pruned_read", "q241_string_prune",
