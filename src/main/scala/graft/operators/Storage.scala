@@ -611,8 +611,11 @@ object Storage {
     * prior commits. Relative file names: the layout stays valid if the
     * directory moves. */
   private def writeManifest(s: SparkSession, dir: String,
-      man: Seq[FileZone]): Unit = {
-    val md = manifestDir(dir)
+      man: Seq[FileZone]): Unit =
+    writeDateZonesTo(s, dir, manifestDir(dir), man)
+
+  private def writeDateZonesTo(s: SparkSession, dir: String,
+      md: org.apache.hadoop.fs.Path, man: Seq[FileZone]): Unit = {
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(dir)
     val out = fs.create(nextCommitFile(fs, md), true)
@@ -703,37 +706,11 @@ object Storage {
       dateIvs: Option[Seq[(Int, Int)]],
       strIvs: Option[Seq[(Option[String], Option[String])]],
       numIvs: Option[Seq[(Option[BigDecimal], Option[BigDecimal])]])
-      : Option[(Seq[String], Int)] = {
-    val dMan = dateIvs.flatMap(_ => dateMan)
-    val sMan = strIvs.flatMap(_ => strMan)
-    val nMan = numIvs.flatMap(_ => numMan)
-    if (dMan.isEmpty && sMan.isEmpty && nMan.isEmpty) None
-    else {
-      val dateByPath = dMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
-      val strByPath = sMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
-      val numByPath = nMan.getOrElse(Seq.empty).map(z => z.path -> z).toMap
-      val allPaths =
-        (dateByPath.keySet ++ strByPath.keySet ++ numByPath.keySet).toSeq.sorted
-      val survivors = allPaths.filter { p =>
-        val dateOk = dateIvs.forall(ivs =>
-          dateByPath.get(p).forall(z => ivs.exists { case (lo, hi) =>
-            !(z.hi < lo || z.lo > hi)
-          }))
-        val strOk = strIvs.forall(ivs =>
-          strByPath.get(p).forall(z => ivs.exists { case (lo, hi) =>
-            !(hi.exists(h => z.lo.exists(zl => utf8Lt(h, zl))) ||
-              lo.exists(l => z.hi.exists(zh => utf8Lt(zh, l))))
-          }))
-        val numOk = numIvs.forall(ivs =>
-          numByPath.get(p).forall(z => ivs.exists { case (lo, hi) =>
-            !(hi.exists(h => z.lo.exists(zl => h < zl)) ||
-              lo.exists(l => z.hi.exists(zh => zh < l)))
-          }))
-        dateOk && strOk && numOk
-      }
-      Some((survivors, allPaths.size))
-    }
-  }
+      : Option[(Seq[String], Int)] =
+    survivorsFromColumnSets(
+      (for (m <- dateMan; i <- dateIvs) yield (m, i)).toSeq,
+      (for (m <- strMan; i <- strIvs) yield (m, i)).toSeq,
+      (for (m <- numMan; i <- numIvs) yield (m, i)).toSeq)
 
   /** utf8-ordered interval intersection support for the rule's
     * conjunct folding: lo = max of lower ends, hi = min of upper ends,
@@ -760,8 +737,11 @@ object Storage {
     * data-file path (= the from-scratch rebuild's order); absolute
     * paths restored against `dir`. None when the layout has no
     * `_zonemap/` directory. */
-  def readManifest(s: SparkSession, dir: String): Option[Seq[FileZone]] = {
-    val md = manifestDir(dir)
+  def readManifest(s: SparkSession, dir: String): Option[Seq[FileZone]] =
+    readDateZonesFrom(s, dir, manifestDir(dir))
+
+  private def readDateZonesFrom(s: SparkSession, dir: String,
+      md: org.apache.hadoop.fs.Path): Option[Seq[FileZone]] = {
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(md)) None
     else {
@@ -905,8 +885,11 @@ object Storage {
   }
 
   private def writeStrManifest(s: SparkSession, path: String,
-      man: Seq[StrFileZone]): Unit = {
-    val md = strManifestDir(path)
+      man: Seq[StrFileZone]): Unit =
+    writeStrZonesTo(s, path, strManifestDir(path), man)
+
+  private def writeStrZonesTo(s: SparkSession, path: String,
+      md: org.apache.hadoop.fs.Path, man: Seq[StrFileZone]): Unit = {
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(path)
     val out = fs.create(nextCommitFile(fs, md), true)
@@ -1008,8 +991,11 @@ object Storage {
 
   /** Read a persisted string zone manifest; None when the layout has no
     * `_szonemap/` directory. */
-  def readStrManifest(s: SparkSession, dir: String): Option[Seq[StrFileZone]] = {
-    val md = strManifestDir(dir)
+  def readStrManifest(s: SparkSession, dir: String): Option[Seq[StrFileZone]] =
+    readStrZonesFrom(s, dir, strManifestDir(dir))
+
+  private def readStrZonesFrom(s: SparkSession, dir: String,
+      md: org.apache.hadoop.fs.Path): Option[Seq[StrFileZone]] = {
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(md)) None
     else {
@@ -1165,8 +1151,11 @@ object Storage {
   }
 
   private def writeNumManifest(s: SparkSession, path: String,
-      man: Seq[NumFileZone]): Unit = {
-    val md = numManifestDir(path)
+      man: Seq[NumFileZone]): Unit =
+    writeNumZonesTo(s, path, numManifestDir(path), man)
+
+  private def writeNumZonesTo(s: SparkSession, path: String,
+      md: org.apache.hadoop.fs.Path, man: Seq[NumFileZone]): Unit = {
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
     val root = new org.apache.hadoop.fs.Path(path)
     val out = fs.create(nextCommitFile(fs, md), true)
@@ -1185,8 +1174,11 @@ object Storage {
 
   /** Read a persisted numeric zone manifest; None when the layout has
     * no `_nzonemap/` directory. */
-  def readNumManifest(s: SparkSession, dir: String): Option[Seq[NumFileZone]] = {
-    val md = numManifestDir(dir)
+  def readNumManifest(s: SparkSession, dir: String): Option[Seq[NumFileZone]] =
+    readNumZonesFrom(s, dir, numManifestDir(dir))
+
+  private def readNumZonesFrom(s: SparkSession, dir: String,
+      md: org.apache.hadoop.fs.Path): Option[Seq[NumFileZone]] = {
     val fs = md.getFileSystem(s.sessionState.newHadoopConf())
     if (!fs.exists(md)) None
     else {
@@ -1303,6 +1295,139 @@ object Storage {
   def attachStrZonemap(s: SparkSession, dir: String, strCol: String): Unit = {
     writeStrManifest(s, dir, strFooterZones(s, dir, strCol))
     writeAxisColumn(s, strManifestDir(dir), strCol)
+  }
+
+  // ───────────── general multi-column zone store (_colzones) ─────────────
+
+  /** Per-COLUMN zone manifests — the Delta "stats for every column"
+    * shape, closing the one-column-per-axis limitation of the three
+    * legacy manifest dirs: each column gets its own
+    * `_colzones/<col>/zones-<k>.json` plus a `_type` sidecar naming
+    * the codec (`date` | `str` | `num`), so ONE layout can carry zones
+    * for ANY number of columns — two numeric z-order keys, a tenant
+    * string AND a day, whatever the workload probes. The automatic
+    * rule intersects EVERY constrained column's survivor set. The
+    * legacy single-column axes keep working unchanged and intersect
+    * with these. */
+  case class ColumnZones(
+      dateCols: Seq[(String, Seq[FileZone])],
+      strCols: Seq[(String, Seq[StrFileZone])],
+      numCols: Seq[(String, Seq[NumFileZone])]) {
+    def isEmpty: Boolean =
+      dateCols.isEmpty && strCols.isEmpty && numCols.isEmpty
+    def allPaths: Seq[String] =
+      dateCols.flatMap(_._2.map(_.path)) ++
+        strCols.flatMap(_._2.map(_.path)) ++ numCols.flatMap(_._2.map(_.path))
+  }
+
+  private def colzonesRoot(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_colzones")
+  private def colzoneDir(dir: String, c: String) =
+    new org.apache.hadoop.fs.Path(colzonesRoot(dir), c)
+
+  private def writeTypeSidecar(s: SparkSession,
+      md: org.apache.hadoop.fs.Path, t: String): Unit = {
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(md)
+    val out = fs.create(new org.apache.hadoop.fs.Path(md, "_type"), true)
+    try out.write(t.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Persist footer-derived zones for every listed column under
+    * `_colzones/`, dispatching the codec on the column's Spark type
+    * (date → epoch-day ints, string → base64 UTF-8 bounds, numeric →
+    * exact decimals). One footer walk per column, zero data pages —
+    * the post-write ANALYZE step. Unsupported types are rejected
+    * loudly rather than silently unzoned. */
+  def attachColumnZones(s: SparkSession, dir: String,
+      cols: Seq[String]): Unit = {
+    val schema = s.read.parquet(dir).schema
+    cols.foreach { c =>
+      val md = colzoneDir(dir, c)
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.DateType =>
+          writeDateZonesTo(s, dir, md, footerZones(s, dir, c, Set.empty))
+          writeTypeSidecar(s, md, "date")
+        case org.apache.spark.sql.types.StringType =>
+          writeStrZonesTo(s, dir, md, strFooterZones(s, dir, c))
+          writeTypeSidecar(s, md, "str")
+        case _: org.apache.spark.sql.types.NumericType =>
+          writeNumZonesTo(s, dir, md, numFooterZones(s, dir, c))
+          writeTypeSidecar(s, md, "num")
+        case other => throw new IllegalArgumentException(
+          s"no zone codec for column '$c' of type $other")
+      }
+    }
+  }
+
+  /** Every column's persisted zones under `_colzones/`, grouped by
+    * codec — empty when the store is absent. Driver file IO only. */
+  def readColumnZones(s: SparkSession, dir: String): ColumnZones = {
+    val root = colzonesRoot(dir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return ColumnZones(Seq.empty, Seq.empty, Seq.empty)
+    val subdirs = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .sortBy(_.getPath.getName)
+    val dates = Seq.newBuilder[(String, Seq[FileZone])]
+    val strs = Seq.newBuilder[(String, Seq[StrFileZone])]
+    val nums = Seq.newBuilder[(String, Seq[NumFileZone])]
+    subdirs.foreach { sd =>
+      val c = sd.getPath.getName
+      val tf = new org.apache.hadoop.fs.Path(sd.getPath, "_type")
+      if (fs.exists(tf)) {
+        val in = fs.open(tf)
+        val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        t match {
+          case "date" => readDateZonesFrom(s, dir, sd.getPath)
+            .foreach(z => dates += (c -> z))
+          case "str" => readStrZonesFrom(s, dir, sd.getPath)
+            .foreach(z => strs += (c -> z))
+          case "num" => readNumZonesFrom(s, dir, sd.getPath)
+            .foreach(z => nums += (c -> z))
+          case _ => () // unknown codec: skip, never mis-read
+        }
+      }
+    }
+    ColumnZones(dates.result(), strs.result(), nums.result())
+  }
+
+  /** [[survivorsFromManifests]] generalized to ANY number of
+    * constrained columns per codec: each (manifest, interval-union)
+    * pair must accept a file (absent-from-manifest = unskippable on
+    * that column), all pairs INTERSECT. None when nothing constrains. */
+  def survivorsFromColumnSets(
+      dateSets: Seq[(Seq[FileZone], Seq[(Int, Int)])],
+      strSets: Seq[(Seq[StrFileZone], Seq[(Option[String], Option[String])])],
+      numSets: Seq[(Seq[NumFileZone], Seq[(Option[BigDecimal], Option[BigDecimal])])])
+      : Option[(Seq[String], Int)] = {
+    if (dateSets.isEmpty && strSets.isEmpty && numSets.isEmpty) return None
+    val allPaths = (dateSets.flatMap(_._1.map(_.path)) ++
+      strSets.flatMap(_._1.map(_.path)) ++
+      numSets.flatMap(_._1.map(_.path))).distinct.sorted
+    val dateBy = dateSets.map { case (man, ivs) =>
+      (man.map(z => z.path -> z).toMap, ivs) }
+    val strBy = strSets.map { case (man, ivs) =>
+      (man.map(z => z.path -> z).toMap, ivs) }
+    val numBy = numSets.map { case (man, ivs) =>
+      (man.map(z => z.path -> z).toMap, ivs) }
+    val survivors = allPaths.filter { p =>
+      dateBy.forall { case (by, ivs) =>
+        by.get(p).forall(z => ivs.exists { case (lo, hi) =>
+          !(z.hi < lo || z.lo > hi) })
+      } &&
+      strBy.forall { case (by, ivs) =>
+        by.get(p).forall(z => ivs.exists { case (lo, hi) =>
+          !(hi.exists(h => z.lo.exists(zl => utf8Lt(h, zl))) ||
+            lo.exists(l => z.hi.exists(zh => utf8Lt(zh, l)))) })
+      } &&
+      numBy.forall { case (by, ivs) =>
+        by.get(p).forall(z => ivs.exists { case (lo, hi) =>
+          !(hi.exists(h => z.lo.exists(zl => h < zl)) ||
+            lo.exists(l => z.hi.exists(zh => zh < l))) })
+      }
+    }
+    Some((survivors, allPaths.size))
   }
 
   /** Footer-walk rebuild of a numeric manifest — the referee
@@ -1836,6 +1961,42 @@ object Storage {
       |  AND value >= 100.0 AND value <= 200.0
       |GROUP BY 1""".stripMargin
 
+  /** MULTI-COLUMN ZONE STORE under the gate (`_colzones/` — the Delta
+    * stats-for-every-column shape): lineitem z-ordered on its TWO
+    * join keys, both NUMERIC — the case the single-column-per-axis
+    * legacy manifests cannot hold — with per-column zones attached via
+    * [[attachColumnZones]]; a 2-D range probe through a plain
+    * read.filter prunes on the intersection of BOTH columns' survivor
+    * sets (q79's Morton layout finally cashed in by the automatic
+    * rule). The probe window sits in the low key region so it selects
+    * rows AND prunes at every SF (key ranges grow with SF). */
+  def q270ColzonesPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q270_li_zorder_keys", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(colzonesRoot(dir))) {
+      zorderWrite(lineitem(s, d).select(col("l_partkey"), col("l_suppkey"),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_partkey", "l_suppkey", 1024, 64, dir)
+      attachColumnZones(s, dir, Seq("l_partkey", "l_suppkey"))
+    }
+    val probe = s.read.parquet(dir)
+      .filter(col("l_partkey").between(20L, 60L) &&
+        col("l_suppkey").between(2L, 5L))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+    autoPruned(s, probe, totalFiles = 64)
+  }
+
+  val q270Sql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 20 AND 60 AND l_suppkey BETWEEN 2 AND 5
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
@@ -1857,5 +2018,6 @@ object Storage {
     "q266_partitioned_prune"  -> (q266PartitionedPrune _, q266Sql),
     "q268_num_append_prune"   -> (q268NumAppendPrune _, q268Sql),
     "q269_zorder_autoprune"   -> (q269ZorderAutoPrune _, q269Sql),
+    "q270_colzones_prune"     -> (q270ColzonesPrune _, q270Sql),
   )
 }

@@ -89,21 +89,32 @@ object ZonemapPruneRule extends Rule[LogicalPlan] {
   val FLAG = "spark.graft.zonemapPrune.enabled"
 
   /** Everything the rule needs to know about one layout directory,
-    * read ONCE per optimizer pass: the per-axis `_column` sidecars and
-    * (for advertised axes only) the persisted manifests. */
+    * read ONCE per optimizer pass: the per-axis `_column` sidecars,
+    * the persisted manifests for advertised axes, and the
+    * multi-column `_colzones/` store (any number of columns per
+    * codec). Legacy axes and colzones columns all INTERSECT. */
   private[plans] case class DirAxes(
       dateCol: Option[String], strCol: Option[String], numCol: Option[String],
       dateMan: Option[Seq[Storage.FileZone]],
       strMan: Option[Seq[Storage.StrFileZone]],
-      numMan: Option[Seq[Storage.NumFileZone]]) {
+      numMan: Option[Seq[Storage.NumFileZone]],
+      colzones: Storage.ColumnZones) {
     def isEmpty: Boolean =
-      dateCol.isEmpty && strCol.isEmpty && numCol.isEmpty
+      dateCol.isEmpty && strCol.isEmpty && numCol.isEmpty && colzones.isEmpty
+    /** Every (column, manifest) pair per codec — legacy axis first. */
+    def dateCands: Seq[(String, Seq[Storage.FileZone])] =
+      (for (c <- dateCol; m <- dateMan) yield (c, m)).toSeq ++ colzones.dateCols
+    def strCands: Seq[(String, Seq[Storage.StrFileZone])] =
+      (for (c <- strCol; m <- strMan) yield (c, m)).toSeq ++ colzones.strCols
+    def numCands: Seq[(String, Seq[Storage.NumFileZone])] =
+      (for (c <- numCol; m <- numMan) yield (c, m)).toSeq ++ colzones.numCols
     /** Union of every path any persisted manifest lists — the set the
       * zone guarantees cover. */
     def manifestedPaths: Set[String] =
       (dateMan.getOrElse(Seq.empty).map(_.path) ++
         strMan.getOrElse(Seq.empty).map(_.path) ++
-        numMan.getOrElse(Seq.empty).map(_.path)).toSet
+        numMan.getOrElse(Seq.empty).map(_.path) ++
+        colzones.allPaths).toSet
   }
 
   private[plans] def loadAxes(s: SparkSession, dir: String): DirAxes = {
@@ -113,7 +124,8 @@ object ZonemapPruneRule extends Rule[LogicalPlan] {
     DirAxes(dc, sc, nc,
       dc.flatMap(_ => Storage.readManifest(s, dir)),
       sc.flatMap(_ => Storage.readStrManifest(s, dir)),
-      nc.flatMap(_ => Storage.readNumManifest(s, dir)))
+      nc.flatMap(_ => Storage.readNumManifest(s, dir)),
+      Storage.readColumnZones(s, dir))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -148,11 +160,16 @@ object ZonemapPruneRule extends Rule[LogicalPlan] {
     val axes = axesOf.getOrElseUpdate(dir, loadAxes(s, dir))
     if (axes.isEmpty) return None
     val cs = conjuncts(cond)
-    val dateBounds = axes.dateCol.flatMap(dc => extractDateIvs(cs, lr, dc))
-    val strEq = axes.strCol.flatMap(sc => extractStrIvs(cs, lr, sc))
-    val numBounds = axes.numCol.flatMap(nc => extractNumIvs(cs, lr, nc))
-    if (dateBounds.isEmpty && strEq.isEmpty && numBounds.isEmpty) return None
-    survivingFilesOf(axes, dateBounds, strEq, numBounds).flatMap {
+    // every zoned column the predicate constrains contributes one
+    // (manifest, interval-union) pair; all pairs intersect
+    val dateSets = axes.dateCands.flatMap { case (c, man) =>
+      extractDateIvs(cs, lr, c).map(ivs => (man, ivs)) }
+    val strSets = axes.strCands.flatMap { case (c, man) =>
+      extractStrIvs(cs, lr, c).map(ivs => (man, ivs)) }
+    val numSets = axes.numCands.flatMap { case (c, man) =>
+      extractNumIvs(cs, lr, c).map(ivs => (man, ivs)) }
+    if (dateSets.isEmpty && strSets.isEmpty && numSets.isEmpty) return None
+    survivingFilesOf(dateSets, strSets, numSets).flatMap {
       case (survivors, _) =>
         // Coverage cross-check (r15 advice): the manifests only protect
         // files they LIST. A data file present in the directory but
@@ -195,13 +212,12 @@ object ZonemapPruneRule extends Rule[LogicalPlan] {
   }
 
   /** Seam for ZonemapPruneSpec's never-a-filter fault drill. */
-  private[plans] def survivingFilesOf(axes: DirAxes,
-      dateIvs: Option[Seq[(Int, Int)]],
-      strIvs: Option[Seq[(Option[String], Option[String])]],
-      numIvs: Option[Seq[(Option[BigDecimal], Option[BigDecimal])]])
+  private[plans] def survivingFilesOf(
+      dateSets: Seq[(Seq[Storage.FileZone], Seq[(Int, Int)])],
+      strSets: Seq[(Seq[Storage.StrFileZone], Seq[(Option[String], Option[String])])],
+      numSets: Seq[(Seq[Storage.NumFileZone], Seq[(Option[BigDecimal], Option[BigDecimal])])])
       : Option[(Seq[String], Int)] =
-    Storage.survivorsFromManifests(axes.dateMan, axes.strMan, axes.numMan,
-      dateIvs, strIvs, numIvs)
+    Storage.survivorsFromColumnSets(dateSets, strSets, numSets)
 
   /** Interval union over the clustered DateType column from the
     * top-level conjuncts — None when no conjunct constrains it.

@@ -528,6 +528,57 @@ class ZonemapPruneSpec extends SparkSpec {
     }
   }
 
+  test("multi-column _colzones store: TWO numeric columns (and a string) intersect on one probe; unsupported types are rejected (r17)") {
+    import spark.implicits._
+    // two numeric z-order keys — the case the one-column-per-axis
+    // legacy manifests cannot hold — plus a string column, all in one
+    // _colzones/ store
+    val dir = Files.createTempDirectory("graft-colzones").toString
+    val rows = (0 until 8000).map { i =>
+      (i.toLong % 200, (i / 40).toLong, f"src${i % 16}%02d", (i % 7).toLong)
+    }.toDF("pk", "sk", "source", "l_quantity")
+    Storage.zorderWrite(rows, "pk", "sk", 1024, 32, dir)
+    Storage.attachColumnZones(spark, dir, Seq("pk", "sk", "source"))
+    val cz = Storage.readColumnZones(spark, dir)
+    assert(cz.numCols.map(_._1).sorted === Seq("pk", "sk"))
+    assert(cz.strCols.map(_._1) === Seq("source"))
+    assert(cz.numCols.forall(_._2.size === 32))
+    val pkMan = cz.numCols.toMap.apply("pk")
+    val skMan = cz.numCols.toMap.apply("sk")
+    def surv(man: Seq[Storage.NumFileZone], lo: Int, hi: Int): Set[String] =
+      man.filter(z => !(z.hi.exists(_ < BigDecimal(lo)) ||
+        z.lo.exists(_ > BigDecimal(hi)))).map(_.path).toSet
+    val expected = surv(pkMan, 50, 90) & surv(skMan, 30, 70)
+    assert(expected.size < surv(pkMan, 50, 90).size &&
+      expected.size < surv(skMan, 30, 70).size,
+      "fixture must show the two-column intersection winning")
+    def probe = spark.read.parquet(dir)
+      .filter(col("pk").between(50L, 90L) && col("sk").between(30L, 70L))
+    val off = agg(probe)
+    withFlag {
+      assert(scanFiles(probe) === expected.size.toLong,
+        "2-column survivors must equal the per-column intersection referee")
+      assert(agg(probe) === off)
+      assert(off.getLong(0) > 0L)
+      // the string colzones column constrains too, composing with both
+      val probe3 = spark.read.parquet(dir)
+        .filter(col("pk").between(50L, 90L) && col("sk").between(30L, 70L) &&
+          col("source") === "src03")
+      assert(scanFiles(probe3) <= expected.size.toLong)
+      assert(probe3.count() ===
+        spark.read.parquet(dir).filter(col("pk").between(50L, 90L) &&
+          col("sk").between(30L, 70L) && col("source") === "src03").count())
+    }
+    // a column with no zone codec is rejected loudly, never silently unzoned
+    val bin = (0 until 10).map(i => (i.toLong, Array[Byte](i.toByte)))
+      .toDF("k", "payload")
+    val bdir = Files.createTempDirectory("graft-colzones-bin").toString
+    bin.write.mode("overwrite").parquet(bdir)
+    intercept[IllegalArgumentException] {
+      Storage.attachColumnZones(spark, bdir, Seq("payload"))
+    }
+  }
+
   test("the gated facade queries are output-invariant under the flag") {
     val d = sf("sf0.001")
     for (name <- Seq("q216_pruned_read", "q241_string_prune",
