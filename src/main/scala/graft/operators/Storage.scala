@@ -1360,6 +1360,17 @@ object Storage {
     }
   }
 
+  private def readTypeSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      md: org.apache.hadoop.fs.Path): Option[String] = {
+    val tf = new org.apache.hadoop.fs.Path(md, "_type")
+    if (!fs.exists(tf)) None
+    else {
+      val in = fs.open(tf)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
   /** Every column's persisted zones under `_colzones/`, grouped by
     * codec — empty when the store is absent. Driver file IO only. */
   def readColumnZones(s: SparkSession, dir: String): ColumnZones = {
@@ -1373,11 +1384,7 @@ object Storage {
     val nums = Seq.newBuilder[(String, Seq[NumFileZone])]
     subdirs.foreach { sd =>
       val c = sd.getPath.getName
-      val tf = new org.apache.hadoop.fs.Path(sd.getPath, "_type")
-      if (fs.exists(tf)) {
-        val in = fs.open(tf)
-        val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
+      readTypeSidecar(fs, sd.getPath).foreach { t =>
         t match {
           case "date" => readDateZonesFrom(s, dir, sd.getPath)
             .foreach(z => dates += (c -> z))
@@ -1390,6 +1397,42 @@ object Storage {
       }
     }
     ColumnZones(dates.result(), strs.result(), nums.result())
+  }
+
+  /** APPEND a clustered batch to a `_colzones/` layout and COMMIT, for
+    * EVERY column the store carries, a zone file covering only the NEW
+    * data files — the [[numZonemapAppend]] discipline generalized to
+    * the multi-column store. The column set and each column's codec
+    * come from the store itself (`_type` sidecars), so callers never
+    * restate the schema; per-column manifest maintenance stays
+    * O(new files) footer reads (the commit numbering means readers
+    * merge commits path-sorted, identical to a from-scratch
+    * [[attachColumnZones]] rebuild — StorageSpec pins the equality,
+    * q271 gates a probe spanning both commits through the automatic
+    * rule). The batch is range-clustered on `clusterCol`; other
+    * columns' zones in the new files are whatever the data gives them
+    * (wide zones prune nothing but never lie). */
+  def colzonesAppend(df: DataFrame, clusterCol: String, nFiles: Int,
+      path: String): Unit = {
+    val s = df.sparkSession
+    val prior = readColumnZones(s, path)
+    require(!prior.isEmpty,
+      s"no _colzones store under $path to append to — attachColumnZones first")
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode("append").parquet(path)
+    prior.dateCols.foreach { case (c, zones) =>
+      writeDateZonesTo(s, path, colzoneDir(path, c),
+        footerZones(s, path, c, zones.map(_.path).toSet))
+    }
+    prior.strCols.foreach { case (c, zones) =>
+      writeStrZonesTo(s, path, colzoneDir(path, c),
+        strFooterZones(s, path, c, zones.map(_.path).toSet))
+    }
+    prior.numCols.foreach { case (c, zones) =>
+      writeNumZonesTo(s, path, colzoneDir(path, c),
+        numFooterZones(s, path, c, zones.map(_.path).toSet))
+    }
   }
 
   /** [[survivorsFromManifests]] generalized to ANY number of
@@ -1470,6 +1513,74 @@ object Storage {
     writeStrManifest(s, path,
       strFooterZones(s, path, strCol, prior.map(_.path).toSet))
     writeAxisColumn(s, strManifestDir(path), strCol)
+  }
+
+  /** Executed OPTIMIZE (the compaction the q144 planner only PLANS,
+    * the Delta/Iceberg `OPTIMIZE` maintenance step): rewrite an
+    * unpartitioned zone-mapped layout — typically fragmented by many
+    * append commits — into `nFiles` range-clustered files and
+    * RE-DERIVE every piece of layout metadata from the new footers:
+    * the legacy axis manifests keep their columns
+    * (`_zonemap`/`_szonemap`/`_nzonemap` via the attach* rebuilds),
+    * the `_colzones/` store keeps its column set and codecs, and
+    * `_sketch/` stats are DROPPED (the files.txt staleness stamp would
+    * reject them after the rewrite anyway; re-persisting is the
+    * caller's ANALYZE step). Rows are untouched — results over the
+    * layout are invariant (spec-pinned) — but file count, commit-file
+    * count and zone tightness reset to single-write quality: the
+    * metadata debt appends accumulate is paid down in one clustered
+    * rewrite, and the appends' overlapping zones become disjoint
+    * ranges again, so pruning recovers its write-time selectivity.
+    *
+    * The swap is staged (clustered rewrite lands in a sibling
+    * `.compact-staging` dir while readers still see the old files,
+    * then delete-old + rename-in) — per-file atomic, not
+    * transactional: this is the maintenance-window operation. The
+    * commit log a production lake layers above it is out of scope by
+    * the same stance as SURVEY §0's consensus boundary. */
+  def optimizeCompact(s: SparkSession, dir: String, clusterCol: String,
+      nFiles: Int): Unit = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    require(!fs.listStatus(root).exists(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")),
+      s"optimizeCompact compacts unpartitioned layouts; $dir has partition dirs")
+    // the metadata to re-derive, read BEFORE touching the layout
+    val dateAxis = readAxisColumn(s, manifestDir(dir))
+    val strAxis = readAxisColumn(s, strManifestDir(dir))
+    val numAxis = readAxisColumn(s, numManifestDir(dir))
+    val czRoot = colzonesRoot(dir)
+    val czCols: Seq[String] =
+      if (fs.exists(czRoot))
+        fs.listStatus(czRoot).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).sorted
+      else Seq.empty
+    // stage the clustered rewrite beside the layout; the job reads the
+    // old files in full before anything is deleted
+    val staging = new org.apache.hadoop.fs.Path(
+      root.getParent, root.getName + ".compact-staging")
+    fs.delete(staging, true)
+    s.read.parquet(dir)
+      .repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+      .write.mode("overwrite").parquet(staging.toString)
+    // swap: old data files + every metadata dir out, staged files in
+    listDataFiles(fs, root).foreach(f => fs.delete(f.getPath, false))
+    Seq(manifestDir(dir), strManifestDir(dir), numManifestDir(dir),
+      czRoot, new org.apache.hadoop.fs.Path(dir, "_sketch"))
+      .foreach(p => fs.delete(p, true))
+    listDataFiles(fs, staging).foreach { f =>
+      fs.rename(f.getPath,
+        new org.apache.hadoop.fs.Path(root, f.getPath.getName))
+    }
+    fs.delete(staging, true)
+    // re-derive every manifest the layout carried from the new footers
+    dateAxis.foreach(c => attachDateZonemap(s, dir, c))
+    strAxis.foreach(c => attachStrZonemap(s, dir, c))
+    numAxis.foreach(c => attachNumZonemap(s, dir, c))
+    if (czCols.nonEmpty) attachColumnZones(s, dir, czCols)
   }
 
   /** Decimal-ordered interval intersection for the rule's conjunct
@@ -1997,6 +2108,96 @@ object Storage {
       |WHERE l_partkey BETWEEN 20 AND 60 AND l_suppkey BETWEEN 2 AND 5
       |GROUP BY 1""".stripMargin
 
+  /** MULTI-COLUMN STORE APPEND under the gate: a `_colzones/` layout
+    * (NO legacy axis dirs, so any pruning can only come from the
+    * store) built as clustered-write + [[colzonesAppend]] — the append
+    * committed O(new files) zone files for BOTH stored columns — then
+    * one range probe SPANNING the commit boundary prunes through the
+    * automatic rule on merged commits. Results hash-match DuckDB's
+    * plain filter over the raw table; the `require` pins the shrink. */
+  def q271ColzonesAppend(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q271_orders_cz_append", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(colzonesRoot(dir))) {
+      val o = orders(s, d).select(col("o_totalprice"), col("o_custkey"),
+        col("o_orderpriority"))
+      o.filter(col("o_totalprice") < 250000.0)
+        .repartitionByRange(16, col("o_totalprice"))
+        .sortWithinPartitions(col("o_totalprice"))
+        .write.mode("overwrite").parquet(dir)
+      attachColumnZones(s, dir, Seq("o_totalprice", "o_custkey"))
+      colzonesAppend(o.filter(col("o_totalprice") >= 250000.0),
+        "o_totalprice", 16, dir)
+    }
+    val probe = s.read.parquet(dir)
+      .filter(col("o_totalprice") >= 200000.0 &&
+        col("o_totalprice") <= 300000.0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+    autoPruned(s, probe, totalFiles = 32)
+  }
+
+  val q271Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_totalprice >= 200000.0 AND o_totalprice <= 300000.0
+      |GROUP BY 1""".stripMargin
+
+  /** EXECUTED COMPACTION under the gate (the step q144 only plans):
+    * a deliberately fragmented history — one clustered write plus
+    * three appends, each commit re-clustering only ITS slice, so the
+    * layout holds four parallel copies of the price grid and a window
+    * probe pays its surviving range in every commit — is
+    * [[optimizeCompact]]ed into 8 range-clustered files with every
+    * manifest re-derived. The probe then prunes through the automatic
+    * rule over the merged layout (`require` pins scanned < 8), the
+    * build block `require`s the file count actually dropped 32→8, and
+    * results hash-match DuckDB over the raw table: compaction changed
+    * layout and metadata, never rows. */
+  def q272OptimizeCompact(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch(s, "q272_li_compacted", d)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(numManifestDir(dir))) {
+      val li = lineitem(s, d).select(col("l_extendedprice"),
+        col("l_returnflag"), col("l_quantity"))
+      // fragmented history: each commit is price-clustered over only
+      // its own quantity slice — four parallel price grids of 8 files
+      numZonemapClusteredWrite(li.filter(col("l_quantity") <= 10),
+        "l_extendedprice", 8, dir)
+      Seq(col("l_quantity") > 10 && col("l_quantity") <= 25,
+          col("l_quantity") > 25 && col("l_quantity") <= 40,
+          col("l_quantity") > 40).foreach { slice =>
+        numZonemapAppend(li.filter(slice), "l_extendedprice", 8, dir)
+      }
+      require(listDataFiles(fs, root).size == 32,
+        "q272 fragmented history should hold 32 files pre-compaction")
+      optimizeCompact(s, dir, "l_extendedprice", 8)
+      val after = listDataFiles(fs, root).size
+      require(after == 8,
+        s"optimizeCompact should land exactly 8 files, found $after")
+    }
+    val probe = s.read.parquet(dir)
+      .filter(col("l_extendedprice") >= 20000.0 &&
+        col("l_extendedprice") <= 30000.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+    autoPruned(s, probe, totalFiles = 8)
+  }
+
+  val q272Sql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_extendedprice >= 20000.0 AND l_extendedprice <= 30000.0
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
@@ -2019,5 +2220,7 @@ object Storage {
     "q268_num_append_prune"   -> (q268NumAppendPrune _, q268Sql),
     "q269_zorder_autoprune"   -> (q269ZorderAutoPrune _, q269Sql),
     "q270_colzones_prune"     -> (q270ColzonesPrune _, q270Sql),
+    "q271_colzones_append"    -> (q271ColzonesAppend _, q271Sql),
+    "q272_optimize_compact"   -> (q272OptimizeCompact _, q272Sql),
   )
 }

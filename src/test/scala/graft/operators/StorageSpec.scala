@@ -682,4 +682,93 @@ class StorageSpec extends SparkSpec {
     assert(total === 8 && skipped > 0)
     assert(probe.count() === 20L)
   }
+
+  test("colzones append: per-column incremental commits equal a from-scratch rebuild") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-czappend").toString + "/t"
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, i * 0.25, java.sql.Date.valueOf("2024-01-01").toLocalDate
+        .plusDays(i / 40).toString, f"src${i % 20}")
+    }.toDF("id", "price", "day_s", "source")
+      .withColumn("day", col("day_s").cast("date")).drop("day_s")
+    rows.filter(col("price") < 500.0)
+      .repartitionByRange(8, col("price")).sortWithinPartitions(col("price"))
+      .write.mode("overwrite").parquet(dir)
+    Storage.attachColumnZones(spark, dir, Seq("price", "day", "source"))
+    Storage.colzonesAppend(rows.filter(col("price") >= 500.0), "price", 8, dir)
+    // the append committed one NEW zone file per column (O(new files)
+    // maintenance), never a restatement of the first commit
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("price", "day", "source").foreach { c =>
+      val commits = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/_colzones/$c")).toSeq
+        .filter(_.getPath.getName.endsWith(".json"))
+      assert(commits.size === 2, s"column $c should carry 2 commit files")
+    }
+    val incremental = Storage.readColumnZones(spark, dir)
+    assert(incremental.numCols.map(_._1) === Seq("price"))
+    assert(incremental.dateCols.map(_._1) === Seq("day"))
+    assert(incremental.strCols.map(_._1) === Seq("source"))
+    assert(incremental.numCols.head._2.size === 16)
+    // referee: drop the store, rebuild from scratch over ALL files —
+    // the merged incremental read must equal the rebuild exactly
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_colzones"), true)
+    Storage.attachColumnZones(spark, dir, Seq("price", "day", "source"))
+    assert(incremental === Storage.readColumnZones(spark, dir))
+  }
+
+  test("optimizeCompact: rows invariant, files drop, manifests re-derived, zones disjoint again") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val rows = (0 until 6000).map(i => (i.toLong, (i % 1000) * 1.0))
+      .toDF("id", "price")
+    // fragmented history: each commit re-clusters ITS slice on price,
+    // so the layout accumulates four parallel copies of the same price
+    // grid — a window probe must open its surviving range in EVERY
+    // commit (4x the file opens of a single-write layout)
+    Storage.numZonemapClusteredWrite(
+      rows.filter(col("id") % 4 === 0), "price", 6, dir)
+    (1 to 3).foreach { r =>
+      Storage.numZonemapAppend(
+        rows.filter(col("id") % 4 === r), "price", 6, dir)
+    }
+    Storage.attachColumnZones(spark, dir, Seq("id"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_sketch")) // stale stats stub
+    assert(Storage.listDataFiles(fs, new org.apache.hadoop.fs.Path(dir)).size === 24)
+    val preMan = Storage.readNumManifest(spark, dir).get
+    val window = Seq((Some(BigDecimal(300)), Some(BigDecimal(700))))
+    val preSurv = Storage.survivorsFromColumnSets(
+      Seq.empty, Seq.empty, Seq((preMan, window))).get
+    assert(preSurv._1.size === 16,
+      "pre-compaction the probe pays its surviving range in all 4 commits")
+    val before = spark.read.parquet(dir).orderBy("id").collect()
+
+    Storage.optimizeCompact(spark, dir, "price", 6)
+
+    assert(Storage.listDataFiles(fs, new org.apache.hadoop.fs.Path(dir)).size === 6)
+    assert(spark.read.parquet(dir).orderBy("id").collect() === before)
+    // the legacy numeric axis was re-derived over the new files and its
+    // zones are DISJOINT again: the probe prunes where it could not
+    val postMan = Storage.readNumManifest(spark, dir).get
+    assert(postMan.size === 6)
+    assert(postMan === Storage.numZonemapManifest(spark, dir, "price"))
+    val postSurv = Storage.survivorsFromColumnSets(
+      Seq.empty, Seq.empty, Seq((postMan, window))).get
+    assert(postSurv._1.size < 6, "post-compaction the probe skips files")
+    assert(postSurv._1.size * 4 === preSurv._1.size,
+      "compaction merges the 4x commit duplication out of the probe's reads")
+    val sorted = postMan.sortBy(_.lo.get)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.hi.get <= b.lo.get, s"zones overlap after compaction: $a / $b")
+      case _ => ()
+    }
+    // the colzones store kept its column set; stale sketch stats dropped
+    val cz = Storage.readColumnZones(spark, dir)
+    assert(cz.numCols.map(_._1) === Seq("id") && cz.numCols.head._2.size === 6)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_sketch")))
+  }
 }

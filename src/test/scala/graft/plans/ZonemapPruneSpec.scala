@@ -593,4 +593,53 @@ class ZonemapPruneSpec extends SparkSpec {
       assert(on === off, name)
     }
   }
+
+  test("partitioned layout + _colzones store: zone survivors and partition pruning intersect") {
+    import spark.implicits._
+    // the Delta layering with the MULTI-column store: partition dirs
+    // from `tenant`, per-tenant files range-clustered on `price`, and
+    // the `_colzones/` codec walk attaching zones for a DATA column of
+    // a partitioned tree (root-relative paths through partition dirs)
+    val dir = Files.createTempDirectory("graft-czpart").toString + "/t"
+    val rows = (for {
+      t <- Seq("alpha", "beta", "gamma", "delta")
+      i <- 0 until 600
+    } yield (t, i * 1.0, (i % 7).toLong)).toDF("tenant", "price", "l_quantity")
+    rows.repartitionByRange(24, col("tenant"), col("price"))
+      .sortWithinPartitions(col("tenant"), col("price"))
+      .write.partitionBy("tenant").mode("overwrite").parquet(dir)
+    Storage.attachColumnZones(spark, dir, Seq("price"))
+    val total = spark.read.parquet(dir).inputFiles.length
+    val cz = Storage.readColumnZones(spark, dir)
+    assert(cz.numCols.map(_._1) === Seq("price"))
+    val man = cz.numCols.head._2
+    assert(man.size === total, "store must cover every partition's files")
+    assert(man.exists(_.path.contains("tenant=")),
+      "store must persist partition-relative paths")
+    val (lo, hi) = (BigDecimal(100), BigDecimal(220))
+    val zoneSurvivors = man.filter(z =>
+      !(z.hi.exists(_ < lo) || z.lo.exists(_ > hi)))
+    assert(zoneSurvivors.size < total, "fixture: zones must skip something")
+    val expectedOpened = zoneSurvivors.count(_.path.contains("tenant=beta"))
+    assert(expectedOpened > 0 && expectedOpened < zoneSurvivors.size,
+      "fixture: partition pruning must skip something on top of zones")
+    def probe = spark.read.parquet(dir)
+      .filter(col("tenant") === "beta" &&
+        col("price") >= 100.0 && col("price") <= 220.0)
+    val off = agg(probe)
+    withFlag {
+      assert(agg(probe) === off, "pruning must never change the answer")
+      val planFiles = probe.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }.sum
+      assert(planFiles === zoneSurvivors.size,
+        "logical index must hold exactly the store's zone survivors")
+      assert(scanFiles(probe) === expectedOpened.toLong,
+        "executed scan must intersect partition pruning with zone survival")
+      assert(off.getLong(0) > 0L)
+    }
+  }
 }
