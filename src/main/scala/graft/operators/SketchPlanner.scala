@@ -1146,6 +1146,30 @@ object SketchPlanner {
         }
       }
     }
+
+    /** After a ROW-PRESERVING rewrite ([[Storage.optimizeCompact]]):
+      * the persisted statistics are functions of row CONTENT, not
+      * layout — a compaction that moves every row into new files
+      * changes neither the count nor a single CMS cell — so the
+      * manifest stays exactly correct and only the staleness stamp
+      * (file names + sizes) needs refreshing. Restamping costs one
+      * driver listing, zero jobs; dropping the manifest would cost a
+      * full re-scan to win back the cold zero-job pricing path.
+      * A `_sketch/` directory WITHOUT a readable count (a bare stub,
+      * or a crash mid-write) is deleted instead — never stamp what
+      * the readers can't serve. Returns true when restamped.
+      * ONLY for rewrites that preserve the multiset of rows; any
+      * rewrite that filters, dedups or appends must use [[write]] /
+      * [[append]]. */
+    def restampAfterRowPreservingRewrite(s: SparkSession,
+        dataDir: String): Boolean = {
+      val md = sketchDir(dataDir)
+      val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(md)) false
+      else if (fs.exists(new org.apache.hadoop.fs.Path(md, "count.json"))) {
+        writeStamp(s, dataDir); true
+      } else { fs.delete(md, true); false }
+    }
   }
 
   /** (directory, column name) when `df.select(k)` is a bare projection

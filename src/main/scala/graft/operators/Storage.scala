@@ -1523,9 +1523,12 @@ object Storage {
     * the legacy axis manifests keep their columns
     * (`_zonemap`/`_szonemap`/`_nzonemap` via the attach* rebuilds),
     * the `_colzones/` store keeps its column set and codecs, and
-    * `_sketch/` stats are DROPPED (the files.txt staleness stamp would
-    * reject them after the rewrite anyway; re-persisting is the
-    * caller's ANALYZE step). Rows are untouched — results over the
+    * persisted `_sketch/` statistics SURVIVE via
+    * [[SketchPlanner.SketchManifest.restampAfterRowPreservingRewrite]]
+    * — compaction changes no row, so count and CMS cells stay exactly
+    * correct and only the staleness stamp is refreshed (zero jobs;
+    * cold zero-job planner pricing keeps working across maintenance
+    * instead of degrading to a re-scan). Rows are untouched — results over the
     * layout are invariant (spec-pinned) — but file count, commit-file
     * count and zone tightness reset to single-write quality: the
     * metadata debt appends accumulate is paid down in one clustered
@@ -1566,10 +1569,10 @@ object Storage {
       .repartitionByRange(nFiles, col(clusterCol))
       .sortWithinPartitions(col(clusterCol))
       .write.mode("overwrite").parquet(staging.toString)
-    // swap: old data files + every metadata dir out, staged files in
+    // swap: old data files + zone metadata out, staged files in
+    // (`_sketch/` stays — its stats describe rows, not files)
     listDataFiles(fs, root).foreach(f => fs.delete(f.getPath, false))
-    Seq(manifestDir(dir), strManifestDir(dir), numManifestDir(dir),
-      czRoot, new org.apache.hadoop.fs.Path(dir, "_sketch"))
+    Seq(manifestDir(dir), strManifestDir(dir), numManifestDir(dir), czRoot)
       .foreach(p => fs.delete(p, true))
     listDataFiles(fs, staging).foreach { f =>
       fs.rename(f.getPath,
@@ -1581,6 +1584,8 @@ object Storage {
     strAxis.foreach(c => attachStrZonemap(s, dir, c))
     numAxis.foreach(c => attachNumZonemap(s, dir, c))
     if (czCols.nonEmpty) attachColumnZones(s, dir, czCols)
+    // row-preserving ⇒ persisted sketch stats are still exact: restamp
+    SketchPlanner.SketchManifest.restampAfterRowPreservingRewrite(s, dir)
   }
 
   /** Decimal-ordered interval intersection for the rule's conjunct

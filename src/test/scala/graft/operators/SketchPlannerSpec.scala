@@ -590,4 +590,36 @@ class SketchPlannerSpec extends SparkSpec {
     SketchPlanner.decideChain(Seq(t0, u0), Seq("k"))
     assert(jobCount === b0, "default flags must keep the zero-job cold path")
   }
+
+  test("persisted sketch stats SURVIVE optimizeCompact: row-preserving rewrite restamps, serving identical counters") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-sketchcompact").toString
+    val dir = s"$base/t"
+    // fragmented history with a sketched join key riding along
+    val rows = spark.range(8000).select(col("id"),
+      pmod(col("id"), lit(250)).as("k"), (col("id") % 1000).cast("double").as("price"))
+    Storage.numZonemapClusteredWrite(rows.filter(col("id") % 2 === 0),
+      "price", 4, dir)
+    Storage.numZonemapAppend(rows.filter(col("id") % 2 === 1), "price", 4, dir)
+    SketchPlanner.SketchManifest.write(spark, dir, Seq("k"))
+    val preCount = SketchPlanner.SketchManifest.readCount(spark, dir)
+    val preCms = SketchPlanner.SketchManifest.readCms(spark, dir, "k").get
+    assert(preCount === Some(8000L))
+
+    Storage.optimizeCompact(spark, dir, "price", 4)
+
+    // the stamp-CHECKED readers still serve — the restamp matched the
+    // new file-set — and the counters are bit-identical: compaction
+    // moved every row into new files but changed none of them
+    assert(SketchPlanner.SketchManifest.readCount(spark, dir) === preCount,
+      "restamped manifest must keep serving the count after compaction")
+    assert(SketchPlanner.SketchManifest.readCms(spark, dir, "k").get.toSeq
+      === preCms.toSeq,
+      "CMS counters are layout-independent and must survive unchanged")
+    // referee: the served counters equal a from-scratch rebuild over
+    // the compacted table
+    SketchPlanner.SketchManifest.write(spark, dir, Seq("k"))
+    assert(SketchPlanner.SketchManifest.readCms(spark, dir, "k").get.toSeq
+      === preCms.toSeq)
+  }
 }
