@@ -747,7 +747,7 @@ object Storage {
     else {
       val re = """\{"file":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
       val zones = fs.listStatus(md).toSeq
-        .filter(_.getPath.getName.endsWith(".json"))
+        .filter(_.getPath.getName.startsWith("zones-"))
         .sortBy(_.getPath.getName)
         .flatMap { f =>
           val in = fs.open(f.getPath)
@@ -876,12 +876,18 @@ object Storage {
 
   /** Next commit file under a manifest directory — `zones-00000.json`,
     * `zones-00001.json`, … (the `_delta_log` numbering all three axes
-    * share; every reader merges all commits sorted by data-file path). */
+    * share; every reader merges all commits sorted by data-file path).
+    * Each statistic FAMILY (`zones`, `nulls`) numbers its own commits,
+    * so the families can commit at different cadences in one dir. */
   private def nextCommitFile(fs: org.apache.hadoop.fs.FileSystem,
-      md: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+      md: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    nextCommitFileWith(fs, md, "zones")
+
+  private def nextCommitFileWith(fs: org.apache.hadoop.fs.FileSystem,
+      md: org.apache.hadoop.fs.Path, prefix: String): org.apache.hadoop.fs.Path = {
     fs.mkdirs(md)
-    val k = fs.listStatus(md).count(_.getPath.getName.endsWith(".json"))
-    new org.apache.hadoop.fs.Path(md, f"zones-$k%05d.json")
+    val k = fs.listStatus(md).count(_.getPath.getName.startsWith(prefix + "-"))
+    new org.apache.hadoop.fs.Path(md, f"$prefix%s-$k%05d.json")
   }
 
   private def writeStrManifest(s: SparkSession, path: String,
@@ -1003,7 +1009,7 @@ object Storage {
         """\{"file":"([^"]+)","lo64":"([A-Za-z0-9+/=]*)","hi64":"([A-Za-z0-9+/=]*)"\}""".r
       val unbounded = """\{"file":"([^"]+)","unbounded":true\}""".r
       val zones = fs.listStatus(md).toSeq
-        .filter(_.getPath.getName.endsWith(".json"))
+        .filter(_.getPath.getName.startsWith("zones-"))
         .sortBy(_.getPath.getName)
         .flatMap { f =>
           val in = fs.open(f.getPath)
@@ -1186,7 +1192,7 @@ object Storage {
         """\{"file":"([^"]+)","lo":"(-?[0-9.]+)","hi":"(-?[0-9.]+)"\}""".r
       val unbounded = """\{"file":"([^"]+)","unbounded":true\}""".r
       val zones = fs.listStatus(md).toSeq
-        .filter(_.getPath.getName.endsWith(".json"))
+        .filter(_.getPath.getName.startsWith("zones-"))
         .sortBy(_.getPath.getName)
         .flatMap { f =>
           val in = fs.open(f.getPath)
@@ -1312,12 +1318,96 @@ object Storage {
   case class ColumnZones(
       dateCols: Seq[(String, Seq[FileZone])],
       strCols: Seq[(String, Seq[StrFileZone])],
-      numCols: Seq[(String, Seq[NumFileZone])]) {
+      numCols: Seq[(String, Seq[NumFileZone])],
+      nullCols: Seq[(String, Seq[NullStat])] = Seq.empty) {
     def isEmpty: Boolean =
-      dateCols.isEmpty && strCols.isEmpty && numCols.isEmpty
+      dateCols.isEmpty && strCols.isEmpty && numCols.isEmpty &&
+        nullCols.isEmpty
     def allPaths: Seq[String] =
       dateCols.flatMap(_._2.map(_.path)) ++
-        strCols.flatMap(_._2.map(_.path)) ++ numCols.flatMap(_._2.map(_.path))
+        strCols.flatMap(_._2.map(_.path)) ++
+        numCols.flatMap(_._2.map(_.path)) ++
+        nullCols.flatMap(_._2.map(_.path))
+  }
+
+  /** Per-file NULL statistics for one column — the Delta `nullCount`
+    * axis, codec-independent (every zone codec only describes the
+    * NON-null values, so nullness needs its own statistic). `nulls`
+    * is None when any row group lacks a null count — unknown never
+    * skips. An ALL-null file (`nulls == Some(rows)`) is skippable for
+    * every value probe AND for IS NOT NULL; a no-null file
+    * (`nulls == Some(0)`) is skippable for IS NULL — the sparse-column
+    * case (an optional field null for most of a corpus) where value
+    * zones are blind because parquet writes no stats for all-null
+    * chunks. */
+  case class NullStat(path: String, nulls: Option[Long], rows: Long)
+
+  private def footerNullStats(s: SparkSession, dir: String,
+      colName: String, known: Set[String] = Set.empty): Seq[NullStat] = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    listDataFiles(fs, root)
+      .filterNot(f => known.contains(fs.makeQualified(f.getPath).toString))
+      .sortBy(f => relativize(fs, root, f.getPath))
+      .map { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val blocks = rd.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val counts = blocks.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == colName)
+              .flatMap { c =>
+                val st = c.getStatistics
+                if (st == null || !st.isNumNullsSet) None
+                else Some(st.getNumNulls)
+              }
+          }
+          val qual = fs.makeQualified(f.getPath).toString
+          // one group without a null count makes the FILE unknown —
+          // the zone-fold discipline on the null axis
+          if (counts.exists(_.isEmpty)) NullStat(qual, None, rows)
+          else NullStat(qual, Some(counts.flatten.sum), rows)
+        } finally rd.close()
+      }
+  }
+
+  private def writeNullStatsTo(s: SparkSession, path: String,
+      md: org.apache.hadoop.fs.Path, stats: Seq[NullStat]): Unit = {
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(path)
+    val out = fs.create(nextCommitFileWith(fs, md, "nulls"), true)
+    try out.write(stats.map { z =>
+      val name = relativize(fs, root, new org.apache.hadoop.fs.Path(z.path))
+      s"""{"file":"$name","nulls":${z.nulls.getOrElse(-1L)},"rows":${z.rows}}"""
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readNullStatsFrom(s: SparkSession, dir: String,
+      md: org.apache.hadoop.fs.Path): Option[Seq[NullStat]] = {
+    val fs = md.getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(md)) None
+    else {
+      val re = """\{"file":"([^"]+)","nulls":(-?\d+),"rows":(\d+)\}""".r
+      val stats = fs.listStatus(md).toSeq
+        .filter(_.getPath.getName.startsWith("nulls-"))
+        .sortBy(_.getPath.getName)
+        .flatMap { f =>
+          val in = fs.open(f.getPath)
+          val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          text.linesIterator.filter(_.nonEmpty).map {
+            case re(name, n, r) =>
+              NullStat(
+                fs.makeQualified(new org.apache.hadoop.fs.Path(dir, name)).toString,
+                if (n.toLong < 0) None else Some(n.toLong), r.toLong)
+          }
+        }
+      if (stats.isEmpty) None else Some(stats.sortBy(_.path))
+    }
   }
 
   private def colzonesRoot(dir: String) =
@@ -1357,6 +1447,9 @@ object Storage {
         case other => throw new IllegalArgumentException(
           s"no zone codec for column '$c' of type $other")
       }
+      // every codec gets the null axis too (same footer walk family):
+      // zones describe the non-null values, nulls-<k>.json the rest
+      writeNullStatsTo(s, dir, md, footerNullStats(s, dir, c))
     }
   }
 
@@ -1382,6 +1475,7 @@ object Storage {
     val dates = Seq.newBuilder[(String, Seq[FileZone])]
     val strs = Seq.newBuilder[(String, Seq[StrFileZone])]
     val nums = Seq.newBuilder[(String, Seq[NumFileZone])]
+    val nulls = Seq.newBuilder[(String, Seq[NullStat])]
     subdirs.foreach { sd =>
       val c = sd.getPath.getName
       readTypeSidecar(fs, sd.getPath).foreach { t =>
@@ -1394,9 +1488,11 @@ object Storage {
             .foreach(z => nums += (c -> z))
           case _ => () // unknown codec: skip, never mis-read
         }
+        readNullStatsFrom(s, dir, sd.getPath)
+          .foreach(z => nulls += (c -> z))
       }
     }
-    ColumnZones(dates.result(), strs.result(), nums.result())
+    ColumnZones(dates.result(), strs.result(), nums.result(), nulls.result())
   }
 
   /** APPEND a clustered batch to a `_colzones/` layout and COMMIT, for
@@ -1433,6 +1529,10 @@ object Storage {
       writeNumZonesTo(s, path, colzoneDir(path, c),
         numFooterZones(s, path, c, zones.map(_.path).toSet))
     }
+    prior.nullCols.foreach { case (c, stats) =>
+      writeNullStatsTo(s, path, colzoneDir(path, c),
+        footerNullStats(s, path, c, stats.map(_.path).toSet))
+    }
   }
 
   /** [[survivorsFromManifests]] generalized to ANY number of
@@ -1442,22 +1542,35 @@ object Storage {
   def survivorsFromColumnSets(
       dateSets: Seq[(Seq[FileZone], Seq[(Int, Int)])],
       strSets: Seq[(Seq[StrFileZone], Seq[(Option[String], Option[String])])],
-      numSets: Seq[(Seq[NumFileZone], Seq[(Option[BigDecimal], Option[BigDecimal])])])
+      numSets: Seq[(Seq[NumFileZone], Seq[(Option[BigDecimal], Option[BigDecimal])])],
+      nullSets: Seq[(Seq[NullStat], Boolean)] = Seq.empty)
       : Option[(Seq[String], Int)] = {
-    if (dateSets.isEmpty && strSets.isEmpty && numSets.isEmpty) return None
+    if (dateSets.isEmpty && strSets.isEmpty && numSets.isEmpty &&
+      nullSets.isEmpty) return None
     val allPaths = (dateSets.flatMap(_._1.map(_.path)) ++
       strSets.flatMap(_._1.map(_.path)) ++
-      numSets.flatMap(_._1.map(_.path))).distinct.sorted
+      numSets.flatMap(_._1.map(_.path)) ++
+      nullSets.flatMap(_._1.map(_.path))).distinct.sorted
     val dateBy = dateSets.map { case (man, ivs) =>
       (man.map(z => z.path -> z).toMap, ivs) }
     val strBy = strSets.map { case (man, ivs) =>
       (man.map(z => z.path -> z).toMap, ivs) }
     val numBy = numSets.map { case (man, ivs) =>
       (man.map(z => z.path -> z).toMap, ivs) }
+    val nullBy = nullSets.map { case (man, wantNull) =>
+      (man.map(z => z.path -> z).toMap, wantNull) }
     val survivors = allPaths.filter { p =>
       dateBy.forall { case (by, ivs) =>
         by.get(p).forall(z => ivs.exists { case (lo, hi) =>
           !(z.hi < lo || z.lo > hi) })
+      } &&
+      // null axis: IS NULL skips no-null files; a needed NON-null
+      // (explicit IS NOT NULL, or any value constraint) skips all-null
+      // files; unknown counts always survive
+      nullBy.forall { case (by, wantNull) =>
+        by.get(p).forall(z =>
+          if (wantNull) z.nulls.forall(_ > 0)
+          else z.nulls.forall(_ < z.rows))
       } &&
       strBy.forall { case (by, ivs) =>
         by.get(p).forall(z => ivs.exists { case (lo, hi) =>
@@ -2203,6 +2316,71 @@ object Storage {
       |WHERE l_extendedprice >= 20000.0 AND l_extendedprice <= 30000.0
       |GROUP BY 1""".stripMargin
 
+  /** The q273/q274 fixture: an OPTIONAL field (`big_value`, null below
+    * the threshold) over a layout clustered on the underlying value, so
+    * the low files are ENTIRELY null — the sparse-column shape of an
+    * LLM corpus (an image/audio metadata field absent for most rows).
+    * Value zones are blind to those files (parquet writes no min/max
+    * for all-null chunks ⇒ unbounded), but the `_colzones/` null axis
+    * records nulls == rows and the automatic rule can skip them. */
+  private def q273Layout(s: SparkSession, d: String): String = {
+    val dir = scratch(s, "q273_events_sparse", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    if (!fs.exists(colzonesRoot(dir))) {
+      events(s, d).select(col("user_id"), col("value"),
+          when(col("value") >= 35.0, col("value")).as("big_value"))
+        .repartitionByRange(16, col("value"))
+        .sortWithinPartitions(col("value"))
+        .write.mode("overwrite").parquet(dir)
+      attachColumnZones(s, dir, Seq("big_value"))
+    }
+    dir
+  }
+
+  /** NULL-AXIS pruning under the gate, NOT-null side: the pushed
+    * `IS NOT NULL` (the conjunct Spark itself pushes for every filter
+    * and join key) skips the all-null files of the sparse column
+    * through the automatic rule — a skip no value zone could make.
+    * The `require` pins the shrink; results hash-match DuckDB's plain
+    * CASE + IS NOT NULL over the raw table. */
+  def q273NotNullPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = q273Layout(s, d)
+    val probe = s.read.parquet(dir)
+      .filter(col("big_value").isNotNull)
+      .groupBy(pmod(col("user_id"), lit(8L)).as("ubucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("big_value").cast("decimal(18,2)")).cast("double")
+          .as("sum_big"))
+    autoPruned(s, probe, totalFiles = 16)
+  }
+
+  val q273Sql: String =
+    """WITH t AS (SELECT user_id,
+      |  CASE WHEN value >= 35.0 THEN value END AS big_value FROM events)
+      |SELECT user_id % 8 AS ubucket, count(*) AS n_rows,
+      |  CAST(sum(CAST(big_value AS DECIMAL(18,2))) AS DOUBLE) AS sum_big
+      |FROM t WHERE big_value IS NOT NULL GROUP BY 1""".stripMargin
+
+  /** [[q273NotNullPrune]]'s mirror: an explicit `IS NULL` probe skips
+    * the files that have NO nulls (`nulls == 0` in the store) — the
+    * high-value files the NOT-null probe keeps. Together the two pin
+    * both polarities of the null axis through the automatic rule. */
+  def q274IsNullPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = q273Layout(s, d)
+    val probe = s.read.parquet(dir)
+      .filter(col("big_value").isNull)
+      .groupBy(pmod(col("user_id"), lit(8L)).as("ubucket"))
+      .agg(count(lit(1)).as("n_rows"))
+    autoPruned(s, probe, totalFiles = 16)
+  }
+
+  val q274Sql: String =
+    """WITH t AS (SELECT user_id,
+      |  CASE WHEN value >= 35.0 THEN value END AS big_value FROM events)
+      |SELECT user_id % 8 AS ubucket, count(*) AS n_rows
+      |FROM t WHERE big_value IS NULL GROUP BY 1""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "q61_json_source"      -> (q61JsonSource _, q61Sql),
     "q62_partitioned_sink" -> (q62PartitionedSink _, q62Sql),
@@ -2227,5 +2405,7 @@ object Storage {
     "q270_colzones_prune"     -> (q270ColzonesPrune _, q270Sql),
     "q271_colzones_append"    -> (q271ColzonesAppend _, q271Sql),
     "q272_optimize_compact"   -> (q272OptimizeCompact _, q272Sql),
+    "q273_notnull_prune"      -> (q273NotNullPrune _, q273Sql),
+    "q274_isnull_prune"       -> (q274IsNullPrune _, q274Sql),
   )
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -108,6 +108,9 @@ object ZonemapPruneRule extends Rule[LogicalPlan] {
       (for (c <- strCol; m <- strMan) yield (c, m)).toSeq ++ colzones.strCols
     def numCands: Seq[(String, Seq[Storage.NumFileZone])] =
       (for (c <- numCol; m <- numMan) yield (c, m)).toSeq ++ colzones.numCols
+    /** The null axis lives only in the `_colzones/` store (written for
+      * every column, whatever its value codec). */
+    def nullCands: Seq[(String, Seq[Storage.NullStat])] = colzones.nullCols
     /** Union of every path any persisted manifest lists — the set the
       * zone guarantees cover. */
     def manifestedPaths: Set[String] =
@@ -162,14 +165,25 @@ object ZonemapPruneRule extends Rule[LogicalPlan] {
     val cs = conjuncts(cond)
     // every zoned column the predicate constrains contributes one
     // (manifest, interval-union) pair; all pairs intersect
-    val dateSets = axes.dateCands.flatMap { case (c, man) =>
-      extractDateIvs(cs, lr, c).map(ivs => (man, ivs)) }
-    val strSets = axes.strCands.flatMap { case (c, man) =>
-      extractStrIvs(cs, lr, c).map(ivs => (man, ivs)) }
-    val numSets = axes.numCands.flatMap { case (c, man) =>
-      extractNumIvs(cs, lr, c).map(ivs => (man, ivs)) }
-    if (dateSets.isEmpty && strSets.isEmpty && numSets.isEmpty) return None
-    survivingFilesOf(dateSets, strSets, numSets).flatMap {
+    val dateHits = axes.dateCands.flatMap { case (c, man) =>
+      extractDateIvs(cs, lr, c).map(ivs => (c, man, ivs)) }
+    val strHits = axes.strCands.flatMap { case (c, man) =>
+      extractStrIvs(cs, lr, c).map(ivs => (c, man, ivs)) }
+    val numHits = axes.numCands.flatMap { case (c, man) =>
+      extractNumIvs(cs, lr, c).map(ivs => (c, man, ivs)) }
+    // the null axis: explicit IS [NOT] NULL conjuncts, plus the
+    // not-null a value constraint IMPLIES (a conjunct like `c >= 5`
+    // is never true on a null row, so an all-null file cannot serve it)
+    val valueCols = (dateHits.map(_._1) ++ strHits.map(_._1) ++
+      numHits.map(_._1)).toSet
+    val nullSets = axes.nullCands.flatMap { case (c, man) =>
+      extractNullWant(cs, lr, c, valueCols.contains(c)).map(w => (man, w)) }
+    val dateSets = dateHits.map(t => (t._2, t._3))
+    val strSets = strHits.map(t => (t._2, t._3))
+    val numSets = numHits.map(t => (t._2, t._3))
+    if (dateSets.isEmpty && strSets.isEmpty && numSets.isEmpty &&
+      nullSets.isEmpty) return None
+    survivingFilesOf(dateSets, strSets, numSets, nullSets).flatMap {
       case (survivors, _) =>
         // Coverage cross-check (r15 advice): the manifests only protect
         // files they LIST. A data file present in the directory but
@@ -215,9 +229,32 @@ object ZonemapPruneRule extends Rule[LogicalPlan] {
   private[plans] def survivingFilesOf(
       dateSets: Seq[(Seq[Storage.FileZone], Seq[(Int, Int)])],
       strSets: Seq[(Seq[Storage.StrFileZone], Seq[(Option[String], Option[String])])],
-      numSets: Seq[(Seq[Storage.NumFileZone], Seq[(Option[BigDecimal], Option[BigDecimal])])])
+      numSets: Seq[(Seq[Storage.NumFileZone], Seq[(Option[BigDecimal], Option[BigDecimal])])],
+      nullSets: Seq[(Seq[Storage.NullStat], Boolean)] = Seq.empty)
       : Option[(Seq[String], Int)] =
-    Storage.survivorsFromColumnSets(dateSets, strSets, numSets)
+    Storage.survivorsFromColumnSets(dateSets, strSets, numSets, nullSets)
+
+  /** The null-axis want for column `c` from the top-level conjuncts:
+    * Some(true) when a conjunct demands NULL rows (skip no-null
+    * files), Some(false) when one demands NON-null rows — explicitly
+    * or implied by a value constraint on `c` (skip all-null files),
+    * None when nothing constrains nullness. A contradictory
+    * IS NULL AND IS NOT NULL keeps the IS NULL side: the re-applied
+    * Filter returns zero rows either way, so any skip is sound. */
+  private def extractNullWant(cs: Seq[Expression], lr: LogicalRelation,
+      c: String, impliedNotNull: Boolean): Option[Boolean] = {
+    def isCol(e: Expression): Boolean = e match {
+      case a: Attribute =>
+        lr.output.exists(o => o.exprId == a.exprId && o.name == c)
+      case _ => false
+    }
+    if (cs.exists { case IsNull(a) => isCol(a); case _ => false })
+      Some(true)
+    else if (impliedNotNull ||
+      cs.exists { case IsNotNull(a) => isCol(a); case _ => false })
+      Some(false)
+    else None
+  }
 
   /** Interval union over the clustered DateType column from the
     * top-level conjuncts — None when no conjunct constrains it.

@@ -696,15 +696,19 @@ class StorageSpec extends SparkSpec {
       .write.mode("overwrite").parquet(dir)
     Storage.attachColumnZones(spark, dir, Seq("price", "day", "source"))
     Storage.colzonesAppend(rows.filter(col("price") >= 500.0), "price", 8, dir)
-    // the append committed one NEW zone file per column (O(new files)
-    // maintenance), never a restatement of the first commit
+    // the append committed one NEW zone file AND one null-stats file
+    // per column (O(new files) maintenance), never a restatement of
+    // the first commit
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     Seq("price", "day", "source").foreach { c =>
-      val commits = fs.listStatus(
+      val names = fs.listStatus(
         new org.apache.hadoop.fs.Path(s"$dir/_colzones/$c")).toSeq
-        .filter(_.getPath.getName.endsWith(".json"))
-      assert(commits.size === 2, s"column $c should carry 2 commit files")
+        .map(_.getPath.getName)
+      assert(names.count(_.startsWith("zones-")) === 2,
+        s"column $c should carry 2 zone commits")
+      assert(names.count(_.startsWith("nulls-")) === 2,
+        s"column $c should carry 2 null-stat commits")
     }
     val incremental = Storage.readColumnZones(spark, dir)
     assert(incremental.numCols.map(_._1) === Seq("price"))

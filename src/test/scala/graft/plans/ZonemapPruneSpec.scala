@@ -642,4 +642,71 @@ class ZonemapPruneSpec extends SparkSpec {
       assert(off.getLong(0) > 0L)
     }
   }
+
+  test("null axis: IS NOT NULL skips all-null files, IS NULL skips no-null files, value probes imply not-null") {
+    import spark.implicits._
+    // the sparse-column fixture: `sparse` is null below the threshold
+    // and the layout is clustered on the UNDERLYING value, so low files
+    // are entirely null (no parquet value stats — zones unbounded) and
+    // high files have no nulls at all
+    val dir = Files.createTempDirectory("graft-nullaxis").toString + "/t"
+    (0 until 4000).map(i => (i.toLong, i * 0.25))
+      .toDF("id", "price")
+      .withColumn("sparse",
+        when(col("price") >= 530.0, col("price")))
+      .withColumn("l_quantity", (col("id") % 7).cast("long"))
+      .repartitionByRange(8, col("price"))
+      .sortWithinPartitions(col("price"))
+      .write.mode("overwrite").parquet(dir)
+    Storage.attachColumnZones(spark, dir, Seq("sparse"))
+    val stats = Storage.readColumnZones(spark, dir).nullCols
+    assert(stats.map(_._1) === Seq("sparse"))
+    val byFile = stats.head._2
+    assert(byFile.size === 8 && byFile.forall(_.nulls.isDefined))
+    val allNull = byFile.count(z => z.nulls.get === z.rows)
+    val noNull = byFile.count(z => z.nulls.get === 0L)
+    assert(allNull > 0 && noNull > 0 && allNull + noNull < 8,
+      s"fixture needs all-null, no-null AND straddling files: $allNull/$noNull")
+
+    def planFiles(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }.sum
+
+    // IS NOT NULL: exactly the all-null files skip
+    def nn = spark.read.parquet(dir).filter(col("sparse").isNotNull)
+    val nnOff = agg(nn)
+    withFlag {
+      assert(agg(nn) === nnOff)
+      assert(planFiles(nn) === 8 - allNull, "IS NOT NULL skips all-null files")
+    }
+    // IS NULL: exactly the no-null files skip
+    def isn = spark.read.parquet(dir).filter(col("sparse").isNull)
+    val isnOff = agg(isn)
+    withFlag {
+      assert(agg(isn) === isnOff)
+      assert(planFiles(isn) === 8 - noNull, "IS NULL skips no-null files")
+    }
+    // a VALUE probe on the sparse column implies not-null: the all-null
+    // files are unbounded on the value axis (no parquet stats) yet must
+    // still skip via the implied null set — intersect with value zones
+    def vp = spark.read.parquet(dir).filter(col("sparse") >= 750.0)
+    val vpOff = agg(vp)
+    withFlag {
+      assert(agg(vp) === vpOff)
+      val zones = Storage.readColumnZones(spark, dir).numCols.head._2
+      val valueSurv = zones.count(z => !z.hi.exists(_ < BigDecimal(750)))
+      val expected = byFile.sortBy(_.path).zip(zones.sortBy(_.path))
+        .count { case (n, z) =>
+          n.nulls.get < n.rows && !z.hi.exists(_ < BigDecimal(750))
+        }
+      assert(expected < valueSurv,
+        "fixture: the implied not-null must beat value zones alone")
+      assert(planFiles(vp) === expected,
+        "value probe must intersect zones with the implied not-null")
+    }
+  }
 }
