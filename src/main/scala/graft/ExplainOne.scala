@@ -1,0 +1,20 @@
+package graft
+/** Dump .explain("formatted") for named queries to plans/r17/<q>_<tag>.txt */
+object ExplainOne {
+  def main(args: Array[String]): Unit = {
+    val tag = args(0)
+    val names = args.drop(1)
+    val spark = GraftSession.getOrCreate("graft-explain")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val txt = fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"plans/r17/${n}_$tag.txt"),
+        txt.getBytes("UTF-8"))
+      println(s"wrote plans/r17/${n}_$tag.txt")
+    }
+    spark.stop()
+  }
+}

@@ -1261,6 +1261,24 @@ object Analytics {
       .groupBy(col("row_idx"), col("col_idx"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[cmsSketchW]] folded from a pre-aggregated (key, kn) multiplicity
+    * frame: cell-identical output (a CMS cell's count is the sum of its
+    * keys' multiplicities either way), but md5 runs once per DISTINCT
+    * key instead of once per row, and the caller shares the count
+    * frame's Exchange with the exact referee it is graded against
+    * (SketchPlanner q204/q205/q211/q217 — guide §1.2/§2.3). */
+  private[graft] def cmsSketchWeighted(keyCounts: DataFrame, w: Long): DataFrame =
+    keyCounts
+      .select(col("key"), col("kn"),
+        explode(array((0 until 4).map(i => lit(i.toLong)): _*)).as("row_idx"))
+      .select(col("row_idx"),
+        pmod(conv(substring(md5(concat_ws(":",
+            col("row_idx").cast("string"), col("key"))), 1, 15), 16, 10)
+          .cast("long"), lit(w)).as("col_idx"),
+        col("kn"))
+      .groupBy(col("row_idx"), col("col_idx"))
+      .agg(sum(col("kn")).as("cnt"))
+
   val q145Sql: String =
     """WITH g AS (SELECT CAST(range AS BIGINT) AS row_idx FROM range(4)),
       |h AS (
@@ -2351,10 +2369,21 @@ object Analytics {
     * touches key-level counts (per-key partial aggs, dropped in
     * production use). */
   def q204JoinCardinality(s: SparkSession, d: String): DataFrame = {
-    val a = cmsSketchW(events(s, d)
-      .select(col("user_id").cast("string").as("key")), 16384L)
-    val b = cmsSketchW(orders(s, d)
-      .select(col("o_custkey").cast("string").as("key")), 16384L)
+    // est + exact from ONE per-key count pass per side (guide §1.2/§2.3):
+    // the weighted CMS folds the same groupBy frame the exact referee
+    // consumes — cell-identical sketch (a cell's count is the sum of its
+    // keys' multiplicities), shared key-shuffle Exchange, md5 per
+    // DISTINCT key instead of per row.
+    // lazily checkpointed: the exact referee's join pushes an
+    // isnotnull(key) filter below ITS copy of this aggregate, so plain
+    // exchange reuse can't dedupe the two subtrees (see
+    // SketchPlanner.keyCounts) — the checkpoint shares the one frame
+    val fa = events(s, d).groupBy(col("user_id").cast("string").as("key"))
+      .agg(count(lit(1)).as("kn")).localCheckpoint(false)
+    val fb = orders(s, d).groupBy(col("o_custkey").cast("string").as("key"))
+      .agg(count(lit(1)).as("kn")).localCheckpoint(false)
+    val a = cmsSketchWeighted(fa, 16384L)
+    val b = cmsSketchWeighted(fb, 16384L)
     val rows = a.select(col("row_idx"), col("col_idx"), col("cnt").as("ca"))
       .join(b.select(col("row_idx"), col("col_idx"), col("cnt").as("cb")),
         Seq("row_idx", "col_idx"))
@@ -2362,11 +2391,8 @@ object Analytics {
       .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("ip"))
     val est = rows.agg(min(col("ip")).cast("long").as("est_join_size"),
       max(col("ip")).cast("long").as("max_row_est"))
-    val fa = events(s, d).groupBy(col("user_id").cast("string").as("key"))
-      .agg(count(lit(1)).as("na"))
-    val fb = orders(s, d).groupBy(col("o_custkey").cast("string").as("key"))
-      .agg(count(lit(1)).as("nb"))
-    val exact = fa.join(fb, Seq("key"))
+    val exact = fa.select(col("key"), col("kn").as("na"))
+      .join(fb.select(col("key"), col("kn").as("nb")), Seq("key"))
       .agg(coalesce(sum(expr("CAST(na AS DECIMAL(38,0)) * nb")), lit(0))
         .cast("long").as("exact_join_size"))
     est.crossJoin(broadcast(exact))

@@ -140,13 +140,55 @@ object SketchPlanner {
   /** Exact |A ⋈_key B| referee: per-key partial counts joined, Σ na·nb —
     * what the estimate is graded against (never run in production use;
     * the whole point of the sketch is not touching keys). */
-  private[operators] def exactPair(a: DataFrame, ka: Column, b: DataFrame, kb: Column): DataFrame = {
-    val fa = a.groupBy(ka.cast("string").as("key")).agg(count(lit(1)).as("na"))
-    val fb = b.groupBy(kb.cast("string").as("key")).agg(count(lit(1)).as("nb"))
-    fa.join(fb, Seq("key"))
+  private[operators] def exactPair(a: DataFrame, ka: Column, b: DataFrame, kb: Column): DataFrame =
+    exactFromCounts(keyCounts(a, ka), keyCounts(b, kb))
+
+  // ──────────────────────────────────────────────────────────────────
+  // SHARED-SCAN est+exact (optimization round 17, guide §1.2/§2.3):
+  // the gated referee queries (q205/q211/q217, and q204 in Analytics)
+  // used to compute the md5 CMS from the RAW rows and the exact referee
+  // from a separate per-key groupBy — each base table scanned twice per
+  // candidate, and md5 evaluated 4× PER ROW. A CMS cell's count is the
+  // sum of its keys' multiplicities, so folding the per-key count frame
+  // WEIGHTED is bit-identical — and then the sketch and the referee hang
+  // off the SAME groupBy subtree, whose Exchange the executed plan
+  // shares (ReusedExchange, pinned in SketchPlannerSpec and visible in
+  // plans/r17/): one scan + one key shuffle per side per candidate, and
+  // md5 runs 4× per DISTINCT key. Results unchanged by construction.
+  // ──────────────────────────────────────────────────────────────────
+
+  /** (key-string, kn) per-key multiplicity frame of (df, k) — the one
+    * pass both [[estFromCounts]] and [[exactFromCounts]] derive from.
+    * Lazily checkpointed (the q217 two-consumer idiom): the exact
+    * referee's join infers `key IS NOT NULL` and pushes it below its
+    * copy of this aggregate, so the est and exact Exchange subtrees are
+    * NOT canonically identical and AQE stage reuse alone cannot dedupe
+    * them — the checkpoint makes the one computed frame feed the
+    * sketch, the referee and (q211) the System-R stats. Never filters
+    * nulls itself: a null key legitimately lands in the md5("<row>")
+    * CMS cell, weighted exactly as the raw-row sketch weights it. */
+  private[operators] def keyCounts(df: DataFrame, k: Column): DataFrame =
+    df.groupBy(k.cast("string").as("key")).agg(count(lit(1)).as("kn"))
+      .localCheckpoint(false)
+
+  /** [[estPair]]'s gated md5 estimate folded from per-key count frames —
+    * value-identical to the raw-row form. */
+  private[operators] def estFromCounts(fa: DataFrame, fb: DataFrame): DataFrame = {
+    def sketch(kc: DataFrame, out: String): DataFrame =
+      Analytics.cmsSketchWeighted(kc, W)
+        .select(col("row_idx"), col("col_idx"), col("cnt").as(out))
+    sketch(fa, "ca").join(sketch(fb, "cb"), Seq("row_idx", "col_idx"))
+      .groupBy(col("row_idx"))
+      .agg(sum(expr("CAST(ca AS DECIMAL(38,0)) * cb")).as("ip"))
+      .agg(min(col("ip")).cast("long").as("est"))
+  }
+
+  /** [[exactPair]]'s Σ na·nb from per-key count frames. */
+  private[operators] def exactFromCounts(fa: DataFrame, fb: DataFrame): DataFrame =
+    fa.select(col("key"), col("kn").as("na"))
+      .join(fb.select(col("key"), col("kn").as("nb")), Seq("key"))
       .agg(coalesce(sum(expr("CAST(na AS DECIMAL(38,0)) * nb")), lit(0))
         .cast("long").as("exact"))
-  }
 
   /** Rows the planner lets an intermediate hold and still broadcast it
     * into the next join — config in a real optimizer
@@ -162,18 +204,24 @@ object SketchPlanner {
     * c⋈o ≈ 16.4k → broadcast, o⋈l ≈ 115k → shuffle), so both branches
     * of both decisions are exercised — and both agree with exact stats. */
   def q205JoinPlanner(s: SparkSession, d: String): DataFrame = {
-    val cands = Seq(
-      ("c_join_o",
-        estPair(customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey")),
-        exactPair(customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey"))),
-      ("o_join_l",
-        estPair(orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey")),
-        exactPair(orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey"))))
-    val rows = cands.map { case (name, e, x) =>
-      e.crossJoin(broadcast(x))
+    // est + exact per candidate from ONE key-count pass per side (the
+    // shared-scan helpers above): the sketch and its referee reuse the
+    // same groupBy Exchange, so each base table is scanned once per
+    // candidate instead of twice and md5 runs per distinct key.
+    def cand(name: String, a: DataFrame, ka: Column,
+        b: DataFrame, kb: Column): DataFrame = {
+      val fa = keyCounts(a, ka)
+      val fb = keyCounts(b, kb)
+      estFromCounts(fa, fb).crossJoin(broadcast(exactFromCounts(fa, fb)))
         .select(lit(name).as("candidate"), col("est").as("est_join_size"),
           col("exact").as("exact_join_size"))
-    }.reduce(_ unionByName _)
+    }
+    val rows = Seq(
+      cand("c_join_o",
+        customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey")),
+      cand("o_join_l",
+        orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey")))
+      .reduce(_ unionByName _)
     // 2-row frame: the bounded-aggregate scalar-join idiom, never a
     // data-sized single partition
     val best = rows.agg(
@@ -347,14 +395,17 @@ object SketchPlanner {
       ("e_join_o",
         events(s, d), col("user_id"), orders(s, d), col("o_custkey")))
     cands.map { case (name, a, ka, b, kb) =>
-      val fa = a.groupBy(ka.cast("string").as("key")).agg(count(lit(1)).as("na"))
-      val fb = b.groupBy(kb.cast("string").as("key")).agg(count(lit(1)).as("nb"))
-      val statsA = fa.agg(sum(col("na")).as("n_a"), count(lit(1)).as("ndv_a"))
-      val statsB = fb.agg(sum(col("nb")).as("n_b"), count(lit(1)).as("ndv_b"))
-      val exact = fa.join(fb, Seq("key"))
-        .agg(coalesce(sum(expr("CAST(na AS DECIMAL(38,0)) * nb")), lit(0))
-          .cast("long").as("exact_size"))
-      estPair(a, ka, b, kb)
+      // ONE key-count pass per side feeds the System-R stats, the exact
+      // referee AND the md5 CMS (shared-scan helpers above): the old
+      // form re-derived fa/fb for stats and exact and sketched the raw
+      // rows besides — 4 scans per side per candidate, now 1.
+      val fa = keyCounts(a, ka)
+      val fb = keyCounts(b, kb)
+      val statsA = fa.agg(sum(col("kn")).as("n_a"), count(lit(1)).as("ndv_a"))
+      val statsB = fb.agg(sum(col("kn")).as("n_b"), count(lit(1)).as("ndv_b"))
+      val exact = exactFromCounts(fa, fb)
+        .select(col("exact").as("exact_size"))
+      estFromCounts(fa, fb)
         .crossJoin(broadcast(exact))
         .crossJoin(broadcast(statsA)).crossJoin(broadcast(statsB))
         .select(lit(name).as("candidate"), col("exact_size"),
@@ -700,21 +751,25 @@ object SketchPlanner {
     * driver collect anywhere in this path (scalars travel as broadcast
     * 1-row aggregates). */
   def q217JoinReorder(s: SparkSession, d: String): DataFrame = {
-    val cands = Seq(
-      ("e0_c_o",
-        estPair(customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey")),
-        exactPair(customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey"))),
-      ("e1_o_l",
-        estPair(orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey")),
-        exactPair(orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey"))),
-      ("e2_l_p",
-        estPair(lineitem(s, d), col("l_partkey"), part(s, d), col("p_partkey")),
-        exactPair(lineitem(s, d), col("l_partkey"), part(s, d), col("p_partkey"))))
-    val rows = cands.map { case (name, e, x) =>
-      e.crossJoin(broadcast(x))
+    // est + exact per edge from ONE key-count pass per side (the q205
+    // shared-scan pattern): one scan + one key shuffle per side per
+    // edge, md5 per distinct key, referee Exchange reused.
+    def cand(name: String, a: DataFrame, ka: Column,
+        b: DataFrame, kb: Column): DataFrame = {
+      val fa = keyCounts(a, ka)
+      val fb = keyCounts(b, kb)
+      estFromCounts(fa, fb).crossJoin(broadcast(exactFromCounts(fa, fb)))
         .select(lit(name).as("edge"), col("est").as("est_size"),
           col("exact").as("exact_size"))
-    }.reduce(_ unionByName _)
+    }
+    val rows = Seq(
+      cand("e0_c_o",
+        customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey")),
+      cand("e1_o_l",
+        orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey")),
+      cand("e2_l_p",
+        lineitem(s, d), col("l_partkey"), part(s, d), col("p_partkey")))
+      .reduce(_ unionByName _)
       .localCheckpoint(false) // two consumers: output rows + the pivot
     val wide = rows.agg(
       max(when(col("edge") === "e0_c_o", col("est_size"))).as("a0"),

@@ -99,6 +99,58 @@ class SketchPlannerSpec extends SparkSpec {
       s"CMS $cms far past the width-noise bound") // eps = n_a*n_b/w slack
   }
 
+  // ── r17 shared-scan est+exact (weighted CMS fold) ──────────────────
+
+  test("weighted CMS over key counts is cell-identical to the raw-row sketch") {
+    // skewed multiplicities (1..100 copies per key) so the weight path
+    // is genuinely exercised, not just kn=1 everywhere
+    val raw = spark.range(2000).select(
+      pmod(col("id") * col("id"), lit(400)).cast("string").as("key"))
+    val kc = raw.groupBy(col("key")).agg(count(lit(1)).as("kn"))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_idx", "col_idx", "cnt")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(cells(Analytics.cmsSketchWeighted(kc, 64L)) ===
+      cells(Analytics.cmsSketchW(raw, 64L)))
+    assert(cells(Analytics.cmsSketchWeighted(kc, 16384L)) ===
+      cells(Analytics.cmsSketchW(raw, 16384L)))
+  }
+
+  test("est+exact from shared key counts: values unchanged, base tables scanned once") {
+    val a = spark.range(3000).select(pmod(col("id"), lit(700)).as("k"))
+    val b = spark.range(2000).select(pmod(col("id") * 3, lit(900)).as("k"))
+    val fa = SketchPlanner.keyCounts(a, col("k"))
+    val fb = SketchPlanner.keyCounts(b, col("k"))
+    val est = SketchPlanner.estFromCounts(fa, fb).as[Long].collect().head
+    val exact = SketchPlanner.exactFromCounts(fa, fb).as[Long].collect().head
+    // value-identical to the raw-row forms
+    assert(est === SketchPlanner.estPair(a, col("k"), b, col("k"))
+      .as[Long].collect().head)
+    assert(exact === SketchPlanner.exactPair(a, col("k"), b, col("k"))
+      .as[Long].collect().head)
+    assert(est >= exact)
+    // the q205/q217 composite: est and exact hang off the SAME
+    // checkpointed per-key count frame, so the composite's plan contains
+    // NO base-table leaves at all — the one scan + key shuffle per side
+    // happened once, building the shared frame (guide §1.2; the exact
+    // side's inferred isnotnull(key) filter makes plain exchange reuse
+    // impossible, which is why keyCounts checkpoints)
+    val combo = SketchPlanner.estFromCounts(fa, fb)
+      .crossJoin(broadcast(SketchPlanner.exactFromCounts(fa, fb)))
+    val leaves = combo.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty)
+    assert(leaves.forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+      s"expected only checkpointed-RDD leaves, got: ${leaves.map(_.getClass.getSimpleName).mkString(", ")}")
+    // and only TWO distinct shared RDDs feed all four consumer arms
+    // (attribute ids differ per consumer arm; the RDD identity is what
+    // proves the frame is computed once)
+    val rddIds = leaves.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(rddIds.size === leaves.size)
+    assert(rddIds.distinct.size === 2, s"rdd ids: $rddIds")
+  }
+
   test("q205 decision table: one-sided estimates, picks and strategies agree with exact") {
     val d = sf("sf0.001")
     val rows = SketchPlanner.q205JoinPlanner(spark, d)
