@@ -9,8 +9,23 @@ import org.apache.spark.sql.functions._
   * at 100 TB the scan must read only the columns/row-groups a query needs.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred parquet schema per table path — what a real engine's
+    * catalog holds. Without it EVERY DataFrame build re-infers the
+    * schema (driver-side footer read + listing, measured 90–135 ms per
+    * cheap query at sf0.1 — the dominant build cost; guide §5 "the
+    * driver should do almost no data work", §6 listing/planning). Keyed
+    * by path: the testdata dirs are immutable per path, and the first
+    * reference still reads the real footer, so dtype variance across
+    * testdata generations (events.ts) is preserved. Metadata only —
+    * never rows. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
