@@ -509,8 +509,20 @@ object Dedup {
     * (counts, never array materialization through the shuffle). */
   def neardupPairs(docs: DataFrame, bands: Int, rowsPerBand: Int,
                    threshold: Double, maxBucket: Int = 1000): DataFrame = {
-    val grams = gramHashRows(docs)
-    val banded = bandedRows(grams, bands, rowsPerBand)
+    // Both intermediates are slim multi-consumer frames, lazily
+    // checkpointed (r17 optimization, guide §1.2/§2.4): per-consumer
+    // inferred filters (isnotnull(doc_id) on join arms, short-doc size
+    // branches) make the copies canonically different, so runtime
+    // exchange reuse NEVER fires — measured 16 executed parquet scans of
+    // `documents` (tokenize+gram-hash ×8 per union arm) in q21 before,
+    // 2 after (BenchScanReuse). grams: 16-byte (doc_id, gh) rows, 3
+    // consumers (signatures, set sizes, verify intersection); banded:
+    // (doc_id, band, bkey) rows, 2 consumers (cap census + capped flow).
+    // The cap observes stay ABOVE the checkpoints — CollectMetrics on a
+    // checkpointed subtree would never surface in the main query's
+    // observedMetrics and the no-silent-caps WARN would go dark.
+    val grams = gramHashRows(docs).localCheckpoint(false)
+    val banded = bandedRows(grams, bands, rowsPerBand).localCheckpoint(false)
 
     // Bucket-size cap: an adversarial bucket of k docs (e.g. a boiler-
     // plate band value shared corpus-wide) would emit k² candidates.
