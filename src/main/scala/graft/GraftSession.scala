@@ -63,7 +63,11 @@ object GraftSession {
         new org.apache.spark.sql.util.QueryExecutionListener {
           private val log = org.slf4j.LoggerFactory.getLogger("graft.caps")
           private def report(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
-            val m = qe.observedMetrics
+            // GraftMetrics.observed, not qe.observedMetrics: AQE empty-
+            // relation propagation can delete already-fired cap counters
+            // from the final plan (see GraftMetrics scaladoc) — exactly
+            // the everything-was-capped case this WARN exists for.
+            val m = GraftMetrics.observed(qe)
             m.keys.filter(k => k.startsWith("graft_") && k.endsWith("_cap_in"))
               .foreach { inKey =>
                 val base = inKey.stripSuffix("_in")

@@ -521,8 +521,21 @@ object Dedup {
     // The cap observes stay ABOVE the checkpoints — CollectMetrics on a
     // checkpointed subtree would never surface in the main query's
     // observedMetrics and the no-silent-caps WARN would go dark.
-    val grams = gramHashRows(docs).localCheckpoint(false)
-    val banded = bandedRows(grams, bands, rowsPerBand).localCheckpoint(false)
+    // Under spark.graft.dedup.cache=true the checkpoints are SKIPPED:
+    // maybeCache already materializes the shared frames once (the cache
+    // dedups the consumers the checkpoint exists for), checkpoint+cache
+    // would double-materialize, and a checkpoint above the cache hides
+    // the InMemoryTableScan that the cache audits (DedupSpec,
+    // PlanAuditSpec q40) assert on. Scale note (§5): a localCheckpoint
+    // eagerly pins O(total grams) rows to executor-local storage and is
+    // not replayable on executor loss — on a 100 TB corpus run with
+    // dedup.cache=true instead (MEMORY_AND_DISK, spillable, replayable).
+    val ckpt = !docs.sparkSession.conf
+      .getOption("spark.graft.dedup.cache").exists(_.toBoolean)
+    val grams0 = gramHashRows(docs)
+    val grams = if (ckpt) grams0.localCheckpoint(false) else grams0
+    val banded0 = bandedRows(grams, bands, rowsPerBand)
+    val banded = if (ckpt) banded0.localCheckpoint(false) else banded0
 
     // Bucket-size cap: an adversarial bucket of k docs (e.g. a boiler-
     // plate band value shared corpus-wide) would emit k² candidates.

@@ -199,11 +199,19 @@ class DedupSpec extends SparkSpec {
     @volatile var seen: Option[(Long, Long)] = None
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = {
+        // GraftMetrics.observed = the engine's monitoring path (what the
+        // GraftSession cap WARN listener reads): qe.observedMetrics plus
+        // fired counters recovered from AQE-empty-propagated subtrees —
+        // the r18 neardup checkpoints lose the doc_id partitioning, the
+        // distinct gains an exchange, and a zero-candidate corpus (this
+        // one) empties it, deleting the metric nodes from the final plan.
+        val m = graft.GraftMetrics.observed(qe)
         for {
-          in <- qe.observedMetrics.get("graft_neardup_cap_in")
-          out <- qe.observedMetrics.get("graft_neardup_cap_out")
+          in <- m.get("graft_neardup_cap_in")
+          out <- m.get("graft_neardup_cap_out")
         } seen = Some((in.getLong(0), out.getLong(0)))
+      }
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
