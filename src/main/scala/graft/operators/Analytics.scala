@@ -2378,10 +2378,11 @@ object Analytics {
     // isnotnull(key) filter below ITS copy of this aggregate, so plain
     // exchange reuse can't dedupe the two subtrees (see
     // SketchPlanner.keyCounts) — the checkpoint shares the one frame
-    val fa = events(s, d).groupBy(col("user_id").cast("string").as("key"))
-      .agg(count(lit(1)).as("kn")).localCheckpoint(false)
-    val fb = orders(s, d).groupBy(col("o_custkey").cast("string").as("key"))
-      .agg(count(lit(1)).as("kn")).localCheckpoint(false)
+    // r18: the shared helper also groups integral keys NATIVELY and
+    // renders to string per distinct key (see SketchPlanner.keyCounts) —
+    // identical (key, kn) values, cheaper per-row hashing.
+    val fa = SketchPlanner.keyCounts(events(s, d), col("user_id"))
+    val fb = SketchPlanner.keyCounts(orders(s, d), col("o_custkey"))
     val a = cmsSketchWeighted(fa, 16384L)
     val b = cmsSketchWeighted(fb, 16384L)
     val rows = a.select(col("row_idx"), col("col_idx"), col("cnt").as("ca"))

@@ -167,9 +167,67 @@ object SketchPlanner {
     * sketch, the referee and (q211) the System-R stats. Never filters
     * nulls itself: a null key legitimately lands in the md5("<row>")
     * CMS cell, weighted exactly as the raw-row sketch weights it. */
-  private[operators] def keyCounts(df: DataFrame, k: Column): DataFrame =
-    df.groupBy(k.cast("string").as("key")).agg(count(lit(1)).as("kn"))
-      .localCheckpoint(false)
+  private[operators] def keyCounts(df: DataFrame, k: Column): DataFrame = {
+    // Integral keys group NATIVELY and render to string per DISTINCT key
+    // after the aggregate (r18, guide §2.3 narrower types / §4 expression
+    // cost): hashing an 8-byte long beats hashing its decimal string for
+    // every input row, and CAST(integral AS STRING) is injective so the
+    // groups — including NULL — are identical by construction. Non-
+    // integral keys keep the cast-first form (general casts need not be
+    // injective, e.g. float renderings).
+    val grouped =
+      if (isIntegral(df, k))
+        df.groupBy(k.as("key0")).agg(count(lit(1)).as("kn"))
+          .select(col("key0").cast("string").as("key"), col("kn"))
+      else
+        df.groupBy(k.cast("string").as("key")).agg(count(lit(1)).as("kn"))
+    grouped.localCheckpoint(false)
+  }
+
+  private def isIntegral(df: DataFrame, k: Column): Boolean =
+    df.select(k.as("key")).schema.head.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** BOTH per-key multiplicity frames of the SAME table from ONE scan
+    * (optimization round 18, guide §1.2/§2.4 — the r17 ledger's declared
+    * "not yet" item): `orders` appears in two q205/q217 candidates under
+    * DIFFERENT keys (o_custkey vs o_orderkey), which as two [[keyCounts]]
+    * calls costs two full scans. GROUPING SETS ((k1),(k2)) computes both
+    * aggregations in one pass — one scan, one Expand (×2 rows into the
+    * same map-side partial agg the two separate groupBys paid anyway),
+    * one shuffle — and the (ndv₁+ndv₂)-row result is checkpointed ONCE.
+    * `grouping_id()` disambiguates the set (1 = grouped by k1, 2 = by
+    * k2): a NULL key is a legitimate group, so the null-marker columns
+    * alone cannot. The two returned frames are gid-filters over the
+    * shared checkpoint — each VALUE-IDENTICAL to its [[keyCounts]] form
+    * (same cast-to-string, same count), pinned in SketchPlannerSpec. */
+  private[operators] def keyCounts2(df: DataFrame, k1: Column,
+      k2: Column): (DataFrame, DataFrame) = {
+    // same native-group/cast-after trick as [[keyCounts]] when both keys
+    // are integral — the expanded rows then hash (long, long, int)
+    // instead of two strings
+    val nativeKeys = isIntegral(df, k1) && isIntegral(df, k2)
+    val pre =
+      if (nativeKeys) df.select(k1.as("key1"), k2.as("key2"))
+      else df.select(k1.cast("string").as("key1"),
+        k2.cast("string").as("key2"))
+    val agg = pre
+      .groupingSets(Seq(Seq(col("key1")), Seq(col("key2"))),
+        col("key1"), col("key2"))
+      .agg(count(lit(1)).as("kn"), grouping_id().as("gid"))
+    val both =
+      (if (nativeKeys)
+        agg.select(col("key1").cast("string").as("key1"),
+          col("key2").cast("string").as("key2"), col("kn"), col("gid"))
+      else agg).localCheckpoint(false)
+    (both.filter(col("gid") === 1).select(col("key1").as("key"), col("kn")),
+      both.filter(col("gid") === 2).select(col("key2").as("key"), col("kn")))
+  }
 
   /** [[estPair]]'s gated md5 estimate folded from per-key count frames —
     * value-identical to the raw-row form. */
@@ -208,19 +266,18 @@ object SketchPlanner {
     // shared-scan helpers above): the sketch and its referee reuse the
     // same groupBy Exchange, so each base table is scanned once per
     // candidate instead of twice and md5 runs per distinct key.
-    def cand(name: String, a: DataFrame, ka: Column,
-        b: DataFrame, kb: Column): DataFrame = {
-      val fa = keyCounts(a, ka)
-      val fb = keyCounts(b, kb)
+    // r18: `orders` appears in BOTH candidates under different keys —
+    // [[keyCounts2]] derives both its key-count frames from ONE scan
+    // (3 base-table scans total instead of 4).
+    def cand(name: String, fa: DataFrame, fb: DataFrame): DataFrame =
       estFromCounts(fa, fb).crossJoin(broadcast(exactFromCounts(fa, fb)))
         .select(lit(name).as("candidate"), col("est").as("est_join_size"),
           col("exact").as("exact_join_size"))
-    }
+    val (fOrdCust, fOrdKey) =
+      keyCounts2(orders(s, d), col("o_custkey"), col("o_orderkey"))
     val rows = Seq(
-      cand("c_join_o",
-        customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey")),
-      cand("o_join_l",
-        orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey")))
+      cand("c_join_o", keyCounts(customer(s, d), col("c_custkey")), fOrdCust),
+      cand("o_join_l", fOrdKey, keyCounts(lineitem(s, d), col("l_orderkey"))))
       .reduce(_ unionByName _)
     // 2-row frame: the bounded-aggregate scalar-join idiom, never a
     // data-sized single partition
@@ -387,20 +444,23 @@ object SketchPlanner {
     * sketch-sized join — nothing data×data; the exact referee is
     * gate-only as in q204/q205. */
   def q211SelectivityCompare(s: SparkSession, d: String): DataFrame = {
+    // r18 cross-candidate sharing: `orders` used to be scanned three
+    // times (o_custkey in c_join_o AND e_join_o — two separate
+    // checkpoints of the IDENTICAL frame — plus o_orderkey in o_join_l).
+    // One [[keyCounts2]] pass yields both key frames, and the o_custkey
+    // frame is the SAME object in both its candidates: 4 base-table
+    // scans total instead of 6.
+    val (fOrdCust, fOrdKey) =
+      keyCounts2(orders(s, d), col("o_custkey"), col("o_orderkey"))
     val cands = Seq(
-      ("c_join_o",
-        customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey")),
-      ("o_join_l",
-        orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey")),
-      ("e_join_o",
-        events(s, d), col("user_id"), orders(s, d), col("o_custkey")))
-    cands.map { case (name, a, ka, b, kb) =>
+      ("c_join_o", keyCounts(customer(s, d), col("c_custkey")), fOrdCust),
+      ("o_join_l", fOrdKey, keyCounts(lineitem(s, d), col("l_orderkey"))),
+      ("e_join_o", keyCounts(events(s, d), col("user_id")), fOrdCust))
+    cands.map { case (name, fa, fb) =>
       // ONE key-count pass per side feeds the System-R stats, the exact
       // referee AND the md5 CMS (shared-scan helpers above): the old
       // form re-derived fa/fb for stats and exact and sketched the raw
       // rows besides — 4 scans per side per candidate, now 1.
-      val fa = keyCounts(a, ka)
-      val fb = keyCounts(b, kb)
       val statsA = fa.agg(sum(col("kn")).as("n_a"), count(lit(1)).as("ndv_a"))
       val statsB = fb.agg(sum(col("kn")).as("n_b"), count(lit(1)).as("ndv_b"))
       val exact = exactFromCounts(fa, fb)
@@ -754,21 +814,25 @@ object SketchPlanner {
     // est + exact per edge from ONE key-count pass per side (the q205
     // shared-scan pattern): one scan + one key shuffle per side per
     // edge, md5 per distinct key, referee Exchange reused.
-    def cand(name: String, a: DataFrame, ka: Column,
-        b: DataFrame, kb: Column): DataFrame = {
-      val fa = keyCounts(a, ka)
-      val fb = keyCounts(b, kb)
+    // r18 cross-edge sharing: `orders` (e0 by o_custkey, e1 by
+    // o_orderkey) and `lineitem` (e1 by l_orderkey, e2 by l_partkey)
+    // each appear on two edges under different keys — [[keyCounts2]]
+    // derives both frames of each from ONE scan, and the n1/n2 row
+    // counts the rank arithmetic needs are Σkn over those SAME frames
+    // (count(*) ≡ sum of per-key multiplicities) instead of two more
+    // full scans: 4 base-table scans total instead of 8.
+    def cand(name: String, fa: DataFrame, fb: DataFrame): DataFrame =
       estFromCounts(fa, fb).crossJoin(broadcast(exactFromCounts(fa, fb)))
         .select(lit(name).as("edge"), col("est").as("est_size"),
           col("exact").as("exact_size"))
-    }
+    val (fOrdCust, fOrdKey) =
+      keyCounts2(orders(s, d), col("o_custkey"), col("o_orderkey"))
+    val (fLineOrd, fLinePart) =
+      keyCounts2(lineitem(s, d), col("l_orderkey"), col("l_partkey"))
     val rows = Seq(
-      cand("e0_c_o",
-        customer(s, d), col("c_custkey"), orders(s, d), col("o_custkey")),
-      cand("e1_o_l",
-        orders(s, d), col("o_orderkey"), lineitem(s, d), col("l_orderkey")),
-      cand("e2_l_p",
-        lineitem(s, d), col("l_partkey"), part(s, d), col("p_partkey")))
+      cand("e0_c_o", keyCounts(customer(s, d), col("c_custkey")), fOrdCust),
+      cand("e1_o_l", fOrdKey, fLineOrd),
+      cand("e2_l_p", fLinePart, keyCounts(part(s, d), col("p_partkey"))))
       .reduce(_ unionByName _)
       .localCheckpoint(false) // two consumers: output rows + the pivot
     val wide = rows.agg(
@@ -778,8 +842,11 @@ object SketchPlanner {
       max(when(col("edge") === "e0_c_o", col("exact_size"))).as("x0"),
       max(when(col("edge") === "e1_o_l", col("exact_size"))).as("x1"),
       max(when(col("edge") === "e2_l_p", col("exact_size"))).as("x2"))
-    val n1 = orders(s, d).agg(count(lit(1)).as("n1"))
-    val n2 = lineitem(s, d).agg(count(lit(1)).as("n2"))
+    // row counts from the shared key frames: Σkn over any one key's
+    // groups IS count(*) (coalesce for the empty-table edge case, where
+    // sum yields NULL but count(*) yields 0)
+    val n1 = fOrdCust.agg(coalesce(sum(col("kn")), lit(0L)).as("n1"))
+    val n2 = fLineOrd.agg(coalesce(sum(col("kn")), lit(0L)).as("n2"))
     rows.crossJoin(broadcast(wide))
       .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
       .select(col("edge"), col("est_size"), col("exact_size"),

@@ -151,6 +151,27 @@ class SketchPlannerSpec extends SparkSpec {
     assert(rddIds.distinct.size === 2, s"rdd ids: $rddIds")
   }
 
+  test("keyCounts2: grouping-sets pair == two separate keyCounts, incl. null keys, one shared scan") {
+    // k1 skewed multiplicities, k2 near-unique, and BOTH carry nulls —
+    // the gid filter must keep a NULL key as a real group of its set
+    // and never confuse it with the other set's null-marker
+    val df = spark.range(2000).select(
+      when(col("id") % 97 === 0, lit(null))
+        .otherwise(pmod(col("id") * col("id"), lit(300))).as("k1"),
+      when(col("id") % 101 === 0, lit(null)).otherwise(col("id")).as("k2"))
+    val (f1, f2) = SketchPlanner.keyCounts2(df, col("k1"), col("k2"))
+    def m(f: org.apache.spark.sql.DataFrame) =
+      f.as[(Option[String], Long)].collect().toMap
+    assert(m(f1) === m(SketchPlanner.keyCounts(df, col("k1"))))
+    assert(m(f2) === m(SketchPlanner.keyCounts(df, col("k2"))))
+    // both frames are filters over ONE shared checkpointed RDD — the
+    // single-scan claim (each keyCounts would be its own RDD)
+    val ids = Seq(f1, f2).flatMap(_.queryExecution.optimizedPlan
+      .collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id })
+    assert(ids.size === 2 && ids.distinct.size === 1, s"rdd ids: $ids")
+  }
+
   test("q205 decision table: one-sided estimates, picks and strategies agree with exact") {
     val d = sf("sf0.001")
     val rows = SketchPlanner.q205JoinPlanner(spark, d)
