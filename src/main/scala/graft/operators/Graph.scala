@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
   import Tables._
+  import org.apache.spark.sql.graft.PartitionedCheckpoint
 
   private[operators] val Iters = 5
   /** Fixed-point scale: ranks are BIGINT multiples of 1e-12. */
@@ -65,11 +66,18 @@ object Graph {
     // whole-partition window buffers every src group, while the partial-
     // aggregated groupBy shuffles only group-sized rows.)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, Seq("src")).repartition(col("src"))
-      .sortWithinPartitions(col("src"))
-      .localCheckpoint(false)
-    val nodes = e.select(col("src").as("node")).distinct()
-      .localCheckpoint(false)
+    // r18: PartitionedCheckpoint, not a bare localCheckpoint — a plain
+    // lazy checkpoint FORGETS its partitioning (LogicalRDD over an
+    // unexecuted adaptive plan), so every iteration was silently paying
+    // a full edge-sized Exchange to re-partition the checkpoint it had
+    // already partitioned (found via the per-round plan probe this
+    // round; the r13 "zero-Exchange per iteration" claim had regressed).
+    // The helper re-labels the checkpoint with the HashPartitioning +
+    // sort it provably has; per-round plans are now exchange-free on
+    // the edge side again (plans/r18).
+    val e = PartitionedCheckpoint(edges.join(deg, Seq("src")), Seq("src"))
+    val nodes = PartitionedCheckpoint(
+      e.select(col("src").as("node")).distinct(), Seq("node"))
     val n = nodes.count()
     // fixed-point: rank_e12 units of 1e-12; all ops integer, both engines
     var r = nodes.select(col("node"), lit(Scale / n).as("rank_e12"))
@@ -78,14 +86,16 @@ object Graph {
       val contrib = e.join(r, e("src") === r("node"))
         .select(col("dst"), expr("rank_e12 div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(nodes("node"),
-          (lit(base) + expr("coalesce(s, 0L) * 85 div 100")).as("rank_e12"))
+      r = PartitionedCheckpoint(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(nodes("node"),
+            (lit(base) + expr("coalesce(s, 0L) * 85 div 100")).as("rank_e12")),
         // truncate the per-iteration lineage (the dedupClusters
         // lesson): without this, Catalyst re-plans a k-deep join
         // chain and AQE re-derives every prior iteration per stage.
-        // Lazy, so the loop still executes as one DAG per run.
-        .localCheckpoint(false)
+        // Lazy, so the loop still executes as one DAG per run; keyed by
+        // node so next round's e join streams it exchange-free.
+        Seq("node"))
     }
     r.select(col("node"), col("rank_e12"))
   }
@@ -432,19 +442,18 @@ object Graph {
     * graphs pass both directions); returns (node, dist) for every node
     * within `k` hops. */
   def bfs(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
-    // partitioned+sorted once, reused every round (the q81 schedule)
-    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
-      .localCheckpoint(false)
-    var dist = seeds.select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(false)
+    // partitioned+sorted once, reused every round (the q81 schedule);
+    // r18: partitioning-visible checkpoints (see pagerank)
+    val e = PartitionedCheckpoint(edges, Seq("src"))
+    var dist = PartitionedCheckpoint(
+      seeds.select(col("node"), lit(0L).as("dist")), Seq("node"))
     var frontier = dist
     for (i <- 1 to k) {
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node"), lit(i.toLong).as("dist"))
         .distinct()
-      val merged = dist.unionAll(next)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false)
+      val merged = PartitionedCheckpoint(dist.unionAll(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")), Seq("node"))
       frontier = merged.filter(col("dist") === i)
       dist = merged
     }
@@ -508,6 +517,12 @@ object Graph {
     * (node, core_deg) for survivors, core_deg measured in the FINAL
     * surviving subgraph. */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // r18: MEASURED, NOT converted to PartitionedCheckpoint — each round
+    // semi-joins e on src AND on dst; pinning the src layout forces the
+    // dst semi-join into a co-partition-shaped SMJ whose dst exchange +
+    // sort beat the runtime broadcast AQE picks when the plan is free
+    // (sf0.1 ×7 cold median 2.47 → 3.22 s). The dst re-key is
+    // fundamental whichever layout the checkpoint pins.
     val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
       .localCheckpoint(false)
     def aliveDeg(live: DataFrame): DataFrame =
@@ -590,16 +605,15 @@ object Graph {
     * directions). */
   private[operators] def sssp(edges: DataFrame, seeds: DataFrame,
       k: Int): DataFrame = {
-    val e = edges.repartition(col("src")).sortWithinPartitions(col("src"))
-      .localCheckpoint(false)
-    var dist = seeds.select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint(false)
+    // r18: partitioning-visible checkpoints (see pagerank)
+    val e = PartitionedCheckpoint(edges, Seq("src"))
+    var dist = PartitionedCheckpoint(
+      seeds.select(col("node"), lit(0L).as("dist")), Seq("node"))
     for (_ <- 1 to k) {
       val relaxed = dist.join(e, dist("node") === e("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionAll(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(false)
+      dist = PartitionedCheckpoint(dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")), Seq("node"))
     }
     dist
   }
@@ -669,6 +683,12 @@ object Graph {
     // it the orders⋈lineitem distinct runs twice (q105 edge-list
     // discipline). Partitioned+sorted on p so the self-join needs no
     // further exchange or sort on either side.
+    // r18: MEASURED, NOT converted to PartitionedCheckpoint — unlike the
+    // iterative operators' uniform edge frames, this self-join EXPLODES
+    // (deg² pairs per part), and pinning both sides to the checkpoint's
+    // co-partitioning removed AQE's runtime rebalancing of the exploding
+    // stage: sf1 BenchOne ×3 cold min went 9.7 s → 29.3 s. The exchange
+    // is worth it here; the cap bounds the fan-out, AQE balances it.
     val e = edges.join(deg, Seq("p")).repartition(col("p"))
       .sortWithinPartitions(col("p"))
       .localCheckpoint(false)
@@ -714,13 +734,14 @@ object Graph {
     * layout; each half-iteration is one join + partial-agg sum on a
     * node-sized frame; top-50 is TakeOrderedAndProject. */
   def q156Hits(s: SparkSession, d: String): DataFrame = {
-    val e = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-      .repartition(col("p")).sortWithinPartitions(col("p"))
-      .localCheckpoint(false)
+    // r18: partitioning-visible checkpoint (see pagerank)
+    val e = PartitionedCheckpoint(
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct(),
+      Seq("p"))
     val a1 = e.groupBy(col("p")).agg(count(lit(1)).as("a1"))
     val h1 = e.join(a1, Seq("p"))
       .groupBy(col("c")).agg(sum(col("a1")).as("h1"))
@@ -768,13 +789,12 @@ object Graph {
     val edges = pairs.select(col("src"), col("dst"))
       .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, Seq("src")).repartition(col("src"))
-      .sortWithinPartitions(col("src"))
-      .localCheckpoint(false)
-    val nodes = e.select(col("src").as("node")).distinct()
-      .withColumn("is_seed",
-        when(col("node") % 100 === 0, 1L).otherwise(0L))
-      .localCheckpoint(false)
+    // r18: partitioning-visible checkpoints (see pagerank)
+    val e = PartitionedCheckpoint(edges.join(deg, Seq("src")), Seq("src"))
+    val nodes = PartitionedCheckpoint(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("is_seed",
+          when(col("node") % 100 === 0, 1L).otherwise(0L)), Seq("node"))
     val ns = nodes.filter(col("is_seed") === 1L).count()
     require(ns > 0, "PPR needs a non-empty seed set")
     val base = (15L * Scale) / (100L * ns)
@@ -784,11 +804,12 @@ object Graph {
       val contrib = e.join(r, e("src") === r("node"))
         .select(col("dst"), expr("rank_e12 div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(nodes("node"),
-          (nodes("is_seed") * lit(base) +
-            expr("coalesce(s, 0L) * 85 div 100")).as("rank_e12"))
-        .localCheckpoint(false)
+      r = PartitionedCheckpoint(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .select(nodes("node"),
+            (nodes("is_seed") * lit(base) +
+              expr("coalesce(s, 0L) * 85 div 100")).as("rank_e12")),
+        Seq("node"))
     }
     r.select(col("node"), col("rank_e12"))
   }
@@ -853,14 +874,21 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("v"))
       .distinct()
-    val edges = pairs.select(col("c").as("src"), col("v").as("dst"))
-      .unionAll(pairs.select(col("v").as("src"), col("c").as("dst")))
-      .repartition(col("src")).localCheckpoint(false)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(false)
+    // r18: the checkpoint was partitioned by src, but every round JOINS
+    // ON dst — each of the 3 rounds re-shuffled the full edge list by
+    // dst (one edge-sized Exchange per round, visible in the sf1 stage
+    // profile as 3x ~106 MB writes). Partitioning-visible checkpoint on
+    // the ACTUAL join key: edge side of every round is now
+    // exchange-free; labels stay node-sized.
+    val edges = PartitionedCheckpoint(
+      pairs.select(col("c").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("c").as("dst"))),
+      Seq("dst"))
+    var labels = PartitionedCheckpoint(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")), Seq("node"))
     for (_ <- 1 to 3) {
-      labels = edges
+      labels = PartitionedCheckpoint(edges
         .join(labels.select(col("node").as("dst"), col("label").as("nl")),
           Seq("dst"))
         .groupBy(col("src"), col("nl"))
@@ -868,8 +896,7 @@ object Graph {
         .groupBy(col("src"))
         .agg(min_by(col("nl"), struct(negate(col("cnt")), col("nl")))
           .as("label"))
-        .select(col("src").as("node"), col("label"))
-        .localCheckpoint(false)
+        .select(col("src").as("node"), col("label")), Seq("node"))
     }
     labels.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
