@@ -841,13 +841,30 @@ object Relational {
     * `approx_percentile`: approximation algorithms differ across engines,
     * exact interpolation is oracle-comparable. At scale you'd switch to
     * approx_percentile (t-digest) — same plan shape, bounded memory. */
-  def q32Percentiles(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+  def q32Percentiles(s: SparkSession, d: String): DataFrame = {
+    // percentile() is an interpreted TypedImperativeAggregate whose
+    // state is a value→count OpenHashMap built row-at-a-time (boxed
+    // keys, no codegen). Feeding it per-(group, value) COUNTS through
+    // its documented frequency argument builds the IDENTICAL final
+    // state — map value = occurrence count — from a whole-stage-codegen
+    // hash-agg's output instead, so the interpreted path only ever sees
+    // the distinct-value frame (domain-bounded, not row-bounded). Same
+    // sorted-counts walk, same interpolation arithmetic, bit-identical
+    // result.
+    val li = lineitem(s, d)
+    val qtyP = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+      .agg(expr("percentile(l_quantity, 0.5, c)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9, c)").as("p90_qty"))
+    val priceP = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5, c)").as("p50_price"))
+    qtyP.join(priceP, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
+        col("p50_price"))
+  }
 
   val q32Sql: String =
     """SELECT l_returnflag,
@@ -1825,17 +1842,40 @@ object Relational {
   def q108RobustStats(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
       .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
-    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col("g"))
-      df.withColumn("rk", row_number().over(w.orderBy(col(v))))
-        .withColumn("n", count(lit(1)).over(w))
-        .filter(col("rk") === expr("(n + 1) div 2"))
+    // Per-(group, value) occurrence counts — ONE codegen'd hash-agg pass
+    // over the fact table. Distinct prices are bounded by the price
+    // domain, not the row count, so this frame is tiny at any SF; the
+    // lazy checkpoint shares the single lineitem scan between the two
+    // rank picks below. The former shape (row_number over a window
+    // partitioned by l_returnflag) sorted the WHOLE fact table in 3
+    // tasks — one per return flag — regardless of core count: the
+    // measured "serial at scale" signature (sf1 32c 12.3 s ≈ 8c 10.4 s).
+    // (No checkpoint: the two consumers each re-run the codegen'd scan+agg
+    // — the OLD window form also scanned lineitem twice, and at sf0.1 the
+    // checkpoint's extra job costs more than the second scan.)
+    val counts = li.groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+    // Lower median = the unique value whose cumulative-count range
+    // (cum − c, cum] covers rank (n+1) div 2 — the IDENTICAL pick the
+    // row_number form made (rank ties share the value), but the window
+    // now runs over DISTINCT values per group, never the fact rows.
+    def lowerMedianOfCounts(cnt: DataFrame, v: String, out: String): DataFrame = {
+      val wOrd = Window.partitionBy(col("g")).orderBy(col(v))
+      val wAll = Window.partitionBy(col("g"))
+      cnt.withColumn("cum", sum(col("c")).over(wOrd))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .filter(col("cum") - col("c") < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= col("cum"))
         .select(col("g"), col("n"), col(v).as(out))
     }
-    val med = lowerMedian(li, "x", "med")
-    val dev = li.join(broadcast(med.drop("n")), Seq("g"))
-      .select(col("g"), abs(col("x") - col("med")).as("dv"))
-    lowerMedian(dev, "dv", "mad").drop("n")
+    val med = lowerMedianOfCounts(counts, "x", "med")
+    // Deviation counts derive from the SAME counts frame: |x − med| is
+    // one correctly-rounded IEEE op per DISTINCT x (bit-identical to
+    // evaluating it per row), with occurrence counts summed where two
+    // x values collapse onto one deviation — no second fact-table scan.
+    val devCnt = counts.join(broadcast(med.drop("n")), Seq("g"))
+      .select(col("g"), abs(col("x") - col("med")).as("dv"), col("c"))
+      .groupBy(col("g"), col("dv")).agg(sum(col("c")).as("c"))
+    lowerMedianOfCounts(devCnt, "dv", "mad").drop("n")
       .join(broadcast(med), Seq("g"))
       .select(col("g").as("l_returnflag"), col("n"), col("med"), col("mad"))
   }

@@ -128,6 +128,53 @@ class SketchSpec extends SparkSpec {
     assert(got === Set(("A", 3L, 3.0, 2.0), ("B", 4L, 2.0, 1.0)))
   }
 
+  test("q108/q32 counts-frame rewrites match the row-level forms on tie-heavy data") {
+    // r18: q108's rank pick and q32's percentile run over per-(group,
+    // value) COUNTS (the window/aggregate never sees fact rows). The
+    // risky inputs are ties AT the median-rank boundary and heavy
+    // duplication — this differentials both against the row-level forms.
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("cntpick").toString
+    val rows =
+      Seq.tabulate(101)(i => ("A", (i % 5).toDouble, (i % 3).toDouble)) ++
+      Seq.tabulate(40)(i => ("B", if (i < 20) 1.5 else 2.5, 9.0)) ++
+      Seq(("C", 7.0, 1.0))
+    rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    // q108 reference: the pre-r18 row_number window form, verbatim
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("x"))
+    def lowerMedianRows(df: org.apache.spark.sql.DataFrame, v: String,
+        out: String) = {
+      val w = Window.partitionBy(col("g"))
+      df.withColumn("rk", row_number().over(w.orderBy(col(v))))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("g"), col("n"), col(v).as(out))
+    }
+    val medRef = lowerMedianRows(li, "x", "med")
+    val devRef = li.join(broadcast(medRef.drop("n")), Seq("g"))
+      .select(col("g"), abs(col("x") - col("med")).as("dv"))
+    val q108Ref = lowerMedianRows(devRef, "dv", "mad").drop("n")
+      .join(broadcast(medRef), Seq("g"))
+      .select(col("g"), col("n"), col("med"), col("mad"))
+      .as[(String, Long, Double, Double)].collect().toSet
+    val q108Got = Relational.q108RobustStats(spark, dir)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(q108Got === q108Ref)
+
+    // q32 reference: unweighted percentile over the fact rows
+    val q32Ref = Tables.lineitem(spark, dir).groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+      .as[(String, Double, Double, Double)].collect().toSet
+    val q32Got = Relational.q32Percentiles(spark, dir)
+      .as[(String, Double, Double, Double)].collect().toSet
+    assert(q32Got === q32Ref)
+  }
+
   test("portable HLL registers: estimate within 10% of truth; union = element-wise max") {
     def estimate(regs: Map[Long, Long], m: Int = 256): Double = {
       val s = (0 until m).map(j => math.pow(2.0, -regs.getOrElse(j.toLong, 0L).toDouble)).sum
