@@ -187,6 +187,24 @@ object Dedup {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     val pairs = neardupPairs(docs, bands = 16, rowsPerBand = 4,
       threshold = 0.8, maxBucket = 1000).select(col("id_a"), col("id_b"))
+      // Pin-spread the pair rows BEFORE the texts attach: AQE coalesces
+      // the candidate exchange by BYTES (slim 16-byte pairs → 1-2
+      // partitions), but each row's downstream cost is the O(|a|·|b|)
+      // levenshtein — measured at the sf1 grain: the final stage ran 2
+      // tasks / 16.7 s wall / 29.8 s task time on 32 cores (8c/32c ratio
+      // 0.95, the suite's worst serial signature). REPARTITION_BY_NUM
+      // (conf-derived count) is AQE-proof; the exchange itself moves
+      // ~2.4 MB. Keyed by id_a ALONE on purpose: the candidate distinct
+      // below already emits hashpartitioning(id_a, id_b, n), so an
+      // identically-keyed repartition is elided as redundant and the
+      // surviving ENSURE_REQUIREMENTS exchange coalesces again —
+      // verified in-plan. (Per-id_a fan-out is bounded by the LSH
+      // bucket cap, so the single-key spread cannot recreate the skew.)
+      // At corpus scale the text joins leave broadcast and the heavy
+      // join output stops coalescing on its own — the pinned spread
+      // only matters (and only helps) in the slim-pairs regime.
+      .repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("id_a"))
     val ta = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
     pairs.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
