@@ -1387,15 +1387,24 @@ object Curation {
         explode(Dedup.tokensCodegen(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .select(col("doc_id"), col("lang"), md5Bucket(col("w"), 4096).as("bk"))
-    val vocab = words.groupBy(col("bk"))
-      .agg(count(lit(1)).as("c_all"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    // Collapse the token stream to per-(doc, bucket) COUNTS once and
+    // checkpoint: the affinity table, the per-doc score, and the decile
+    // denominator all used to re-derive `words` — three full
+    // tokenize+explode passes over the corpus per query. Every
+    // downstream sum is exact over the counts (longs): c_all = Σcnt,
+    // c_t = Σcnt where en, score = Σ aff·cnt ≡ the per-token sums.
+    val wc = words.groupBy(col("doc_id"), col("lang"), col("bk"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val vocab = wc.groupBy(col("bk"))
+      .agg(sum(col("cnt")).as("c_all"),
+        sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("c_t"))
       .select(col("bk"),
         expr("(1000000 * (c_t + 1)) div (c_all + 2)").as("aff"))
-    val scored = words
+    val scored = wc
       .join(broadcast(vocab), Seq("bk"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("aff")).as("score"))
+      .agg(sum(col("aff") * col("cnt")).as("score"))
     val n = scored.agg(count(lit(1)).as("nd"))
     Relational.globalRank(scored, -col("score"), col("doc_id"), parts = 32)
       .crossJoin(broadcast(n))

@@ -739,10 +739,11 @@ object Dedup {
     // join key is the 64-bit hash of the gram, not the string — the
     // shuffle ships 8 bytes per gram instead of ~20 chars (collision
     // probability over ~250k distinct grams is ~1e-9 — negligible).
-    val gh = gramHashRows(documents(s, d).select(col("doc_id"), col("text")))
+    val gh = sharedGramFrame(documents(s, d).select(col("doc_id"), col("text")))
     val bounded = capGramDf(gh, maxDf = 1000)
     val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = bounded.select(col("doc_id").as("id_a"), col("gh"))
+    val inter = spreadForSelfJoin(bounded)
+      .select(col("doc_id").as("id_a"), col("gh"))
       .join(bounded.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
@@ -757,6 +758,42 @@ object Dedup {
   }
 
   val q22Sql: String = exactJaccardSql(0.2, maxDf = 1000)
+
+  /** The q22/q255 gram frame, materialized ONCE: its four consumers
+    * (stop-gram census, per-doc sizes, both inverted-index join arms)
+    * carry canonically different inferred filters, so runtime exchange
+    * reuse never fires and each re-ran the whole tokenize→shingle
+    * pipeline — 4 documents scans per query (BenchScanTotal). Gated the
+    * neardupPairs way: under spark.graft.dedup.cache the maybeCache
+    * inside gramHashRows already dedups the consumers (checkpoint+cache
+    * would double-materialize). */
+  private def sharedGramFrame(docs: DataFrame): DataFrame = {
+    val gh = gramHashRows(docs)
+    if (docs.sparkSession.conf
+        .getOption("spark.graft.dedup.cache").exists(_.toBoolean)) gh
+    else gh.localCheckpoint(false)
+  }
+
+  /** Pin-spread the STREAMED arm of an inverted-index self-join: AQE
+    * coalesces the slim gram rows by BYTES (sf1: 8 post-coalesce
+    * partitions carrying 8.5 MB), but the join EXPLODES df² pair rows
+    * per gram into the same stage's aggregate — measured on q22 at the
+    * sf1 grain: 155 s of task time in 8 tasks (19.8 s wall on 32
+    * cores). REPARTITION_BY_NUM with the conf-derived count is
+    * AQE-proof and moves only the slim rows once.
+    *
+    * Keyed by doc_id, NOT the join key: the streamed arm becomes id_a,
+    * so doc_id partitioning co-locates EVERY pair row of a given
+    * (id_a, id_b) — the per-pair intersection partial aggregate
+    * collapses to one row per pair map-side. A gh-keyed spread was
+    * measured first: same 32-way parallelism, but each pair's rows
+    * scatter across the gram partitions and the partial aggregate
+    * stopped collapsing — 1.1 GB partial-output exchange, wall
+    * unchanged. */
+  private def spreadForSelfJoin(gramRows: DataFrame): DataFrame =
+    gramRows.repartition(
+      gramRows.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+      col("doc_id"))
 
   /** Duplicated-SPAN statistics per document — the substring-level dedup
     * signal of Lee et al., "Deduplicating Training Data Makes Language
@@ -2013,10 +2050,13 @@ object Dedup {
     * sweep costs one near-dup pass, not five. */
   def q255JaccardSweep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val gh = gramHashRows(documents(s, d).select(col("doc_id"), col("text")))
+    // shared gram checkpoint + pinned self-join spread: see q22 (same
+    // 4-consumer / AQE-coalesced-explosion shape, measured there)
+    val gh = sharedGramFrame(documents(s, d).select(col("doc_id"), col("text")))
     val bounded = capGramDf(gh, maxDf = 1000)
     val sizes = bounded.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val pairs = bounded.select(col("doc_id").as("id_a"), col("gh"))
+    val pairs = spreadForSelfJoin(bounded)
+      .select(col("doc_id").as("id_a"), col("gh"))
       .join(bounded.select(col("doc_id").as("id_b"), col("gh")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

@@ -2058,9 +2058,17 @@ object Relational {
   /** See [[q125BrandBasket]]; any lineitem/part-shaped frames. */
   private[operators] def brandBasket(li: DataFrame, pt: DataFrame,
       minSupport: Int): DataFrame = {
+    // The (order, brand) basket frame has FOUR consumers (order total,
+    // brand marginals, both self-join sides), and their inferred filters
+    // make the copies canonically different, so runtime exchange reuse
+    // never fires — each consumer re-ran the lineitem⋈part scan and the
+    // distinct (4 fact scans per query, BenchScanTotal). The lazy
+    // checkpoint shares ONE materialization of the slim (long, brand)
+    // rows — the q77 set-table / q205 key-count discipline.
     val ob = li.join(pt, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
       .distinct()
+      .localCheckpoint(false)
     val n = ob.agg(countDistinct(col("ok")).as("n_orders"))
     val bs = ob.groupBy(col("b")).agg(count(lit(1)).as("nb"))
     val pairs = ob.select(col("ok"), col("b").as("brand_a"))
